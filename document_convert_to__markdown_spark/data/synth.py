@@ -1,0 +1,478 @@
+# -*- coding: utf-8 -*-
+"""Deterministic Common-Crawl-style pages corpus (FIXTURES.md §1).
+
+Every row is a pure function of ``(seed, i)`` — generation needs no
+shared state, so at scale the corpus synthesizes *distributed*: a Spark
+``spark.range(n)`` + ``mapInPandas`` fans row construction across
+executors (see pipeline/corpus.py).  No wall-clock, no global PRNG:
+golden hashes are stable across runs and machines.
+
+Format mix per FIXTURES.md: 70% HTML, 15% PDF, 8% DOCX, 4% XLSX,
+2% raw image, 1% junk/empty.  One document per ``giant_every`` is a
+"giant" (~100x median size) to exercise the salted skew routing.
+"""
+
+from __future__ import annotations
+
+import io
+import random
+import struct
+import zipfile
+import zlib
+from datetime import datetime, timezone
+from typing import NamedTuple, Optional
+
+LANGS = ["en", "zh", "es", "de", "fr"]
+
+_WORDS = {
+    "en": ("data systems scale query engine table page crawl web text "
+           "model training pipeline shuffle partition spark cluster row "
+           "column document markdown extract content quality the and of "
+           "for with from this that have will can are was been").split(),
+    "zh": list("数据系统规模查询引擎表格页面网络文本模型训练管道分区集群文档内容质量提取转换处理分析结果方法流程示意诊疗指南"),
+    "es": ("datos sistema escala consulta motor tabla crawl web texto "
+           "modelo la el de para con desde este que tiene puede son").split(),
+    "de": ("daten system skala abfrage maschine tabelle seite netz text "
+           "der die das und von für mit aus diese dass haben kann sind").split(),
+    "fr": ("données système échelle requête moteur table page toile texte "
+           "le la de pour avec depuis cette que ont peut sont été").split(),
+}
+
+BASE_EPOCH = 1700000000  # deterministic crawl-timestamp base
+
+
+class PageRow(NamedTuple):
+    url: str
+    warc_ts: datetime
+    html: bytes
+    text: str
+    lang: str
+
+
+# --- tiny valid image payloads -------------------------------------------
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def make_png(width: int, height: int, shade: int) -> bytes:
+    """Small valid grayscale PNG."""
+    raw = b"".join(
+        b"\x00" + bytes([(shade + x + y) % 256 for x in range(width)])
+        for y in range(height)
+    )
+    return (b"\x89PNG\r\n\x1a\n"
+            + _png_chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def make_jpeg(width: int, height: int) -> bytes:
+    """Header-parseable JPEG (SOI + APP0 + SOF0 + minimal scan + EOI)."""
+    sof = struct.pack(">BBHHB", 8, 0, 0, 0, 3)  # placeholder, rebuilt below
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes(
+        [3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    return (b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00"
+            + b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+            + b"\xff\xd9")
+
+
+def make_gif(width: int, height: int) -> bytes:
+    return (b"GIF89a" + struct.pack("<HH", width, height)
+            + b"\x80\x00\x00" + b"\x00\x00\x00\xff\xff\xff"
+            + b"\x3b")
+
+
+# --- text helpers ----------------------------------------------------------
+
+def _sentence(rng: random.Random, lang: str, n_words: int) -> str:
+    words = _WORDS[lang]
+    sep = "" if lang == "zh" else " "
+    s = sep.join(rng.choice(words) for _ in range(n_words))
+    return s + ("。" if lang == "zh" else ".")
+
+
+def _paragraph(rng: random.Random, lang: str, n_sentences: int) -> str:
+    return " ".join(_sentence(rng, lang, rng.randint(6, 18))
+                    for _ in range(n_sentences))
+
+
+# --- HTML ------------------------------------------------------------------
+
+def make_html(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    n_sections = max(1, int(rng.randint(2, 6) * scale))
+    parts = [
+        "<!DOCTYPE html>",
+        f'<html lang="{lang}"><head><title>doc{doc_idx}</title>',
+        "<style>body{margin:0}</style>",
+        '<script>var t=1;</script></head><body>',
+        # Boilerplate blocks the extractor must strip:
+        '<nav class="navbar"><ul>'
+        + "".join(f'<li><a href="/p{k}">Link {k}</a></li>' for k in range(8))
+        + "</ul></nav>",
+        '<div class="cookie-banner">We use cookies. '
+        '<a href="/accept">Accept</a> <a href="/reject">Reject</a></div>',
+        '<div class="sidebar"><a href="/a">ad one</a> <a href="/b">ad two</a>'
+        ' <a href="/c">more links</a> <a href="/d">again</a></div>',
+        "<main>",
+        f"<h1>Document {doc_idx} ({lang})</h1>",
+    ]
+    for s in range(n_sections):
+        parts.append(f"<h2>Section {s + 1}</h2>")
+        for _ in range(rng.randint(1, 4)):
+            para = _paragraph(rng, lang, rng.randint(2, 5))
+            if rng.random() < 0.3:
+                para += f' <a href="https://ref{rng.randint(0, 99)}.example/x">{_sentence(rng, lang, 2)}</a>'
+            if rng.random() < 0.2:
+                para += f" <strong>{_sentence(rng, lang, 3)}</strong>"
+            parts.append(f"<p>{para}</p>")
+        roll = rng.random()
+        if roll < 0.25:
+            items = "".join(
+                f"<li>{_sentence(rng, lang, rng.randint(3, 8))}</li>"
+                for _ in range(rng.randint(2, 6))
+            )
+            parts.append(f"<ul>{items}</ul>")
+        elif roll < 0.4:
+            rows = "".join(
+                "<tr>" + "".join(
+                    f"<td>{_sentence(rng, lang, 2)}</td>" for _ in range(3)
+                ) + "</tr>"
+                for _ in range(rng.randint(2, 5))
+            )
+            parts.append(
+                "<table><tr><th>col a</th><th>col b</th><th>col c</th></tr>"
+                + rows + "</table>"
+            )
+        elif roll < 0.5:
+            parts.append(
+                "<pre><code>def f(x):\n    return x * "
+                f"{rng.randint(2, 9)}\n</code></pre>"
+            )
+    parts.append("</main>")
+    parts.append('<footer class="footer"><a href="/tos">Terms</a> '
+                 '<a href="/privacy">Privacy</a> © site</footer>')
+    parts.append("</body></html>")
+    return "\n".join(parts).encode("utf-8")
+
+
+# --- PDF ---------------------------------------------------------------------
+
+def _pdf_escape(text: str) -> bytes:
+    raw = text.encode("utf-8")
+    return raw.replace(b"\\", b"\\\\").replace(b"(", b"\\(").replace(b")", b"\\)")
+
+
+def make_pdf(rng: random.Random, lang: str, doc_idx: int, scale: float,
+             image_only: bool = False) -> bytes:
+    """Classic-xref PDF with Tj text lines, optional embedded images."""
+    n_pages = max(1, int(rng.randint(1, 3) * scale))
+    n_images = rng.randint(1, 3) if (image_only or rng.random() < 0.5) else 0
+
+    objects: list[bytes] = []  # 1-based object bodies, index = objnum-1
+
+    def add(body: bytes) -> int:
+        objects.append(body)
+        return len(objects)
+
+    font_num = add(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+
+    image_nums: list[int] = []
+    for k in range(n_images):
+        img = make_png(rng.randint(4, 16), rng.randint(4, 16), rng.randint(0, 255))
+        body = (b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+                b" /ColorSpace /DeviceRGB /BitsPerComponent 8 /Length "
+                + str(len(img)).encode() + b" >>\nstream\n" + img + b"\nendstream")
+        image_nums.append(add(body))
+
+    page_content_nums: list[int] = []
+    for p in range(n_pages):
+        lines: list[bytes] = [b"BT /F1 12 Tf 72 720 Td 14 TL"]
+        if image_only:
+            n_lines = 0
+        else:
+            n_lines = max(2, int(rng.randint(4, 14) * scale))
+        first = True
+        for li in range(n_lines):
+            if first:
+                text = f"Page {p + 1} heading for doc {doc_idx}"
+                first = False
+            else:
+                roll = rng.random()
+                if lang == "zh" and roll < 0.2:
+                    text = f"如图 {p + 1}-{li} 所示，" + _sentence(rng, "zh", 8)
+                elif roll < 0.1:
+                    text = f"Figure {li}: " + _sentence(rng, lang, 4)
+                else:
+                    text = _sentence(rng, lang, rng.randint(6, 14))
+            lines.append(b"(" + _pdf_escape(text) + b") Tj T*")
+        lines.append(b"ET")
+        for img_num in image_nums:
+            lines.append(b"q 100 0 0 100 72 400 cm /Im%d Do Q" % img_num)
+        content = b"\n".join(lines)
+        compressed = zlib.compress(content)
+        body = (b"<< /Length " + str(len(compressed)).encode()
+                + b" /Filter /FlateDecode >>\nstream\n" + compressed
+                + b"\nendstream")
+        page_content_nums.append(add(body))
+
+    page_nums: list[int] = []
+    pages_num_placeholder = len(objects) + n_pages + 1
+    for p in range(n_pages):
+        xobj = b""
+        if image_nums:
+            xobj = (b" /XObject << "
+                    + b" ".join(b"/Im%d %d 0 R" % (n, n) for n in image_nums)
+                    + b" >>")
+        body = (b"<< /Type /Page /Parent " + str(pages_num_placeholder).encode()
+                + b" 0 R /MediaBox [0 0 612 792] /Contents "
+                + str(page_content_nums[p]).encode() + b" 0 R /Resources << /Font << /F1 "
+                + str(font_num).encode() + b" 0 R >>" + xobj + b" >> >>")
+        page_nums.append(add(body))
+
+    pages_num = add(b"<< /Type /Pages /Kids ["
+                    + b" ".join(b"%d 0 R" % n for n in page_nums)
+                    + b"] /Count " + str(n_pages).encode() + b" >>")
+    assert pages_num == pages_num_placeholder
+    catalog_num = add(b"<< /Type /Catalog /Pages " + str(pages_num).encode() + b" 0 R >>")
+
+    out = io.BytesIO()
+    out.write(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
+    offsets = [0] * (len(objects) + 1)
+    for i, body in enumerate(objects, 1):
+        offsets[i] = out.tell()
+        out.write(b"%d 0 obj\n" % i)
+        out.write(body)
+        out.write(b"\nendobj\n")
+    xref_pos = out.tell()
+    out.write(b"xref\n0 %d\n" % (len(objects) + 1))
+    out.write(b"0000000000 65535 f \n")
+    for i in range(1, len(objects) + 1):
+        out.write(b"%010d 00000 n \n" % offsets[i])
+    out.write(b"trailer\n<< /Size %d /Root %d 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+              % (len(objects) + 1, catalog_num, xref_pos))
+    return out.getvalue()
+
+
+# --- DOCX --------------------------------------------------------------------
+
+_CONTENT_TYPES = b"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Default Extension="png" ContentType="image/png"/>
+<Override PartName="/word/document.xml" ContentType="application/vnd.openxmlformats-officedocument.wordprocessingml.document.main+xml"/>
+</Types>"""
+
+_W = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_A = "http://schemas.openxmlformats.org/drawingml/2006/main"
+_R = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+
+def _docx_para(text: str, style: str = "", numbered: bool = False,
+               bad_ilvl: bool = False) -> str:
+    ppr = ""
+    if style or numbered:
+        num = ""
+        if numbered:
+            ilvl = '<w:ilvl w:val="abc"/>' if bad_ilvl else '<w:ilvl w:val="0"/>'
+            num = f'<w:numPr>{ilvl}<w:numId w:val="1"/></w:numPr>'
+        st = f'<w:pStyle w:val="{style}"/>' if style else ""
+        ppr = f"<w:pPr>{st}{num}</w:pPr>"
+    from xml.sax.saxutils import escape
+    return f"<w:p>{ppr}<w:r><w:t>{escape(text)}</w:t></w:r></w:p>"
+
+
+def make_docx(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    n_images = rng.randint(0, 2)
+    malformed = rng.random() < 0.15
+
+    body_parts = [_docx_para(f"Heading for doc {doc_idx}", style="Heading1")]
+    for s in range(max(1, int(rng.randint(1, 4) * scale))):
+        body_parts.append(_docx_para(f"Part {s + 1}", style="Heading2"))
+        for _ in range(rng.randint(1, 4)):
+            body_parts.append(_docx_para(_paragraph(rng, lang, rng.randint(1, 3))))
+        if rng.random() < 0.3:
+            for j in range(rng.randint(2, 4)):
+                body_parts.append(
+                    _docx_para(_sentence(rng, lang, 5), numbered=True,
+                               bad_ilvl=malformed and j == 0)
+                )
+    if rng.random() < 0.3:
+        rows = "".join(
+            "<w:tr>" + "".join(
+                f"<w:tc><w:p><w:r><w:t>c{r}{c}</w:t></w:r></w:p></w:tc>"
+                for c in range(3)
+            ) + "</w:tr>"
+            for r in range(3)
+        )
+        body_parts.append(f"<w:tbl>{rows}</w:tbl>")
+
+    rels_entries = []
+    for k in range(1, n_images + 1):
+        rels_entries.append(
+            f'<Relationship Id="rIdImg{k}" '
+            f'Type="{_R}/image" Target="media/image{k}.png"/>'
+        )
+        body_parts.append(
+            f'<w:p><w:r><w:drawing><a:blip xmlns:a="{_A}" '
+            f'xmlns:r="{_R}" r:embed="rIdImg{k}"/></w:drawing></w:r></w:p>'
+        )
+
+    document = (
+        f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        f'<w:document xmlns:w="{_W}"><w:body>{"".join(body_parts)}</w:body></w:document>'
+    )
+    rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(rels_entries) + "</Relationships>"
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("word/document.xml", document)
+        zf.writestr("word/_rels/document.xml.rels", rels)
+        for k in range(1, n_images + 1):
+            zf.writestr(f"word/media/image{k}.png",
+                        make_png(rng.randint(4, 12), rng.randint(4, 12),
+                                 rng.randint(0, 255)))
+    return buf.getvalue()
+
+
+# --- XLSX --------------------------------------------------------------------
+
+_XLSX_CT = b"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+</Types>"""
+
+_S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_RNS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+
+def make_xlsx(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    n_sheets = rng.randint(1, 3)
+
+    def cell_ref(col: int, row: int) -> str:
+        letters = ""
+        c = col
+        while True:
+            letters = chr(65 + c % 26) + letters
+            c = c // 26 - 1
+            if c < 0:
+                break
+        return f"{letters}{row}"
+
+    sheets_xml = []
+    for s in range(n_sheets):
+        n_rows = max(2, int(rng.randint(3, 8) * scale))
+        n_cols = rng.randint(2, 5)
+        rows = []
+        for r in range(1, n_rows + 1):
+            cells = []
+            for c in range(n_cols):
+                ref = cell_ref(c, r)
+                if r == 1:
+                    cells.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>h{c}</t></is></c>'
+                    )
+                elif rng.random() < 0.5:
+                    cells.append(f'<c r="{ref}"><v>{rng.randint(0, 9999)}</v></c>')
+                else:
+                    cells.append(
+                        f'<c r="{ref}" t="inlineStr"><is><t>v{r}{c}</t></is></c>'
+                    )
+            rows.append(f'<row r="{r}">{"".join(cells)}</row>')
+        sheets_xml.append(
+            f'<?xml version="1.0"?><worksheet xmlns="{_S}">'
+            f'<sheetData>{"".join(rows)}</sheetData></worksheet>'
+        )
+
+    workbook = (
+        f'<?xml version="1.0"?><workbook xmlns="{_S}" xmlns:r="{_RNS}"><sheets>'
+        + "".join(
+            f'<sheet name="Sheet{s + 1}" sheetId="{s + 1}" r:id="rId{s + 1}"/>'
+            for s in range(n_sheets)
+        )
+        + "</sheets></workbook>"
+    )
+    wb_rels = (
+        '<?xml version="1.0"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{s + 1}" Type="{_RNS}/worksheet" '
+            f'Target="worksheets/sheet{s + 1}.xml"/>'
+            for s in range(n_sheets)
+        )
+        + "</Relationships>"
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CT)
+        zf.writestr("xl/workbook.xml", workbook)
+        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        for s, xml in enumerate(sheets_xml):
+            zf.writestr(f"xl/worksheets/sheet{s + 1}.xml", xml)
+    return buf.getvalue()
+
+
+# --- row synthesis ------------------------------------------------------------
+
+def synth_page(i: int, seed: int = 42, giant_every: int = 10000) -> PageRow:
+    """Row ``i`` of the corpus — pure function of ``(seed, i)``."""
+    rng = random.Random((seed << 32) ^ i)
+    lang = LANGS[i % len(LANGS)] if rng.random() < 0.6 else rng.choice(LANGS)
+
+    # Long-tail size scale; every `giant_every`-th doc is a giant.
+    scale = rng.lognormvariate(0.0, 0.6)
+    if giant_every and i > 0 and i % giant_every == 0:
+        scale *= 100.0
+
+    roll = rng.random()
+    if roll < 0.70:
+        fmt = "html"
+        payload = make_html(rng, lang, i, scale)
+    elif roll < 0.85:
+        fmt = "pdf"
+        payload = make_pdf(rng, lang, i, scale, image_only=rng.random() < 0.1)
+    elif roll < 0.93:
+        fmt = "docx"
+        payload = make_docx(rng, lang, i, scale)
+    elif roll < 0.97:
+        fmt = "xlsx"
+        payload = make_xlsx(rng, lang, i, scale)
+    elif roll < 0.99:
+        fmt = "img"
+        maker = rng.choice([make_png, make_jpeg, make_gif])
+        if maker is make_png:
+            payload = make_png(rng.randint(4, 32), rng.randint(4, 32),
+                               rng.randint(0, 255))
+        else:
+            payload = maker(rng.randint(4, 32), rng.randint(4, 32))
+    else:
+        fmt = "junk"
+        kind = rng.random()
+        if kind < 0.4:
+            payload = b""
+        elif kind < 0.7:
+            payload = bytes(rng.getrandbits(8) for _ in range(rng.randint(3, 64)))
+        else:
+            payload = b"%PDF-1.4\ntruncated"[: rng.randint(5, 18)]
+
+    url = f"https://site{i % 1000}.example/{lang}/doc{i}"
+    ts = datetime.fromtimestamp(BASE_EPOCH + (i * 137) % 31536000, tz=timezone.utc)
+    text_preview = f"{fmt} document {i}"
+    return PageRow(url, ts.replace(tzinfo=None), payload, text_preview, lang)
+
+
+def synth_batch(start: int, count: int, seed: int = 42,
+                giant_every: int = 10000) -> list[PageRow]:
+    return [synth_page(i, seed, giant_every) for i in range(start, start + count)]

@@ -1,0 +1,110 @@
+"""Magic-byte / MIME format sniffing (replaces extension dispatch).
+
+The reference dispatches on file extension
+(/root/reference/src/document_processors.py:1073-1097,
+/root/reference/src/converter.py:535-540).  At web scale there are no
+filenames, so format is determined from the first bytes of the payload
+(north_star: "batched format sniffing (magic-byte + MIME dispatch over
+HTML/PDF/DOCX/XLSX bytes)").  Pure function — safe inside Arrow UDFs.
+"""
+
+from __future__ import annotations
+
+import zipfile
+import io
+
+# Format labels (the `format` column of the result schema).
+FMT_HTML = "html"
+FMT_PDF = "pdf"
+FMT_DOCX = "docx"
+FMT_XLSX = "xlsx"
+FMT_PNG = "png"
+FMT_JPEG = "jpeg"
+FMT_GIF = "gif"
+FMT_BMP = "bmp"
+FMT_WEBP = "webp"
+FMT_TEXT = "text"
+FMT_EMPTY = "empty"
+FMT_UNKNOWN = "unknown"
+
+IMAGE_FORMATS = frozenset({FMT_PNG, FMT_JPEG, FMT_GIF, FMT_BMP, FMT_WEBP})
+
+_HTML_MARKERS = (
+    b"<!doctype html",
+    b"<html",
+    b"<head",
+    b"<body",
+    b"<!DOCTYPE html",
+)
+
+
+def _sniff_zip(payload: bytes) -> str:
+    """Distinguish OOXML container types by member listing.
+
+    Mirrors what extension dispatch decided in the reference
+    (document_processors.py:1088-1095) but from the bytes themselves.
+    """
+    try:
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            names = set(zf.namelist())
+    except (zipfile.BadZipFile, OSError, ValueError):
+        return FMT_UNKNOWN
+    if "word/document.xml" in names:
+        return FMT_DOCX
+    if "xl/workbook.xml" in names:
+        return FMT_XLSX
+    if "[Content_Types].xml" in names:
+        # OOXML container we don't handle (pptx etc.) — treat as unknown
+        # so it surfaces as a status row, never a silent drop (SURVEY A3).
+        return FMT_UNKNOWN
+    return FMT_UNKNOWN
+
+
+def sniff_format(payload: bytes) -> str:
+    """Return the format label for a raw document payload.
+
+    Only the first ~512 bytes are inspected except for zip containers
+    (which need the central directory).  Cheap by design: the sniff runs
+    before the heavy extract so unsupported rows short-circuit
+    (reference analog: converter.py:185-189 pre-filter).
+    """
+    if payload is None or len(payload) == 0:
+        return FMT_EMPTY
+
+    head = payload[:512]
+
+    if head.startswith(b"%PDF-"):
+        return FMT_PDF
+    if head.startswith(b"PK\x03\x04"):
+        return _sniff_zip(payload)
+    if head.startswith(b"\x89PNG\r\n\x1a\n"):
+        return FMT_PNG
+    if head.startswith(b"\xff\xd8\xff"):
+        return FMT_JPEG
+    if head.startswith(b"GIF87a") or head.startswith(b"GIF89a"):
+        return FMT_GIF
+    if head.startswith(b"BM") and len(payload) > 14:
+        return FMT_BMP
+    if head.startswith(b"RIFF") and payload[8:12] == b"WEBP":
+        return FMT_WEBP
+
+    lowered = head.lstrip()[:64].lower()
+    for marker in _HTML_MARKERS:
+        if lowered.startswith(marker.lower()):
+            return FMT_HTML
+    # HTML fragments without a doctype: look for any tag soup early on.
+    if b"<" in head and (b"</" in head or b"/>" in head or b"<p" in head.lower()
+                         or b"<div" in head.lower() or b"<h1" in head.lower()):
+        return FMT_HTML
+
+    # Printable text heuristic: decodes as UTF-8 and mostly printable.
+    try:
+        text = head.decode("utf-8")
+    except UnicodeDecodeError:
+        return FMT_UNKNOWN
+    if not text.strip():
+        return FMT_EMPTY
+    printable = sum(1 for c in text if c.isprintable() or c in "\n\r\t")
+    if printable / max(len(text), 1) > 0.9:
+        return FMT_TEXT
+    return FMT_UNKNOWN
