@@ -1,0 +1,75 @@
+"""spark-submit entry point.
+
+Replaces the reference's two CLIs (/root/reference/main.py:211-299 and
+src/converter.py:806-881 — SURVEY.md §3.1/§3.3) with a single job:
+
+    spark-submit --py-files doc2md.zip -m document_convert_to__markdown_spark.cli \\
+        --input-table iceberg:warehouse.pages --output /out --run-id r1 [--resume]
+
+Sandbox usage (local mode, synthetic corpus):
+
+    python -m document_convert_to__markdown_spark.cli \\
+        --n-docs 5000 --output /tmp/out --cores 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(description="doc→markdown extraction job")
+    parser.add_argument("--input-table", default=None,
+                        help="pages table: iceberg:<id>, table:<name>, or parquet path")
+    parser.add_argument("--n-docs", type=int, default=None,
+                        help="synthesize this many pages instead of reading a table")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--output", required=True, help="output directory")
+    parser.add_argument("--run-id", default="run")
+    parser.add_argument("--resume", action="store_true",
+                        help="anti-join completed urls from a prior run")
+    parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument("--cores", default=None,
+                        help="local[N] cores (default: SPARK_GRAFT_CPUS or 32)")
+    args = parser.parse_args(argv)
+
+    if not args.input_table and not args.n_docs:
+        parser.error("one of --input-table / --n-docs is required")
+
+    from .pipeline.session import build_session
+    from .pipeline.job import run_extraction_resumable
+
+    master = f"local[{args.cores}]" if args.cores else None
+    spark = build_session("doc2md-cli", master=master)
+    try:
+        if args.n_docs:
+            from .pipeline.corpus import synth_pages_df
+            pages = synth_pages_df(spark, args.n_docs, seed=args.seed)
+        else:
+            from .sources import read_pages
+            pages = read_pages(spark, args.input_table)
+
+        t0 = time.time()
+        summary = run_extraction_resumable(
+            spark, pages, args.output, run_id=args.run_id,
+            resume=args.resume, partitions=args.partitions,
+        )
+        elapsed = time.time() - t0
+        n_docs = sum(summary.values())
+        print(json.dumps({
+            "run_id": args.run_id,
+            "elapsed_sec": round(elapsed, 2),
+            "docs": n_docs,
+            "docs_per_sec": round(n_docs / elapsed, 2) if elapsed else None,
+            "status_counts": summary,
+        }))
+        return 0 if summary.get("failed", 0) == 0 else 1
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

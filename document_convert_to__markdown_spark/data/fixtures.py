@@ -1,0 +1,128 @@
+# -*- coding: utf-8 -*-
+"""Golden conversion fixtures (FIXTURES.md §2, SURVEY.md §5.2 items 2-3).
+
+Named fixture documents keyed to specific reference behaviors, plus a
+slice of the synthetic corpus.  ``golden_records()`` runs the pure-Python
+extractors standalone (the executable form of the reference's manual
+golden validation, WORK_PROGRESS.md:194-211) and returns
+``(url, golden_md, golden_sha256, n_images, format)`` rows.
+
+The committed hash file (tests/golden_fixtures.json) pins these outputs;
+pytest asserts the extractors still reproduce them byte-for-byte, and the
+Spark golden-comparison join (pipeline/golden.py) asserts the distributed
+path produces the same bytes as the standalone path — catching any
+Arrow/batching/encoding drift between the two.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+from ..extractors.extract import extract_document
+from . import synth
+
+
+def _fixture_payloads() -> list[tuple[str, bytes]]:
+    """(url, payload) for each named parity fixture."""
+    fixtures: list[tuple[str, bytes]] = []
+
+    # heading_spacing — single-newline heading triggers the \x01 cleanup
+    # quirk (converter.py:291-292) via a text document.
+    fixtures.append((
+        "https://fixtures.example/en/heading_spacing",
+        "intro line\n# Heading One\nbody follows\n## Heading Two\nmore".encode(),
+    ))
+
+    # list_mangle — "- " items after newline hit the \x01 list quirk
+    # (converter.py:295).
+    fixtures.append((
+        "https://fixtures.example/en/list_mangle",
+        "para\n- item one\n- item two\n* star\n".encode(),
+    ))
+
+    # pdf_header_footer — short/digit lines stripped (converter.py:251-260).
+    rng = random.Random(101)
+    fixtures.append((
+        "https://fixtures.example/en/pdf_header_footer",
+        synth.make_pdf(rng, "en", 9001, 1.2),
+    ))
+
+    # pdf_fig_refs_zh — 图 X-Y reference-pattern insertion
+    # (document_processors.py:607-635).
+    rng = random.Random(202)
+    fixtures.append((
+        "https://fixtures.example/zh/pdf_fig_refs_zh",
+        synth.make_pdf(rng, "zh", 9002, 1.5),
+    ))
+
+    # pdf_image_only — <50 chars text → image-based markdown
+    # (document_processors.py:509-512).
+    rng = random.Random(303)
+    fixtures.append((
+        "https://fixtures.example/en/pdf_image_only",
+        synth.make_pdf(rng, "en", 9003, 1.0, image_only=True),
+    ))
+
+    # docx_media_links — media/imageN rewriting (document_processors.py:382-395).
+    rng = random.Random(404)
+    fixtures.append((
+        "https://fixtures.example/en/docx_media_links",
+        synth.make_docx(rng, "en", 9004, 1.0),
+    ))
+
+    # cjk_filename — fullwidth chars in the url-derived doc name
+    # (utils/filename_normalizer.py:29-56).
+    rng = random.Random(505)
+    fixtures.append((
+        "https://fixtures.example/zh/表（一）：数据，结果",
+        synth.make_html(rng, "zh", 9005, 1.0),
+    ))
+
+    # image_passthrough — PNG metadata markdown (document_processors.py:994-1011).
+    fixtures.append((
+        "https://fixtures.example/en/image_passthrough",
+        synth.make_png(24, 16, 7),
+    ))
+
+    # boilerplate_html — nav/footer/cookie stripping.
+    rng = random.Random(606)
+    fixtures.append((
+        "https://fixtures.example/en/boilerplate_html",
+        synth.make_html(rng, "en", 9006, 2.0),
+    ))
+
+    # xlsx_sheets — multi-sheet markdown tables (config.py:102-107).
+    rng = random.Random(707)
+    fixtures.append((
+        "https://fixtures.example/en/xlsx_sheets",
+        synth.make_xlsx(rng, "en", 9007, 1.0),
+    ))
+
+    # Corpus slice: the first 50 synthetic documents.
+    for i in range(50):
+        row = synth.synth_page(i)
+        fixtures.append((row.url, row.html))
+
+    return fixtures
+
+
+def golden_records() -> list[dict]:
+    """Run the standalone extractors over every fixture payload."""
+    records = []
+    for url, payload in _fixture_payloads():
+        doc = extract_document(url, payload)
+        md = doc.markdown or ""
+        records.append({
+            "url": url,
+            "golden_md": md,
+            "golden_sha256": hashlib.sha256(md.encode("utf-8")).hexdigest(),
+            "n_images": doc.n_images,
+            "format": doc.format,
+        })
+    return records
+
+
+def fixture_pages() -> list[tuple[str, bytes]]:
+    """The raw fixture inputs, for feeding the Spark pipeline."""
+    return _fixture_payloads()

@@ -1,0 +1,237 @@
+"""The extraction job: Arrow-batched, url-hash partitioned, skew-salted,
+lineage-checkpointed, resumable.
+
+This is the Spark replacement for the reference's sequential batch loop
+(/root/reference/main.py:126-170, converter.py:713-734 — SURVEY.md §2
+A23).  Control flow:
+
+    pages ─ filter(size gate) ─ route(normal | giant) ─ repartition
+          ─ mapInPandas(extract) ─ raw(kind: doc|metrics)
+          ─ results / assets / ledger
+
+Scale design (SURVEY §4.2, north rule):
+- **url-hash repartition**: deterministic, even keying; P ≈ 2-4 × cores.
+- **salted giant-doc routing**: AQE fixes shuffle skew, not compute skew
+  inside one UDF call — documents above ``giant_threshold`` bytes are
+  split off and round-robin repartitioned so no worker gets two giants.
+- **per-partition lineage**: each task appends one metrics trailer row
+  (partition id, counts, bytes, elapsed) — the ledger that makes runs
+  resumable and auditable without driver-side accumulators.
+- **resume**: pages LEFT ANTI JOIN completed urls from a previous run's
+  results (idempotent url-keyed overwrite — reference analog: the
+  delete-then-rewrite at image_processor.py:100-110).
+- **no per-row Python UDFs** (input_hint mandate): the only Python
+  boundary is Arrow-batched ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import time
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..extractors.extract import MAX_DOCUMENT_BYTES, extract_document
+from .schemas import EXTRACT_SCHEMA, LEDGER_COLUMNS, RESULT_COLUMNS
+
+# Documents larger than this route through the low-density giant path.
+DEFAULT_GIANT_THRESHOLD = 4 * 1024 * 1024  # 4 MB
+
+
+def _extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body: doc rows per batch + one metrics trailer row."""
+    from pyspark import TaskContext
+
+    m_docs = m_ok = m_failed = m_skipped = m_bytes = 0
+    t_part0 = time.perf_counter()
+
+    def doc_row(url: str, payload) -> dict:
+        nonlocal m_docs, m_ok, m_failed, m_skipped, m_bytes
+        t0 = time.perf_counter()
+        payload_bytes = bytes(payload) if payload is not None else None
+        doc = extract_document(url, payload_bytes)
+        elapsed_us = int((time.perf_counter() - t0) * 1e6)
+
+        m_docs += 1
+        m_bytes += len(payload_bytes) if payload_bytes else 0
+        if doc.status == "ok":
+            m_ok += 1
+        elif doc.status == "failed":
+            m_failed += 1
+        else:
+            m_skipped += 1
+
+        md = doc.markdown
+        return {
+            "kind": "doc",
+            "url": doc.url,
+            "doc_name": doc.doc_name,
+            "format": doc.format,
+            "status": doc.status,
+            "error": doc.error,
+            "markdown": md,
+            "md_sha256": hashlib.sha256(md.encode("utf-8")).hexdigest()
+            if md is not None else None,
+            "n_images": doc.n_images,
+            "extractor_used": doc.extractor_used,
+            "elapsed_us": elapsed_us,
+            "input_bytes": len(payload_bytes) if payload_bytes else 0,
+            "assets": [
+                {"name": a.name, "page": a.page, "data": a.data}
+                for a in doc.assets
+            ],
+            "partition_id": None,
+            "m_docs": None, "m_ok": None, "m_failed": None,
+            "m_skipped": None, "m_bytes": None, "m_elapsed_us": None,
+        }
+
+    for pdf in batches:
+        rows = [doc_row(u, p) for u, p in zip(pdf["url"], pdf["html"])]
+        if rows:
+            yield pd.DataFrame(rows)
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    yield pd.DataFrame([{
+        "kind": "metrics",
+        "url": None, "doc_name": None, "format": None, "status": None,
+        "error": None, "markdown": None, "md_sha256": None,
+        "n_images": None, "extractor_used": None,
+        "elapsed_us": None, "input_bytes": None, "assets": None,
+        "partition_id": pid,
+        "m_docs": m_docs, "m_ok": m_ok, "m_failed": m_failed,
+        "m_skipped": m_skipped, "m_bytes": m_bytes,
+        "m_elapsed_us": int((time.perf_counter() - t_part0) * 1e6),
+    }])
+
+
+@dataclass
+class ExtractResult:
+    """The three output tables (SURVEY §2 Part B "Sinks")."""
+    results: DataFrame  # one row per url
+    assets: DataFrame   # exploded (url, asset_name, page, data)
+    ledger: DataFrame   # one row per partition (lineage/metrics)
+    raw: DataFrame      # combined, for single-pass persistence
+
+
+def run_extraction(
+    pages: DataFrame,
+    partitions: Optional[int] = None,
+    giant_threshold: int = DEFAULT_GIANT_THRESHOLD,
+) -> ExtractResult:
+    """Build the extraction plan over a pages DataFrame (lazy)."""
+    spark = pages.sparkSession
+    if partitions is None:
+        partitions = max(spark.sparkContext.defaultParallelism * 3, 8)
+
+    sized = pages.select("url", "html").withColumn(
+        "_len", F.coalesce(F.length("html"), F.lit(0))
+    )
+
+    # Intended 100MB gate at the scan (A2) — pushed down by Catalyst; the
+    # UDF re-checks defensively, but oversized blobs never cross to Python.
+    sized = sized.filter(F.col("_len") <= F.lit(MAX_DOCUMENT_BYTES))
+
+    normal = (
+        sized.filter(F.col("_len") < giant_threshold)
+        # Explicit url-hash repartition (north rule): deterministic even
+        # keying; repartition by expression hash-partitions on url.
+        .repartition(partitions, F.col("url"))
+        .drop("_len")
+    )
+    giant = (
+        sized.filter(F.col("_len") >= giant_threshold)
+        # Salted routing: round-robin spreads giants one-per-task; a
+        # url-hash here could co-locate two giants on one worker.
+        .repartition(partitions)
+        .drop("_len")
+    )
+
+    raw = normal.mapInPandas(_extract_partition, schema=EXTRACT_SCHEMA)
+    raw_giant = giant.mapInPandas(_extract_partition, schema=EXTRACT_SCHEMA)
+    raw = raw.unionByName(raw_giant)
+
+    docs = raw.filter(F.col("kind") == "doc")
+    results = docs.select(*RESULT_COLUMNS)
+    assets = (
+        docs.filter(F.col("n_images") > 0)
+        .select("url", F.explode("assets").alias("asset"))
+        .select(
+            "url",
+            F.col("asset.name").alias("asset_name"),
+            F.col("asset.page").alias("page"),
+            F.col("asset.data").alias("data"),
+        )
+    )
+    ledger = raw.filter(F.col("kind") == "metrics").select(*LEDGER_COLUMNS)
+    return ExtractResult(results=results, assets=assets, ledger=ledger, raw=raw)
+
+
+def run_extraction_resumable(
+    spark: SparkSession,
+    pages: DataFrame,
+    out_dir: str,
+    run_id: str = "run",
+    resume: bool = False,
+    partitions: Optional[int] = None,
+    giant_threshold: int = DEFAULT_GIANT_THRESHOLD,
+) -> dict:
+    """Execute with persistence + resume; returns summary counters.
+
+    Writes ``{out_dir}/raw`` once (single extraction pass), then derives
+    results/assets/ledger from the persisted raw table.  Resume
+    anti-joins pages against urls already present in ``raw`` — only
+    unfinished work reruns, and re-running a finished job is a no-op
+    (idempotent by url key).
+    """
+    raw_path = f"{out_dir}/raw"
+
+    todo = pages
+    if resume:
+        try:
+            done = spark.read.parquet(raw_path).filter(
+                F.col("kind") == "doc"
+            ).select("url")
+            # Broadcast-friendly when the remainder is small; at scale the
+            # anti join shuffles on url — same key as the extract
+            # repartition, so the exchange is reused.
+            todo = pages.join(done, "url", "left_anti")
+        except Exception:
+            todo = pages  # nothing to resume from
+
+    plan = run_extraction(todo, partitions=partitions,
+                          giant_threshold=giant_threshold)
+    plan.raw.write.mode("append" if resume else "overwrite").parquet(raw_path)
+
+    raw = spark.read.parquet(raw_path)
+    docs = raw.filter(F.col("kind") == "doc")
+
+    summary_rows = (
+        docs.groupBy("status").count().orderBy("status").collect()
+    )
+    summary = {r["status"]: r["count"] for r in summary_rows}
+
+    results = docs.select(*RESULT_COLUMNS)
+    results.write.mode("overwrite").parquet(f"{out_dir}/results")
+    (
+        docs.filter(F.col("n_images") > 0)
+        .select("url", F.explode("assets").alias("asset"))
+        .select(
+            "url",
+            F.col("asset.name").alias("asset_name"),
+            F.col("asset.page").alias("page"),
+            F.col("asset.data").alias("data"),
+        )
+        .write.mode("overwrite").parquet(f"{out_dir}/assets")
+    )
+    (
+        raw.filter(F.col("kind") == "metrics")
+        .select(*LEDGER_COLUMNS)
+        .withColumn("run_id", F.lit(run_id))
+        .write.mode("overwrite").parquet(f"{out_dir}/ledger")
+    )
+    return summary

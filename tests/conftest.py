@@ -1,0 +1,15 @@
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    """Shared local SparkSession for the Spark-layer tests."""
+    from document_convert_to__markdown_spark.pipeline.session import build_session
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    session = build_session("doc2md-tests", master="local[8]",
+                            shuffle_partitions=8)
+    yield session
+    session.stop()
