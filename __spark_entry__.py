@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship extraction pipeline over sf0.001.
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     the training-data-pipeline operators).
+``oracle_sql()``   — DuckDB-equivalent SQL per query where the operator
+                     is SQL-expressible; extraction/sketch UDF operators
+                     are rows-only by design (Python-regex / sketch
+                     semantics don't exist in SQL).
+
+Column-name discipline: every computed column is aliased identically in
+the Spark plan and the oracle SQL (the driver hashes values under sorted
+column names).  Floats are rounded identically on both sides.
 """
 
 from __future__ import annotations
@@ -12,27 +18,732 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Flagship: the extraction pipeline end-to-end (north_star operator A5+A23)
+# --------------------------------------------------------------------------
+
+def _pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Wrap the plain-text documents table into pages-schema HTML rows."""
+    return docs.select(
+        F.concat(F.lit("https://docs.example/"), "lang",
+                 F.lit("/doc"), F.col("doc_id").cast("string")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        F.encode(
+            F.concat(F.lit("<html><body><h1>doc</h1><p>"), "text",
+                     F.lit("</p></body></html>")),
+            "utf-8",
+        ).alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: extract markdown for every sf0.001 document, summarize.
+
+    documents → pages(html binary) → sniff/extract/clean (Arrow UDF)
+    → per-(lang, status, format) aggregation.
+    """
+    from document_convert_to__markdown_spark.pipeline.job import run_extraction
+
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    pages = _pages_from_documents(docs)
+    plan = run_extraction(pages, partitions=8)
+    lang_map = pages.select("url", "lang")
+    return (
+        plan.results.join(lang_map, "url")
+        .groupBy("lang", "status", "format")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("markdown")).alias("total_md_chars"),
+        )
+        .orderBy("lang", "status", "format")
+    )
+
+
+# --------------------------------------------------------------------------
+# queries() — Spark side
+# --------------------------------------------------------------------------
+
+def _q_a2_size_filter(spark, sf):
+    docs = _load(spark, sf, "documents")
+    return (
+        docs.filter(F.col("n_chars") <= 3000)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_chars").alias("total_chars"))
+    )
+
+
+def _q_a3_validation_status(spark, sf):
+    docs = _load(spark, sf, "documents")
+    status = (
+        F.when(F.coalesce(F.length("text"), F.lit(0)) == 0, "skipped_empty")
+        .when(F.col("n_chars") > 8000, "skipped_too_large")
+        .when(F.col("source") == "src13", "skipped_unsupported")
+        .otherwise("ok")
+    )
+    return (
+        docs.select(status.alias("status"))
+        .groupBy("status").agg(F.count("*").alias("n"))
+    )
+
+
+def _q_a24_stats_agg(spark, sf):
+    docs = _load(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+def _q_golden_join_hash(spark, sf):
+    docs = _load(spark, sf, "documents")
+    golden = docs.select("doc_id", F.md5("text").alias("golden_hash"))
+    produced = docs.select("doc_id", F.md5("text").alias("md_hash"), "lang")
+    joined = produced.join(golden, "doc_id")
+    return joined.groupBy("lang").agg(
+        F.sum(F.when(F.col("md_hash") == F.col("golden_hash"), 1)
+              .otherwise(0)).alias("n_match"),
+        F.sum(F.when(F.col("md_hash") != F.col("golden_hash"), 1)
+              .otherwise(0)).alias("n_mismatch"),
+    )
+
+
+def _q_anti_join_resume(spark, sf):
+    customer = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey,
+                      "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers_no_orders"))
+    )
+
+
+def _q_window_topk_docs(spark, sf):
+    from pyspark.sql.window import Window
+
+    docs = _load(spark, sf, "documents")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").desc(),
+                                           F.col("doc_id"))
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("lang", "doc_id", "n_chars", "rn")
+    )
+
+
+def _q_window_running_sum(spark, sf):
+    from pyspark.sql.window import Window
+
+    events = _load(spark, sf, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        events.filter(F.col("user_id") < 10)
+        .select("event_id", "user_id",
+                F.round(F.sum("value").over(w), 4).alias("running_value"))
+    )
+
+
+def _q_sort_topk_events(spark, sf):
+    events = _load(spark, sf, "events")
+    return (
+        events.orderBy(F.col("value").desc(), F.col("event_id"))
+        .select("event_id", "event_type", F.round("value", 4).alias("value_r"))
+        .limit(10)
+    )
+
+
+def _q_set_ops_users(spark, sf):
+    events = _load(spark, sf, "events")
+    clickers = events.filter("event_type = 'click'").select("user_id").distinct()
+    buyers = events.filter("event_type = 'purchase'").select("user_id").distinct()
+    both = clickers.intersect(buyers).count()
+    only_click = clickers.exceptAll(clickers.intersect(buyers)).count()
+    return spark.createDataFrame(
+        [(both, only_click)], "n_click_and_buy bigint, n_click_only bigint"
+    )
+
+
+def _q_string_funcs(spark, sf):
+    docs = _load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("len"),
+        F.upper(F.substring("text", 1, 12)).alias("head_upper"),
+        F.size(F.split(F.col("text"), " ", -1)).alias("n_space_tokens"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).alias("len_no_vowels"),
+    )
+
+
+def _q_date_funcs(spark, sf):
+    events = _load(spark, sf, "events")
+    return (
+        events.groupBy(F.date_format(F.date_trunc("day", "ts"),
+                                     "yyyy-MM-dd").alias("day"))
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def _q_json_funcs(spark, sf):
+    events = _load(spark, sf, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        events.select((k % 10).alias("k_mod10"))
+        .groupBy("k_mod10").agg(F.count("*").alias("n"))
+    )
+
+
+def _q_tpch_q1_pricing(spark, sf):
+    li = _load(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_tpch_q3_topk(spark, sf):
+    customer = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem")
+    return (
+        customer.filter("c_mktsegment = 'BUILDING'")
+        .join(orders, customer.c_custkey == orders.o_custkey)
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey",
+                 F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def _q_tpch_q5_region_revenue(spark, sf):
+    customer = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem")
+    supplier = _load(spark, sf, "supplier")
+    nation = _load(spark, sf, "nation")
+    region = _load(spark, sf, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                     2).alias("revenue"))
+    )
+
+
+def _q_rollup_lang_source(spark, sf):
+    docs = _load(spark, sf, "documents")
+    return (
+        docs.rollup("lang", "source")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang_g"),
+            F.coalesce("source", F.lit("(all)")).alias("source_g"),
+            "n",
+        )
+    )
+
+
+def _q_dedup_exact(spark, sf):
+    docs = _load(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_texts"),
+    )
+
+
+def _q_dedup_ngram_jaccard(spark, sf):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return ngram_jaccard_pairs(docs, block_on_length=True)
+
+
+def _q_dedup_minhash_lsh(spark, sf):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return lsh_candidate_pairs(docs)
+
+
+def _q_dedup_simhash(spark, sf):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return simhash_near_pairs(docs)
+
+
+def _q_neardup_embedding_cosine(spark, sf):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        neardup_pairs_cosine,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    # 0.35 sits just above the corpus's p99 same-label cosine — yields a
+    # small, meaningful near-dup set on the synthetic embeddings.
+    return neardup_pairs_cosine(emb, threshold=0.35, block=True)
+
+
+def _q_ann_topk_cosine(spark, sf):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()["embedding"]
+    return brute_force_topk(emb.filter("vec_id <> 0"), list(qvec), k=10)
+
+
+def _q_ann_lsh_topk(spark, sf):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        lsh_ann_topk,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()["embedding"]
+    return lsh_ann_topk(emb.filter("vec_id <> 0"), list(qvec), k=10)
+
+
+def _q_text_langid(spark, sf):
+    from document_convert_to__markdown_spark.operators.text import language_id
+
+    return language_id(_load(spark, sf, "documents"))
+
+
+def _q_text_quality(spark, sf):
+    from document_convert_to__markdown_spark.operators.text import quality_score
+
+    return quality_score(_load(spark, sf, "documents"))
+
+
+def _q_token_stats(spark, sf):
+    from document_convert_to__markdown_spark.operators.text import token_stats
+
+    return token_stats(_load(spark, sf, "documents"))
+
+
+def _q_doc_fingerprint(spark, sf):
+    from document_convert_to__markdown_spark.operators.text import fingerprint
+
+    return fingerprint(_load(spark, sf, "documents"))
+
+
+def _q_extract_cleanup_chain(spark, sf):
+    from document_convert_to__markdown_spark.operators.text import cleanup_chain
+
+    return cleanup_chain(_load(spark, sf, "documents"))
+
+
+def _q_extract_pipeline_stats(spark, sf):
+    from document_convert_to__markdown_spark.pipeline.job import run_extraction
+
+    docs = _load(spark, sf, "documents")
+    pages = _pages_from_documents(docs)
+    plan = run_extraction(pages, partitions=8)
+    return (
+        plan.results.groupBy("format", "status")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.length("markdown")).alias("total_md_chars"))
+    )
+
+
+def _q_extract_synth_corpus(spark, sf):
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+    from document_convert_to__markdown_spark.pipeline.job import run_extraction
+
+    pages = synth_pages_df(spark, 300, giant_every=100)
+    plan = run_extraction(pages, partitions=8)
+    return (
+        plan.results.groupBy("format", "status")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_images").alias("n_images_total"))
+    )
+
+
+def _q_multimodal_media_meta(spark, sf):
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_metadata,
+    )
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+
+    pages = synth_pages_df(spark, 200, giant_every=0)
+    media = media_metadata(pages, url_col="url", blob_col="html")
+    return (
+        media.groupBy("media_format")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_bytes").alias("total_bytes"))
+    )
+
+
+def _q_golden_fixture_compare(spark, sf):
+    from document_convert_to__markdown_spark.data.fixtures import (
+        fixture_pages,
+        golden_records,
+    )
+    from document_convert_to__markdown_spark.pipeline.golden import golden_compare
+    from document_convert_to__markdown_spark.pipeline.job import run_extraction
+    from document_convert_to__markdown_spark.pipeline.schemas import (
+        GOLDEN_SCHEMA,
+        PAGES_SCHEMA,
+    )
+
+    pages = spark.createDataFrame(
+        [(u, None, p, "", "en") for u, p in fixture_pages()], schema=PAGES_SCHEMA
+    )
+    golden = spark.createDataFrame(
+        [(r["url"], r["golden_md"], r["golden_sha256"], r["n_images"],
+          r["format"]) for r in golden_records()],
+        schema=GOLDEN_SCHEMA,
+    )
+    report = golden_compare(
+        run_extraction(pages, partitions=8).results.filter("status = 'ok'"),
+        golden.filter("format <> 'empty'"),
+    )
+    return spark.createDataFrame(
+        [(report.n_golden, report.n_matched, report.n_hash_mismatch,
+          report.n_missing)],
+        "n_golden bigint, n_matched bigint, n_hash_mismatch bigint, "
+        "n_missing bigint",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # SURVEY §2 Part A/B operators (SQL-expressible)
+        "a2_size_filter": _q_a2_size_filter,
+        "a3_validation_status": _q_a3_validation_status,
+        "a24_stats_agg": _q_a24_stats_agg,
+        "golden_join_hash": _q_golden_join_hash,
+        "anti_join_resume": _q_anti_join_resume,
+        "window_topk_docs": _q_window_topk_docs,
+        "window_running_sum": _q_window_running_sum,
+        "sort_topk_events": _q_sort_topk_events,
+        "set_ops_users": _q_set_ops_users,
+        "string_funcs": _q_string_funcs,
+        "date_funcs": _q_date_funcs,
+        "json_funcs": _q_json_funcs,
+        "tpch_q1_pricing": _q_tpch_q1_pricing,
+        "tpch_q3_topk": _q_tpch_q3_topk,
+        "tpch_q5_region_revenue": _q_tpch_q5_region_revenue,
+        "rollup_lang_source": _q_rollup_lang_source,
+        # training-data pipeline operators
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "neardup_embedding_cosine": _q_neardup_embedding_cosine,
+        "ann_topk_cosine": _q_ann_topk_cosine,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "text_langid": _q_text_langid,
+        "text_quality": _q_text_quality,
+        "token_stats": _q_token_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        # extraction pipeline (Arrow UDF, rows-only)
+        "extract_cleanup_chain": _q_extract_cleanup_chain,
+        "extract_pipeline_stats": _q_extract_pipeline_stats,
+        "extract_synth_corpus": _q_extract_synth_corpus,
+        "multimodal_media_meta": _q_multimodal_media_meta,
+        "golden_fixture_compare": _q_golden_fixture_compare,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# --------------------------------------------------------------------------
+# oracle_sql() — DuckDB side (identical column names + rounding)
+# --------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "a2_size_filter": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+            FROM documents WHERE n_chars <= 3000 GROUP BY lang
+        """,
+        "a3_validation_status": """
+            SELECT CASE
+                     WHEN coalesce(length(text), 0) = 0 THEN 'skipped_empty'
+                     WHEN n_chars > 8000 THEN 'skipped_too_large'
+                     WHEN source = 'src13' THEN 'skipped_unsupported'
+                     ELSE 'ok' END AS status,
+                   count(*) AS n
+            FROM documents GROUP BY 1
+        """,
+        "a24_stats_agg": """
+            SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                   round(avg(n_chars), 4) AS avg_chars,
+                   min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+            FROM documents GROUP BY lang
+        """,
+        "golden_join_hash": """
+            SELECT p.lang,
+                   sum(CASE WHEN p.md_hash = g.golden_hash THEN 1 ELSE 0 END)
+                     AS n_match,
+                   sum(CASE WHEN p.md_hash <> g.golden_hash THEN 1 ELSE 0 END)
+                     AS n_mismatch
+            FROM (SELECT doc_id, lang, md5(text) AS md_hash FROM documents) p
+            JOIN (SELECT doc_id, md5(text) AS golden_hash FROM documents) g
+              USING (doc_id)
+            GROUP BY p.lang
+        """,
+        "anti_join_resume": """
+            SELECT c_mktsegment, count(*) AS n_customers_no_orders
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey)
+            GROUP BY c_mktsegment
+        """,
+        "window_topk_docs": """
+            SELECT lang, doc_id, n_chars, rn FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 3
+        """,
+        "window_running_sum": """
+            SELECT event_id, user_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING
+                                          AND CURRENT ROW), 4)
+                     AS running_value
+            FROM events WHERE user_id < 10
+        """,
+        "sort_topk_events": """
+            SELECT event_id, event_type, round(value, 4) AS value_r
+            FROM events ORDER BY value DESC, event_id LIMIT 10
+        """,
+        "set_ops_users": """
+            WITH c AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT (SELECT count(*) FROM (SELECT * FROM c INTERSECT
+                                          SELECT * FROM p))
+                     AS n_click_and_buy,
+                   (SELECT count(*) FROM (SELECT * FROM c EXCEPT
+                                          SELECT * FROM p))
+                     AS n_click_only
+        """,
+        "string_funcs": """
+            SELECT doc_id, length(text) AS len,
+                   upper(substr(text, 1, 12)) AS head_upper,
+                   len(string_split(text, ' ')) AS n_space_tokens,
+                   length(regexp_replace(text, '[aeiou]', '', 'g'))
+                     AS len_no_vowels
+            FROM documents
+        """,
+        "date_funcs": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n, round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "json_funcs": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+                     AS k_mod10,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "tpch_q1_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "tpch_q3_topk": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            WHERE c_mktsegment = 'BUILDING'
+            GROUP BY o_orderkey, orderdate
+            ORDER BY revenue DESC, o_orderkey LIMIT 10
+        """,
+        "tpch_q5_region_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
+        """,
+        "rollup_lang_source": """
+            SELECT coalesce(lang, '(all)') AS lang_g,
+                   coalesce(source, '(all)') AS source_g,
+                   count(*) AS n
+            FROM documents GROUP BY ROLLUP (lang, source)
+        """,
+        "dedup_exact": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT md5(text)) AS n_distinct_texts
+            FROM documents GROUP BY lang
+        """,
+        "dedup_ngram_jaccard": """
+            WITH grams AS (
+              SELECT doc_id, lang, n_chars,
+                     list_transform(
+                       range(0, greatest(len(string_split(text, ' ')) - 3, 0)),
+                       i -> string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2] || ' ' ||
+                            string_split(text, ' ')[i + 3]) AS grams
+              FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                         / len(list_distinct(list_concat(a.grams, b.grams))),
+                         4) AS jaccard
+            FROM grams a JOIN grams b
+              ON a.lang = b.lang AND a.n_chars = b.n_chars
+             AND a.doc_id < b.doc_id
+        """,
+        "neardup_embedding_cosine": """
+            WITH pairs AS (
+              SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                     round(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                            CAST(b.embedding AS DOUBLE[]))
+                           / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                    CAST(a.embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                                    CAST(b.embedding AS DOUBLE[])))),
+                           4) AS cosine
+              FROM embeddings a JOIN embeddings b
+                ON a.label = b.label AND a.vec_id < b.vec_id)
+            SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+        """,
+        "ann_topk_cosine": """
+            WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+            SELECT vec_id,
+                   round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                          CAST(qv AS DOUBLE[]))
+                         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                  CAST(embedding AS DOUBLE[])))
+                          * sqrt(list_dot_product(CAST(qv AS DOUBLE[]),
+                                                  CAST(qv AS DOUBLE[])))),
+                         4) AS cosine
+            FROM embeddings, q WHERE vec_id <> 0
+            ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(qv AS DOUBLE[]))
+                     / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(qv AS DOUBLE[]),
+                                              CAST(qv AS DOUBLE[])))) DESC,
+                     vec_id
+            LIMIT 10
+        """,
+        "text_langid": """
+            WITH scores AS (
+              SELECT lang,
+                     len(regexp_extract_all(text, '[一-鿿]')) AS cjk,
+                     len(string_split(' ' || text || ' ', ' the '))
+                     + len(string_split(' ' || text || ' ', ' and '))
+                     + len(string_split(' ' || text || ' ', ' of ')) - 3 AS s_en,
+                     len(string_split(' ' || text || ' ', ' el '))
+                     + len(string_split(' ' || text || ' ', ' los '))
+                     + len(string_split(' ' || text || ' ', ' para ')) - 3 AS s_es,
+                     len(string_split(' ' || text || ' ', ' der '))
+                     + len(string_split(' ' || text || ' ', ' und '))
+                     + len(string_split(' ' || text || ' ', ' nicht ')) - 3 AS s_de,
+                     len(string_split(' ' || text || ' ', ' le '))
+                     + len(string_split(' ' || text || ' ', ' les '))
+                     + len(string_split(' ' || text || ' ', ' pour ')) - 3 AS s_fr
+              FROM documents)
+            SELECT lang,
+                   CASE WHEN cjk > 0 THEN 'zh'
+                        WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr
+                          THEN 'en'
+                        WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                        WHEN s_de >= s_fr THEN 'de'
+                        ELSE 'fr' END AS pred_lang,
+                   count(*) AS n
+            FROM scores GROUP BY lang, pred_lang
+        """,
+        "text_quality": """
+            SELECT doc_id, lang,
+                   length(text) AS n_chars_actual,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                   round(length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                         / length(text), 4) AS punct_ratio,
+                   round(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                         / length(text), 4) AS digit_ratio,
+                   round(length(text)
+                         / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+                     AS mean_word_len,
+                   CASE WHEN len(regexp_split_to_array(trim(text), '\\s+')) < 5
+                          THEN 0.0
+                        WHEN round(length(regexp_replace(text, '[^.,;:!?]', '',
+                                                         'g'))
+                                   / length(text), 4) > 0.2 THEN 0.2
+                        WHEN round(length(text)
+                                   / len(regexp_split_to_array(trim(text),
+                                                               '\\s+')), 4)
+                             > 12 THEN 0.4
+                        ELSE 1.0 END AS quality
+            FROM documents
+        """,
+        "token_stats": """
+            WITH per_doc AS (
+              SELECT lang,
+                     CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END AS ws_tokens,
+                     CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est
+              FROM documents)
+            SELECT lang, count(*) AS n_docs,
+                   sum(ws_tokens) AS total_ws_tokens,
+                   sum(subword_est) AS total_subword_est,
+                   round(avg(ws_tokens), 4) AS avg_ws_tokens
+            FROM per_doc GROUP BY lang
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, lang,
+                   md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
+                     AS fingerprint
+            FROM documents
+        """,
+    }

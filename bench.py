@@ -1,0 +1,102 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Headline metric: docs/sec markdown-extraction throughput over a
+deterministic synthetic pages corpus (the BASELINE.json metric), plus
+per-query wall times for the SQL-expressible operator suite at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+Env:
+  SPARK_GRAFT_SF_DIR   sf directory (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_N_DOCS         synthetic corpus size (default 8000)
+
+Scaling evidence (north rule, N vs 4N): scripts/bench_scaling.py runs
+this corpus at local[8] and local[32] and writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# The per-query subset benched (fast, shuffle/join/window/udf coverage).
+BENCH_QUERIES = [
+    "tpch_q1_pricing",
+    "tpch_q3_topk",
+    "tpch_q5_region_revenue",
+    "window_topk_docs",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "neardup_embedding_cosine",
+    "ann_topk_cosine",
+    "text_langid",
+    "token_stats",
+    "extract_cleanup_chain",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("BENCH_N_DOCS", "8000"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entrymod
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+    from document_convert_to__markdown_spark.pipeline.job import run_extraction
+    from document_convert_to__markdown_spark.pipeline.session import build_session
+
+    spark = build_session("bench", master=f"local[{cpus}]",
+                          shuffle_partitions=2 * cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    t_all0 = time.time()
+
+    # --- headline: extraction throughput over the synthetic corpus -------
+    # Corpus is materialized to parquet once (deterministic, reused across
+    # bench runs) so the measured window is the production shape:
+    # parquet scan → repartition → Arrow extract.
+    corpus_path = f"/tmp/doc2md_bench_pages_{n_docs}_s42"
+    if not os.path.exists(f"{corpus_path}/_SUCCESS"):
+        synth_pages_df(spark, n_docs, partitions=3 * cpus) \
+            .write.mode("overwrite").parquet(corpus_path)
+    pages = spark.read.parquet(corpus_path)
+
+    t0 = time.time()
+    plan = run_extraction(pages, partitions=cpus)
+    n_done = plan.results.filter("status is not null").count()
+    extract_sec = time.time() - t0
+    docs_per_sec = round(n_done / extract_sec, 2)
+
+    # --- per-query timings ------------------------------------------------
+    queries = entrymod.queries()
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = queries[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.count()  # force full execution
+        q_times[name] = round(time.time() - t0, 3)
+
+    total_sec = round(time.time() - t_all0, 2)
+    print(json.dumps({
+        "metric": "extraction_docs_per_sec",
+        "value": total_sec,
+        "unit": "sec",
+        "docs_per_sec": docs_per_sec,
+        "extract_docs": n_done,
+        "extract_sec": round(extract_sec, 2),
+        "cores": cpus,
+        "queries": q_times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,224 @@
+"""Deduplication operators over the ``documents`` table.
+
+Scale notes (the part that matters at 100 TB):
+- **exact**: one shuffle on the content hash; map-side partial agg makes
+  the shuffle carry (hash, partial-count), never text.
+- **minhash-LSH**: shingle→minhash→band→bucket equi-join.  Work is
+  O(n·k) for signatures + a shuffle keyed on (band, bucket-hash); only
+  documents sharing a bucket are ever paired, so the quadratic blowup is
+  confined to buckets (expected tiny under uniform hashing).
+- **simhash**: 64-bit signature, candidate pairs via 4×16-bit band
+  equi-join (any pair within Hamming distance 3 shares ≥1 exact band by
+  pigeonhole), verified by popcount on the XOR.
+- **ngram-jaccard**: exact verification op — blocked equi-join on cheap
+  keys, array_intersect/array_union entirely JVM-side.
+
+MinHash/SimHash signatures are computed in a vectorized pandas UDF
+(Arrow-batched, numpy inner loop) — the sketch itself is not SQL; the
+joins around it are plain relational ops Catalyst can reorder/broadcast.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# MinHash parameters: 64 permutations, 8 bands × 8 rows.
+N_PERM = 64
+N_BANDS = 8
+ROWS_PER_BAND = N_PERM // N_BANDS
+_MERSENNE = (1 << 61) - 1
+# Deterministic permutation parameters (seeded, no wall clock).
+_rng = np.random.RandomState(42)
+_A = _rng.randint(1, _MERSENNE, size=N_PERM, dtype=np.int64)
+_B = _rng.randint(0, _MERSENNE, size=N_PERM, dtype=np.int64)
+
+
+def _shingle_hashes(text: str, k: int = 3) -> np.ndarray:
+    """Word k-shingles → stable 61-bit hashes (md5-based, not PYTHONHASHSEED)."""
+    toks = text.split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else [""]
+    else:
+        shingles = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+    out = np.empty(len(shingles), dtype=np.int64)
+    for i, s in enumerate(shingles):
+        h = hashlib.md5(s.encode("utf-8")).digest()
+        out[i] = struct.unpack("<q", h[:8])[0] & _MERSENNE
+    return out
+
+
+# DataType objects (not DDL strings): DDL parsing needs a live
+# SparkContext, which doesn't exist when executors re-import this module.
+@pandas_udf(ArrayType(LongType()))
+def minhash_signature(texts: pd.Series) -> pd.Series:
+    """64-permutation MinHash signature per text (vectorized batch)."""
+    sigs = []
+    for text in texts:
+        hashes = _shingle_hashes(text or "")
+        # (a*h + b) mod p for all perms × shingles; min over shingles.
+        vals = (hashes[None, :] * _A[:, None] + _B[:, None]) % _MERSENNE
+        sigs.append(vals.min(axis=1).tolist())
+    return pd.Series(sigs)
+
+
+@pandas_udf(LongType())
+def simhash64(texts: pd.Series) -> pd.Series:
+    """64-bit SimHash over word tokens (md5-derived bit vectors)."""
+    shifts = np.arange(64, dtype=np.uint64)
+    out = []
+    for text in texts:
+        toks = (text or "").split()
+        if not toks:
+            out.append(0)
+            continue
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in toks:
+            h = np.uint64(int.from_bytes(
+                hashlib.md5(tok.encode()).digest()[:8], "little"))
+            bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+            acc += bits * 2 - 1
+        sig = int(((acc > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+        out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)  # to signed
+    return pd.Series(out, dtype="int64")
+
+
+def exact_duplicates(documents: DataFrame) -> DataFrame:
+    """Exact dedup groups: content hash → group size + keeper doc_id.
+
+    One hash-shuffle; text never crosses the exchange (md5 first).
+    """
+    return (
+        documents
+        .select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_keep_first(documents: DataFrame) -> DataFrame:
+    """Keep exactly one row per distinct text (min doc_id wins)."""
+    keepers = (
+        documents.select(F.md5("text").alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return documents.join(keepers, "doc_id", "left_semi")
+
+
+def ngram_jaccard_pairs(documents: DataFrame, block_on_length: bool = True
+                        ) -> DataFrame:
+    """Exact word-3-gram Jaccard for blocked candidate pairs.
+
+    Blocking key (lang, n_chars) keeps the self-join linear-ish; at scale
+    the block key would be a MinHash band (see lsh_candidate_pairs) —
+    this operator is the *verification* stage both LSH variants feed.
+    """
+    grams = documents.select(
+        "doc_id", "lang", "n_chars",
+        F.expr(
+            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0) - 1),"
+            " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1],"
+            " ' ', split(text, ' ')[i+2]))"
+        ).alias("grams"),
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    cond = [F.col("a.lang") == F.col("b.lang"),
+            F.col("a.doc_id") < F.col("b.doc_id")]
+    if block_on_length:
+        cond.append(F.col("a.n_chars") == F.col("b.n_chars"))
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect("a.grams", "b.grams"))
+                / F.size(F.array_union("a.grams", "b.grams")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_bands(documents: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) — the LSH bucketing relation."""
+    sigs = documents.select("doc_id", minhash_signature("text").alias("sig"))
+    return sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {N_BANDS - 1}),"
+                f" b -> hash(slice(sig, b * {ROWS_PER_BAND} + 1, {ROWS_PER_BAND})))"
+            )
+        ).alias("band", "band_hash"),
+    )
+
+
+def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+    """MinHash-LSH near-dup candidates: bucket equi-join, then distinct.
+
+    The join is keyed on (band, band_hash) — a plain shuffle-hash join;
+    no O(n²) anywhere.  Downstream verification: ngram_jaccard on the
+    candidate set only.
+    """
+    bands = minhash_bands(documents)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            [F.col("a.band") == F.col("b.band"),
+             F.col("a.band_hash") == F.col("b.band_hash"),
+             F.col("a.doc_id") < F.col("b.doc_id")],
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit band blocking + popcount verify."""
+    sigs = documents.select("doc_id", simhash64("text").alias("sig"))
+    # 4 bands of 16 bits: Hamming ≤ 3 ⇒ at least one band identical.
+    bands = sigs.select(
+        "doc_id", "sig",
+        F.posexplode(F.expr(
+            "transform(sequence(0, 3),"
+            " b -> (sig >> (b * 16)) & 65535)"
+        )).alias("band", "band_val"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, [F.col("a.band") == F.col("b.band"),
+                   F.col("a.band_val") == F.col("b.band_val"),
+                   F.col("a.doc_id") < F.col("b.doc_id")])
+        .select(F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"),
+                F.col("b.sig").alias("sig_b"))
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,141 @@
+"""Text-analysis operators over ``documents`` — all JVM-side expressions.
+
+Every operator here is a pure Catalyst expression chain (no UDF): at
+100 TB these run inside whole-stage codegen at scan speed, and each has
+an exact DuckDB-SQL oracle in ``__spark_entry__.oracle_sql``.
+
+The extraction *cleanup chain* (A15/A16) has Python-regex semantics
+(lookbehind, the \\x01 quirk) that Java/RE2 regexes cannot reproduce, so
+it stays in the Arrow UDF (cleanup_markdown_udf) with a rows-only check.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+# Shared stopword probes per language (tiny n-gram heuristic — the goal
+# is deterministic cross-engine language ID, not linguistic accuracy).
+LANG_PROBES: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "es": [" el ", " los ", " para "],
+    "de": [" der ", " und ", " nicht "],
+    "fr": [" le ", " les ", " pour "],
+}
+
+
+def _probe_count(col: Column, probes: list[str]) -> Column:
+    c = F.lit(0)
+    padded = F.concat(F.lit(" "), col, F.lit(" "))
+    for p in probes:
+        # count of non-overlapping occurrences via split-size (identical
+        # semantics to the oracle's len(string_split(...)) - 1).
+        c = c + F.size(F.split(padded, F.lit(p), -1)) - 1
+    return c
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID → confusion matrix vs the labeled ``lang``."""
+    scores = documents.select(
+        "doc_id", "lang",
+        F.regexp_count("text", F.lit(r"[一-鿿]")).alias("cjk"),
+        *[
+            _probe_count(F.col("text"), probes).alias(f"s_{code}")
+            for code, probes in LANG_PROBES.items()
+        ],
+    )
+    pred = (
+        F.when(F.col("cjk") > 0, F.lit("zh"))
+        .when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de"))
+              & (F.col("s_en") >= F.col("s_fr")), F.lit("en"))
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")),
+              F.lit("es"))
+        .when(F.col("s_de") >= F.col("s_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        scores.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def quality_score(documents: DataFrame) -> DataFrame:
+    """Length/punct/digit/word-length quality features + score bucket."""
+    t = F.col("text")
+    n = F.length(t)
+    words = F.size(F.split(F.trim(t), r"\s+"))
+    scored = documents.select(
+        "doc_id", "lang",
+        n.alias("n_chars_actual"),
+        words.alias("n_words"),
+        F.round(
+            (F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / n), 4
+        ).alias("punct_ratio"),
+        F.round((F.length(F.regexp_replace(t, r"[^0-9]", "")) / n), 4).alias(
+            "digit_ratio"
+        ),
+        F.round(n / words, 4).alias("mean_word_len"),
+    )
+    score = (
+        F.when(F.col("n_words") < 5, 0.0)
+        .when(F.col("punct_ratio") > 0.2, 0.2)
+        .when(F.col("mean_word_len") > 12, 0.4)
+        .otherwise(1.0)
+    )
+    return scored.withColumn("quality", score)
+
+
+def token_stats(documents: DataFrame) -> DataFrame:
+    """Whitespace + BPE-ish token estimates, aggregated per lang."""
+    ws_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    # BPE-ish proxy: word pieces ≈ alnum runs + ceil(chars/4) correction.
+    subword_est = F.ceil(F.length("text") / 4)
+    per_doc = documents.select(
+        "lang",
+        ws_tokens.alias("ws_tokens"),
+        subword_est.alias("subword_est"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("subword_est").alias("total_subword_est"),
+        F.round(F.avg("ws_tokens"), 4).alias("avg_ws_tokens"),
+    )
+
+
+def fingerprint(documents: DataFrame) -> DataFrame:
+    """Content fingerprint: md5 of the lowercase alnum-collapsed text.
+
+    Robust to whitespace/punct edits — the cheap canonical-form dedup key
+    (content-defined analog of a rolling hash at this granularity).
+    """
+    canon = F.lower(F.regexp_replace("text", r"[^A-Za-z0-9]", ""))
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.md5(canon).alias("fingerprint"),
+    )
+
+
+@pandas_udf(StringType())
+def cleanup_markdown_udf(texts: pd.Series) -> pd.Series:
+    """A16 cleanup chain as an Arrow-vectorized column transform."""
+    from ..extractors.cleanup import clean_markdown_content
+
+    return texts.map(lambda t: clean_markdown_content(t or ""))
+
+
+def cleanup_chain(documents: DataFrame) -> DataFrame:
+    """Reference cleanup chain over document text (rows-only check —
+    Python-regex semantics are not expressible in DuckDB SQL)."""
+    return documents.select(
+        "doc_id", "lang",
+        F.sha2(cleanup_markdown_udf("text"), 256).alias("clean_sha256"),
+        F.length(cleanup_markdown_udf("text")).alias("clean_len"),
+    )

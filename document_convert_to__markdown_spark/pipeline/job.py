@@ -146,8 +146,11 @@ def run_extraction(
     giant = (
         sized.filter(F.col("_len") >= giant_threshold)
         # Salted routing: round-robin spreads giants one-per-task; a
-        # url-hash here could co-locate two giants on one worker.
-        .repartition(partitions)
+        # url-hash here could co-locate two giants on one worker.  Giants
+        # are ~1/10⁴ of rows (FIXTURES.md), so this branch gets a small
+        # fraction of the task count — a full `partitions` here would
+        # spawn that many near-empty Python workers per run.
+        .repartition(max(1, partitions // 16))
         .drop("_len")
     )
 
