@@ -414,6 +414,44 @@ def _q_multimodal_media_meta(spark, sf):
     )
 
 
+def _q_stream_window_events(spark, sf):
+    """Structured Streaming watermarked 1-day tumbling window over the
+    events table, drained with availableNow — oracle-checkable because
+    a drained tumbling window equals a batch date_trunc GROUP BY."""
+    from document_convert_to__markdown_spark.streaming import stream_events_daily
+
+    return stream_events_daily(spark, f"{sf}/events.parquet")
+
+
+def _q_stream_extract_parity(spark, sf):
+    """Streaming extraction (file source + checkpoint) vs the batch plan
+    on the same synthetic corpus: counts must line up url-for-url."""
+    import tempfile
+
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+    from document_convert_to__markdown_spark.pipeline.job import run_extraction
+    from document_convert_to__markdown_spark.streaming import run_stream_extraction
+
+    base = tempfile.mkdtemp(prefix="doc2md_stream_q_")
+    inp, out, chk = f"{base}/in", f"{base}/out", f"{base}/chk"
+    synth_pages_df(spark, 120, partitions=4).write.mode("overwrite").parquet(inp)
+    q = run_stream_extraction(spark, inp, out, chk)
+    q.awaitTermination(300)
+
+    streamed = spark.read.parquet(out).select("url", "md_sha256")
+    batch = run_extraction(spark.read.parquet(inp), partitions=4) \
+        .results.select("url", "md_sha256")
+    joined = streamed.alias("s").join(batch.alias("b"), "url")
+    return spark.createDataFrame(
+        [(
+            streamed.count(),
+            joined.filter("s.md_sha256 <=> b.md_sha256").count(),
+            streamed.join(batch, "url", "left_anti").count(),
+        )],
+        "n_streamed bigint, n_hash_match bigint, n_unmatched bigint",
+    )
+
+
 def _q_golden_fixture_compare(spark, sf):
     from document_convert_to__markdown_spark.data.fixtures import (
         fixture_pages,
@@ -483,6 +521,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_synth_corpus": _q_extract_synth_corpus,
         "multimodal_media_meta": _q_multimodal_media_meta,
         "golden_fixture_compare": _q_golden_fixture_compare,
+        # structured streaming (drained availableNow; window is oracle-checked)
+        "stream_window_events": _q_stream_window_events,
+        "stream_extract_parity": _q_stream_extract_parity,
     }
 
 
@@ -745,5 +786,13 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
                      AS fingerprint
             FROM documents
+        """,
+        # Drained availableNow tumbling window == batch date_trunc GROUP BY.
+        "stream_window_events": """
+            SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2
         """,
     }

@@ -426,13 +426,20 @@ def make_xlsx(rng: random.Random, lang: str, doc_idx: int, scale: float) -> byte
 
 # --- row synthesis ------------------------------------------------------------
 
-def synth_page(i: int, seed: int = 42, giant_every: int = 10000) -> PageRow:
-    """Row ``i`` of the corpus — pure function of ``(seed, i)``."""
+def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
+               size_scale: float = 1.0) -> PageRow:
+    """Row ``i`` of the corpus — pure function of ``(seed, i)``.
+
+    ``size_scale`` multiplies every document's body size (default 1.0,
+    ~3KB median — the fixture/test shape).  The scaling bench passes ~8
+    for Common-Crawl-like ~25KB pages so per-task compute dominates
+    per-task overhead; content is unchanged otherwise.
+    """
     rng = random.Random((seed << 32) ^ i)
     lang = LANGS[i % len(LANGS)] if rng.random() < 0.6 else rng.choice(LANGS)
 
     # Long-tail size scale; every `giant_every`-th doc is a giant.
-    scale = rng.lognormvariate(0.0, 0.6)
+    scale = rng.lognormvariate(0.0, 0.6) * size_scale
     if giant_every and i > 0 and i % giant_every == 0:
         scale *= 100.0
 

@@ -134,8 +134,11 @@ def cleanup_markdown_udf(texts: pd.Series) -> pd.Series:
 def cleanup_chain(documents: DataFrame) -> DataFrame:
     """Reference cleanup chain over document text (rows-only check —
     Python-regex semantics are not expressible in DuckDB SQL)."""
-    return documents.select(
+    cleaned = documents.select(
+        "doc_id", "lang", cleanup_markdown_udf("text").alias("_clean")
+    )
+    return cleaned.select(
         "doc_id", "lang",
-        F.sha2(cleanup_markdown_udf("text"), 256).alias("clean_sha256"),
-        F.length(cleanup_markdown_udf("text")).alias("clean_len"),
+        F.sha2("_clean", 256).alias("clean_sha256"),
+        F.length("_clean").alias("clean_len"),
     )

@@ -24,6 +24,7 @@ def synth_pages_df(
     seed: int = 42,
     giant_every: int = 10000,
     partitions: int | None = None,
+    size_scale: float = 1.0,
 ) -> DataFrame:
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism * 2, 8)
@@ -31,7 +32,8 @@ def synth_pages_df(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = [synth_page(int(i), seed, giant_every) for i in pdf["id"]]
+            rows = [synth_page(int(i), seed, giant_every, size_scale)
+                    for i in pdf["id"]]
             yield pd.DataFrame(
                 {
                     "url": [r.url for r in rows],

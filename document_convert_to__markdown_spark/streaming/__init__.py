@@ -1,0 +1,7 @@
+from .stream_job import (  # noqa: F401
+    drain_stream_agg,
+    run_stream_extraction,
+    stream_events_daily,
+    stream_extract_df,
+    stream_window_metrics,
+)
