@@ -414,6 +414,77 @@ def _q_multimodal_media_meta(spark, sf):
     )
 
 
+def _q_sessionize_events(spark, sf):
+    """Gap-based sessionization (30-min inactivity) — the classic
+    event-stream window pattern, pure window functions, no UDF."""
+    from pyspark.sql import Window
+
+    ev = _load(spark, sf, "events").filter("user_id < 50")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag(F.unix_timestamp("ts")).over(w)
+    new_sess = F.when(
+        prev_ts.isNull() | ((F.unix_timestamp("ts") - prev_ts) > 1800), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_sess", new_sess)
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def _q_pivot_event_counts(spark, sf):
+    """Pivot event_type into per-user count columns (fixed column set —
+    at scale an unpinned pivot would need a distinct-scan first)."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    pivoted = (
+        _load(spark, sf, "events").filter("user_id < 20")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+    )
+
+
+def _q_cube_lang_source(spark, sf):
+    docs = _load(spark, sf, "documents").filter("source in ('src0','src1','src2')")
+    return (
+        docs.cube("lang", "source")
+        .agg(F.count("*").alias("n"), F.sum("n_chars").alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("(all)")).alias("lang_g"),
+            F.coalesce("source", F.lit("(all)")).alias("source_g"),
+            "n", "total_chars",
+        )
+    )
+
+
+def _q_percentile_stats(spark, sf):
+    """Exact linear-interpolation percentiles per lang (matches DuckDB
+    quantile_cont; at 100 TB this becomes percentile_approx + t-digest)."""
+    docs = _load(spark, sf, "documents")
+    return docs.groupBy("lang").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 2).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 2).alias("p95_chars"),
+        F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+    )
+
+
+def _q_ann_ivf_topk(spark, sf):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        ivf_ann_topk,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    qvec = emb.filter("vec_id = 0").select("embedding").first()["embedding"]
+    return ivf_ann_topk(emb.filter("vec_id <> 0"), list(qvec), k=10)
+
+
 def _q_stream_window_events(spark, sf):
     """Structured Streaming watermarked 1-day tumbling window over the
     events table, drained with availableNow — oracle-checkable because
@@ -503,6 +574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_topk": _q_tpch_q3_topk,
         "tpch_q5_region_revenue": _q_tpch_q5_region_revenue,
         "rollup_lang_source": _q_rollup_lang_source,
+        "cube_lang_source": _q_cube_lang_source,
+        "sessionize_events": _q_sessionize_events,
+        "pivot_event_counts": _q_pivot_event_counts,
+        "percentile_stats": _q_percentile_stats,
         # training-data pipeline operators
         "dedup_exact": _q_dedup_exact,
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
@@ -511,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "neardup_embedding_cosine": _q_neardup_embedding_cosine,
         "ann_topk_cosine": _q_ann_topk_cosine,
         "ann_lsh_topk": _q_ann_lsh_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "text_langid": _q_text_langid,
         "text_quality": _q_text_quality,
         "token_stats": _q_token_stats,
@@ -786,6 +862,43 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
                      AS fingerprint
             FROM documents
+        """,
+        "sessionize_events": """
+            WITH flagged AS (
+              SELECT user_id,
+                     CASE WHEN lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                          OR epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WHERE user_id < 50)
+            SELECT user_id, sum(new_sess) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "pivot_event_counts": """
+            SELECT user_id,
+                   count(*) FILTER (event_type = 'click') AS n_click,
+                   count(*) FILTER (event_type = 'error') AS n_error,
+                   count(*) FILTER (event_type = 'purchase') AS n_purchase,
+                   count(*) FILTER (event_type = 'signup') AS n_signup,
+                   count(*) FILTER (event_type = 'view') AS n_view
+            FROM events WHERE user_id < 20 GROUP BY user_id
+        """,
+        "cube_lang_source": """
+            SELECT coalesce(lang, '(all)') AS lang_g,
+                   coalesce(source, '(all)') AS source_g,
+                   count(*) AS n, sum(n_chars) AS total_chars
+            FROM documents WHERE source IN ('src0', 'src1', 'src2')
+            GROUP BY CUBE (lang, source)
+        """,
+        "percentile_stats": """
+            SELECT lang,
+                   round(quantile_cont(n_chars, 0.5), 2) AS p50_chars,
+                   round(quantile_cont(n_chars, 0.95), 2) AS p95_chars,
+                   round(avg(n_chars), 4) AS avg_chars
+            FROM documents GROUP BY lang
         """,
         # Drained availableNow tumbling window == batch date_trunc GROUP BY.
         "stream_window_events": """

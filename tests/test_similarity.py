@@ -1,0 +1,65 @@
+"""ANN operators: brute-force ground truth vs LSH / IVF recall."""
+
+import pytest
+
+K = 10
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def qvec(emb):
+    return list(emb.filter("vec_id = 0").first()["embedding"])
+
+
+def _ids(df):
+    return [r["vec_id"] for r in df.collect()]
+
+
+def test_brute_force_topk_is_sorted(emb, qvec):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    rows = brute_force_topk(emb.filter("vec_id <> 0"), qvec, k=K).collect()
+    assert len(rows) == K
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+@pytest.mark.parametrize("variant", ["lsh", "ivf"])
+def test_ann_recall_vs_brute_force(emb, qvec, variant):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        lsh_ann_topk,
+    )
+
+    base = emb.filter("vec_id <> 0")
+    truth = set(_ids(brute_force_topk(base, qvec, k=K)))
+    fn = lsh_ann_topk if variant == "lsh" else ivf_ann_topk
+    approx = set(_ids(fn(base, qvec, k=K)))
+    recall = len(truth & approx) / K
+    # Single-probe LSH / 4-probe IVF on clustered synthetic embeddings:
+    # both should keep at least half the true neighbors.
+    assert recall >= 0.5, f"{variant} recall@{K} = {recall}"
+
+
+def test_ivf_prunes_scan(emb, qvec):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        _N_CENTROIDS,
+        _ivf_cell,
+    )
+
+    cells = emb.withColumn("cell", _ivf_cell("embedding"))
+    n_cells = cells.select("cell").distinct().count()
+    # The quantizer spreads the corpus across many cells — the nprobe=4
+    # filter really does prune (reads < half the corpus).
+    assert n_cells > _N_CENTROIDS // 2
+    from pyspark.sql import functions as F
+    biggest = (cells.groupBy("cell").count()
+               .agg(F.max("count")).first()[0])
+    assert biggest < emb.count() / 2
