@@ -1,0 +1,97 @@
+"""Physical-plan audits: the scale properties SURVEY §4 claims must be
+visible in `.explain` — pushdown, pruning, broadcast, shuffle count.
+
+These tests pin the *plan shape*, not timings: a regression that adds a
+shuffle or un-broadcasts a dim join fails here long before it is slow
+enough to notice on sandbox data.
+"""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_str(df, mode="formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def sf(scope="module"):
+    return "/root/testdata/sf0.01"
+
+
+def test_size_filter_pushed_to_scan(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    df = docs.filter(F.col("n_chars") <= 3000).select("doc_id", "n_chars")
+    plan = plan_str(df)
+    assert "PushedFilters: [IsNotNull(n_chars), LessThanOrEqual(n_chars,3000)" \
+        in plan, plan
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    df = docs.select("doc_id", "lang")
+    plan = plan_str(df)
+    # ReadSchema lists only the projected columns — no text blob read.
+    assert "ReadSchema: struct<doc_id:bigint,lang:string>" in plan, plan
+
+
+def test_tpch_q5_broadcasts_dims(spark, sf):
+    import __spark_entry__ as e
+
+    plan = plan_str(e.queries()["tpch_q5_region_revenue"](spark, sf))
+    # nation/region arrive via broadcast, never a shuffle.
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+
+
+def test_brute_force_topk_no_shuffle(spark, sf):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = plan_str(brute_force_topk(emb, [0.1] * 64, k=10))
+    # top-k is TakeOrderedAndProject: partial top-k per partition, one
+    # driver merge — no global sort exchange.
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange" not in plan, plan
+
+
+def test_extraction_single_shuffle_and_pruning(spark):
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+    from document_convert_to__markdown_spark.pipeline.job import run_extraction
+
+    pages = synth_pages_df(spark, 50, partitions=4)
+    pages_path = "/tmp/doc2md_plan_pages"
+    pages.write.mode("overwrite").parquet(pages_path)
+    plan = plan_str(
+        run_extraction(spark.read.parquet(pages_path), partitions=8).results,
+        mode="simple",
+    )
+    # One hash exchange (url repartition) on the normal branch, one
+    # round-robin on the giant branch — and nothing after the UDF.
+    assert plan.count("Exchange hashpartitioning(url") == 1, plan
+    # giant branch: round-robin (or SinglePartition when partitions//16==1)
+    assert plan.count("Exchange") == 2, plan
+    # Only url+html leave the scan: text/lang/warc_ts pruned.
+    assert "ReadSchema: struct<url:string,html:binary>" in plan, plan
+
+
+def test_exact_dedup_partial_agg(spark, sf):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        exact_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    plan = plan_str(exact_duplicates(docs), mode="simple")
+    # Map-side partial aggregation: two HashAggregates around one
+    # exchange keyed on the md5, so text never crosses the shuffle.
+    assert plan.count("HashAggregate") == 2, plan
+    assert "Exchange hashpartitioning(text_hash" in plan, plan
+    assert "text#" not in plan.split("Exchange")[0], plan
