@@ -485,6 +485,27 @@ def _q_ann_ivf_topk(spark, sf):
     return ivf_ann_topk(emb.filter("vec_id <> 0"), list(qvec), k=10)
 
 
+def _q_stream_sessionize_stateful(spark, sf):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user session state carried across micro-batches.  Drained
+    availableNow over the full table, the running totals equal batch
+    window-function sessionization — same oracle as sessionize_events."""
+    import os
+    import tempfile
+
+    from document_convert_to__markdown_spark.streaming import (
+        run_stream_sessionize,
+    )
+
+    base = tempfile.mkdtemp(prefix="doc2md_state_q_")
+    inp = f"{base}/in"
+    os.makedirs(inp)
+    os.symlink(os.path.abspath(f"{sf}/events.parquet"),
+               f"{inp}/events.parquet")
+    sessions = run_stream_sessionize(spark, inp, f"{base}/chk", f"{base}/out")
+    return sessions.filter("user_id < 50")
+
+
 def _q_stream_window_events(spark, sf):
     """Structured Streaming watermarked 1-day tumbling window over the
     events table, drained with availableNow — oracle-checkable because
@@ -521,6 +542,51 @@ def _q_stream_extract_parity(spark, sf):
         )],
         "n_streamed bigint, n_hash_match bigint, n_unmatched bigint",
     )
+
+
+def _q_multimodal_resize(spark, sf):
+    """Resize plumbing (stubbed decode): every image row yields one
+    fixed-shape resized row."""
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+
+    pages = synth_pages_df(spark, 200, giant_every=0)
+    resized = media_resize(pages, width=8, height=8,
+                           url_col="url", blob_col="html")
+    return resized.agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("data")).alias("total_resized_bytes"),
+        F.countDistinct("width", "height").alias("n_shapes"),
+    )
+
+
+def _q_multimodal_frame_sample(spark, sf):
+    """Frame-sampling plumbing (stubbed demux): one-to-many mapInPandas."""
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+
+    pages = synth_pages_df(spark, 100, giant_every=0)
+    frames = video_frame_sample(pages, every_n=4, url_col="url",
+                                blob_col="html")
+    return frames.agg(
+        F.count("*").alias("n_frames"),
+        F.countDistinct("url").alias("n_videos"),
+        F.max("frame_idx").alias("max_frame_idx"),
+    )
+
+
+def _q_text_winnow_fps(spark, sf):
+    """Rolling-hash winnowing fingerprints (rows-only: Rabin-Karp over
+    byte polynomials is not reasonably SQL-expressible)."""
+    from document_convert_to__markdown_spark.operators.text import (
+        winnow_fingerprints,
+    )
+
+    return winnow_fingerprints(_load(spark, sf, "documents"))
 
 
 def _q_golden_fixture_compare(spark, sf):
@@ -596,10 +662,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pipeline_stats": _q_extract_pipeline_stats,
         "extract_synth_corpus": _q_extract_synth_corpus,
         "multimodal_media_meta": _q_multimodal_media_meta,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "text_winnow_fps": _q_text_winnow_fps,
         "golden_fixture_compare": _q_golden_fixture_compare,
         # structured streaming (drained availableNow; window is oracle-checked)
         "stream_window_events": _q_stream_window_events,
         "stream_extract_parity": _q_stream_extract_parity,
+        "stream_sessionize_stateful": _q_stream_sessionize_stateful,
     }
 
 
@@ -899,6 +969,21 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.95), 2) AS p95_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        # Drained stateful stream == batch window-function sessionization.
+        "stream_sessionize_stateful": """
+            WITH flagged AS (
+              SELECT user_id,
+                     CASE WHEN lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                            IS NULL
+                          OR epoch(ts) - lag(epoch(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WHERE user_id < 50)
+            SELECT user_id, sum(new_sess) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id
         """,
         # Drained availableNow tumbling window == batch date_trunc GROUP BY.
         "stream_window_events": """

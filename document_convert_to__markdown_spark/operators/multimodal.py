@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, FloatType, IntegerType, LongType, StringType,
+    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
     StructField, StructType,
 )
 
@@ -71,6 +71,71 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
     """
     h = np.frombuffer(payload[:256].ljust(256, b"\0"), dtype=np.uint8)
     return np.tile(h, 4).reshape(32, 32).astype(np.float32)
+
+
+RESIZED_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("width", IntegerType(), False),
+    StructField("height", IntegerType(), False),
+    StructField("data", BinaryType(), True),
+])
+
+FRAME_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("frame_idx", IntegerType(), False),
+    StructField("frame_data", BinaryType(), True),
+])
+
+
+def media_resize(df: DataFrame, width: int = 16, height: int = 16,
+                 url_col: str = "url", blob_col: str = "data") -> DataFrame:
+    """Binary column → resized-image bytes (decode/encode STUBBED).
+
+    Real body: PIL decode → ``Image.resize((w,h))`` → re-encode.  The
+    stub resamples the fake pixel grid deterministically so the Spark
+    contract — one row in, one (url, w, h, bytes) row out, Arrow-batched
+    — is exercised with real data volumes.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                pixels = _decode_image_stub(payload)
+                ys = np.linspace(0, pixels.shape[0] - 1, height).astype(int)
+                xs = np.linspace(0, pixels.shape[1] - 1, width).astype(int)
+                resized = pixels[np.ix_(ys, xs)].astype(np.uint8)
+                rows.append((url, width, height, resized.tobytes()))
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZED_SCHEMA])
+
+    return df.select(url_col, blob_col).mapInPandas(resize, RESIZED_SCHEMA)
+
+
+def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
+                       url_col: str = "url", blob_col: str = "data"
+                       ) -> DataFrame:
+    """Binary "video" column → sampled frame rows (demux STUBBED).
+
+    Real body: ffmpeg/pyav demux + keyframe sampling.  The stub treats
+    the payload as fixed-size frame chunks and keeps every ``every_n``-th
+    — the Spark contract is the interesting part: a one-to-many
+    ``mapInPandas`` (row → variable frame rows), the same shape the
+    extraction pipeline uses for document assets.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                n_frames = max(1, len(payload) // frame_bytes)
+                for idx in range(0, n_frames, every_n):
+                    rows.append((url, idx,
+                                 payload[idx * frame_bytes:(idx + 1) * frame_bytes]))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
+
+    return df.select(url_col, blob_col).mapInPandas(sample, FRAME_SCHEMA)
 
 
 def media_features(df: DataFrame, url_col: str = "url",

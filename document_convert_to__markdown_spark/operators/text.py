@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.pandas.functions import pandas_udf
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, LongType, StringType
 
 # Shared stopword probes per language (tiny n-gram heuristic — the goal
 # is deterministic cross-engine language ID, not linguistic accuracy).
@@ -120,6 +120,63 @@ def fingerprint(documents: DataFrame) -> DataFrame:
         "doc_id",
         "lang",
         F.md5(canon).alias("fingerprint"),
+    )
+
+
+_WINNOW_BASE = 257
+_WINNOW_MOD = (1 << 61) - 1
+
+
+def winnow_text(text: str, k: int = 8, w: int = 16) -> list[int]:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03): rolling
+    Rabin-Karp hashes of k-grams, min per w-window, dedup consecutive.
+
+    Pure function — shared by the pandas UDF below and the unit tests'
+    reference implementation checks.
+    """
+    import numpy as np
+
+    codes = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    if len(codes) < k:
+        return []
+    # k iterations of H = H*B + c (vectorized over every start position).
+    n_pos = len(codes) - k + 1
+    h = np.zeros(n_pos, dtype=np.object_)  # python ints: no mod overflow
+    h[:] = 0
+    for j in range(k):
+        h = (h * _WINNOW_BASE + codes[j:j + n_pos]) % _WINNOW_MOD
+    h = h.astype(np.int64)
+    if n_pos <= w:
+        return [int(h.min())]
+    windows = np.lib.stride_tricks.sliding_window_view(h, w)
+    mins = windows.min(axis=1)
+    # robust winnowing: record each window-min once per run
+    keep = np.concatenate([[True], mins[1:] != mins[:-1]])
+    return [int(v) for v in mins[keep]]
+
+
+@pandas_udf(ArrayType(LongType()))
+def winnow_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: winnow_text(t or ""))
+
+
+def winnow_fingerprints(documents: DataFrame, k: int = 8, w: int = 16
+                        ) -> DataFrame:
+    """Per-document winnowed rolling-hash fingerprints + summary stats.
+
+    At scale the exploded (fingerprint, doc_id) relation is the
+    inverted index for partial-overlap detection (groupBy fingerprint →
+    docs sharing any window); here we return per-doc stats the tests
+    and the driver's rows-only check can pin.
+    """
+    fps = documents.select(
+        "doc_id", "lang", winnow_udf("text").alias("fps")
+    )
+    return fps.select(
+        "doc_id", "lang",
+        F.size("fps").alias("n_fps"),
+        F.size(F.array_distinct("fps")).alias("n_distinct_fps"),
+        F.coalesce(F.array_min("fps"), F.lit(0)).alias("min_fp"),
     )
 
 

@@ -1,3 +1,7 @@
+from .stateful import (  # noqa: F401
+    run_stream_sessionize,
+    stream_sessionize,
+)
 from .stream_job import (  # noqa: F401
     drain_stream_agg,
     run_stream_extraction,

@@ -1,0 +1,85 @@
+"""Multimodal plumbing shapes + winnowing fingerprint properties."""
+
+import pytest
+
+from document_convert_to__markdown_spark.operators.text import winnow_text
+
+
+# --- winnowing: pure-function properties (no Spark) -----------------------
+
+def test_winnow_deterministic_and_nonempty():
+    t = "the quick brown fox jumps over the lazy dog " * 5
+    a, b = winnow_text(t), winnow_text(t)
+    assert a == b and len(a) > 3
+
+
+def test_winnow_short_text_edge_cases():
+    assert winnow_text("") == []
+    assert winnow_text("abc") == []          # shorter than k
+    assert len(winnow_text("abcdefgh")) == 1  # exactly one k-gram
+
+
+def test_winnow_local_edit_preserves_most_fingerprints():
+    base = ("common crawl pages arrive continuously and need "
+            "near duplicate detection at petabyte scale " * 4)
+    edited = base.replace("petabyte", "exabyte", 1)
+    fa, fb = set(winnow_text(base)), set(winnow_text(edited))
+    overlap = len(fa & fb) / max(len(fa), 1)
+    # a single local edit only perturbs windows covering it
+    assert overlap > 0.6, overlap
+
+
+def test_winnow_reference_implementation_parity():
+    """Cross-check the vectorized hasher against a naive rolling hash."""
+    t = "abcdefghijklmnopqrstuvwxyz0123456789"
+    k, w, B, M = 8, 16, 257, (1 << 61) - 1
+    data = t.encode()
+    naive = []
+    for i in range(len(data) - k + 1):
+        h = 0
+        for c in data[i:i + k]:
+            h = (h * B + c) % M
+        naive.append(h)
+    mins = [min(naive[i:i + w]) for i in range(len(naive) - w + 1)]
+    expect = [mins[0]] + [m for j, m in enumerate(mins[1:], 1)
+                          if m != mins[j - 1]]
+    assert winnow_text(t, k=k, w=w) == expect
+
+
+# --- multimodal plumbing (Spark) ------------------------------------------
+
+@pytest.fixture(scope="module")
+def media_pages(spark):
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+
+    return synth_pages_df(spark, 60, giant_every=0).cache()
+
+
+def test_media_resize_shape(spark, media_pages):
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+
+    out = media_resize(media_pages, width=8, height=8,
+                       url_col="url", blob_col="html")
+    rows = out.collect()
+    assert len(rows) == 60                      # one row per input row
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    assert all(len(r["data"]) == 64 for r in rows)  # 8x8 uint8
+
+
+def test_video_frame_sample_one_to_many(spark, media_pages):
+    from pyspark.sql import functions as F
+
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    frames = video_frame_sample(media_pages, every_n=4, url_col="url",
+                                blob_col="html")
+    per_url = frames.groupBy("url").agg(F.count("*").alias("n")).collect()
+    assert len(per_url) == 60
+    # big payloads yield multiple sampled frames; indexes stride by 4
+    idx = frames.select("frame_idx").distinct().collect()
+    assert all(r["frame_idx"] % 4 == 0 for r in idx)
+    assert frames.count() >= 60
