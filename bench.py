@@ -29,12 +29,15 @@ BENCH_QUERIES = [
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
     "window_topk_docs",
+    "sessionize_events",
     "dedup_exact",
     "dedup_minhash_lsh",
     "neardup_embedding_cosine",
     "ann_topk_cosine",
+    "ann_ivf_topk",
     "text_langid",
     "token_stats",
+    "text_winnow_fps",
     "extract_cleanup_chain",
 ]
 

@@ -120,6 +120,11 @@ _PATTERNS = [
     {"pattern": r"左图", "type": "keyword"},
 ]
 
+# Compiled once: the per-line scoring loop runs every pattern over every
+# line of every PDF — inline re.finditer paid a cache lookup per call.
+for _p in _PATTERNS:
+    _p["compiled"] = re.compile(_p["pattern"], re.IGNORECASE)
+
 
 def find_insert_position_after_reference(lines: list[str], ref_line: int) -> int:
     """document_processors.py:792-818 verbatim."""
@@ -149,7 +154,7 @@ def insert_images_by_reference_patterns(
         for pattern_info in _PATTERNS:
             if pattern_info["type"] != "sequential":
                 continue
-            for match in re.finditer(pattern_info["pattern"], line, re.IGNORECASE):
+            for match in pattern_info["compiled"].finditer(line):
                 if not match.groups():
                     continue
                 try:

@@ -256,8 +256,17 @@ _TOKEN_RE = re.compile(
 )
 
 
+_WS_RE = re.compile(rb"\s")
+_ESCAPE_MAP = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+               0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+
+
 def _decode_pdf_string(token: bytes) -> str:
     inner = token[1:-1]
+    # Fast path: no escapes (the overwhelmingly common case) — a single
+    # C-level decode instead of a per-byte Python loop.
+    if 0x5C not in inner:
+        return inner.decode("utf-8", errors="replace")
     out = bytearray()
     i = 0
     n = len(inner)
@@ -265,8 +274,7 @@ def _decode_pdf_string(token: bytes) -> str:
         c = inner[i]
         if c == 0x5C and i + 1 < n:
             nxt = inner[i + 1]
-            mapping = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
-                       0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+            mapping = _ESCAPE_MAP
             if nxt in mapping:
                 out.append(mapping[nxt])
                 i += 2
@@ -321,7 +329,7 @@ def _extract_text_spans(content: bytes) -> list[_Span]:
             else:
                 pending_strings = [s]
         elif c0 == b"<" and tok != b"<<":
-            hexs = re.sub(rb"\s", b"", tok[1:-1])
+            hexs = _WS_RE.sub(b"", tok[1:-1])
             try:
                 raw = bytes.fromhex(hexs.decode("ascii"))
                 s = raw.decode("utf-16-be" if raw[:2] == b"\xfe\xff" else "latin-1",

@@ -208,15 +208,33 @@ def run_extraction_resumable(
 
     plan = run_extraction(todo, partitions=partitions,
                           giant_threshold=giant_threshold)
-    plan.raw.write.mode("append" if resume else "overwrite").parquet(raw_path)
+
+    # df.observe (SURVEY §2 A24): status counters ride along with the
+    # write — no second scan of the blobs for the summary.
+    from pyspark.sql import Observation
+
+    obs = Observation("extract_counters")
+    statuses = ["ok", "failed", "skipped_empty", "skipped_unsupported",
+                "skipped_too_large"]
+    observed = plan.raw.observe(obs, *[
+        F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
+        for s in statuses
+    ])
+    observed.write.mode("append" if resume else "overwrite").parquet(raw_path)
+    run_counts = {k: v for k, v in obs.get.items() if v}
 
     raw = spark.read.parquet(raw_path)
     docs = raw.filter(F.col("kind") == "doc")
 
-    summary_rows = (
-        docs.groupBy("status").count().orderBy("status").collect()
-    )
-    summary = {r["status"]: r["count"] for r in summary_rows}
+    if resume:
+        # Totals must cover prior runs too — aggregate the (tiny,
+        # blob-free) persisted status column, not the source.
+        summary_rows = (
+            docs.groupBy("status").count().orderBy("status").collect()
+        )
+        summary = {r["status"]: r["count"] for r in summary_rows}
+    else:
+        summary = run_counts
 
     results = docs.select(*RESULT_COLUMNS)
     results.write.mode("overwrite").parquet(f"{out_dir}/results")
