@@ -11,7 +11,8 @@ Env:
   BENCH_N_DOCS         synthetic corpus size (default 8000)
 
 Scaling evidence (north rule, N vs 4N): scripts/bench_scaling.py runs
-this corpus at local[8] and local[32] and writes BENCH.md.
+the extraction job at local[1]/[4]/[8]/[32] in interleaved rounds and
+writes BENCH.md (primary pair 1 -> 4 cores).
 """
 
 from __future__ import annotations
