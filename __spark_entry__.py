@@ -264,6 +264,35 @@ def _q_tpch_q5_region_revenue(spark, sf):
     )
 
 
+def _q_tpch_q4_order_priority(spark, sf):
+    """Correlated EXISTS: orders with at least one late lineitem.
+    Catalyst rewrites the semi-join; at scale it shuffles on orderkey."""
+    orders = _load(spark, sf, "orders")
+    li = _load(spark, sf, "lineitem")
+    # testdata lineitem has no commit/receipt dates; "returned item"
+    # (l_returnflag = 'R') plays the correlated-predicate role.
+    flagged = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.join(flagged, orders.o_orderkey == flagged.l_orderkey,
+                    "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+def _q_tpch_q13_custdist(spark, sf):
+    """Left outer join + two-level aggregation: distribution of customers
+    by order count (including zero-order customers)."""
+    customer = _load(spark, sf, "customer")
+    orders = _load(spark, sf, "orders").filter("o_totalprice > 1000")
+    per_cust = (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
 def _q_rollup_lang_source(spark, sf):
     docs = _load(spark, sf, "documents")
     return (
@@ -638,7 +667,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "json_funcs": _q_json_funcs,
         "tpch_q1_pricing": _q_tpch_q1_pricing,
         "tpch_q3_topk": _q_tpch_q3_topk,
+        "tpch_q4_order_priority": _q_tpch_q4_order_priority,
         "tpch_q5_region_revenue": _q_tpch_q5_region_revenue,
+        "tpch_q13_custdist": _q_tpch_q13_custdist,
         "rollup_lang_source": _q_rollup_lang_source,
         "cube_lang_source": _q_cube_lang_source,
         "sessionize_events": _q_sessionize_events,
@@ -932,6 +963,23 @@ def oracle_sql() -> dict[str, str]:
                    md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')))
                      AS fingerprint
             FROM documents
+        """,
+        "tpch_q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS order_count
+            FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey
+                            AND l.l_returnflag = 'R')
+            GROUP BY o_orderpriority
+        """,
+        "tpch_q13_custdist": """
+            SELECT c_count, count(*) AS custdist FROM (
+              SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+              FROM customer c
+              LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 1000) o
+                ON c.c_custkey = o.o_custkey
+              GROUP BY c.c_custkey)
+            GROUP BY c_count
         """,
         "sessionize_events": """
             WITH flagged AS (

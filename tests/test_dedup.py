@@ -1,0 +1,79 @@
+"""Dedup operators: near-duplicates are found, distinct docs are not."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight ")
+    rows = [
+        # 0/1: near-identical (one word changed) → near-dup pair
+        (0, base * 4, "en", "srcA", len(base) * 4),
+        (1, (base * 4).replace("green", "dark", 1), "en", "srcA",
+         len(base) * 4),
+        # 2/3: exact duplicates
+        (2, "identical content here " * 10, "en", "srcB", 230),
+        (3, "identical content here " * 10, "en", "srcB", 230),
+        # 4: unrelated
+        (4, "completely different words about spark catalyst optimizer "
+            "plans shuffles partitions executors " * 5, "en", "srcC", 460),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long")
+
+
+def test_exact_duplicates_groups(spark, docs):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        dedup_keep_first,
+        exact_duplicates,
+    )
+
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2
+    assert groups[0]["keeper_doc_id"] == 2
+
+    kept = dedup_keep_first(docs)
+    assert kept.count() == 4  # one of 2/3 dropped
+    assert kept.filter("doc_id = 3").count() == 0
+
+
+def test_minhash_lsh_finds_neardup_not_unrelated(spark, docs):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        lsh_candidate_pairs,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs          # near-identical share bands
+    assert (2, 3) in pairs          # exact dups always collide
+    assert (0, 4) not in pairs and (1, 4) not in pairs
+
+
+def test_simhash_hamming_separates(spark, docs):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        simhash64,
+    )
+
+    sigs = {r["doc_id"]: r["sig"] for r in
+            docs.select("doc_id", simhash64("text").alias("sig")).collect()}
+    ham = lambda a, b: bin((sigs[a] ^ sigs[b]) & ((1 << 64) - 1)).count("1")
+    assert ham(2, 3) == 0           # identical text → identical sig
+    assert ham(0, 1) <= 6           # one-word edit → few bits flip
+    assert ham(0, 4) > 10           # unrelated → far apart
+
+
+def test_ngram_jaccard_verifies_candidates(spark, docs):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, block_on_length=False)
+             .collect()}
+    assert pairs[(2, 3)] == 1.0
+    assert pairs[(0, 1)] > 0.8
+    assert pairs.get((0, 4), 0.0) < 0.05
