@@ -608,6 +608,16 @@ def _q_multimodal_frame_sample(spark, sf):
     )
 
 
+def _q_text_top_terms(spark, sf):
+    """applyInPandas grouped-map: top-5 terms per language by document
+    frequency, oracle-verified against the relational formulation."""
+    from document_convert_to__markdown_spark.operators.text import (
+        top_terms_per_lang,
+    )
+
+    return top_terms_per_lang(_load(spark, sf, "documents"), k=5)
+
+
 def _q_text_winnow_fps(spark, sf):
     """Rolling-hash winnowing fingerprints (rows-only: Rabin-Karp over
     byte polynomials is not reasonably SQL-expressible)."""
@@ -696,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "text_winnow_fps": _q_text_winnow_fps,
+        "text_top_terms": _q_text_top_terms,
         "golden_fixture_compare": _q_golden_fixture_compare,
         # structured streaming (drained availableNow; window is oracle-checked)
         "stream_window_events": _q_stream_window_events,
@@ -1017,6 +1028,22 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.95), 2) AS p95_chars,
                    round(avg(n_chars), 4) AS avg_chars
             FROM documents GROUP BY lang
+        """,
+        # Grouped-map fan-in == the relational explode/group/window form.
+        "text_top_terms": """
+            WITH terms AS (
+              SELECT lang, doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+            freq AS (
+              SELECT lang, term, count(DISTINCT doc_id) AS df
+              FROM terms WHERE term <> '' GROUP BY lang, term),
+            ranked AS (
+              SELECT lang, term, df,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY df DESC, term) AS rn
+              FROM freq)
+            SELECT lang, term, df, rn FROM ranked WHERE rn <= 5
         """,
         # Drained stateful stream == batch window-function sessionization.
         "stream_sessionize_stateful": """

@@ -123,6 +123,39 @@ def fingerprint(documents: DataFrame) -> DataFrame:
     )
 
 
+def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k terms per language by document frequency — the grouped-map
+    (``applyInPandas``) UDF shape: whole-group fan-in, per-group pandas.
+
+    Scale note: groups are languages (few, large) — at 10^12 rows the
+    per-lang group would exceed one executor, so the production form is
+    a two-phase agg (explode→groupBy(lang,term)→window top-k, all
+    JVM-side).  This operator exists to exercise and pin the grouped-map
+    path; the oracle proves the pandas fan-in computes exactly what the
+    relational form would.
+    """
+    import pandas as pd
+
+    def topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        lang = pdf["lang"].iloc[0]
+        df_counts: dict[str, set] = {}
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for term in set((text or "").lower().split(" ")):
+                if term:
+                    df_counts.setdefault(term, set()).add(doc_id)
+        ranked = sorted(((len(v), t) for t, v in df_counts.items()),
+                        key=lambda x: (-x[0], x[1]))[:k]
+        return pd.DataFrame({
+            "lang": [lang] * len(ranked),
+            "term": [t for _n, t in ranked],
+            "df": [n for n, _t in ranked],
+            "rn": list(range(1, len(ranked) + 1)),
+        })
+
+    return documents.select("lang", "doc_id", "text").groupBy("lang") \
+        .applyInPandas(topk, "lang string, term string, df long, rn int")
+
+
 _WINNOW_BASE = 257
 _WINNOW_MOD = (1 << 61) - 1
 
