@@ -27,15 +27,31 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--n-docs", type=int, default=None,
                         help="synthesize this many pages instead of reading a table")
     parser.add_argument("--seed", type=int, default=42)
-    parser.add_argument("--output", required=True, help="output directory")
+    parser.add_argument("--output", default=None, help="output directory")
     parser.add_argument("--run-id", default="run")
     parser.add_argument("--resume", action="store_true",
                         help="anti-join completed urls from a prior run")
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--cores", default=None,
                         help="local[N] cores (default: SPARK_GRAFT_CPUS or 32)")
+    parser.add_argument("--list-formats", action="store_true",
+                        help="print supported (magic-byte-sniffed) formats "
+                             "and exit")
     args = parser.parse_args(argv)
 
+    if args.list_formats:
+        # get_supported_formats() analog (reference converter.py:772-787),
+        # keyed by sniffed content format instead of file extension — at
+        # web scale rows have no filenames.
+        from .extractors import sniffer
+        formats = [sniffer.FMT_HTML, sniffer.FMT_TEXT, sniffer.FMT_PDF,
+                   sniffer.FMT_DOCX, sniffer.FMT_XLSX,
+                   *sorted(sniffer.IMAGE_FORMATS)]
+        print(json.dumps({"supported_formats": formats}))
+        return 0
+
+    if not args.output:
+        parser.error("--output is required")
     if not args.input_table and not args.n_docs:
         parser.error("one of --input-table / --n-docs is required")
 
