@@ -293,6 +293,26 @@ def _q_tpch_q13_custdist(spark, sf):
     return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
 
 
+def _q_tpch_q14_promo(spark, sf):
+    """Conditional aggregation over a fact⋈dim join (q14 shape): share of
+    revenue from ECONOMY parts.  The part dim broadcasts; lineitem never
+    shuffles."""
+    li = _load(spark, sf, "lineitem")
+    part = _load(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("p_type") == "ECONOMY", rev)
+                      .otherwise(F.lit(0.0))) * 100.0 / F.sum(rev),
+                4,
+            ).alias("economy_revenue_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
 def _q_rollup_lang_source(spark, sf):
     docs = _load(spark, sf, "documents")
     return (
@@ -680,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q4_order_priority": _q_tpch_q4_order_priority,
         "tpch_q5_region_revenue": _q_tpch_q5_region_revenue,
         "tpch_q13_custdist": _q_tpch_q13_custdist,
+        "tpch_q14_promo": _q_tpch_q14_promo,
         "rollup_lang_source": _q_rollup_lang_source,
         "cube_lang_source": _q_cube_lang_source,
         "sessionize_events": _q_sessionize_events,
@@ -982,6 +1003,16 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l.l_orderkey = o.o_orderkey
                             AND l.l_returnflag = 'R')
             GROUP BY o_orderpriority
+        """,
+        "tpch_q14_promo": """
+            SELECT round(sum(CASE WHEN p.p_type = 'ECONOMY'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0.0 END) * 100.0
+                         / sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                     AS economy_revenue_pct,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                     AS total_revenue
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         """,
         "tpch_q13_custdist": """
             SELECT c_count, count(*) AS custdist FROM (
