@@ -18,6 +18,7 @@ def build_session(
     master: str | None = None,
     shuffle_partitions: int | None = None,
     arrow_batch_rows: int = 128,
+    extra_conf: dict | None = None,
 ) -> SparkSession:
     """Session with AQE, Arrow, and small Arrow batches for blob rows.
 
@@ -35,9 +36,11 @@ def build_session(
         n = cpus if cpus.isdigit() else "32"
         shuffle_partitions = max(2 * int(n), 8)
 
+    builder = SparkSession.builder.appName(app_name).master(master)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return (
-        SparkSession.builder.appName(app_name)
-        .master(master)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

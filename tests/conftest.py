@@ -1,4 +1,5 @@
 import os
+import tempfile
 
 import pytest
 
@@ -9,7 +10,12 @@ def spark():
     from document_convert_to__markdown_spark.pipeline.session import build_session
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
-    session = build_session("doc2md-tests", master="local[8]",
-                            shuffle_partitions=8)
+    session = build_session(
+        "doc2md-tests", master="local[8]", shuffle_partitions=8,
+        extra_conf={
+            # Keep managed-table files (bucketing tests) out of the repo.
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="doc2md_wh_"),
+        },
+    )
     yield session
     session.stop()

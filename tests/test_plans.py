@@ -83,6 +83,52 @@ def test_extraction_single_shuffle_and_pruning(spark):
     assert "ReadSchema: struct<url:string,html:binary>" in plan, plan
 
 
+def test_partition_pruning_on_lang(spark, tmp_path):
+    """Hive-style lang partitions: a lang filter must become a
+    PartitionFilter (skipped directories), not a row filter."""
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+
+    path = str(tmp_path / "pages_by_lang")
+    synth_pages_df(spark, 200, partitions=4) \
+        .write.partitionBy("lang").parquet(path)
+    df = spark.read.parquet(path).filter(F.col("lang") == "en") \
+        .select("url", "lang")
+    plan = plan_str(df, mode="simple")
+    assert "PartitionFilters: [isnotnull(lang" in plan, plan
+    assert "(lang" in plan.split("PartitionFilters")[1][:80], plan
+    # the lang predicate must NOT appear as a post-scan row Filter
+    assert "PushedFilters: []" in plan, plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf):
+    """Pre-bucketed tables on the join key co-locate: the join plan has
+    no Exchange — the 100TB pattern for repeated url-keyed joins
+    (results x golden, results x assets)."""
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed_a")
+    spark.sql("DROP TABLE IF EXISTS docs_bucketed_b")
+    docs.select("doc_id", "lang").write.bucketBy(8, "doc_id") \
+        .sortBy("doc_id").saveAsTable("docs_bucketed_a")
+    docs.select("doc_id", "n_chars").write.bucketBy(8, "doc_id") \
+        .sortBy("doc_id").saveAsTable("docs_bucketed_b")
+
+    a = spark.table("docs_bucketed_a")
+    b = spark.table("docs_bucketed_b")
+    joined = a.join(b, "doc_id")
+    # Disable auto-broadcast: at 100TB neither side broadcasts; the point
+    # is that bucket co-location replaces the shuffle, not the small-table
+    # shortcut.
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_str(joined, mode="simple")
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert joined.count() == docs.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+
 def test_exact_dedup_partial_agg(spark, sf):
     from document_convert_to__markdown_spark.operators.dedup import (
         exact_duplicates,
