@@ -534,6 +534,16 @@ def _q_ann_ivf_topk(spark, sf):
     return ivf_ann_topk(emb.filter("vec_id <> 0"), list(qvec), k=10)
 
 
+def _q_stream_dedup_users(spark, sf):
+    """Streaming exact dedup (dropDuplicates state) drained availableNow
+    == batch count(DISTINCT) — the crawl-ingest dedup pattern."""
+    from document_convert_to__markdown_spark.streaming import (
+        stream_dedup_user_counts,
+    )
+
+    return stream_dedup_user_counts(spark, f"{sf}/events.parquet")
+
+
 def _q_stream_sessionize_stateful(spark, sf):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user session state carried across micro-batches.  Drained
@@ -733,6 +743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_window_events": _q_stream_window_events,
         "stream_extract_parity": _q_stream_extract_parity,
         "stream_sessionize_stateful": _q_stream_sessionize_stateful,
+        "stream_dedup_users": _q_stream_dedup_users,
     }
 
 
@@ -1075,6 +1086,11 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY df DESC, term) AS rn
               FROM freq)
             SELECT lang, term, df, rn FROM ranked WHERE rn <= 5
+        """,
+        # Drained streaming dropDuplicates == batch count(DISTINCT).
+        "stream_dedup_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+            FROM events GROUP BY event_type
         """,
         # Drained stateful stream == batch window-function sessionization.
         "stream_sessionize_stateful": """

@@ -117,6 +117,40 @@ def stream_window_metrics(
     )
 
 
+def stream_dedup_user_counts(spark: SparkSession, events_path: str) -> DataFrame:
+    """Streaming exact dedup (the crawl-ingest pattern: repeated urls
+    across arrivals keep only their first occurrence) demonstrated on the
+    events table: distinct users per event_type via stream-side
+    ``dropDuplicates`` state.
+
+    Drained, the result equals batch ``count(DISTINCT ...)`` — the DuckDB
+    oracle.  At scale the dedup state is hash-partitioned by key across
+    the state store; a production crawl feed adds
+    ``dropDuplicatesWithinWatermark`` so state for old events expires.
+    """
+    import os
+    import tempfile
+
+    if os.path.isfile(events_path):
+        d = tempfile.mkdtemp(prefix="doc2md_stream_src_")
+        os.symlink(os.path.abspath(events_path),
+                   os.path.join(d, os.path.basename(events_path)))
+        events_path = d
+    events = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(events_path)
+    )
+    agg = (
+        events.select("event_type", "user_id")
+        .dropDuplicates(["event_type", "user_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_users"))
+    )
+    return drain_stream_agg(agg, "stream_dedup_users")
+
+
 def drain_stream_agg(agg: DataFrame, name: str) -> DataFrame:
     """Run a streaming aggregation to completion (availableNow) into a
     memory sink and return the result as a batch DataFrame.
