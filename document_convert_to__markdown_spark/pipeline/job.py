@@ -34,12 +34,23 @@ from typing import Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.pandas.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 from ..extractors.extract import MAX_DOCUMENT_BYTES, extract_document
 from .schemas import EXTRACT_SCHEMA, LEDGER_COLUMNS, RESULT_COLUMNS
 
 # Documents larger than this route through the low-density giant path.
 DEFAULT_GIANT_THRESHOLD = 4 * 1024 * 1024  # 4 MB
+
+
+@pandas_udf(StringType())
+def _doc_name_udf(urls: pd.Series) -> pd.Series:
+    """url → doc name (same normalization chain the extractor uses),
+    for status rows whose blobs never cross to Python."""
+    from ..extractors.normalize import doc_name_from_url
+
+    return urls.map(doc_name_from_url)
 
 
 def _extract_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -122,6 +133,7 @@ def run_extraction(
     pages: DataFrame,
     partitions: Optional[int] = None,
     giant_threshold: int = DEFAULT_GIANT_THRESHOLD,
+    max_bytes: int = MAX_DOCUMENT_BYTES,
 ) -> ExtractResult:
     """Build the extraction plan over a pages DataFrame (lazy)."""
     spark = pages.sparkSession
@@ -132,9 +144,33 @@ def run_extraction(
         "_len", F.coalesce(F.length("html"), F.lit(0))
     )
 
-    # Intended 100MB gate at the scan (A2) — pushed down by Catalyst; the
-    # UDF re-checks defensively, but oversized blobs never cross to Python.
-    sized = sized.filter(F.col("_len") <= F.lit(MAX_DOCUMENT_BYTES))
+    # Intended 100MB gate at the scan (A2) — oversized blobs never cross
+    # to Python, but the row is NOT dropped: it becomes a
+    # skipped_too_large status row (A3: no row is dropped silently).
+    # Only the url string reaches the Python worker for name derivation.
+    oversize = (
+        sized.filter(F.col("_len") > F.lit(max_bytes))
+        .select(
+            F.lit("doc").alias("kind"),
+            "url",
+            _doc_name_udf("url").alias("doc_name"),
+            F.lit("unknown").alias("format"),
+            F.lit("skipped_too_large").alias("status"),
+            F.lit(None).cast("string").alias("error"),
+            F.lit(None).cast("string").alias("markdown"),
+            F.lit(None).cast("string").alias("md_sha256"),
+            F.lit(0).alias("n_images"),
+            F.lit("none").alias("extractor_used"),
+            F.lit(0).cast("long").alias("elapsed_us"),
+            F.col("_len").cast("long").alias("input_bytes"),
+            F.lit(None).cast(EXTRACT_SCHEMA["assets"].dataType).alias("assets"),
+            F.lit(None).cast("int").alias("partition_id"),
+            *[F.lit(None).cast("long").alias(c)
+              for c in ("m_docs", "m_ok", "m_failed", "m_skipped",
+                        "m_bytes", "m_elapsed_us")],
+        )
+    )
+    sized = sized.filter(F.col("_len") <= F.lit(max_bytes))
 
     normal = (
         sized.filter(F.col("_len") < giant_threshold)
@@ -156,7 +192,7 @@ def run_extraction(
 
     raw = normal.mapInPandas(_extract_partition, schema=EXTRACT_SCHEMA)
     raw_giant = giant.mapInPandas(_extract_partition, schema=EXTRACT_SCHEMA)
-    raw = raw.unionByName(raw_giant)
+    raw = raw.unionByName(raw_giant).unionByName(oversize)
 
     docs = raw.filter(F.col("kind") == "doc")
     results = docs.select(*RESULT_COLUMNS)

@@ -10,6 +10,24 @@ from document_convert_to__markdown_spark.pipeline.job import run_extraction
 GIANT_THRESHOLD = 100 * 1024  # force routing on sandbox-sized docs
 
 
+def test_oversize_docs_become_status_rows_not_drops(spark):
+    """Docs above the size gate must surface as skipped_too_large status
+    rows (A2/A3: no silent drops) — found by a 200k-doc soak run where a
+    122MB giant silently vanished from the results."""
+    pages = synth_pages_df(spark, 50, giant_every=0)
+    plan = run_extraction(pages, partitions=4, max_bytes=5000)
+    results = plan.results.cache()
+
+    assert results.count() == 50  # every input row present
+    skipped = results.filter("status = 'skipped_too_large'")
+    n_over = pages.filter(F.length("html") > 5000).count()
+    assert skipped.count() == n_over and n_over > 0
+    row = skipped.first()
+    assert row["markdown"] is None and row["input_bytes"] > 5000
+    assert row["doc_name"]  # name derived from url without touching blob
+    results.unpersist()
+
+
 def test_giant_routing_byte_parity_and_ledger(spark):
     pages = synth_pages_df(spark, 300, giant_every=100).cache()
     n_giant = pages.filter(F.length("html") >= GIANT_THRESHOLD).count()
