@@ -965,6 +965,19 @@ def oracle_sql() -> dict[str, str]:
             FROM scores GROUP BY lang, pred_lang
         """,
         "text_quality": """
+            WITH sw AS (
+              SELECT doc_id,
+                     len(string_split(' ' || text || ' ', ' the ')) - 1
+                   + len(string_split(' ' || text || ' ', ' and ')) - 1
+                   + len(string_split(' ' || text || ' ', ' of ')) - 1
+                   + len(string_split(' ' || text || ' ', ' el ')) - 1
+                   + len(string_split(' ' || text || ' ', ' los ')) - 1
+                   + len(string_split(' ' || text || ' ', ' der ')) - 1
+                   + len(string_split(' ' || text || ' ', ' und ')) - 1
+                   + len(string_split(' ' || text || ' ', ' le ')) - 1
+                   + len(string_split(' ' || text || ' ', ' les ')) - 1
+                     AS stop_hits
+              FROM documents)
             SELECT doc_id, lang,
                    length(text) AS n_chars_actual,
                    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
@@ -972,6 +985,9 @@ def oracle_sql() -> dict[str, str]:
                          / length(text), 4) AS punct_ratio,
                    round(length(regexp_replace(text, '[^0-9]', '', 'g'))
                          / length(text), 4) AS digit_ratio,
+                   round(sw.stop_hits
+                         / len(regexp_split_to_array(trim(text), '\\s+')), 4)
+                     AS stopword_ratio,
                    round(length(text)
                          / len(regexp_split_to_array(trim(text), '\\s+')), 4)
                      AS mean_word_len,
@@ -985,7 +1001,7 @@ def oracle_sql() -> dict[str, str]:
                                                                '\\s+')), 4)
                              > 12 THEN 0.4
                         ELSE 1.0 END AS quality
-            FROM documents
+            FROM documents JOIN sw USING (doc_id)
         """,
         "token_stats": """
             WITH per_doc AS (
@@ -993,10 +1009,13 @@ def oracle_sql() -> dict[str, str]:
                      CASE WHEN length(trim(text)) = 0 THEN 0
                           ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                           END AS ws_tokens,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS regex_tokens,
                      CAST(ceil(length(text) / 4.0) AS BIGINT) AS subword_est
               FROM documents)
             SELECT lang, count(*) AS n_docs,
                    sum(ws_tokens) AS total_ws_tokens,
+                   sum(regex_tokens) AS total_regex_tokens,
                    sum(subword_est) AS total_subword_est,
                    round(avg(ws_tokens), 4) AS avg_ws_tokens
             FROM per_doc GROUP BY lang

@@ -63,11 +63,20 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+# Cross-language probe stopwords (quality signal: natural prose contains
+# them; keyword-stuffed or garbled text does not).
+QUALITY_STOPWORDS = ["the", "and", "of", "el", "los", "der", "und",
+                     "le", "les"]
+
+
 def quality_score(documents: DataFrame) -> DataFrame:
-    """Length/punct/digit/word-length quality features + score bucket."""
+    """Length/punct/digit/stopword/word-length quality features + score."""
     t = F.col("text")
     n = F.length(t)
     words = F.size(F.split(F.trim(t), r"\s+"))
+    stop_hits = _probe_count(
+        t, [f" {w} " for w in QUALITY_STOPWORDS]
+    )
     scored = documents.select(
         "doc_id", "lang",
         n.alias("n_chars_actual"),
@@ -78,6 +87,7 @@ def quality_score(documents: DataFrame) -> DataFrame:
         F.round((F.length(F.regexp_replace(t, r"[^0-9]", "")) / n), 4).alias(
             "digit_ratio"
         ),
+        F.round(stop_hits / words, 4).alias("stopword_ratio"),
         F.round(n / words, 4).alias("mean_word_len"),
     )
     score = (
@@ -89,21 +99,32 @@ def quality_score(documents: DataFrame) -> DataFrame:
     return scored.withColumn("quality", score)
 
 
+# BPE-style pre-tokenization: letter runs, digit runs, punctuation runs —
+# the unit boundaries a byte-pair tokenizer merges within.  ASCII classes
+# so the Java (Spark) and RE2 (DuckDB) dialects agree exactly.
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
 def token_stats(documents: DataFrame) -> DataFrame:
-    """Whitespace + BPE-ish token estimates, aggregated per lang."""
+    """Whitespace + BPE-ish-regex token counts, aggregated per lang."""
     ws_tokens = F.when(F.length(F.trim("text")) == 0, F.lit(0)).otherwise(
         F.size(F.split(F.trim(F.col("text")), r"\s+"))
     )
-    # BPE-ish proxy: word pieces ≈ alnum runs + ceil(chars/4) correction.
+    regex_tokens = F.size(
+        F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), F.lit(0))
+    )
+    # subword estimate: BPE output length ≈ pre-tokens + long-word splits
     subword_est = F.ceil(F.length("text") / 4)
     per_doc = documents.select(
         "lang",
         ws_tokens.alias("ws_tokens"),
+        regex_tokens.alias("regex_tokens"),
         subword_est.alias("subword_est"),
     )
     return per_doc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("regex_tokens").alias("total_regex_tokens"),
         F.sum("subword_est").alias("total_subword_est"),
         F.round(F.avg("ws_tokens"), 4).alias("avg_ws_tokens"),
     )
