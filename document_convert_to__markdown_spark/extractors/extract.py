@@ -68,6 +68,17 @@ class ExtractedDocument(NamedTuple):
     assets: list  # list[Asset]
 
 
+def extract_batch(docs: list) -> list:
+    """Sequential batch conversion — the reference's ``convert_batch``
+    (/root/reference/src/converter.py:713-734, a bare loop with per-file
+    error isolation) as a pure function over ``[(url, payload), ...]``.
+
+    Library convenience only: the Spark pipeline never calls this — it
+    maps ``extract_document`` over Arrow batches instead.
+    """
+    return [extract_document(url, payload) for url, payload in docs]
+
+
 def _fail(url: str, doc_name: str, fmt: str, err: Exception) -> ExtractedDocument:
     # Error isolation: one bad document never stops the batch
     # (main.py:104-123 / converter.py:696-699 semantics as status rows).
