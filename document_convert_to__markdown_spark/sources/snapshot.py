@@ -1,0 +1,159 @@
+"""Snapshot-manifest table on plain parquet — the Iceberg-shaped sandbox
+stand-in (the container ships no Iceberg runtime jars).
+
+Gives the three properties the north rule buys from Iceberg, on any
+filesystem Spark can write:
+
+- **atomic commits**: readers only see files listed in the current
+  manifest; the current-pointer flips via ``os.replace`` (atomic on
+  POSIX).  A crash mid-write leaves orphan data files that no manifest
+  references — invisible, exactly like Iceberg's uncommitted snapshots.
+- **snapshot isolation / time travel**: every commit writes manifest
+  ``v{n}.json`` listing its full file set; ``read(version=...)`` scans
+  any historical snapshot.
+- **idempotent url-keyed overwrite** (SURVEY A20): ``commit_overwrite``
+  publishes a manifest containing only the new files — the re-run
+  replace semantics of ``image_processor.py:100-110`` at table scope.
+
+Single-writer by design (the extraction job owns its output table); a
+real deployment swaps this module for `spark.read/writeTo("iceberg")`
+with zero changes elsewhere (`sources/tables.py` dispatches on prefix).
+
+Layout:
+    root/data/c{n:05d}/part-*.parquet   one subdir per commit
+    root/_snapshots/v{n:05d}.json       {"files": [...], "op": ..., "parent": n-1}
+    root/_current                       text: latest version number
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Snapshot:
+    version: int
+    op: str
+    parent: int
+    files: list
+
+
+def _snap_dir(root: str) -> str:
+    return os.path.join(root, "_snapshots")
+
+
+def current_version(root: str) -> int:
+    """Latest committed version, 0 if the table doesn't exist yet."""
+    try:
+        with open(os.path.join(root, "_current")) as f:
+            return int(f.read().strip())
+    except FileNotFoundError:
+        return 0
+
+
+def load_snapshot(root: str, version: int) -> Snapshot:
+    with open(os.path.join(_snap_dir(root), f"v{version:05d}.json")) as f:
+        d = json.load(f)
+    return Snapshot(version=version, op=d["op"], parent=d["parent"],
+                    files=d["files"])
+
+
+def versions(root: str) -> list:
+    v = current_version(root)
+    out = []
+    while v > 0:
+        s = load_snapshot(root, v)
+        out.append(s)
+        v = s.parent
+    return list(reversed(out))
+
+
+def _commit(root: str, df: DataFrame, op: str) -> Snapshot:
+    os.makedirs(_snap_dir(root), exist_ok=True)
+    parent = current_version(root)
+    version = parent + 1
+    commit_dir = os.path.join(root, "data", f"c{version:05d}")
+
+    df.write.mode("overwrite").parquet(commit_dir)
+    new_files = sorted(
+        os.path.join(commit_dir, f)
+        for f in os.listdir(commit_dir)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+
+    files = new_files if op == "overwrite" or parent == 0 else (
+        load_snapshot(root, parent).files + new_files
+    )
+    manifest = {"op": op, "parent": parent, "files": files}
+
+    # Write-then-rename: the manifest and the current pointer both land
+    # atomically; a crash before either leaves the table at `parent`.
+    fd, tmp = tempfile.mkstemp(dir=_snap_dir(root), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(_snap_dir(root), f"v{version:05d}.json"))
+
+    fd, tmp = tempfile.mkstemp(dir=root, suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        f.write(str(version))
+    os.replace(tmp, os.path.join(root, "_current"))
+    return Snapshot(version=version, op=op, parent=parent, files=files)
+
+
+def commit_append(df: DataFrame, root: str) -> Snapshot:
+    """Append-commit: new snapshot = parent files + this df's files."""
+    return _commit(root, df, "append")
+
+
+def commit_overwrite(df: DataFrame, root: str) -> Snapshot:
+    """Overwrite-commit: new snapshot = only this df's files (A20
+    idempotent replace — old files stay on disk for time travel until
+    an expire pass removes unreferenced snapshots)."""
+    return _commit(root, df, "overwrite")
+
+
+def read(spark: SparkSession, root: str, version: int | None = None
+         ) -> DataFrame:
+    """Scan a snapshot (default: current).  Orphan files from crashed
+    writers are never listed, so they are never read."""
+    v = current_version(root) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    snap = load_snapshot(root, v)
+    return spark.read.parquet(*snap.files)
+
+
+def expire_snapshots(root: str, keep_last: int = 1) -> int:
+    """Delete data files referenced only by expired snapshots (the
+    operational analog of Iceberg table maintenance — SURVEY A28).
+    Returns the number of files deleted."""
+    snaps = versions(root)
+    if len(snaps) <= keep_last:
+        return 0
+    keep = snaps[-keep_last:]
+    live = {f for s in keep for f in s.files}
+    dead = {f for s in snaps[:-keep_last] for f in s.files} - live
+    for f in dead:
+        try:
+            os.remove(f)
+        except FileNotFoundError:
+            pass
+    for s in snaps[:-keep_last]:
+        os.remove(os.path.join(_snap_dir(root), f"v{s.version:05d}.json"))
+        # re-parent the oldest kept snapshot so the chain stays walkable
+    if keep:
+        oldest = keep[0]
+        path = os.path.join(_snap_dir(root), f"v{oldest.version:05d}.json")
+        with open(path) as f:
+            d = json.load(f)
+        d["parent"] = 0
+        fd, tmp = tempfile.mkstemp(dir=_snap_dir(root), suffix=".tmp")
+        with os.fdopen(fd, "w") as f:
+            json.dump(d, f)
+        os.replace(tmp, path)
+    return len(dead)

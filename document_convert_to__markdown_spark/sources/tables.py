@@ -23,6 +23,9 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     """
     if source.startswith("iceberg:") or source.startswith("table:"):
         return spark.read.table(source.split(":", 1)[1])
+    if source.startswith("snapshot:"):
+        from . import snapshot
+        return snapshot.read(spark, source.split(":", 1)[1])
     return spark.read.parquet(source)
 
 
@@ -31,5 +34,13 @@ def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
     if target.startswith("iceberg:") or target.startswith("table:"):
         name = target.split(":", 1)[1]
         df.writeTo(name).using("iceberg").createOrReplace()
+        return
+    if target.startswith("snapshot:"):
+        from . import snapshot
+        root = target.split(":", 1)[1]
+        if mode == "append":
+            snapshot.commit_append(df, root)
+        else:
+            snapshot.commit_overwrite(df, root)
         return
     df.write.mode(mode).parquet(target)
