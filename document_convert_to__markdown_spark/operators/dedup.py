@@ -167,14 +167,23 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(documents: DataFrame,
+                        materialize: bool = True) -> DataFrame:
     """MinHash-LSH near-dup candidates: bucket equi-join, then distinct.
 
     The join is keyed on (band, band_hash) — a plain shuffle-hash join;
     no O(n²) anywhere.  Downstream verification: ngram_jaccard on the
     candidate set only.
+
+    ``materialize`` persists the (doc_id, band, band_hash) relation
+    before the self-join: without it both join sides re-run the MinHash
+    UDF (the plan shows two ArrowEvalPython nodes) — doubling the sketch
+    compute, the dominant cost at corpus scale.  The persisted relation
+    is 3 small ints per band row, negligible next to the text column.
     """
     bands = minhash_bands(documents)
+    if materialize:
+        bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -192,9 +201,16 @@ def lsh_candidate_pairs(documents: DataFrame) -> DataFrame:
     )
 
 
-def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs via 16-bit band blocking + popcount verify."""
+def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
+                       materialize: bool = True) -> DataFrame:
+    """SimHash near-dup pairs via 16-bit band blocking + popcount verify.
+
+    ``materialize`` persists the signature relation so the self-join
+    doesn't run the SimHash UDF once per side (see lsh_candidate_pairs).
+    """
     sigs = documents.select("doc_id", simhash64("text").alias("sig"))
+    if materialize:
+        sigs = sigs.persist()
     # 4 bands of 16 bits: Hamming ≤ 3 ⇒ at least one band identical.
     bands = sigs.select(
         "doc_id", "sig",
