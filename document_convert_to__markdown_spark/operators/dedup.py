@@ -117,22 +117,32 @@ def dedup_keep_first(documents: DataFrame) -> DataFrame:
     return documents.join(keepers, "doc_id", "left_semi")
 
 
-def ngram_jaccard_pairs(documents: DataFrame, block_on_length: bool = True
-                        ) -> DataFrame:
+def ngram_jaccard_pairs(documents: DataFrame, block_on_length: bool = True,
+                        materialize: bool = True) -> DataFrame:
     """Exact word-3-gram Jaccard for blocked candidate pairs.
 
     Blocking key (lang, n_chars) keeps the self-join linear-ish; at scale
     the block key would be a MinHash band (see lsh_candidate_pairs) —
     this operator is the *verification* stage both LSH variants feed.
+
+    The tokenization is projected ONCE (``toks``) before the gram
+    transform — inlining ``split(text)`` in the lambda re-splits the
+    text up to 3x per gram element (no CSE inside higher-order-function
+    lambdas) — and the gram relation is persisted so the self-join
+    doesn't rebuild it per side.
     """
     grams = documents.select(
         "doc_id", "lang", "n_chars",
+        F.split("text", " ").alias("toks"),
+    ).select(
+        "doc_id", "lang", "n_chars",
         F.expr(
-            "transform(sequence(0, greatest(size(split(text, ' ')) - 3, 0) - 1),"
-            " i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i+1],"
-            " ' ', split(text, ' ')[i+2]))"
+            "transform(sequence(0, greatest(size(toks) - 3, 0) - 1),"
+            " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
         ).alias("grams"),
     )
+    if materialize:
+        grams = grams.persist()
     a = grams.alias("a")
     b = grams.alias("b")
     cond = [F.col("a.lang") == F.col("b.lang"),
