@@ -361,6 +361,50 @@ def _q_dedup_simhash(spark, sf):
     return simhash_near_pairs(docs)
 
 
+def _q_dedup_clusters(spark, sf):
+    """Duplicate clusters: union of exact-md5 and canonical-fingerprint
+    equality edges, resolved to connected components by iterative
+    min-label propagation — A~B by md5 and B~C by fingerprint put
+    {A,B,C} in one cluster.  Oracle: recursive-CTE reachability."""
+    from pyspark.sql import Window
+
+    from document_convert_to__markdown_spark.operators.graph import (
+        connected_components,
+    )
+
+    docs = _load(spark, sf, "documents")
+    canon = F.md5(F.lower(F.regexp_replace("text", r"[^A-Za-z0-9]", "")))
+    e1 = docs.select(
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("a"),
+        F.col("doc_id").alias("b"),
+    ).filter("a < b")
+    e2 = docs.select(
+        F.min("doc_id").over(Window.partitionBy(canon)).alias("a"),
+        F.col("doc_id").alias("b"),
+    ).filter("a < b")
+    edges = e1.unionByName(e2).distinct()
+
+    cc = connected_components(edges)
+    return docs.select("doc_id").join(
+        cc, docs.doc_id == cc.node, "left"
+    ).select(
+        docs.doc_id,
+        F.coalesce("component", docs.doc_id).alias("component"),
+    )
+
+
+def _q_neardup_pipeline(spark, sf):
+    """Composed LSH→Jaccard-verify→keep-first dedup; returns the per-lang
+    survivor counts (rows-only: candidates come from MinHash buckets)."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        neardup_pipeline,
+    )
+
+    docs = _load(spark, sf, "documents")
+    kept = neardup_pipeline(docs, jaccard_threshold=0.8)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
 def _q_neardup_embedding_cosine(spark, sf):
     from document_convert_to__markdown_spark.operators.similarity import (
         neardup_pairs_cosine,
@@ -721,6 +765,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,
         "dedup_simhash": _q_dedup_simhash,
+        "dedup_clusters": _q_dedup_clusters,
+        "neardup_pipeline": _q_neardup_pipeline,
         "neardup_embedding_cosine": _q_neardup_embedding_cosine,
         "ann_topk_cosine": _q_ann_topk_cosine,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1105,6 +1151,37 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY df DESC, term) AS rn
               FROM freq)
             SELECT lang, term, df, rn FROM ranked WHERE rn <= 5
+        """,
+        # Iterative min-label propagation == recursive-CTE reachability.
+        "dedup_clusters": """
+            WITH RECURSIVE
+            e1 AS (
+              SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS a,
+                     doc_id AS b
+              FROM documents),
+            e2 AS (
+              SELECT min(doc_id) OVER (PARTITION BY
+                       md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '',
+                                                'g')))) AS a,
+                     doc_id AS b
+              FROM documents),
+            edges AS (
+              SELECT a, b FROM e1 WHERE a < b
+              UNION SELECT a, b FROM e2 WHERE a < b),
+            sym AS (
+              SELECT a AS s, b AS t FROM edges
+              UNION SELECT b, a FROM edges),
+            nodes AS (SELECT DISTINCT s AS n FROM sym),
+            reach(s, t) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.s, y.t FROM reach r JOIN sym y ON r.t = y.s),
+            comp AS (
+              SELECT s AS doc_id, min(t) AS component
+              FROM reach GROUP BY s)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c USING (doc_id)
         """,
         # Drained streaming dropDuplicates == batch count(DISTINCT).
         "stream_dedup_users": """

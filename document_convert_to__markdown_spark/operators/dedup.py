@@ -211,6 +211,49 @@ def lsh_candidate_pairs(documents: DataFrame,
     )
 
 
+def neardup_pipeline(documents: DataFrame, jaccard_threshold: float = 0.8
+                     ) -> DataFrame:
+    """The production near-dup flow, composed end-to-end:
+
+        MinHash-LSH candidates  →  exact 3-gram Jaccard on candidates only
+        →  survivors (keep min doc_id per dup pair set)
+
+    Verification cost is O(|candidates|), never O(n²): the Jaccard stage
+    joins the gram relation to the candidate pair list instead of
+    self-joining the corpus.  Returns the deduplicated corpus (one row
+    per kept document).
+    """
+    cand = lsh_candidate_pairs(documents)
+
+    toks = documents.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(0, greatest(size(toks) - 3, 0) - 1),"
+            " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+        ).alias("grams"),
+    ).persist()
+
+    verified = (
+        cand
+        .join(toks.select(F.col("doc_id").alias("doc_a"),
+                          F.col("grams").alias("grams_a")), "doc_a")
+        .join(toks.select(F.col("doc_id").alias("doc_b"),
+                          F.col("grams").alias("grams_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("grams_a", "grams_b"))
+            / F.size(F.array_union("grams_a", "grams_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("doc_a", "doc_b")
+    )
+    # drop the higher doc_id of every verified dup pair
+    losers = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    return documents.join(losers, "doc_id", "left_anti")
+
+
 def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
                        materialize: bool = True) -> DataFrame:
     """SimHash near-dup pairs via 16-bit band blocking + popcount verify.

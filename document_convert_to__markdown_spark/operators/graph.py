@@ -1,0 +1,69 @@
+"""Distributed connected components — duplicate-cluster resolution.
+
+Pairwise dup detection (exact hash, MinHash, SimHash, fingerprints)
+yields EDGES; the unit of deduplication is the CLUSTER (a transitive
+closure: A~B by md5, B~C by canonical fingerprint ⇒ {A,B,C} is one
+duplicate group keeping one representative).
+
+``connected_components`` is iterative min-label propagation (the
+"hash-to-min" scheme): every node starts labeled with itself; each round
+every node adopts the minimum label in its closed neighborhood; stop
+when no label changes.  Rounds ≈ graph diameter (dup clusters are
+near-cliques → 2-3 rounds).  Each round is one shuffle keyed on node id;
+``localCheckpoint`` truncates the growing lineage so round N's plan does
+not replay rounds 1..N-1 (the standard Spark iterative-algorithm
+pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """(a, b) undirected edge list → (node, component) with component =
+    min node id in the component.  Isolated nodes don't appear (callers
+    left-join and coalesce to the node's own id)."""
+    a, b = edges.columns[0], edges.columns[1]
+    sym = (
+        edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+
+    for _ in range(max_iter):
+        # candidate label per node: min over neighbors' current labels
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+            .withColumnRenamed("src", "node")
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce("nbr_component", F.col("component")),
+                ).alias("component"),
+                (F.coalesce("nbr_component", F.col("component"))
+                 < F.col("component")).alias("_changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        n_changed = new_labels.filter("_changed").count()
+        labels = new_labels.drop("_changed")
+        if n_changed == 0:
+            break
+
+    sym.unpersist()
+    return labels
