@@ -15,6 +15,8 @@ executors — same reason the corpus synthesizer is seeded).
 
 from __future__ import annotations
 
+from typing import Optional
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -111,8 +113,40 @@ def _ivf_cell(embs: pd.Series) -> pd.Series:
     return pd.Series(cells.astype(np.int32))
 
 
+def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = _N_CENTROIDS,
+                        seed: int = 11) -> np.ndarray:
+    """Learn IVF centroids with MLlib k-means (kmeans|| init) — the real
+    index-build step; at 10^9+ vectors this trains on a ~1% sample.
+
+    Returns L2-normalized centroids shaped (n_centroids, dim) for use
+    with ``ivf_ann_topk(..., centroids=...)``.  Deterministic: fixed
+    seed, fixed init.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    # Spherical k-means: the search metric is cosine, so train on
+    # L2-normalized vectors — Euclidean cells on the unit sphere ARE
+    # cosine cells.  Training on raw vectors and routing by cosine (or
+    # vice versa) mixes geometries and mis-probes.
+    norm = F.sqrt(F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    feats = embeddings.select(
+        array_to_vector(
+            F.transform("embedding",
+                        lambda x: x.cast("double") / F.greatest(
+                            norm, F.lit(1e-12)))
+        ).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, initMode="k-means||",
+                   maxIter=20).fit(feats)
+    return np.vstack([np.asarray(c) for c in model.clusterCenters()])
+
+
 def ivf_ann_topk(embeddings: DataFrame, query_vec: list[float],
-                 k: int = 10, nprobe: int = 6) -> DataFrame:
+                 k: int = 10, nprobe: int = 6,
+                 centroids: Optional[np.ndarray] = None) -> DataFrame:
     """IVF-style ANN top-k: score only the ``nprobe`` cells nearest the query.
 
     The cell predicate is a plain `isin` filter Catalyst pushes below the
@@ -122,12 +156,36 @@ def ivf_ann_topk(embeddings: DataFrame, query_vec: list[float],
     design; tests verify recall@k against brute force.
     """
     q = np.asarray(query_vec, dtype=np.float64)
-    qn = q / (np.linalg.norm(q) or 1.0)
-    probe_cells = [int(c) for c in (qn @ _centroids.T).argsort()[::-1][:nprobe]]
+    if centroids is None:
+        # seeded random spherical quantizer: cosine-argmax routing
+        qn = q / (np.linalg.norm(q) or 1.0)
+        probe_cells = [int(c) for c in
+                       (qn @ _centroids.T).argsort()[::-1][:nprobe]]
+        assign = _ivf_cell("embedding")
+    else:
+        # trained (spherical k-means) centroids: nearest-center routing
+        # on L2-normalized vectors, matching the training geometry.
+        # Centroids travel to executors via closure capture (tiny:
+        # n_centroids x dim).
+        cents = centroids
+        qn = q / (np.linalg.norm(q) or 1.0)
+        d = ((cents - qn[None, :]) ** 2).sum(axis=1)
+        probe_cells = [int(c) for c in d.argsort()[:nprobe]]
+
+        @pandas_udf(IntegerType())
+        def assign_trained(embs: pd.Series) -> pd.Series:
+            mat = np.vstack(embs.to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+        assign = assign_trained("embedding")
 
     qcol = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        embeddings.withColumn("cell", _ivf_cell("embedding"))
+        embeddings.withColumn("cell", assign)
         .filter(F.col("cell").isin(probe_cells))
         .select(
             "vec_id",

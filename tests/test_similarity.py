@@ -48,6 +48,39 @@ def test_ann_recall_vs_brute_force(emb, qvec, variant):
     assert recall >= 0.5, f"{variant} recall@{K} = {recall}"
 
 
+def test_trained_ivf_on_clustered_data(spark):
+    """Spherical k-means IVF earns its keep on genuinely clustered
+    vectors: high recall at a small probe fraction."""
+    import numpy as np
+
+    from document_convert_to__markdown_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_ann_topk,
+        train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.standard_normal((8, 64)) * 5
+    vecs = np.vstack([
+        centers[i % 8] + rng.standard_normal(64) * 0.3
+        for i in range(400)
+    ]).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, int(i % 8), vecs[i].tolist()) for i in range(400)],
+        "vec_id long, label int, embedding array<float>",
+    )
+    query = (centers[2] + rng.standard_normal(64) * 0.3).tolist()
+
+    truth = {r["vec_id"]
+             for r in brute_force_topk(df, query, k=K).collect()}
+    cents = train_ivf_centroids(df, n_centroids=8)
+    got = {r["vec_id"]
+           for r in ivf_ann_topk(df, query, k=K, nprobe=2,
+                                 centroids=cents).collect()}
+    # 2 of 8 cells probed (25% scan) must retain >=90% of neighbors
+    assert len(truth & got) / K >= 0.9
+
+
 def test_ivf_prunes_scan(emb, qvec):
     from document_convert_to__markdown_spark.operators.similarity import (
         _N_CENTROIDS,
