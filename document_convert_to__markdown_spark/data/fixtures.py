@@ -99,6 +99,14 @@ def _fixture_payloads() -> list[tuple[str, bytes]]:
         synth.make_xlsx(rng, "en", 9007, 1.0),
     ))
 
+    # pptx_slides — slide-number markers + title headings + media
+    # extraction (reference priority format, config.py:26-40).
+    rng = random.Random(808)
+    fixtures.append((
+        "https://fixtures.example/en/pptx_slides",
+        synth.make_pptx(rng, "en", 9008, 1.5),
+    ))
+
     # Corpus slice: the first 50 synthetic documents.
     for i in range(50):
         row = synth.synth_page(i)

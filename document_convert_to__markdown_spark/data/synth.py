@@ -357,6 +357,63 @@ _S = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
 _RNS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
 
+# --- PPTX --------------------------------------------------------------------
+
+_P = "http://schemas.openxmlformats.org/presentationml/2006/main"
+_DA = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+_PPTX_CT = b"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/ppt/presentation.xml" ContentType="application/vnd.openxmlformats-officedocument.presentationml.presentation.main+xml"/>
+</Types>"""
+
+
+def _pptx_shape(paragraphs: list, title: bool = False) -> str:
+    ph = '<p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>' \
+        if title else "<p:nvSpPr><p:nvPr/></p:nvSpPr>"
+    paras = "".join(
+        f'<a:p><a:r><a:t>{p}</a:t></a:r></a:p>' for p in paragraphs
+    )
+    return f"<p:sp>{ph}<p:txBody>{paras}</p:txBody></p:sp>"
+
+
+def make_pptx(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    """Minimal PresentationML deck: title + body shapes per slide."""
+    n_slides = max(1, int(rng.randint(2, 5) * min(scale, 20.0)))
+    n_images = rng.randint(0, 2)
+
+    slides = []
+    for s in range(1, n_slides + 1):
+        shapes = [_pptx_shape([f"Slide {s} title for doc {doc_idx}"],
+                              title=True)]
+        body = [_sentence(rng, lang, rng.randint(4, 9))
+                for _ in range(rng.randint(1, 4))]
+        shapes.append(_pptx_shape(body))
+        slides.append(
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<p:sld xmlns:p="{_P}" xmlns:a="{_DA}"><p:cSld><p:spTree>'
+            f'{"".join(shapes)}</p:spTree></p:cSld></p:sld>'
+        )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("[Content_Types].xml", _PPTX_CT)
+        zf.writestr(
+            "ppt/presentation.xml",
+            f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            f'<p:presentation xmlns:p="{_P}"/>',
+        )
+        for s, xml in enumerate(slides):
+            zf.writestr(f"ppt/slides/slide{s + 1}.xml", xml)
+        for k in range(1, n_images + 1):
+            zf.writestr(f"ppt/media/image{k}.png",
+                        make_png(rng.randint(4, 12), rng.randint(4, 12),
+                                 rng.randint(0, 255)))
+    return buf.getvalue()
+
+
 def make_xlsx(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
     n_sheets = rng.randint(1, 3)
 
@@ -454,8 +511,14 @@ def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
         fmt = "docx"
         payload = make_docx(rng, lang, i, scale)
     elif roll < 0.97:
-        fmt = "xlsx"
-        payload = make_xlsx(rng, lang, i, scale)
+        # xlsx/pptx split by doc parity (no extra rng draw — per-doc rng
+        # means this never perturbs other documents' payloads)
+        if i % 2 == 0:
+            fmt = "pptx"
+            payload = make_pptx(rng, lang, i, scale)
+        else:
+            fmt = "xlsx"
+            payload = make_xlsx(rng, lang, i, scale)
     elif roll < 0.99:
         fmt = "img"
         maker = rng.choice([make_png, make_jpeg, make_gif])

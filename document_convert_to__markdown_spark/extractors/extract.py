@@ -34,6 +34,7 @@ from .insertion import (
 )
 from .html_extractor import html_to_markdown
 from .docx_extractor import extract_docx
+from .pptx_extractor import extract_pptx
 from .xlsx_extractor import extract_xlsx
 from .pdf_extractor import extract_pdf
 from .image_extractor import image_extension, image_meta
@@ -150,6 +151,15 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
                          else "docx_xml_walk")
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, len(assets), extractor, assets)
+
+        if fmt == sniffer.FMT_PPTX:
+            result = extract_pptx(payload, doc_name)
+            markdown = clean_markdown_content(result.markdown, is_pdf=False)
+            assets = [Asset(filename, None, data)
+                      for _key, filename, data in result.images]
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, len(assets), "pptx_slide_walk",
+                                     assets)
 
         if fmt == sniffer.FMT_XLSX:
             markdown = clean_markdown_content(extract_xlsx(payload, doc_name),

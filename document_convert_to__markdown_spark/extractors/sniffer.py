@@ -18,6 +18,7 @@ FMT_HTML = "html"
 FMT_PDF = "pdf"
 FMT_DOCX = "docx"
 FMT_XLSX = "xlsx"
+FMT_PPTX = "pptx"
 FMT_PNG = "png"
 FMT_JPEG = "jpeg"
 FMT_GIF = "gif"
@@ -53,9 +54,11 @@ def _sniff_zip(payload: bytes) -> str:
         return FMT_DOCX
     if "xl/workbook.xml" in names:
         return FMT_XLSX
+    if "ppt/presentation.xml" in names:
+        return FMT_PPTX
     if "[Content_Types].xml" in names:
-        # OOXML container we don't handle (pptx etc.) — treat as unknown
-        # so it surfaces as a status row, never a silent drop (SURVEY A3).
+        # OOXML container we don't handle — treat as unknown so it
+        # surfaces as a status row, never a silent drop (SURVEY A3).
         return FMT_UNKNOWN
     return FMT_UNKNOWN
 
