@@ -107,6 +107,21 @@ def _fixture_payloads() -> list[tuple[str, bytes]]:
         synth.make_pptx(rng, "en", 9008, 1.5),
     ))
 
+    # csv_table — quoted fields with embedded commas → pipe table
+    # (reference supported format, converter.py:772-787).
+    rng = random.Random(909)
+    fixtures.append((
+        "https://fixtures.example/en/csv_table",
+        synth.make_csv(rng, "en", 9009, 1.0),
+    ))
+
+    # json_fence — nested object → fenced json block.
+    rng = random.Random(1010)
+    fixtures.append((
+        "https://fixtures.example/en/json_fence",
+        synth.make_json(rng, "en", 9010, 1.0),
+    ))
+
     # Corpus slice: the first 50 synthetic documents.
     for i in range(50):
         row = synth.synth_page(i)

@@ -15,6 +15,7 @@ Format mix per FIXTURES.md: 70% HTML, 15% PDF, 8% DOCX, 4% XLSX,
 from __future__ import annotations
 
 import io
+import json
 import random
 import struct
 import zipfile
@@ -481,6 +482,44 @@ def make_xlsx(rng: random.Random, lang: str, doc_idx: int, scale: float) -> byte
     return buf.getvalue()
 
 
+# --- CSV / JSON ---------------------------------------------------------------
+
+def make_csv(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    n_cols = rng.randint(2, 5)
+    n_rows = max(2, int(rng.randint(4, 12) * min(scale, 50.0)))
+    header = ",".join(f"col{c}" for c in range(n_cols))
+    lines = [header]
+    for r in range(n_rows):
+        cells = []
+        for c in range(n_cols):
+            if rng.random() < 0.3:
+                cells.append(str(rng.randint(0, 9999)))
+            elif rng.random() < 0.1:
+                # quoted field containing a comma (exercises csv parsing)
+                cells.append(f'"{_sentence(rng, lang, 2)}, extra"')
+            else:
+                cells.append(rng.choice(_WORDS[lang]))
+        lines.append(",".join(cells))
+    return "\n".join(lines).encode("utf-8")
+
+
+def make_json(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    def value(depth: int):
+        roll = rng.random()
+        if depth > 2 or roll < 0.4:
+            return rng.choice(
+                [rng.randint(0, 1000), _sentence(rng, lang, 3),
+                 rng.random() < 0.5, None])
+        if roll < 0.7:
+            return {f"k{j}": value(depth + 1) for j in range(rng.randint(1, 4))}
+        return [value(depth + 1) for _ in range(rng.randint(1, 5))]
+
+    n_keys = max(2, int(rng.randint(2, 6) * min(scale, 20.0)))
+    obj = {"doc": doc_idx, "lang": lang,
+           **{f"field{j}": value(0) for j in range(n_keys)}}
+    return json.dumps(obj, ensure_ascii=False).encode("utf-8")
+
+
 # --- row synthesis ------------------------------------------------------------
 
 def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
@@ -519,7 +558,7 @@ def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
         else:
             fmt = "xlsx"
             payload = make_xlsx(rng, lang, i, scale)
-    elif roll < 0.99:
+    elif roll < 0.98:
         fmt = "img"
         maker = rng.choice([make_png, make_jpeg, make_gif])
         if maker is make_png:
@@ -527,6 +566,12 @@ def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
                                rng.randint(0, 255))
         else:
             payload = maker(rng.randint(4, 32), rng.randint(4, 32))
+    elif roll < 0.985:
+        fmt = "csv"
+        payload = make_csv(rng, lang, i, scale)
+    elif roll < 0.99:
+        fmt = "json"
+        payload = make_json(rng, lang, i, scale)
     else:
         fmt = "junk"
         kind = rng.random()

@@ -35,6 +35,7 @@ from .insertion import (
 from .html_extractor import html_to_markdown
 from .docx_extractor import extract_docx
 from .pptx_extractor import extract_pptx
+from .tabular_extractor import csv_to_markdown, json_to_markdown
 from .xlsx_extractor import extract_xlsx
 from .pdf_extractor import extract_pdf
 from .image_extractor import image_extension, image_meta
@@ -151,6 +152,18 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
                          else "docx_xml_walk")
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, len(assets), extractor, assets)
+
+        if fmt == sniffer.FMT_CSV:
+            markdown = clean_markdown_content(
+                csv_to_markdown(payload, doc_name), is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "csv_table", [])
+
+        if fmt == sniffer.FMT_JSON:
+            markdown = clean_markdown_content(
+                json_to_markdown(payload, doc_name), is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "json_fence", [])
 
         if fmt == sniffer.FMT_PPTX:
             result = extract_pptx(payload, doc_name)

@@ -10,8 +10,9 @@ HTML/PDF/DOCX/XLSX bytes)").  Pure function — safe inside Arrow UDFs.
 
 from __future__ import annotations
 
-import zipfile
 import io
+import json
+import zipfile
 
 # Format labels (the `format` column of the result schema).
 FMT_HTML = "html"
@@ -25,6 +26,8 @@ FMT_GIF = "gif"
 FMT_BMP = "bmp"
 FMT_WEBP = "webp"
 FMT_TEXT = "text"
+FMT_CSV = "csv"
+FMT_JSON = "json"
 FMT_EMPTY = "empty"
 FMT_UNKNOWN = "unknown"
 
@@ -108,6 +111,33 @@ def sniff_format(payload: bytes) -> str:
     if not text.strip():
         return FMT_EMPTY
     printable = sum(1 for c in text if c.isprintable() or c in "\n\r\t")
-    if printable / max(len(text), 1) > 0.9:
-        return FMT_TEXT
-    return FMT_UNKNOWN
+    if printable / max(len(text), 1) <= 0.9:
+        return FMT_UNKNOWN
+
+    # JSON: structural start + the whole payload parses.
+    stripped = text.lstrip()
+    if stripped[:1] in ("{", "["):
+        try:
+            json.loads(payload.decode("utf-8"))
+            return FMT_JSON
+        except (ValueError, UnicodeDecodeError):
+            pass
+
+    # CSV: >=3 parsed records sharing an identical field count >= 2
+    # (csv.reader handles quoted fields containing commas; the last line
+    # of the 512-byte head may be truncated mid-field, so drop it).
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if len(payload) > 512:
+        lines = lines[:-1]
+    if len(lines) >= 3:
+        import csv as _csv
+        try:
+            recs = list(_csv.reader(lines[:5]))
+        except _csv.Error:
+            recs = []
+        if len(recs) >= 3:
+            widths = {len(r) for r in recs}
+            if len(widths) == 1 and widths.pop() >= 2:
+                return FMT_CSV
+
+    return FMT_TEXT
