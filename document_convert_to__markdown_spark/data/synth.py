@@ -7,9 +7,10 @@ shared state, so at scale the corpus synthesizes *distributed*: a Spark
 executors (see pipeline/corpus.py).  No wall-clock, no global PRNG:
 golden hashes are stable across runs and machines.
 
-Format mix per FIXTURES.md: 70% HTML, 15% PDF, 8% DOCX, 4% XLSX,
-2% raw image, 1% junk/empty.  One document per ``giant_every`` is a
-"giant" (~100x median size) to exercise the salted skew routing.
+Format mix per FIXTURES.md: 70% HTML, 15% PDF, 8% DOCX, 4% XLSX/PPTX
+(split by doc parity), 1% raw image, 0.5% CSV, 0.5% JSON, 1% junk/empty.
+One document per ``giant_every`` is a "giant" (~100x median size) to
+exercise the salted skew routing.
 """
 
 from __future__ import annotations

@@ -231,8 +231,19 @@ routed to their own round-robin branch so no task inherits two of them
 baseline is ~2.5-3.3 docs/s (`BASELINE.md`); every level above clears
 it by orders of magnitude per core.
 
+## Soak: 200k docs / 1.3GB through the full resumable pipeline
+
+`run_extraction_resumable` (extract -> raw parquet -> derive results /
+assets / ledger -> observe-based summary) over a 200,000-page corpus
+(size_scale=4, 1.3GB, one 122MB outlier) at local[32]:
+**200,000/200,000 rows accounted for in 102s = 1960 docs/s sustained**,
+statuses `{ok: 198620, skipped_empty: 817, skipped_unsupported: 562,
+skipped_too_large: 1}`. The 122MB outlier surfaced a silent-drop bug in
+the size gate (row filtered instead of becoming a status row) - now
+fixed and regression-tested (`tests/test_skew_routing.py`).
+
 Regenerate: `python scripts/bench_scaling.py` (prints the JSON line and
-rewrites this file).
+rewrites this file; the soak numbers above are from a one-off 200k run).
 
 ```json
 {json.dumps(report)}
