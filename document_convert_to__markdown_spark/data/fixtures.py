@@ -122,6 +122,20 @@ def _fixture_payloads() -> list[tuple[str, bytes]]:
         synth.make_json(rng, "en", 9010, 1.0),
     ))
 
+    # xml_outline — nested elements → indented outline.
+    rng = random.Random(1111)
+    fixtures.append((
+        "https://fixtures.example/en/xml_outline",
+        synth.make_xml(rng, "en", 9011, 1.0),
+    ))
+
+    # wav_metadata — RIFF header parse → audio metadata markdown.
+    rng = random.Random(1212)
+    fixtures.append((
+        "https://fixtures.example/en/wav_metadata",
+        synth.make_wav(rng, "en", 9012, 1.0),
+    ))
+
     # Corpus slice: the first 50 synthetic documents.
     for i in range(50):
         row = synth.synth_page(i)

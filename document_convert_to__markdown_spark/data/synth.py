@@ -521,6 +521,38 @@ def make_json(rng: random.Random, lang: str, doc_idx: int, scale: float) -> byte
     return json.dumps(obj, ensure_ascii=False).encode("utf-8")
 
 
+# --- XML / WAV ----------------------------------------------------------------
+
+def make_xml(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    def element(depth: int) -> str:
+        tag = rng.choice(["item", "entry", "record", "node", "field"])
+        if depth > 2 or rng.random() < 0.4:
+            return f"<{tag}>{_sentence(rng, lang, rng.randint(2, 5))}</{tag}>"
+        children = "".join(element(depth + 1)
+                           for _ in range(rng.randint(1, 3)))
+        return f"<{tag}>{children}</{tag}>"
+
+    n_top = max(1, int(rng.randint(2, 5) * min(scale, 20.0)))
+    body = "".join(element(0) for _ in range(n_top))
+    return (f'<?xml version="1.0" encoding="UTF-8"?>'
+            f'<doc id="{doc_idx}" lang="{lang}">{body}</doc>').encode("utf-8")
+
+
+def make_wav(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    channels = rng.choice([1, 2])
+    rate = rng.choice([8000, 16000, 44100])
+    bits = 16
+    n_frames = max(16, int(rng.randint(100, 2000) * min(scale, 50.0)))
+    block = channels * bits // 8
+    data = bytes(rng.getrandbits(8) for _ in range(min(n_frames * block, 65536)))
+    n_frames = len(data) // block
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, bits)
+    riff_body = (b"WAVE"
+                 + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                 + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 # --- row synthesis ------------------------------------------------------------
 
 def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
@@ -567,12 +599,18 @@ def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
                                rng.randint(0, 255))
         else:
             payload = maker(rng.randint(4, 32), rng.randint(4, 32))
-    elif roll < 0.985:
+    elif roll < 0.9835:
         fmt = "csv"
         payload = make_csv(rng, lang, i, scale)
-    elif roll < 0.99:
+    elif roll < 0.987:
         fmt = "json"
         payload = make_json(rng, lang, i, scale)
+    elif roll < 0.9885:
+        fmt = "xml"
+        payload = make_xml(rng, lang, i, scale)
+    elif roll < 0.99:
+        fmt = "wav"
+        payload = make_wav(rng, lang, i, scale)
     else:
         fmt = "junk"
         kind = rng.random()

@@ -35,7 +35,8 @@ from .insertion import (
 from .html_extractor import html_to_markdown
 from .docx_extractor import extract_docx
 from .pptx_extractor import extract_pptx
-from .tabular_extractor import csv_to_markdown, json_to_markdown
+from .audio_extractor import wav_to_markdown
+from .tabular_extractor import csv_to_markdown, json_to_markdown, xml_to_markdown
 from .xlsx_extractor import extract_xlsx
 from .pdf_extractor import extract_pdf
 from .image_extractor import image_extension, image_meta
@@ -152,6 +153,22 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
                          else "docx_xml_walk")
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, len(assets), extractor, assets)
+
+        if fmt == sniffer.FMT_XML:
+            markdown = clean_markdown_content(
+                xml_to_markdown(payload, doc_name), is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "xml_outline", [])
+
+        if fmt == sniffer.FMT_WAV:
+            content = wav_to_markdown(payload, doc_name)
+            if content is None:
+                return ExtractedDocument(url, doc_name, fmt,
+                                         STATUS_UNSUPPORTED, None, None, 0,
+                                         "none", [])
+            markdown = clean_markdown_content(content, is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "wav_metadata", [])
 
         if fmt == sniffer.FMT_CSV:
             markdown = clean_markdown_content(

@@ -28,6 +28,8 @@ FMT_WEBP = "webp"
 FMT_TEXT = "text"
 FMT_CSV = "csv"
 FMT_JSON = "json"
+FMT_XML = "xml"
+FMT_WAV = "wav"
 FMT_EMPTY = "empty"
 FMT_UNKNOWN = "unknown"
 
@@ -93,11 +95,18 @@ def sniff_format(payload: bytes) -> str:
         return FMT_BMP
     if head.startswith(b"RIFF") and payload[8:12] == b"WEBP":
         return FMT_WEBP
+    if head.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return FMT_WAV
 
     lowered = head.lstrip()[:64].lower()
     for marker in _HTML_MARKERS:
         if lowered.startswith(marker.lower()):
             return FMT_HTML
+    # XML declaration without an <html> root → structural XML (the
+    # check precedes the tag-soup fallback, which would claim it).
+    stripped_head = head.lstrip()
+    if stripped_head.startswith(b"<?xml") and b"<html" not in head.lower():
+        return FMT_XML
     # HTML fragments without a doctype: look for any tag soup early on.
     if b"<" in head and (b"</" in head or b"/>" in head or b"<p" in head.lower()
                          or b"<div" in head.lower() or b"<h1" in head.lower()):

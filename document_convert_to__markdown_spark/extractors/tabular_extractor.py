@@ -46,3 +46,28 @@ def json_to_markdown(payload: bytes, doc_name: str) -> str:
     obj = json.loads(payload.decode("utf-8"))
     body = json.dumps(obj, indent=2, ensure_ascii=False)
     return f"# {doc_name}\n\n```json\n{body}\n```"
+
+
+def xml_to_markdown(payload: bytes, doc_name: str) -> str:
+    """XML → nested bullet outline (tag: text), depth-indented; falls
+    back to a fenced block if the document doesn't parse."""
+    from xml.etree import ElementTree
+
+    try:
+        root = ElementTree.fromstring(payload.decode("utf-8",
+                                                     errors="replace"))
+    except ElementTree.ParseError:
+        body = payload.decode("utf-8", errors="replace").strip()
+        return f"# {doc_name}\n\n```xml\n{body}\n```"
+
+    lines = [f"# {doc_name}", ""]
+
+    def walk(el, depth: int) -> None:
+        tag = el.tag.split("}", 1)[-1]  # strip namespace
+        text = (el.text or "").strip()
+        lines.append("  " * depth + f"- {tag}" + (f": {text}" if text else ""))
+        for child in el:
+            walk(child, depth + 1)
+
+    walk(root, 0)
+    return "\n".join(lines)
