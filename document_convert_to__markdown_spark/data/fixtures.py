@@ -136,6 +136,14 @@ def _fixture_payloads() -> list[tuple[str, bytes]]:
         synth.make_wav(rng, "en", 9012, 1.0),
     ))
 
+    # epub_spine — OCF container, spine-ordered chapters through the
+    # HTML pipeline.
+    rng = random.Random(1313)
+    fixtures.append((
+        "https://fixtures.example/en/epub_spine",
+        synth.make_epub(rng, "en", 9013, 1.0),
+    ))
+
     # Corpus slice: the first 50 synthetic documents.
     for i in range(50):
         row = synth.synth_page(i)

@@ -553,6 +553,55 @@ def make_wav(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+# --- EPUB ---------------------------------------------------------------------
+
+def make_epub(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    """Minimal OCF/EPUB: mimetype + container.xml + OPF spine + chapters."""
+    n_chapters = max(1, int(rng.randint(2, 4) * min(scale, 10.0)))
+    chapters = []
+    for c in range(1, n_chapters + 1):
+        paras = "".join(
+            f"<p>{_paragraph(rng, lang, rng.randint(1, 3))}</p>"
+            for _ in range(rng.randint(1, 3))
+        )
+        chapters.append(
+            f'<html><head><title>ch{c}</title></head><body>'
+            f"<h1>Chapter {c}</h1>{paras}</body></html>"
+        )
+
+    manifest = "".join(
+        f'<item id="c{c}" href="chapter{c}.xhtml"'
+        f' media-type="application/xhtml+xml"/>'
+        for c in range(1, n_chapters + 1)
+    )
+    spine = "".join(f'<itemref idref="c{c}"/>'
+                    for c in range(1, n_chapters + 1))
+    opf = (
+        '<?xml version="1.0"?>'
+        '<package xmlns="http://www.idpf.org/2007/opf" version="3.0">'
+        '<metadata xmlns:dc="http://purl.org/dc/elements/1.1/">'
+        f"<dc:title>Book {doc_idx}</dc:title></metadata>"
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    )
+    container = (
+        '<?xml version="1.0"?>'
+        '<container xmlns="urn:oasis:names:tc:opendocument:xmlns:container"'
+        ' version="1.0"><rootfiles>'
+        '<rootfile full-path="OEBPS/content.opf"'
+        ' media-type="application/oebps-package+xml"/>'
+        "</rootfiles></container>"
+    )
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("META-INF/container.xml", container)
+        zf.writestr("OEBPS/content.opf", opf)
+        for c, xhtml in enumerate(chapters, 1):
+            zf.writestr(f"OEBPS/chapter{c}.xhtml", xhtml)
+    return buf.getvalue()
+
+
 # --- row synthesis ------------------------------------------------------------
 
 def synth_page(i: int, seed: int = 42, giant_every: int = 10000,

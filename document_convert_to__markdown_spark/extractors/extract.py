@@ -36,6 +36,7 @@ from .html_extractor import html_to_markdown
 from .docx_extractor import extract_docx
 from .pptx_extractor import extract_pptx
 from .audio_extractor import wav_to_markdown
+from .epub_extractor import extract_epub
 from .tabular_extractor import csv_to_markdown, json_to_markdown, xml_to_markdown
 from .xlsx_extractor import extract_xlsx
 from .pdf_extractor import extract_pdf
@@ -153,6 +154,12 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
                          else "docx_xml_walk")
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, len(assets), extractor, assets)
+
+        if fmt == sniffer.FMT_EPUB:
+            markdown = clean_markdown_content(
+                extract_epub(payload, doc_name), is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "epub_spine_walk", [])
 
         if fmt == sniffer.FMT_XML:
             markdown = clean_markdown_content(

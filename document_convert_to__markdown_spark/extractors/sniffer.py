@@ -30,6 +30,7 @@ FMT_CSV = "csv"
 FMT_JSON = "json"
 FMT_XML = "xml"
 FMT_WAV = "wav"
+FMT_EPUB = "epub"
 FMT_EMPTY = "empty"
 FMT_UNKNOWN = "unknown"
 
@@ -61,6 +62,15 @@ def _sniff_zip(payload: bytes) -> str:
         return FMT_XLSX
     if "ppt/presentation.xml" in names:
         return FMT_PPTX
+    if "mimetype" in names:
+        try:
+            with zipfile.ZipFile(io.BytesIO(payload)) as zf2:
+                if b"epub" in zf2.read("mimetype"):
+                    return FMT_EPUB
+        except (KeyError, zipfile.BadZipFile, OSError):
+            pass
+    if "META-INF/container.xml" in names:
+        return FMT_EPUB
     if "[Content_Types].xml" in names:
         # OOXML container we don't handle — treat as unknown so it
         # surfaces as a status row, never a silent drop (SURVEY A3).
