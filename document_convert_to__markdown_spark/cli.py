@@ -47,7 +47,7 @@ def main(argv: list[str] | None = None) -> int:
         formats = [sniffer.FMT_HTML, sniffer.FMT_TEXT, sniffer.FMT_CSV,
                    sniffer.FMT_JSON, sniffer.FMT_XML, sniffer.FMT_PDF,
                    sniffer.FMT_DOCX, sniffer.FMT_PPTX, sniffer.FMT_XLSX,
-                   sniffer.FMT_EPUB, sniffer.FMT_WAV,
+                   sniffer.FMT_EPUB, sniffer.FMT_WAV, sniffer.FMT_MP3,
                    *sorted(sniffer.IMAGE_FORMATS)]
         print(json.dumps({"supported_formats": formats}))
         return 0

@@ -136,6 +136,13 @@ def _fixture_payloads() -> list[tuple[str, bytes]]:
         synth.make_wav(rng, "en", 9012, 1.0),
     ))
 
+    # mp3_metadata — ID3v2 + MPEG frame header parse.
+    rng = random.Random(1414)
+    fixtures.append((
+        "https://fixtures.example/en/mp3_metadata",
+        synth.make_mp3(rng, "en", 9014, 1.0),
+    ))
+
     # epub_spine — OCF container, spine-ordered chapters through the
     # HTML pipeline.
     rng = random.Random(1313)

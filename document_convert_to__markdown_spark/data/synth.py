@@ -553,6 +553,20 @@ def make_wav(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes
     return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
 
 
+def make_mp3(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    """ID3v2 tag + valid MPEG1-Layer-III frame headers + payload bytes."""
+    tag_body = b"TIT2" + struct.pack(">I", 10) + b"\x00\x00" + b"\x03title" + bytes(10)
+    sz = len(tag_body)
+    syncsafe = bytes([(sz >> 21) & 0x7F, (sz >> 14) & 0x7F,
+                      (sz >> 7) & 0x7F, sz & 0x7F])
+    id3 = b"ID3\x04\x00\x00" + syncsafe + tag_body
+    # frame header: MPEG1 Layer III, 128kbps (idx 9), 44100Hz (idx 0)
+    frame_hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    n_bytes = max(417, int(rng.randint(2, 40) * min(scale, 50.0)) * 417)
+    body = frame_hdr + bytes(rng.getrandbits(8) for _ in range(min(n_bytes, 32768)))
+    return id3 + body
+
+
 # --- EPUB ---------------------------------------------------------------------
 
 def make_epub(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:

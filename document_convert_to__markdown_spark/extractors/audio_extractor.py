@@ -52,6 +52,64 @@ def wav_meta(payload: bytes) -> Optional[WavMeta]:
     return WavMeta(channels, rate, bits, n_frames, round(duration, 3))
 
 
+# MPEG1 Layer III bitrate (kbps) and sample-rate tables, header indices.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+                 256, 320, 0)
+_MP3_RATES = (44100, 48000, 32000, 0)
+
+
+class Mp3Meta(NamedTuple):
+    bitrate_kbps: int
+    sample_rate: int
+    id3_size: int
+    duration_sec: float
+
+
+def mp3_meta(payload: bytes) -> Optional[Mp3Meta]:
+    """ID3v2 header + first MPEG1-Layer-III frame header; None if neither
+    a valid tag nor a frame sync is found."""
+    pos = 0
+    id3_size = 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        # syncsafe 28-bit size (7 bits per byte)
+        b = payload[6:10]
+        id3_size = (b[0] << 21) | (b[1] << 14) | (b[2] << 7) | b[3]
+        pos = 10 + id3_size
+
+    # find the first frame sync within a bounded window
+    window = payload[pos:pos + 4096]
+    for i in range(len(window) - 3):
+        b0, b1, b2 = window[i], window[i + 1], window[i + 2]
+        if b0 == 0xFF and (b1 & 0xE0) == 0xE0:
+            version = (b1 >> 3) & 0x3
+            layer = (b1 >> 1) & 0x3
+            if version != 0x3 or layer != 0x1:  # MPEG1 Layer III only
+                continue
+            bitrate = _MP3_BITRATES[(b2 >> 4) & 0xF]
+            rate = _MP3_RATES[(b2 >> 2) & 0x3]
+            if not bitrate or not rate:
+                continue
+            audio_bytes = len(payload) - pos - i
+            duration = audio_bytes * 8 / (bitrate * 1000)
+            return Mp3Meta(bitrate, rate, id3_size, round(duration, 3))
+    return None
+
+
+def mp3_to_markdown(payload: bytes, doc_name: str) -> Optional[str]:
+    meta = mp3_meta(payload)
+    if meta is None:
+        return None
+    return (
+        f"# {doc_name}\n\n"
+        f"**音频文件信息**\n\n"
+        f"- 格式: MP3 (MPEG1 Layer III)\n"
+        f"- 比特率: {meta.bitrate_kbps} kbps\n"
+        f"- 采样率: {meta.sample_rate} Hz\n"
+        f"- 时长: {meta.duration_sec} 秒\n"
+        f"- 文件大小: {len(payload)} 字节\n"
+    )
+
+
 def wav_to_markdown(payload: bytes, doc_name: str) -> Optional[str]:
     meta = wav_meta(payload)
     if meta is None:

@@ -35,7 +35,7 @@ from .insertion import (
 from .html_extractor import html_to_markdown
 from .docx_extractor import extract_docx
 from .pptx_extractor import extract_pptx
-from .audio_extractor import wav_to_markdown
+from .audio_extractor import mp3_to_markdown, wav_to_markdown
 from .epub_extractor import extract_epub
 from .tabular_extractor import csv_to_markdown, json_to_markdown, xml_to_markdown
 from .xlsx_extractor import extract_xlsx
@@ -166,6 +166,16 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
                 xml_to_markdown(payload, doc_name), is_pdf=False)
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, 0, "xml_outline", [])
+
+        if fmt == sniffer.FMT_MP3:
+            content = mp3_to_markdown(payload, doc_name)
+            if content is None:
+                return ExtractedDocument(url, doc_name, fmt,
+                                         STATUS_UNSUPPORTED, None, None, 0,
+                                         "none", [])
+            markdown = clean_markdown_content(content, is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "mp3_metadata", [])
 
         if fmt == sniffer.FMT_WAV:
             content = wav_to_markdown(payload, doc_name)

@@ -30,6 +30,7 @@ FMT_CSV = "csv"
 FMT_JSON = "json"
 FMT_XML = "xml"
 FMT_WAV = "wav"
+FMT_MP3 = "mp3"
 FMT_EPUB = "epub"
 FMT_EMPTY = "empty"
 FMT_UNKNOWN = "unknown"
@@ -107,6 +108,8 @@ def sniff_format(payload: bytes) -> str:
         return FMT_WEBP
     if head.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return FMT_WAV
+    if head.startswith(b"ID3"):
+        return FMT_MP3
 
     lowered = head.lstrip()[:64].lower()
     for marker in _HTML_MARKERS:

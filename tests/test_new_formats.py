@@ -39,6 +39,21 @@ def test_truncated_wav_is_status_row_not_crash():
     assert doc.format == "wav"
 
 
+def test_mp3_sniff_and_metadata():
+    rng = random.Random(11)
+    payload = synth.make_mp3(rng, "en", 1, 1.0)
+    assert sniff_format(payload) == "mp3"
+    doc = _extract(payload)
+    assert doc.status == "ok" and doc.format == "mp3"
+    assert "128 kbps" in doc.markdown and "44100 Hz" in doc.markdown
+
+
+def test_mp3_garbage_after_id3_is_status_row():
+    doc = _extract(b"ID3\x04\x00\x00\x00\x00\x00\x00" + b"\x00" * 64)
+    assert doc.format == "mp3"
+    assert doc.status in ("skipped_unsupported", "failed")
+
+
 def test_wav_meta_values():
     rng = random.Random(7)
     payload = synth.make_wav(rng, "en", 1, 1.0)
