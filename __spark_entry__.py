@@ -280,6 +280,23 @@ def _q_tpch_q4_order_priority(spark, sf):
     )
 
 
+def _q_tpch_q6_revenue_delta(spark, sf):
+    """q6 shape: pure filter + scalar aggregate — the pushdown showcase
+    (all three predicates reach the parquet scan)."""
+    li = _load(spark, sf, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")),
+                    2).alias("revenue_delta"),
+            F.count("*").alias("n_rows"),
+        )
+    )
+
+
 def _q_tpch_q13_custdist(spark, sf):
     """Left outer join + two-level aggregation: distribution of customers
     by order count (including zero-order customers)."""
@@ -753,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3_topk": _q_tpch_q3_topk,
         "tpch_q4_order_priority": _q_tpch_q4_order_priority,
         "tpch_q5_region_revenue": _q_tpch_q5_region_revenue,
+        "tpch_q6_revenue_delta": _q_tpch_q6_revenue_delta,
         "tpch_q13_custdist": _q_tpch_q13_custdist,
         "tpch_q14_promo": _q_tpch_q14_promo,
         "rollup_lang_source": _q_rollup_lang_source,
@@ -1089,6 +1107,14 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
                      AS total_revenue
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "tpch_q6_revenue_delta": """
+            SELECT round(sum(l_extendedprice * l_discount), 2)
+                     AS revenue_delta,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
         """,
         "tpch_q13_custdist": """
             SELECT c_count, count(*) AS custdist FROM (

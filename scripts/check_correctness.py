@@ -63,6 +63,10 @@ def main():
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    orphans = set(oracles) - set(qs)
+    if orphans:
+        print(f"FAIL  oracle entries without a query: {sorted(orphans)}")
+        return 1
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
