@@ -136,9 +136,12 @@ def sniff_format(payload: bytes) -> str:
     if printable / max(len(text), 1) <= 0.9:
         return FMT_UNKNOWN
 
-    # JSON: structural start + the whole payload parses.
+    # JSON: structural start + the whole payload parses.  Capped at 4MB:
+    # the sniff must stay cheap relative to extraction, and a "{"-leading
+    # multi-hundred-MB text blob should not cost a full parse attempt
+    # just to be classified.
     stripped = text.lstrip()
-    if stripped[:1] in ("{", "["):
+    if stripped[:1] in ("{", "[") and len(payload) <= 4 * 1024 * 1024:
         try:
             json.loads(payload.decode("utf-8"))
             return FMT_JSON
