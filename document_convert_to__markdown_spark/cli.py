@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--cores", default=None,
                         help="local[N] cores (default: SPARK_GRAFT_CPUS or 32)")
+    parser.add_argument("--table-format", default="parquet",
+                        choices=["parquet", "snapshot"],
+                        help="derived-table format: plain parquet dirs or "
+                             "atomic snapshot-manifest commits")
     parser.add_argument("--list-formats", action="store_true",
                         help="print supported (magic-byte-sniffed) formats "
                              "and exit")
@@ -74,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         summary = run_extraction_resumable(
             spark, pages, args.output, run_id=args.run_id,
             resume=args.resume, partitions=args.partitions,
+            table_format=args.table_format,
         )
         elapsed = time.time() - t0
         n_docs = sum(summary.values())

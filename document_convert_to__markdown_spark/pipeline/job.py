@@ -218,6 +218,7 @@ def run_extraction_resumable(
     resume: bool = False,
     partitions: Optional[int] = None,
     giant_threshold: int = DEFAULT_GIANT_THRESHOLD,
+    table_format: str = "parquet",
 ) -> dict:
     """Execute with persistence + resume; returns summary counters.
 
@@ -272,9 +273,22 @@ def run_extraction_resumable(
     else:
         summary = run_counts
 
+    # Derived tables: plain parquet overwrite, or snapshot-manifest
+    # commits (atomic, time-travelable — sources/snapshot.py) when
+    # table_format="snapshot".  Raw stays parquet either way: it is the
+    # resume substrate, appended per run.
+    def write_derived(df: DataFrame, name: str) -> None:
+        target = f"{out_dir}/{name}"
+        if table_format == "snapshot":
+            from ..sources import snapshot as snap
+
+            snap.commit_overwrite(df, target)
+        else:
+            df.write.mode("overwrite").parquet(target)
+
     results = docs.select(*RESULT_COLUMNS)
-    results.write.mode("overwrite").parquet(f"{out_dir}/results")
-    (
+    write_derived(results, "results")
+    write_derived(
         docs.filter(F.col("n_images") > 0)
         .select("url", F.explode("assets").alias("asset"))
         .select(
@@ -282,13 +296,13 @@ def run_extraction_resumable(
             F.col("asset.name").alias("asset_name"),
             F.col("asset.page").alias("page"),
             F.col("asset.data").alias("data"),
-        )
-        .write.mode("overwrite").parquet(f"{out_dir}/assets")
+        ),
+        "assets",
     )
-    (
+    write_derived(
         raw.filter(F.col("kind") == "metrics")
         .select(*LEDGER_COLUMNS)
-        .withColumn("run_id", F.lit(run_id))
-        .write.mode("overwrite").parquet(f"{out_dir}/ledger")
+        .withColumn("run_id", F.lit(run_id)),
+        "ledger",
     )
     return summary
