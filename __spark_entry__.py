@@ -211,6 +211,33 @@ def _q_json_funcs(spark, sf):
     )
 
 
+def _q_array_funcs(spark, sf):
+    """Array-function surface: split/slice/contains/distinct over text
+    tokens — JVM-side list ops, no UDF."""
+    docs = _load(spark, sf, "documents").filter("doc_id < 100")
+    toks = F.split("text", " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_contains(toks, "the").cast("int").alias("has_the"),
+        F.concat_ws("_", F.slice(toks, 1, 3)).alias("first3"),
+    )
+
+
+def _q_math_funcs(spark, sf):
+    """Math-function surface over lineitem prices."""
+    li = _load(spark, sf, "lineitem").filter("l_orderkey < 100")
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.sqrt("l_extendedprice"), 4).alias("sqrt_price"),
+        F.round(F.log("l_extendedprice"), 4).alias("ln_price"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("discount_sq"),
+        F.abs(F.col("l_quantity") - 25).cast("double").alias("qty_dev"),
+        F.floor("l_extendedprice").alias("price_floor"),
+    )
+
+
 def _q_tpch_q1_pricing(spark, sf):
     li = _load(spark, sf, "lineitem")
     return (
@@ -766,6 +793,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "string_funcs": _q_string_funcs,
         "date_funcs": _q_date_funcs,
         "json_funcs": _q_json_funcs,
+        "array_funcs": _q_array_funcs,
+        "math_funcs": _q_math_funcs,
         "tpch_q1_pricing": _q_tpch_q1_pricing,
         "tpch_q3_topk": _q_tpch_q3_topk,
         "tpch_q4_order_priority": _q_tpch_q4_order_priority,
@@ -1107,6 +1136,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
                      AS total_revenue
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        """,
+        "array_funcs": """
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   len(list_distinct(string_split(text, ' ')))
+                     AS n_distinct_tokens,
+                   CAST(list_contains(string_split(text, ' '), 'the')
+                        AS INT) AS has_the,
+                   array_to_string(list_slice(string_split(text, ' '), 1, 3),
+                                   '_') AS first3
+            FROM documents WHERE doc_id < 100
+        """,
+        "math_funcs": """
+            SELECT l_orderkey, l_linenumber,
+                   round(sqrt(l_extendedprice), 4) AS sqrt_price,
+                   round(ln(l_extendedprice), 4) AS ln_price,
+                   round(pow(l_discount, 2), 6) AS discount_sq,
+                   CAST(abs(l_quantity - 25) AS DOUBLE) AS qty_dev,
+                   CAST(floor(l_extendedprice) AS BIGINT) AS price_floor
+            FROM lineitem WHERE l_orderkey < 100
         """,
         "tpch_q6_revenue_delta": """
             SELECT round(sum(l_extendedprice * l_discount), 2)
