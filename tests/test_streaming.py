@@ -57,6 +57,37 @@ def test_stream_checkpoint_resume_exactly_once(spark, stream_dirs):
     assert res.select("url").distinct().count() == 80
 
 
+def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the bounded-state crawl-dedup form —
+    state for events older than the watermark horizon is reclaimable,
+    duplicates inside the horizon are dropped."""
+    import pyspark.sql.functions as F
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet") \
+        .filter("user_id < 10")
+    inp = str(tmp_path / "in")
+    # duplicate every event once: the stream must emit each exactly once
+    ev.unionByName(ev).repartition(4).write.parquet(inp)
+
+    stream = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(inp)
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("memory").queryName("dedup_wm")
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_wm")
+    assert got.count() == ev.count()
+    assert got.select("event_id").distinct().count() == ev.count()
+
+
 def test_stream_window_metrics_watermark(spark, stream_dirs, tmp_path):
     inp, _, _ = stream_dirs
     agg = stream_window_metrics(spark, inp, window="1 hour",
