@@ -24,6 +24,9 @@ def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(description="doc→markdown extraction job")
     parser.add_argument("--input-table", default=None,
                         help="pages table: iceberg:<id>, table:<name>, or parquet path")
+    parser.add_argument("--input-dir", default=None,
+                        help="directory/glob of loose document files "
+                             "(the reference CLI's input shape)")
     parser.add_argument("--n-docs", type=int, default=None,
                         help="synthesize this many pages instead of reading a table")
     parser.add_argument("--seed", type=int, default=42)
@@ -58,8 +61,8 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.output:
         parser.error("--output is required")
-    if not args.input_table and not args.n_docs:
-        parser.error("one of --input-table / --n-docs is required")
+    if not args.input_table and not args.n_docs and not args.input_dir:
+        parser.error("one of --input-table / --input-dir / --n-docs is required")
 
     from .pipeline.session import build_session
     from .pipeline.job import run_extraction_resumable
@@ -70,6 +73,9 @@ def main(argv: list[str] | None = None) -> int:
         if args.n_docs:
             from .pipeline.corpus import synth_pages_df
             pages = synth_pages_df(spark, args.n_docs, seed=args.seed)
+        elif args.input_dir:
+            from .sources import read_pages_from_files
+            pages = read_pages_from_files(spark, args.input_dir)
         else:
             from .sources import read_pages
             pages = read_pages(spark, args.input_table)

@@ -1,5 +1,5 @@
 """Table IO: Iceberg when a catalog is configured, parquet fallback."""
 
-from .tables import read_pages, write_table
+from .tables import read_pages, read_pages_from_files, write_table
 
-__all__ = ["read_pages", "write_table"]
+__all__ = ["read_pages", "read_pages_from_files", "write_table"]

@@ -29,6 +29,29 @@ def read_pages(spark: SparkSession, source: str) -> DataFrame:
     return spark.read.parquet(source)
 
 
+def read_pages_from_files(spark: SparkSession, path: str,
+                          lang: str = "") -> DataFrame:
+    """Directory/glob of loose files → pages DataFrame.
+
+    The reference's primary input is a directory walked with ``rglob``
+    (main.py:57-89); this is that entry point at Spark scale, using the
+    built-in ``binaryFile`` source: file path becomes the url (document
+    identity), modification time the crawl timestamp, raw bytes the
+    payload.  Format still comes from sniffing, never the extension.
+    """
+    from pyspark.sql import functions as F
+
+    binf = spark.read.format("binaryFile") \
+        .option("recursiveFileLookup", "true").load(path)
+    return binf.select(
+        F.col("path").alias("url"),
+        F.col("modificationTime").alias("warc_ts"),
+        F.col("content").alias("html"),
+        F.lit("").alias("text"),
+        F.lit(lang).alias("lang"),
+    )
+
+
 def write_table(df: DataFrame, target: str, mode: str = "overwrite") -> None:
     """Write to an Iceberg identifier (``iceberg:db.table``) or parquet path."""
     if target.startswith("iceberg:") or target.startswith("table:"):

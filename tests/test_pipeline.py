@@ -86,6 +86,27 @@ def test_resume_completes_partial_run(spark, pages, tmp_path):
 
 
 @pytest.mark.spark
+def test_read_pages_from_files_directory_ingest(spark, tmp_path):
+    """The reference's input shape — a directory of loose files — feeds
+    the pipeline via the binaryFile source (recursive, sniffed formats,
+    path as url)."""
+    import random
+
+    from document_convert_to__markdown_spark.data import synth
+    from document_convert_to__markdown_spark.sources import read_pages_from_files
+
+    r = random.Random(5)
+    (tmp_path / "sub").mkdir()
+    (tmp_path / "a.html").write_bytes(synth.make_html(r, "en", 1, 1.0))
+    (tmp_path / "sub" / "b.pdf").write_bytes(synth.make_pdf(r, "en", 2, 1.0))
+
+    pages = read_pages_from_files(spark, str(tmp_path))
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    plan = run_extraction(pages, partitions=2)
+    rows = {r["format"]: r["status"] for r in plan.results.collect()}
+    assert rows == {"html": "ok", "pdf": "ok"}
+
+
 def test_spark_markdown_matches_standalone(spark, pages):
     """Distributed output == standalone extractor output, byte-for-byte."""
     import hashlib
