@@ -93,6 +93,7 @@ def test_read_pages_from_files_directory_ingest(spark, tmp_path):
     import random
 
     from document_convert_to__markdown_spark.data import synth
+    from document_convert_to__markdown_spark.pipeline.job import run_extraction
     from document_convert_to__markdown_spark.sources import read_pages_from_files
 
     r = random.Random(5)
