@@ -736,6 +736,21 @@ def _q_text_top_terms(spark, sf):
     return top_terms_per_lang(_load(spark, sf, "documents"), k=5)
 
 
+def _q_dataset_split(spark, sf):
+    """Content-hash train/val/test split — deterministic across re-runs
+    and backfills (no leakage when the corpus grows)."""
+    from document_convert_to__markdown_spark.operators.sampling import (
+        dataset_split,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return (
+        dataset_split(docs)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def _q_text_winnow_fps(spark, sf):
     """Rolling-hash winnowing fingerprints (rows-only: Rabin-Karp over
     byte polynomials is not reasonably SQL-expressible)."""
@@ -822,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": _q_text_quality,
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
+        "dataset_split": _q_dataset_split,
         # extraction pipeline (Arrow UDF, rows-only)
         "extract_cleanup_chain": _q_extract_cleanup_chain,
         "extract_pipeline_stats": _q_extract_pipeline_stats,
@@ -1277,6 +1293,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(new_sess) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id
+        """,
+        # Content-hash bucket split: identical md5-prefix arithmetic.
+        "dataset_split": """
+            WITH b AS (
+              SELECT lang,
+                     ('0x' || substr(md5(text), 1, 4))::BIGINT % 100
+                       AS bucket
+              FROM documents)
+            SELECT lang,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n
+            FROM b GROUP BY 1, 2
         """,
         # Drained availableNow tumbling window == batch date_trunc GROUP BY.
         "stream_window_events": """

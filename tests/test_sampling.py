@@ -1,0 +1,55 @@
+"""Dataset split / stratified sampling: determinism and proportions."""
+
+from pyspark.sql import functions as F
+
+from document_convert_to__markdown_spark.operators.sampling import (
+    dataset_split,
+    stratified_sample,
+)
+
+
+def _docs(spark):
+    return spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+
+def test_split_is_pure_function_of_content(spark):
+    docs = _docs(spark)
+    a = dataset_split(docs).select("doc_id", "split")
+    b = dataset_split(docs).select("doc_id", "split")
+    assert a.exceptAll(b).count() == 0  # identical across runs
+
+    # every doc assigned exactly one split; proportions near 80/10/10
+    counts = {r["split"]: r["count"]
+              for r in dataset_split(docs).groupBy("split").count().collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert 0.7 < counts["train"] / n < 0.9
+    assert 0.04 < counts["val"] / n < 0.18
+    assert 0.04 < counts["test"] / n < 0.18
+
+
+def test_split_stable_under_corpus_growth(spark):
+    """Adding documents must not move existing ones between splits —
+    the no-leakage property random splits lack."""
+    docs = _docs(spark)
+    half = docs.filter("doc_id < 250")
+    full_assign = {r["doc_id"]: r["split"] for r in
+                   dataset_split(docs).select("doc_id", "split").collect()}
+    half_assign = {r["doc_id"]: r["split"] for r in
+                   dataset_split(half).select("doc_id", "split").collect()}
+    assert all(full_assign[k] == v for k, v in half_assign.items())
+
+
+def test_stratified_sample_ratios_and_determinism(spark):
+    docs = _docs(spark)
+    fr = {"en": 0.5, "zh": 1.0, "es": 0.2, "de": 0.2, "fr": 0.2}
+    s1 = stratified_sample(docs, fr, seed=7)
+    s2 = stratified_sample(docs, fr, seed=7)
+    assert s1.exceptAll(s2).count() == 0  # same seed, same rows
+
+    got = {r["lang"]: r["count"]
+           for r in s1.groupBy("lang").count().collect()}
+    base = {r["lang"]: r["count"]
+            for r in docs.groupBy("lang").count().collect()}
+    assert got["zh"] == base["zh"]  # fraction 1.0 keeps everything
+    assert 0.3 < got["en"] / base["en"] < 0.7
