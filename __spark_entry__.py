@@ -751,6 +751,32 @@ def _q_dataset_split(spark, sf):
     )
 
 
+def _q_curation_pipeline(spark, sf):
+    """The composed curation flow a training pipeline runs end-to-end:
+    quality gate → exact dedup (keep min doc_id per text) → content-hash
+    split → per-(lang, split) counts.  Every stage SQL-expressible, so
+    the whole composition is oracle-checked as one unit."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        dedup_keep_first,
+    )
+    from document_convert_to__markdown_spark.operators.sampling import (
+        dataset_split,
+    )
+
+    docs = _load(spark, sf, "documents")
+    quality = docs.filter(
+        (F.size(F.split(F.trim("text"), r"\s+")) >= 5)
+        & (F.length("text") >= 50)
+    )
+    deduped = dedup_keep_first(quality)
+    return (
+        dataset_split(deduped)
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum(F.length("text")).alias("total_chars"))
+    )
+
+
 def _q_text_winnow_fps(spark, sf):
     """Rolling-hash winnowing fingerprints (rows-only: Rabin-Karp over
     byte polynomials is not reasonably SQL-expressible)."""
@@ -838,6 +864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "dataset_split": _q_dataset_split,
+        "curation_pipeline": _q_curation_pipeline,
         # extraction pipeline (Arrow UDF, rows-only)
         "extract_cleanup_chain": _q_extract_cleanup_chain,
         "extract_pipeline_stats": _q_extract_pipeline_stats,
@@ -1293,6 +1320,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, sum(new_sess) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id
+        """,
+        # Quality gate -> keep-first dedup -> hash split, as one unit.
+        "curation_pipeline": """
+            WITH quality AS (
+              SELECT * FROM documents
+              WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 5
+                AND length(text) >= 50),
+            keepers AS (
+              SELECT md5(text) AS h, min(doc_id) AS doc_id
+              FROM quality GROUP BY md5(text)),
+            deduped AS (
+              SELECT q.* FROM quality q
+              JOIN keepers k ON q.doc_id = k.doc_id),
+            b AS (
+              SELECT lang, text,
+                     ('0x' || substr(md5(text), 1, 4))::BIGINT % 100
+                       AS bucket
+              FROM deduped)
+            SELECT lang,
+                   CASE WHEN bucket < 80 THEN 'train'
+                        WHEN bucket < 90 THEN 'val'
+                        ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   sum(length(text)) AS total_chars
+            FROM b GROUP BY 1, 2
         """,
         # Content-hash bucket split: identical md5-prefix arithmetic.
         "dataset_split": """

@@ -37,6 +37,36 @@ def dataset_split(documents: DataFrame, key: str = "text",
     return documents.withColumn("split", split)
 
 
+def export_training_jsonl(
+    df: DataFrame,
+    path: str,
+    partition_by: str = "split",
+    max_records_per_file: int = 100_000,
+    compress: bool = True,
+) -> None:
+    """Write curated rows as sharded (optionally gzipped) JSONL — the
+    interchange format training loaders consume.
+
+    - One JSON object per line (``to_json(struct(*))``, JVM-side).
+    - Hive-partitioned by ``partition_by`` (``split=train/`` …), so a
+      loader mounts exactly the splits it needs and Spark prunes the
+      rest on any later read.
+    - ``maxRecordsPerFile`` bounds shard size: at 10^12 rows you get
+      many uniform shards per split instead of one file per task skewed
+      by partition contents.
+    """
+    writer = (
+        df.select(partition_by,
+                  F.to_json(F.struct(*[c for c in df.columns])).alias("value"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_by)
+    )
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.text(path)
+
+
 def stratified_sample(documents: DataFrame, fractions: dict,
                       stratum_col: str = "lang", seed: int = 42) -> DataFrame:
     """Per-stratum Bernoulli sample with a fixed seed (deterministic for

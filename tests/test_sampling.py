@@ -40,6 +40,26 @@ def test_split_stable_under_corpus_growth(spark):
     assert all(full_assign[k] == v for k, v in half_assign.items())
 
 
+def test_export_training_jsonl_roundtrip(spark, tmp_path):
+    import json
+
+    from document_convert_to__markdown_spark.operators.sampling import (
+        export_training_jsonl,
+    )
+
+    docs = dataset_split(_docs(spark).filter("doc_id < 100"))
+    out = str(tmp_path / "export")
+    export_training_jsonl(docs, out, compress=True)
+
+    back = spark.read.text(f"{out}/split=train/")
+    rows = [json.loads(r["value"]) for r in back.collect()]
+    assert rows and all(r["split"] == "train" for r in rows)
+    # full roundtrip: every exported doc_id is a train-split doc_id
+    train_ids = {r["doc_id"] for r in
+                 docs.filter("split = 'train'").collect()}
+    assert {r["doc_id"] for r in rows} == train_ids
+
+
 def test_stratified_sample_ratios_and_determinism(spark):
     docs = _docs(spark)
     fr = {"en": 0.5, "zh": 1.0, "es": 0.2, "de": 0.2, "fr": 0.2}
