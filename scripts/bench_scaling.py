@@ -237,8 +237,8 @@ it by orders of magnitude per core.
 assets / ledger -> observe-based summary) over a 200,000-page corpus
 (size_scale=4, 1.3GB, one 122MB outlier) at local[32]:
 **200,000/200,000 rows accounted for in 102s = 1960 docs/s sustained**,
-statuses `{ok: 198620, skipped_empty: 817, skipped_unsupported: 562,
-skipped_too_large: 1}`. The 122MB outlier surfaced a silent-drop bug in
+statuses `{{ok: 198620, skipped_empty: 817, skipped_unsupported: 562,
+skipped_too_large: 1}}`. The 122MB outlier surfaced a silent-drop bug in
 the size gate (row filtered instead of becoming a status row) - now
 fixed and regression-tested (`tests/test_skew_routing.py`).
 
