@@ -40,6 +40,8 @@ BENCH_QUERIES = [
     "token_stats",
     "text_winnow_fps",
     "extract_cleanup_chain",
+    "dataset_split",
+    "curation_pipeline",
 ]
 
 
