@@ -60,10 +60,12 @@ def stream_sessionize(
     """Streaming plan: events file-stream → stateful per-user sessions."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    from .stream_job import _as_stream_source
+
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    events = reader.parquet(input_path)
+    events = reader.parquet(_as_stream_source(input_path))
     return events.groupBy("user_id").applyInPandasWithState(
         _sessionize_group,
         outputStructType=OUT_SCHEMA,
@@ -103,7 +105,8 @@ def run_stream_sessionize(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    if not q.awaitTermination(120):
+        q.stop()
 
     from pyspark.sql.window import Window
 

@@ -31,35 +31,77 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..extractors.extract import MAX_DOCUMENT_BYTES
-from ..pipeline.job import _extract_partition
+from ..pipeline.job import _doc_name_udf, _extract_partition
 from ..pipeline.schemas import EXTRACT_SCHEMA, PAGES_SCHEMA, RESULT_COLUMNS
+
+
+def _as_stream_source(path: str) -> str:
+    """File-source streaming needs a directory (or glob) whose base path
+    is a directory.  For a single parquet *file*, rewrite the final
+    ``.parquet`` into the one-character glob class ``[.]parquet`` — it
+    matches exactly that file while the inferred basePath becomes the
+    parent directory.  (Replaces round 1's tempdir+symlink trick, which
+    the driver environment could not follow — VERDICT.md "do this" #2.)
+    """
+    import os
+
+    if os.path.isfile(path) and path.endswith(".parquet"):
+        return path[: -len(".parquet")] + "[.]parquet"
+    return path
 
 
 def stream_extract_df(
     spark: SparkSession,
     input_path: str,
     max_files_per_trigger: Optional[int] = None,
+    max_bytes: int = MAX_DOCUMENT_BYTES,
 ) -> DataFrame:
     """Streaming extraction plan over a parquet directory of pages.
 
     File-source streaming is the sandbox stand-in for an Iceberg
     incremental scan (`spark.readStream.format("iceberg")` on a real
     cluster — same plan shape, different source).  Giant-doc routing is
-    not split into a second branch here: streaming unions of two
-    repartitioned branches would need two stateful queries; instead the
-    micro-batch boundary itself bounds skew (small
-    ``maxFilesPerTrigger`` keeps any one batch's giant count low).
+    not split into a second branch here: the micro-batch boundary itself
+    bounds skew (small ``maxFilesPerTrigger`` keeps any one batch's
+    giant count low).
+
+    Batch/stream parity for the size gate: oversize documents are NOT
+    filtered away — they surface as blob-free ``skipped_too_large``
+    status rows, exactly like run_extraction's A2 branch (no silent row
+    drops; only the url string reaches Python for name derivation).
+    The union is stateless (two filters of one source), so it costs no
+    extra streaming query.
     """
     reader = spark.readStream.schema(PAGES_SCHEMA)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    pages = reader.parquet(input_path)
+    pages = reader.parquet(_as_stream_source(input_path))
 
-    sized = pages.select("url", "html").filter(
-        F.coalesce(F.length("html"), F.lit(0)) <= F.lit(MAX_DOCUMENT_BYTES)
+    sized = pages.select("url", "html").withColumn(
+        "_len", F.coalesce(F.length("html"), F.lit(0))
     )
-    raw = sized.mapInPandas(_extract_partition, schema=EXTRACT_SCHEMA)
-    return raw.filter(F.col("kind") == "doc").select(*RESULT_COLUMNS)
+    oversize = (
+        sized.filter(F.col("_len") > F.lit(max_bytes))
+        .select(
+            "url",
+            _doc_name_udf("url").alias("doc_name"),
+            F.lit("unknown").alias("format"),
+            F.lit("skipped_too_large").alias("status"),
+            F.lit(None).cast("string").alias("error"),
+            F.lit(None).cast("string").alias("markdown"),
+            F.lit(None).cast("string").alias("md_sha256"),
+            F.lit(0).alias("n_images"),
+            F.lit("none").alias("extractor_used"),
+            F.lit(0).cast("long").alias("elapsed_us"),
+            F.col("_len").cast("long").alias("input_bytes"),
+        )
+    )
+    ok_sized = sized.filter(
+        F.col("_len") <= F.lit(max_bytes)
+    ).select("url", "html")
+    raw = ok_sized.mapInPandas(_extract_partition, schema=EXTRACT_SCHEMA)
+    docs = raw.filter(F.col("kind") == "doc").select(*RESULT_COLUMNS)
+    return docs.unionByName(oversize)
 
 
 def run_stream_extraction(
@@ -69,6 +111,7 @@ def run_stream_extraction(
     checkpoint_path: str,
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
+    max_bytes: int = MAX_DOCUMENT_BYTES,
 ):
     """Run the stream to parquet; returns the StreamingQuery.
 
@@ -78,7 +121,8 @@ def run_stream_extraction(
     micro-batches for a live ingest.  Re-running with the same
     checkpoint only processes files added since the last commit.
     """
-    results = stream_extract_df(spark, input_path, max_files_per_trigger)
+    results = stream_extract_df(spark, input_path, max_files_per_trigger,
+                                max_bytes=max_bytes)
     writer = (
         results.writeStream
         .format("parquet")
@@ -128,19 +172,11 @@ def stream_dedup_user_counts(spark: SparkSession, events_path: str) -> DataFrame
     the state store; a production crawl feed adds
     ``dropDuplicatesWithinWatermark`` so state for old events expires.
     """
-    import os
-    import tempfile
-
-    if os.path.isfile(events_path):
-        d = tempfile.mkdtemp(prefix="doc2md_stream_src_")
-        os.symlink(os.path.abspath(events_path),
-                   os.path.join(d, os.path.basename(events_path)))
-        events_path = d
     events = (
         spark.readStream
         .schema("event_id long, ts timestamp, user_id long, "
                 "event_type string, value double, props string")
-        .parquet(events_path)
+        .parquet(_as_stream_source(events_path))
     )
     agg = (
         events.select("event_type", "user_id")
@@ -165,7 +201,10 @@ def drain_stream_agg(agg: DataFrame, name: str) -> DataFrame:
         agg.writeStream.format("memory").queryName(name)
         .outputMode("complete").trigger(availableNow=True).start()
     )
-    q.awaitTermination(300)
+    # Bounded wait: availableNow drains in seconds at test scale; if the
+    # source stalls, stop rather than hang the caller (driver-friendly).
+    if not q.awaitTermination(120):
+        q.stop()
     return spark.table(name)
 
 
@@ -175,20 +214,11 @@ def stream_events_daily(spark: SparkSession, events_path: str) -> DataFrame:
     Exactly SQL-expressible once drained: window start == day truncation
     — the DuckDB oracle is a plain ``date_trunc('day', ts)`` GROUP BY.
     """
-    import os
-    import tempfile
-
-    if os.path.isfile(events_path):
-        # File-source streaming requires a directory; link the file in.
-        d = tempfile.mkdtemp(prefix="doc2md_stream_src_")
-        os.symlink(os.path.abspath(events_path),
-                   os.path.join(d, os.path.basename(events_path)))
-        events_path = d
     events = (
         spark.readStream
         .schema("event_id long, ts timestamp, user_id long, "
                 "event_type string, value double, props string")
-        .parquet(events_path)
+        .parquet(_as_stream_source(events_path))
     )
     agg = (
         events.withWatermark("ts", "1 day")

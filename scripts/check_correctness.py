@@ -18,14 +18,32 @@ sys.path.insert(0, ".")
 
 
 def canon_value(v):
+    """Type-tagged canonical form.
+
+    The driver's comparator distinguishes integer from floating results, so
+    a DuckDB HUGEINT sum() (materialized as float64 by pandas) must NOT
+    silently match a Spark BIGINT here — round 1 masked exactly that
+    (VERDICT.md "What's wrong" #1). Tag the numeric family into the hash
+    so the local gate is at least as strict as the driver's.
+    """
     if v is None:
         return "∅"
-    if isinstance(v, float):
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, float):  # includes numpy float64
         if math.isnan(v):
-            return "nan"
-        # canonical float: 10 significant digits (both sides round
-        # explicitly already; this absorbs residual representation noise)
-        return f"{v:.10g}"
+            return "f:nan"
+        # 10 significant digits absorbs representation noise between
+        # DuckDB and Spark doubles (both sides round explicitly already)
+        return f"f:{v:.10g}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    try:
+        import numpy as np
+        if isinstance(v, np.integer):
+            return f"i:{int(v)}"
+    except ImportError:
+        pass
     if isinstance(v, bytes):
         return v.hex()
     return str(v)

@@ -88,6 +88,28 @@ def test_stream_dedup_within_watermark_bounded_state(spark, tmp_path):
     assert got.select("event_id").distinct().count() == ev.count()
 
 
+def test_stream_oversize_docs_become_status_rows(spark, tmp_path):
+    """Streaming size gate must mirror the batch one: oversize docs
+    surface as blob-free skipped_too_large rows, never silent drops
+    (ADVICE.md round 1: the old filter lost them from the stream)."""
+    inp, out, chk = (str(tmp_path / d) for d in ("in", "out", "chk"))
+    pages = synth_pages_df(spark, 40, giant_every=0)
+    pages.write.mode("overwrite").parquet(inp)
+    n_over = pages.filter(F.length("html") > 5000).count()
+    assert n_over > 0
+
+    q = run_stream_extraction(spark, inp, out, chk, max_bytes=5000)
+    _wait(q)
+
+    res = spark.read.parquet(out)
+    assert res.count() == 40  # every input url present
+    skipped = res.filter("status = 'skipped_too_large'")
+    assert skipped.count() == n_over
+    row = skipped.first()
+    assert row["markdown"] is None and row["input_bytes"] > 5000
+    assert row["doc_name"]
+
+
 def test_stream_window_metrics_watermark(spark, stream_dirs, tmp_path):
     inp, _, _ = stream_dirs
     agg = stream_window_metrics(spark, inp, window="1 hour",
@@ -100,5 +122,7 @@ def test_stream_window_metrics_watermark(spark, stream_dirs, tmp_path):
     rows = spark.sql(
         "select sum(n_docs) as n, count(*) as windows from win_metrics"
     ).first()
-    assert rows["n"] == 80  # every doc lands in exactly one window
+    # every doc lands in exactly one window; derive the expected count
+    # from the input dir (earlier tests in this module may have appended)
+    assert rows["n"] == spark.read.parquet(inp).count()
     assert rows["windows"] > 1
