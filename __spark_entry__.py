@@ -527,7 +527,10 @@ def _q_extract_synth_corpus(spark, sf):
     from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
     from document_convert_to__markdown_spark.pipeline.job import run_extraction
 
-    pages = synth_pages_df(spark, 300, giant_every=100)
+    # 600 docs: wide enough that every sniffable family — incl. the
+    # round-2 additions (legacy doc/xls/ppt, rtf, tiff, tsv, mp3, epub)
+    # — appears in the per-format counts.
+    pages = synth_pages_df(spark, 600, giant_every=100)
     plan = run_extraction(pages, partitions=8)
     return (
         plan.results.groupBy("format", "status")

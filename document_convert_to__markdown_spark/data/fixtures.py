@@ -151,6 +151,58 @@ def _fixture_payloads() -> list[tuple[str, bytes]]:
         synth.make_epub(rng, "en", 9013, 1.0),
     ))
 
+    # doc_piece_table — legacy Word binary: FIB → CLX piece table text
+    # (reference accepts .doc via config.py:40).
+    rng = random.Random(1515)
+    fixtures.append((
+        "https://fixtures.example/en/doc_piece_table",
+        synth.make_doc(rng, "en", 9015, 1.0),
+    ))
+
+    # doc_unicode_zh — UTF-16 piece text with CJK content.
+    rng = random.Random(1616)
+    fixtures.append((
+        "https://fixtures.example/zh/doc_unicode_zh",
+        synth.make_doc(rng, "zh", 9016, 1.0),
+    ))
+
+    # xls_biff — legacy Excel binary: SST + LABELSST/NUMBER cells →
+    # pipe table (config.py:42).
+    rng = random.Random(1717)
+    fixtures.append((
+        "https://fixtures.example/en/xls_biff",
+        synth.make_xls(rng, "en", 9017, 1.0),
+    ))
+
+    # ppt_records — legacy PowerPoint binary: slide containers with
+    # TextCharsAtom/TextBytesAtom (config.py:41).
+    rng = random.Random(1818)
+    fixtures.append((
+        "https://fixtures.example/en/ppt_records",
+        synth.make_ppt(rng, "en", 9018, 1.5),
+    ))
+
+    # rtf_strip — control words/destinations stripped, \u escapes
+    # decoded (config.py:48).
+    rng = random.Random(1919)
+    fixtures.append((
+        "https://fixtures.example/zh/rtf_strip",
+        synth.make_rtf(rng, "zh", 9019, 1.0),
+    ))
+
+    # tiff_meta — II-endian baseline TIFF header parse (config.py:45).
+    fixtures.append((
+        "https://fixtures.example/en/tiff_meta",
+        synth.make_tiff(random.Random(2020), 20, 12),
+    ))
+
+    # tsv_table — tab-delimited table (config.py:54).
+    rng = random.Random(2121)
+    fixtures.append((
+        "https://fixtures.example/en/tsv_table",
+        synth.make_tsv(rng, "en", 9021, 1.0),
+    ))
+
     # Corpus slice: the first 50 synthetic documents.
     for i in range(50):
         row = synth.synth_page(i)

@@ -7,10 +7,12 @@ shared state, so at scale the corpus synthesizes *distributed*: a Spark
 executors (see pipeline/corpus.py).  No wall-clock, no global PRNG:
 golden hashes are stable across runs and machines.
 
-Format mix per FIXTURES.md: 70% HTML, 15% PDF, 8% DOCX, 4% XLSX/PPTX
-(split by doc parity), 1% raw image, 0.5% CSV, 0.5% JSON, 1% junk/empty.
-One document per ``giant_every`` is a "giant" (~100x median size) to
-exercise the salted skew routing.
+Format mix per FIXTURES.md: 70% HTML, 15% PDF, 7% DOCX, 3.5% XLSX/PPTX
+(split by doc parity), 1.5% legacy OLE2 doc/xls/ppt (split mod 3),
+1% raw image (png/jpeg/gif) + 0.25% TIFF, 0.25% CSV + 0.25% TSV,
+0.2% JSON, 0.15% XML, 0.15% WAV, 0.25% RTF, 0.25% MP3, 0.25% EPUB,
+0.25% junk/empty.  One document per ``giant_every`` is a "giant"
+(~100x median size) to exercise the salted skew routing.
 """
 
 from __future__ import annotations
@@ -616,6 +618,258 @@ def make_epub(rng: random.Random, lang: str, doc_idx: int, scale: float) -> byte
     return buf.getvalue()
 
 
+# --- legacy OLE2 Office (.doc/.xls/.ppt) -------------------------------------
+
+def _make_cfb(streams: list) -> bytes:
+    """Minimal [MS-CFB] v3 writer: named regular streams, header DIFAT.
+
+    Every stream is zero-padded to >= 4096 bytes (the mini-stream
+    cutoff) with the padded size recorded, so no miniFAT is needed; the
+    payload formats written here all tolerate trailing zero padding
+    (FIB text bounds / zero-length BIFF records / zero PPT atoms).
+    """
+    sector = 512
+    padded: list = []
+    for name, data in streams:
+        size = max(4096, (len(data) + sector - 1) // sector * sector)
+        padded.append((name, data + b"\x00" * (size - len(data))))
+
+    n_entries = 1 + len(padded)
+    n_dir_sects = (n_entries * 128 + sector - 1) // sector
+    n_stream_sects = sum(len(d) // sector for _, d in padded)
+    # FAT sector count to fixed point.
+    n_fat = 1
+    while True:
+        total = n_stream_sects + n_dir_sects + n_fat
+        need = (total * 4 + sector - 1) // sector
+        if need <= n_fat:
+            break
+        n_fat = need
+
+    starts = []
+    pos = 0
+    for _, data in padded:
+        starts.append(pos)
+        pos += len(data) // sector
+    dir_start = pos
+    fat_start = dir_start + n_dir_sects
+    total_sects = fat_start + n_fat
+
+    fat = [0xFFFFFFFF] * (n_fat * sector // 4)
+    for start, (_, data) in zip(starts, padded):
+        n = len(data) // sector
+        for k in range(n - 1):
+            fat[start + k] = start + k + 1
+        fat[start + n - 1] = 0xFFFFFFFE
+    for k in range(n_dir_sects - 1):
+        fat[dir_start + k] = dir_start + k + 1
+    fat[dir_start + n_dir_sects - 1] = 0xFFFFFFFE
+    for k in range(n_fat):
+        fat[fat_start + k] = 0xFFFFFFFD
+
+    def dir_entry(name: str, obj_type: int, start: int, size: int,
+                  child: int = 0xFFFFFFFF, right: int = 0xFFFFFFFF) -> bytes:
+        raw_name = name.encode("utf-16-le") + b"\x00\x00"
+        e = raw_name + b"\x00" * (64 - len(raw_name))
+        e += struct.pack("<HBB", len(raw_name), obj_type, 1)
+        e += struct.pack("<III", 0xFFFFFFFF, right, child)  # left/right/child
+        e += b"\x00" * 36  # clsid + state + timestamps
+        e += struct.pack("<IQ", start, size)
+        return e
+
+    entries = [dir_entry("Root Entry", 5, 0xFFFFFFFE, 0,
+                         child=1 if padded else 0xFFFFFFFF)]
+    for k, (start, (name, data)) in enumerate(zip(starts, padded)):
+        right = k + 2 if k + 1 < len(padded) else 0xFFFFFFFF
+        entries.append(dir_entry(name, 2, start, len(data), right=right))
+    dir_data = b"".join(entries)
+    dir_data += b"\x00" * (n_dir_sects * sector - len(dir_data))
+
+    difat = [fat_start + k for k in range(n_fat)]
+    difat += [0xFFFFFFFF] * (109 - len(difat))
+    header = (
+        b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 16
+        + struct.pack("<HHHHH", 0x003E, 0x0003, 0xFFFE, 9, 6)
+        + b"\x00" * 6
+        + struct.pack("<IIII", 0, n_fat, dir_start, 0)
+        + struct.pack("<IIIII", 4096, 0xFFFFFFFE, 0, 0xFFFFFFFE, 0)
+        + struct.pack("<109I", *difat)
+    )
+    assert len(header) == 512 and total_sects * 4 <= len(fat) * 4
+    body = b"".join(d for _, d in padded) + dir_data
+    body += struct.pack(f"<{len(fat)}I", *fat)
+    return header + body
+
+
+def make_doc(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    """Word 97 binary: FIB + UTF-16 text + piece table in 1Table."""
+    paras = [f"Legacy doc {doc_idx} heading"]
+    for _ in range(max(1, int(rng.randint(2, 6) * min(scale, 30.0)))):
+        paras.append(_paragraph(rng, lang, rng.randint(1, 3)))
+    text = "\r".join(paras) + "\r"
+
+    fib_len = 1472
+    raw_text = text.encode("utf-16-le")
+    word = bytearray(fib_len)
+    struct.pack_into("<HH", word, 0, 0xA5EC, 0x00C1)
+    struct.pack_into("<H", word, 10, 0x0200)  # fWhichTblStm → 1Table
+    struct.pack_into("<II", word, 24, fib_len, fib_len + len(raw_text))
+
+    n_chars = len(text)
+    plc = struct.pack("<II", 0, n_chars)
+    plc += struct.pack("<HIH", 0, fib_len, 0)  # PCD: fc bit30 clear → utf16
+    clx = b"\x02" + struct.pack("<I", len(plc)) + plc
+    struct.pack_into("<II", word, 0x01A2, 0, len(clx))  # fcClx=0, lcbClx
+    return _make_cfb([("WordDocument", bytes(word) + raw_text),
+                      ("1Table", clx)])
+
+
+def _biff(opcode: int, body: bytes) -> bytes:
+    return struct.pack("<HH", opcode, len(body)) + body
+
+
+def _biff_str(s: str) -> bytes:
+    raw = s.encode("utf-16-le")
+    return struct.pack("<HB", len(s), 0x01) + raw
+
+
+def make_xls(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    """Excel 97 binary: BIFF8 Workbook with SST strings + cell records."""
+    n_rows = max(2, int(rng.randint(3, 8) * min(scale, 40.0)))
+    n_cols = rng.randint(2, 4)
+    strings: list = [f"h{c}" for c in range(n_cols)]
+    cells: list = [(0, c, "s", c) for c in range(n_cols)]
+    for r in range(1, n_rows):
+        for c in range(n_cols):
+            if rng.random() < 0.5:
+                cells.append((r, c, "n", float(rng.randint(0, 9999))))
+            else:
+                strings.append(_sentence(rng, lang, 2))
+                cells.append((r, c, "s", len(strings) - 1))
+
+    sst_body = struct.pack("<II", len(strings), len(strings))
+    sst_body += b"".join(_biff_str(s) for s in strings)
+    globals_sub = (
+        _biff(0x0809, struct.pack("<HHHHII", 0x0600, 0x0005, 0, 0, 0, 0))
+        + _biff(0x0085, struct.pack("<IHBB", 0, 0, 6, 0x01)
+                + f"Sheet{1}".encode("utf-16-le"))
+        + _biff(0x00FC, sst_body)
+        + _biff(0x000A, b"")
+    )
+    sheet_records = [
+        _biff(0x0809, struct.pack("<HHHHII", 0x0600, 0x0010, 0, 0, 0, 0))
+    ]
+    for r, c, kind, v in cells:
+        if kind == "s":
+            sheet_records.append(
+                _biff(0x00FD, struct.pack("<HHHI", r, c, 0, v)))
+        else:
+            sheet_records.append(
+                _biff(0x0203, struct.pack("<HHH", r, c, 0)
+                      + struct.pack("<d", v)))
+    sheet_records.append(_biff(0x000A, b""))
+    return _make_cfb([("Workbook", globals_sub + b"".join(sheet_records))])
+
+
+def _ppt_atom(rec_type: int, body: bytes, container: bool = False) -> bytes:
+    ver = 0x000F if container else 0x0000
+    return struct.pack("<HHI", ver, rec_type, len(body)) + body
+
+
+def make_ppt(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    """PowerPoint 97 binary: slide containers with text atoms."""
+    n_slides = max(1, int(rng.randint(2, 5) * min(scale, 20.0)))
+    slides = []
+    for s in range(1, n_slides + 1):
+        atoms = [_ppt_atom(0x0FA0,
+                           f"Slide {s} title for doc {doc_idx}"
+                           .encode("utf-16-le"))]
+        for _ in range(rng.randint(1, 3)):
+            text = _sentence(rng, lang, rng.randint(4, 9))
+            if lang == "zh" or any(ord(ch) > 0xFF for ch in text):
+                atoms.append(_ppt_atom(0x0FA0, text.encode("utf-16-le")))
+            else:
+                atoms.append(_ppt_atom(0x0FA8, text.encode("latin-1")))
+        slides.append(_ppt_atom(0x03EE, b"".join(atoms), container=True))
+    doc_stream = _ppt_atom(0x03E8, b"".join(slides), container=True)
+    return _make_cfb([("PowerPoint Document", doc_stream)])
+
+
+# --- RTF / TIFF / TSV ---------------------------------------------------------
+
+def _rtf_escape(text: str) -> str:
+    out = []
+    for ch in text:
+        cp = ord(ch)
+        if ch in "\\{}":
+            out.append("\\" + ch)
+        elif cp > 127:
+            # signed 16-bit \uN escape with a '?' fallback char
+            n = cp if cp < 32768 else cp - 65536
+            out.append(f"\\u{n}?")
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def make_rtf(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    parts = [
+        r"{\rtf1\ansi\ansicpg1252\deff0",
+        r"{\fonttbl{\f0\fswiss Helvetica;}{\f1\froman Times;}}",
+        r"{\colortbl;\red0\green0\blue0;\red255\green0\blue0;}",
+        r"{\info{\title doc}{\author synth}}",
+        r"\f0\fs24 ",
+        _rtf_escape(f"RTF document {doc_idx}") + r"\par ",
+    ]
+    for _ in range(max(1, int(rng.randint(2, 6) * min(scale, 40.0)))):
+        para = _paragraph(rng, lang, rng.randint(1, 3))
+        if rng.random() < 0.3:
+            para = r"{\b " + _rtf_escape(_sentence(rng, lang, 3)) + r"} " \
+                + _rtf_escape(para)
+        else:
+            para = _rtf_escape(para)
+        parts.append(para + r"\par ")
+    parts.append("}")
+    return "\n".join(parts).encode("ascii")
+
+
+def make_tiff(rng: random.Random, width: int, height: int) -> bytes:
+    """Little-endian baseline TIFF: one IFD, one uncompressed strip."""
+    n_entries = 7
+    ifd_off = 8
+    data_off = ifd_off + 2 + n_entries * 12 + 4
+    pixels = bytes((x + y) % 256 for y in range(height) for x in range(width))
+
+    def entry(tag: int, typ: int, count: int, value: int) -> bytes:
+        return struct.pack("<HHII", tag, typ, count, value)
+
+    ifd = struct.pack("<H", n_entries)
+    ifd += entry(256, 3, 1, width)          # ImageWidth
+    ifd += entry(257, 3, 1, height)         # ImageLength
+    ifd += entry(258, 3, 1, 8)              # BitsPerSample
+    ifd += entry(259, 3, 1, 1)              # Compression: none
+    ifd += entry(262, 3, 1, 1)              # Photometric: BlackIsZero
+    ifd += entry(273, 4, 1, data_off)       # StripOffsets
+    ifd += entry(279, 4, 1, len(pixels))    # StripByteCounts
+    ifd += struct.pack("<I", 0)             # next IFD: none
+    return b"II*\x00" + struct.pack("<I", ifd_off) + ifd + pixels
+
+
+def make_tsv(rng: random.Random, lang: str, doc_idx: int, scale: float) -> bytes:
+    n_cols = rng.randint(2, 5)
+    n_rows = max(2, int(rng.randint(4, 12) * min(scale, 50.0)))
+    lines = ["\t".join(f"col{c}" for c in range(n_cols))]
+    for _ in range(n_rows):
+        cells = []
+        for _c in range(n_cols):
+            if rng.random() < 0.3:
+                cells.append(str(rng.randint(0, 9999)))
+            else:
+                cells.append(rng.choice(_WORDS[lang]))
+        lines.append("\t".join(cells))
+    return "\n".join(lines).encode("utf-8")
+
+
 # --- row synthesis ------------------------------------------------------------
 
 def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
@@ -642,10 +896,10 @@ def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
     elif roll < 0.85:
         fmt = "pdf"
         payload = make_pdf(rng, lang, i, scale, image_only=rng.random() < 0.1)
-    elif roll < 0.93:
+    elif roll < 0.92:
         fmt = "docx"
         payload = make_docx(rng, lang, i, scale)
-    elif roll < 0.97:
+    elif roll < 0.955:
         # xlsx/pptx split by doc parity (no extra rng draw — per-doc rng
         # means this never perturbs other documents' payloads)
         if i % 2 == 0:
@@ -654,7 +908,18 @@ def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
         else:
             fmt = "xlsx"
             payload = make_xlsx(rng, lang, i, scale)
-    elif roll < 0.98:
+    elif roll < 0.97:
+        # legacy OLE2 Office, split by doc index mod 3
+        if i % 3 == 0:
+            fmt = "doc"
+            payload = make_doc(rng, lang, i, scale)
+        elif i % 3 == 1:
+            fmt = "xls"
+            payload = make_xls(rng, lang, i, scale)
+        else:
+            fmt = "ppt"
+            payload = make_ppt(rng, lang, i, scale)
+    elif roll < 0.9775:
         fmt = "img"
         maker = rng.choice([make_png, make_jpeg, make_gif])
         if maker is make_png:
@@ -662,9 +927,15 @@ def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
                                rng.randint(0, 255))
         else:
             payload = maker(rng.randint(4, 32), rng.randint(4, 32))
-    elif roll < 0.9835:
+    elif roll < 0.98:
+        fmt = "tiff"
+        payload = make_tiff(rng, rng.randint(4, 32), rng.randint(4, 32))
+    elif roll < 0.9825:
         fmt = "csv"
         payload = make_csv(rng, lang, i, scale)
+    elif roll < 0.985:
+        fmt = "tsv"
+        payload = make_tsv(rng, lang, i, scale)
     elif roll < 0.987:
         fmt = "json"
         payload = make_json(rng, lang, i, scale)
@@ -674,6 +945,15 @@ def synth_page(i: int, seed: int = 42, giant_every: int = 10000,
     elif roll < 0.99:
         fmt = "wav"
         payload = make_wav(rng, lang, i, scale)
+    elif roll < 0.9925:
+        fmt = "rtf"
+        payload = make_rtf(rng, lang, i, scale)
+    elif roll < 0.995:
+        fmt = "mp3"
+        payload = make_mp3(rng, lang, i, scale)
+    elif roll < 0.9975:
+        fmt = "epub"
+        payload = make_epub(rng, lang, i, scale)
     else:
         fmt = "junk"
         kind = rng.random()

@@ -37,7 +37,18 @@ from .docx_extractor import extract_docx
 from .pptx_extractor import extract_pptx
 from .audio_extractor import mp3_to_markdown, wav_to_markdown
 from .epub_extractor import extract_epub
-from .tabular_extractor import csv_to_markdown, json_to_markdown, xml_to_markdown
+from .tabular_extractor import (
+    csv_to_markdown,
+    json_to_markdown,
+    tsv_to_markdown,
+    xml_to_markdown,
+)
+from .rtf_extractor import rtf_to_text
+from .ole2 import (
+    extract_doc_text,
+    extract_ppt_markdown,
+    extract_xls_markdown,
+)
 from .xlsx_extractor import extract_xlsx
 from .pdf_extractor import extract_pdf
 from .image_extractor import image_extension, image_meta
@@ -192,6 +203,37 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
                 csv_to_markdown(payload, doc_name), is_pdf=False)
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, 0, "csv_table", [])
+
+        if fmt == sniffer.FMT_TSV:
+            markdown = clean_markdown_content(
+                tsv_to_markdown(payload, doc_name), is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "tsv_table", [])
+
+        if fmt == sniffer.FMT_RTF:
+            # Like plain text: the stripped document speaks for itself.
+            markdown = clean_markdown_content(rtf_to_text(payload),
+                                              is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "rtf_strip", [])
+
+        if fmt == sniffer.FMT_DOC:
+            text = extract_doc_text(payload)
+            markdown = clean_markdown_content(text, is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "doc_piece_table", [])
+
+        if fmt == sniffer.FMT_XLS:
+            markdown = clean_markdown_content(
+                extract_xls_markdown(payload, doc_name), is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "xls_biff_records", [])
+
+        if fmt == sniffer.FMT_PPT:
+            markdown = clean_markdown_content(
+                extract_ppt_markdown(payload, doc_name), is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "ppt_record_walk", [])
 
         if fmt == sniffer.FMT_JSON:
             markdown = clean_markdown_content(

@@ -106,16 +106,57 @@ def _webp_meta(payload: bytes) -> ImageMeta:
     return ImageMeta(None, None, "WEBP", None)
 
 
+def _tiff_meta(payload: bytes) -> ImageMeta:
+    """TIFF baseline: endian header + first IFD's width/height/photometric
+    tags (reference accepts .tiff via PIL — config.py:45)."""
+    if len(payload) < 8:
+        return ImageMeta(None, None, "TIFF", None)
+    if payload[:4] == b"II*\x00":
+        endian = "<"
+    elif payload[:4] == b"MM\x00*":
+        endian = ">"
+    else:
+        return ImageMeta(None, None, "TIFF", None)
+    (ifd_off,) = struct.unpack_from(endian + "I", payload, 4)
+    if ifd_off + 2 > len(payload):
+        return ImageMeta(None, None, "TIFF", None)
+    (n_entries,) = struct.unpack_from(endian + "H", payload, ifd_off)
+    width = height = photometric = None
+    for i in range(n_entries):
+        off = ifd_off + 2 + 12 * i
+        if off + 12 > len(payload):
+            break
+        tag, typ = struct.unpack_from(endian + "HH", payload, off)
+        # SHORT (3) values sit in the first 2 bytes of the value field;
+        # LONG (4) uses all 4.
+        if typ == 3:
+            (val,) = struct.unpack_from(endian + "H", payload, off + 8)
+        elif typ == 4:
+            (val,) = struct.unpack_from(endian + "I", payload, off + 8)
+        else:
+            continue
+        if tag == 256:
+            width = val
+        elif tag == 257:
+            height = val
+        elif tag == 262:
+            photometric = val
+    mode = {0: "L", 1: "L", 2: "RGB", 3: "P"}.get(photometric, "RGB") \
+        if photometric is not None else None
+    return ImageMeta(width, height, "TIFF", mode)
+
+
 _PARSERS = {
     "png": _png_meta,
     "jpeg": _jpeg_meta,
     "gif": _gif_meta,
     "bmp": _bmp_meta,
     "webp": _webp_meta,
+    "tiff": _tiff_meta,
 }
 
 _EXTENSIONS = {"png": ".png", "jpeg": ".jpg", "gif": ".gif",
-               "bmp": ".bmp", "webp": ".webp"}
+               "bmp": ".bmp", "webp": ".webp", "tiff": ".tiff"}
 
 
 def image_meta(payload: bytes, fmt: str) -> ImageMeta:

@@ -25,17 +25,24 @@ FMT_JPEG = "jpeg"
 FMT_GIF = "gif"
 FMT_BMP = "bmp"
 FMT_WEBP = "webp"
+FMT_TIFF = "tiff"
 FMT_TEXT = "text"
 FMT_CSV = "csv"
+FMT_TSV = "tsv"
 FMT_JSON = "json"
 FMT_XML = "xml"
 FMT_WAV = "wav"
 FMT_MP3 = "mp3"
 FMT_EPUB = "epub"
+FMT_RTF = "rtf"
+FMT_DOC = "doc"    # legacy OLE2 Word (reference config.py:40)
+FMT_XLS = "xls"    # legacy OLE2 Excel (reference config.py:42)
+FMT_PPT = "ppt"    # legacy OLE2 PowerPoint (reference config.py:41)
 FMT_EMPTY = "empty"
 FMT_UNKNOWN = "unknown"
 
-IMAGE_FORMATS = frozenset({FMT_PNG, FMT_JPEG, FMT_GIF, FMT_BMP, FMT_WEBP})
+IMAGE_FORMATS = frozenset({FMT_PNG, FMT_JPEG, FMT_GIF, FMT_BMP, FMT_WEBP,
+                           FMT_TIFF})
 
 _HTML_MARKERS = (
     b"<!doctype html",
@@ -96,6 +103,18 @@ def sniff_format(payload: bytes) -> str:
         return FMT_PDF
     if head.startswith(b"PK\x03\x04"):
         return _sniff_zip(payload)
+    if head.startswith(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"):
+        # OLE2 compound file: subtype from directory entries
+        # (reference accepts .doc/.xls/.ppt — config.py:40-42).
+        from .ole2 import sniff_ole2_subtype
+
+        sub = sniff_ole2_subtype(payload)
+        return {"doc": FMT_DOC, "xls": FMT_XLS,
+                "ppt": FMT_PPT}.get(sub, FMT_UNKNOWN)
+    if head.startswith(b"{\\rtf"):
+        return FMT_RTF
+    if head.startswith(b"II*\x00") or head.startswith(b"MM\x00*"):
+        return FMT_TIFF
     if head.startswith(b"\x89PNG\r\n\x1a\n"):
         return FMT_PNG
     if head.startswith(b"\xff\xd8\xff"):
@@ -148,21 +167,25 @@ def sniff_format(payload: bytes) -> str:
         except (ValueError, UnicodeDecodeError):
             pass
 
-    # CSV: >=3 parsed records sharing an identical field count >= 2
-    # (csv.reader handles quoted fields containing commas; the last line
-    # of the 512-byte head may be truncated mid-field, so drop it).
+    # CSV/TSV: >=3 parsed records sharing an identical field count >= 2
+    # (csv.reader handles quoted fields containing delimiters; the last
+    # line of the 512-byte head may be truncated mid-field, so drop it).
+    # Tab wins ties: a tabbed table often contains commas in its cells,
+    # but a comma table never contains stray tabs.
     lines = [ln for ln in text.split("\n") if ln.strip()]
     if len(payload) > 512:
         lines = lines[:-1]
     if len(lines) >= 3:
         import csv as _csv
-        try:
-            recs = list(_csv.reader(lines[:5]))
-        except _csv.Error:
-            recs = []
-        if len(recs) >= 3:
-            widths = {len(r) for r in recs}
-            if len(widths) == 1 and widths.pop() >= 2:
-                return FMT_CSV
+
+        for delim, fmt in (("\t", FMT_TSV), (",", FMT_CSV)):
+            try:
+                recs = list(_csv.reader(lines[:5], delimiter=delim))
+            except _csv.Error:
+                continue
+            if len(recs) >= 3:
+                widths = {len(r) for r in recs}
+                if len(widths) == 1 and widths.pop() >= 2:
+                    return fmt
 
     return FMT_TEXT

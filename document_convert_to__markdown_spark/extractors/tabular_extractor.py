@@ -21,9 +21,10 @@ import io
 import json
 
 
-def csv_to_markdown(payload: bytes, doc_name: str) -> str:
+def csv_to_markdown(payload: bytes, doc_name: str,
+                    delimiter: str = ",") -> str:
     text = payload.decode("utf-8", errors="replace")
-    rows = list(csv.reader(io.StringIO(text)))
+    rows = list(csv.reader(io.StringIO(text), delimiter=delimiter))
     rows = [r for r in rows if any(cell.strip() for cell in r)]
     if not rows:
         return f"# {doc_name}"
@@ -40,6 +41,12 @@ def csv_to_markdown(payload: bytes, doc_name: str) -> str:
     for row in rows[1:]:
         lines.append("| " + " | ".join(cells(row)) + " |")
     return "\n".join(lines)
+
+
+def tsv_to_markdown(payload: bytes, doc_name: str) -> str:
+    """Tab-separated values — same pipe-table rendering as CSV (the
+    reference lists '.tsv' alongside '.csv', config.py:54)."""
+    return csv_to_markdown(payload, doc_name, delimiter="\t")
 
 
 def json_to_markdown(payload: bytes, doc_name: str) -> str:

@@ -14,7 +14,8 @@ VALID_STATUSES = {"ok", "failed", "skipped_empty", "skipped_unsupported",
 
 MAGIC_PREFIXES = [b"", b"%PDF-1.4\n", b"PK\x03\x04", b"<html>",
                   b"<!DOCTYPE html>", b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff",
-                  b"GIF89a"]
+                  b"GIF89a", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1",
+                  b"{\\rtf1\\ansi ", b"II*\x00", b"MM\x00*"]
 
 
 @settings(max_examples=200, deadline=None)
