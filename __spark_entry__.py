@@ -384,7 +384,7 @@ def _q_dedup_ngram_jaccard(spark, sf):
     )
 
     docs = _load(spark, sf, "documents")
-    return ngram_jaccard_pairs(docs, block_on_length=True)
+    return ngram_jaccard_pairs(docs, block="minhash")
 
 
 def _q_dedup_minhash_lsh(spark, sf):
@@ -736,6 +736,18 @@ def _q_text_top_terms(spark, sf):
     return top_terms_per_lang(_load(spark, sf, "documents"), k=5)
 
 
+def _q_text_top_terms_relational(spark, sf):
+    """The production JVM-side twin of text_top_terms: explode →
+    groupBy(lang, term) → window top-k.  No per-language fan-in — the
+    plan that survives 10^12 rows.  Shares the same oracle; both forms
+    must produce identical output."""
+    from document_convert_to__markdown_spark.operators.text import (
+        top_terms_per_lang_relational,
+    )
+
+    return top_terms_per_lang_relational(_load(spark, sf, "documents"), k=5)
+
+
 def _q_dataset_split(spark, sf):
     """Content-hash train/val/test split — deterministic across re-runs
     and backfills (no leakage when the corpus grows)."""
@@ -866,6 +878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": _q_dataset_split,
         "curation_pipeline": _q_curation_pipeline,
         "text_top_terms": _q_text_top_terms,
+        "text_top_terms_relational": _q_text_top_terms_relational,
         # structured streaming (drained availableNow; 3 of 4 oracle-checked).
         # Ordered before the rows-only tail: round 1's driver run stopped
         # mid-list, so oracle-bearing queries must not sit dead last.
@@ -889,8 +902,50 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle_sql() — DuckDB side (identical column names + rounding)
 # --------------------------------------------------------------------------
 
+def _pinned_oracles() -> dict[str, str]:
+    """Literal-VALUES oracles for deterministic non-SQL-expressible
+    queries (MinHash/LSH sketches, streaming drains, the extraction UDF).
+
+    Their outputs are pure functions of the seeded synthesizer + the
+    committed sf0.01 testdata, pinned by scripts/pin_oracles.py into
+    pinned_oracles.json (a committed golden aggregate — VERDICT.md round
+    1 "do this" #9).  Rendered here as plain SQL so the driver
+    hash-checks them like any relational oracle.
+    """
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "pinned_oracles.json")
+    try:
+        with open(path) as f:
+            pinned = json.load(f)
+    except FileNotFoundError:
+        return {}
+
+    def lit(v, sql_type: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {sql_type})"
+        if sql_type == "VARCHAR":
+            return "'" + str(v).replace("'", "''") + "'"
+        return f"CAST({v!r} AS {sql_type})"
+
+    out = {}
+    for name, spec in pinned.items():
+        cols = spec["cols"]
+        names = ", ".join(c for c, _t in cols)
+        vals = ",\n              ".join(
+            "(" + ", ".join(lit(v, t) for v, (_c, t) in zip(row, cols)) + ")"
+            for row in spec["rows"]
+        )
+        out[name] = (f"SELECT * FROM (VALUES\n              {vals}\n"
+                     f"            ) AS t({names})")
+    return out
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        **_pinned_oracles(),
         "a2_size_filter": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -1026,21 +1081,27 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT md5(text)) AS n_distinct_texts
             FROM documents GROUP BY lang
         """,
+        # Candidate key = min-md5 gram (1-permutation MinHash band),
+        # re-derived in SQL — same blocking the Spark operator uses.
         "dedup_ngram_jaccard": """
             WITH grams AS (
-              SELECT doc_id, lang, n_chars,
+              SELECT doc_id, lang,
                      list_transform(
                        range(0, greatest(len(string_split(text, ' ')) - 3, 0)),
                        i -> string_split(text, ' ')[i + 1] || ' ' ||
                             string_split(text, ' ')[i + 2] || ' ' ||
                             string_split(text, ' ')[i + 3]) AS grams
-              FROM documents)
+              FROM documents),
+            keyed AS (
+              SELECT doc_id, lang, grams,
+                     list_min(list_transform(grams, g -> md5(g))) AS band
+              FROM grams)
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
                    round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
                          / len(list_distinct(list_concat(a.grams, b.grams))),
                          4) AS jaccard
-            FROM grams a JOIN grams b
-              ON a.lang = b.lang AND a.n_chars = b.n_chars
+            FROM keyed a JOIN keyed b
+              ON a.lang = b.lang AND a.band = b.band
              AND a.doc_id < b.doc_id
         """,
         "neardup_embedding_cosine": """
@@ -1261,6 +1322,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Grouped-map fan-in == the relational explode/group/window form.
         "text_top_terms": """
+            WITH terms AS (
+              SELECT lang, doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+            freq AS (
+              SELECT lang, term, count(DISTINCT doc_id) AS df
+              FROM terms WHERE term <> '' GROUP BY lang, term),
+            ranked AS (
+              SELECT lang, term, df,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY df DESC, term) AS rn
+              FROM freq)
+            SELECT lang, term, df, rn FROM ranked WHERE rn <= 5
+        """,
+        # Identical oracle for the JVM-side production form: grouped-map
+        # and relational top-terms must agree exactly.
+        "text_top_terms_relational": """
             WITH terms AS (
               SELECT lang, doc_id,
                      unnest(string_split(lower(text), ' ')) AS term

@@ -117,19 +117,35 @@ def dedup_keep_first(documents: DataFrame) -> DataFrame:
     return documents.join(keepers, "doc_id", "left_semi")
 
 
-def ngram_jaccard_pairs(documents: DataFrame, block_on_length: bool = True,
+def ngram_jaccard_pairs(documents: DataFrame, block: str = "minhash",
                         materialize: bool = True) -> DataFrame:
     """Exact word-3-gram Jaccard for blocked candidate pairs.
 
-    Blocking key (lang, n_chars) keeps the self-join linear-ish; at scale
-    the block key would be a MinHash band (see lsh_candidate_pairs) —
-    this operator is the *verification* stage both LSH variants feed.
+    ``block`` picks the candidate key the self-join shuffles on:
+
+    - ``"minhash"`` (default): the min-md5 gram — a 1-permutation
+      MinHash band.  Two docs collide with probability == their Jaccard
+      similarity, so the key concentrates exactly the high-similarity
+      pairs this operator exists to score, and hash values distribute
+      uniformly (no skewable natural key).  Round 1 blocked on
+      ``(lang, n_chars)``: exact char-count equality — skew-prone on
+      synthetic/templated corpora and ~zero recall at scale (VERDICT.md
+      scale-killer #3).  Still SQL-expressible, so the DuckDB oracle
+      verifies the same key.
+    - ``"length"``: the legacy (lang, n_chars) key, kept for comparison.
+    - ``"none"``: unblocked within lang (small-data exact variant).
+
+    This standalone operator remains the *verification* stage the
+    multi-band LSH (``lsh_candidate_pairs``) feeds in
+    ``neardup_pipeline``; one band trades recall for zero extra sketch
+    state.
 
     The tokenization is projected ONCE (``toks``) before the gram
     transform — inlining ``split(text)`` in the lambda re-splits the
     text up to 3x per gram element (no CSE inside higher-order-function
     lambdas) — and the gram relation is persisted so the self-join
-    doesn't rebuild it per side.
+    doesn't rebuild it per side (caller owns the cache lifecycle; the
+    relation is unpersisted by LRU or ``spark.catalog.clearCache``).
     """
     grams = documents.select(
         "doc_id", "lang", "n_chars",
@@ -141,13 +157,18 @@ def ngram_jaccard_pairs(documents: DataFrame, block_on_length: bool = True,
             " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
         ).alias("grams"),
     )
+    if block == "minhash":
+        grams = grams.withColumn(
+            "band", F.array_min(F.transform("grams", lambda g: F.md5(g))))
     if materialize:
         grams = grams.persist()
     a = grams.alias("a")
     b = grams.alias("b")
     cond = [F.col("a.lang") == F.col("b.lang"),
             F.col("a.doc_id") < F.col("b.doc_id")]
-    if block_on_length:
+    if block == "minhash":
+        cond.append(F.col("a.band") == F.col("b.band"))
+    elif block == "length":
         cond.append(F.col("a.n_chars") == F.col("b.n_chars"))
     return (
         a.join(b, cond)
@@ -177,23 +198,9 @@ def minhash_bands(documents: DataFrame) -> DataFrame:
     )
 
 
-def lsh_candidate_pairs(documents: DataFrame,
-                        materialize: bool = True) -> DataFrame:
-    """MinHash-LSH near-dup candidates: bucket equi-join, then distinct.
-
-    The join is keyed on (band, band_hash) — a plain shuffle-hash join;
-    no O(n²) anywhere.  Downstream verification: ngram_jaccard on the
-    candidate set only.
-
-    ``materialize`` persists the (doc_id, band, band_hash) relation
-    before the self-join: without it both join sides re-run the MinHash
-    UDF (the plan shows two ArrowEvalPython nodes) — doubling the sketch
-    compute, the dominant cost at corpus scale.  The persisted relation
-    is 3 small ints per band row, negligible next to the text column.
-    """
-    bands = minhash_bands(documents)
-    if materialize:
-        bands = bands.persist()
+def _pairs_from_bands(bands: DataFrame) -> DataFrame:
+    """Bucket equi-join of a (doc_id, band, band_hash) relation →
+    distinct candidate pairs."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -211,6 +218,29 @@ def lsh_candidate_pairs(documents: DataFrame,
     )
 
 
+def lsh_candidate_pairs(documents: DataFrame,
+                        materialize: bool = True) -> DataFrame:
+    """MinHash-LSH near-dup candidates: bucket equi-join, then distinct.
+
+    The join is keyed on (band, band_hash) — a plain shuffle-hash join;
+    no O(n²) anywhere.  Downstream verification: ngram_jaccard on the
+    candidate set only.
+
+    ``materialize`` persists the (doc_id, band, band_hash) relation
+    before the self-join: without it both join sides re-run the MinHash
+    UDF (the plan shows two ArrowEvalPython nodes) — doubling the sketch
+    compute, the dominant cost at corpus scale.  The persisted relation
+    is 3 small ints per band row, negligible next to the text column.
+    The returned plan references the cached relation lazily, so the
+    caller owns its lifecycle (``neardup_pipeline`` shows the
+    checkpoint-then-unpersist pattern).
+    """
+    bands = minhash_bands(documents)
+    if materialize:
+        bands = bands.persist()
+    return _pairs_from_bands(bands)
+
+
 def neardup_pipeline(documents: DataFrame, jaccard_threshold: float = 0.8
                      ) -> DataFrame:
     """The production near-dup flow, composed end-to-end:
@@ -222,8 +252,15 @@ def neardup_pipeline(documents: DataFrame, jaccard_threshold: float = 0.8
     joins the gram relation to the candidate pair list instead of
     self-joining the corpus.  Returns the deduplicated corpus (one row
     per kept document).
+
+    Cache lifecycle: the two persisted intermediates (bands, grams) are
+    only needed up to the loser list; that list is tiny (doc_ids), so it
+    is ``localCheckpoint``-ed eagerly and the caches released before
+    returning — long-lived sessions don't accumulate sketch relations in
+    executor storage (ADVICE.md round 1).
     """
-    cand = lsh_candidate_pairs(documents)
+    bands = minhash_bands(documents).persist()
+    cand = _pairs_from_bands(bands)
 
     toks = documents.select(
         "doc_id", F.split("text", " ").alias("toks")
@@ -249,8 +286,12 @@ def neardup_pipeline(documents: DataFrame, jaccard_threshold: float = 0.8
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("doc_a", "doc_b")
     )
-    # drop the higher doc_id of every verified dup pair
-    losers = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    # drop the higher doc_id of every verified dup pair; materialize the
+    # (tiny) loser list so the caches below it can be released now
+    losers = (verified.select(F.col("doc_b").alias("doc_id")).distinct()
+              .localCheckpoint(eager=True))
+    bands.unpersist()
+    toks.unpersist()
     return documents.join(losers, "doc_id", "left_anti")
 
 

@@ -21,10 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 50,
+                         strict: bool = True) -> DataFrame:
     """(a, b) undirected edge list → (node, component) with component =
     min node id in the component.  Isolated nodes don't appear (callers
-    left-join and coalesce to the node's own id)."""
+    left-join and coalesce to the node's own id).
+
+    Convergence is checked, never assumed: min-label propagation moves
+    one hop per round, so a component with diameter > max_iter would
+    otherwise return silently split labels (ADVICE.md round 1).  On a
+    non-converged exit this raises (``strict=True``, default) or logs a
+    warning — wrong-but-quiet is the one outcome a dedup cluster
+    resolver must not have.  Dup clusters are near-cliques (diameter
+    2-3); chains only arise from adversarial transitive bridges, and 50
+    rounds covers any plausible crawl corpus.
+    """
     a, b = edges.columns[0], edges.columns[1]
     sym = (
         edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
@@ -39,6 +50,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         .withColumn("component", F.col("node"))
     )
 
+    n_changed = 0
     for _ in range(max_iter):
         # candidate label per node: min over neighbors' current labels
         neighbor_min = (
@@ -66,4 +78,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             break
 
     sym.unpersist()
+    if n_changed > 0:
+        msg = (f"connected_components did not converge in {max_iter} "
+               f"rounds ({n_changed} labels still changing) — labels "
+               f"would be silently split; raise max_iter")
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels

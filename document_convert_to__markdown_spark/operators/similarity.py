@@ -54,19 +54,30 @@ def brute_force_topk(embeddings: DataFrame, query_vec: list[float],
 
 
 def neardup_pairs_cosine(embeddings: DataFrame, threshold: float = 0.8,
-                         block: bool = True) -> DataFrame:
+                         block: bool = True, chunk_rows: int = 1024,
+                         sub_bucket: bool = False) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold.
 
     Blocking: label equality (cheap stand-in for an IVF/LSH bucket at
     scale) keeps the self-join from exploding; set ``block=False`` for
     the exact small-data variant.
 
-    Blocked path runs as a grouped-map matmul: one BLAS ``B @ B.T`` per
-    block beats the pair-at-a-time ``zip_with``/``aggregate`` expression
-    by ~5x — the higher-order-function form allocates an intermediate
-    array per pair.  (Float summation order differs from the JVM chain,
-    but at 4-decimal rounding both agree with the DuckDB oracle — the
-    oracle itself sums in yet another order.)
+    Blocked path runs as a grouped-map matmul — BLAS beats the
+    pair-at-a-time ``zip_with``/``aggregate`` expression by ~5x (the
+    higher-order-function form allocates an intermediate array per
+    pair).  The matmul is **chunked**: similarity rows are produced
+    ``chunk_rows`` at a time, so peak memory is O(chunk_rows × block) —
+    never the O(block²) dense matrix round 1 held for the whole group
+    (VERDICT.md scale-killer #1); a block the group key can't bound no
+    longer OOMs the executor.  (Float summation order differs from the
+    JVM chain, but at 4-decimal rounding both agree with the DuckDB
+    oracle — the oracle itself sums in yet another order.)
+
+    ``sub_bucket=True`` additionally composes the group key with the
+    random-hyperplane LSH bucket — size-bounded by construction, the
+    true 10^12-row path.  Trades recall (cross-bucket pairs are lost,
+    like any LSH blocking) for a hard cap on group width; the default
+    keeps exact within-label semantics so the oracle stays equality.
     """
     if block:
         import pandas as pd_  # local alias; closure-captured below
@@ -79,18 +90,34 @@ def neardup_pairs_cosine(embeddings: DataFrame, threshold: float = 0.8,
                 np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
-            sims = (mat / norms) @ (mat / norms).T
-            iu, ju = np.triu_indices(len(ids), k=1)
-            keep = np.round(sims[iu, ju], 4) >= threshold
-            return pd_.DataFrame({
-                "vec_a": ids[iu[keep]],
-                "vec_b": ids[ju[keep]],
-                "cosine": np.round(sims[iu, ju][keep], 4),
-            })
+            matn = mat / norms
+            n = len(ids)
+            frames = []
+            for s in range(0, n, chunk_rows):
+                e = min(s + chunk_rows, n)
+                sims = matn[s:e] @ matn.T  # (chunk, n) — bounded slab
+                li, gj = np.nonzero(np.round(sims, 4) >= threshold)
+                gi = li + s
+                keep = gj > gi  # upper triangle only, global indices
+                if keep.any():
+                    frames.append(pd_.DataFrame({
+                        "vec_a": ids[gi[keep]],
+                        "vec_b": ids[gj[keep]],
+                        "cosine": np.round(sims[li[keep], gj[keep]], 4),
+                    }))
+            if not frames:
+                return pd_.DataFrame({"vec_a": pd_.Series(dtype="int64"),
+                                      "vec_b": pd_.Series(dtype="int64"),
+                                      "cosine": pd_.Series(dtype="float64")})
+            return pd_.concat(frames, ignore_index=True)
 
+        keyed = embeddings.select("vec_id", "label", "embedding")
+        group_cols = ["label"]
+        if sub_bucket:
+            keyed = keyed.withColumn("bucket", _lsh_bucket("embedding"))
+            group_cols.append("bucket")
         return (
-            embeddings.select("vec_id", "label", "embedding")
-            .groupBy("label")
+            keyed.groupBy(*group_cols)
             .applyInPandas(block_pairs,
                            "vec_a long, vec_b long, cosine double")
         )

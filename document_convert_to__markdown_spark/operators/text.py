@@ -177,6 +177,37 @@ def top_terms_per_lang(documents: DataFrame, k: int = 5) -> DataFrame:
         .applyInPandas(topk, "lang string, term string, df long, rn int")
 
 
+def top_terms_per_lang_relational(documents: DataFrame, k: int = 5
+                                  ) -> DataFrame:
+    """Top-k terms per language — the production (JVM-side) form.
+
+    Two-phase plan: explode distinct terms per doc → groupBy(lang, term)
+    count → window top-k.  No Python, no whole-language fan-in: the
+    heavy aggregation keys on (lang, term) — millions of fine-grained
+    groups that hash-partition evenly — and only the window ranking
+    partitions by lang, over the already-tiny (lang, term, df) relation.
+    This is the shape that survives 10^12 rows where the grouped-map
+    twin (``top_terms_per_lang``, kept as the applyInPandas exerciser)
+    would put an entire language on one executor (VERDICT.md
+    scale-killer #2).  Same output, same oracle.
+    """
+    from pyspark.sql import Window
+
+    terms = documents.select(
+        "lang", "doc_id",
+        F.explode(F.array_distinct(
+            F.split(F.lower("text"), " "))).alias("term"),
+    ).filter(F.col("term") != "")
+    freq = terms.groupBy("lang", "term").agg(
+        F.count("*").alias("df"))  # doc_ids are distinct per doc already
+    w = Window.partitionBy("lang").orderBy(F.col("df").desc(), F.col("term"))
+    return (
+        freq.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("lang", "term", "df", "rn")
+    )
+
+
 _WINNOW_BASE = 257
 _WINNOW_MOD = (1 << 61) - 1
 

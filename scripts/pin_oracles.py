@@ -1,0 +1,85 @@
+"""Pin deterministic rows-only queries as committed golden aggregates.
+
+Several driver-contract queries have no relational DuckDB oracle because
+their logic isn't SQL-expressible (MinHash sketches, LSH probing,
+streaming drains, the extraction UDF itself) — but every one of them is
+a *deterministic* function of the seeded synthesizer and the committed
+testdata, so their outputs can be pinned as literal-VALUES oracles
+(VERDICT.md round 1 "do this" #9: "pinned against a committed golden
+aggregate").  The driver then hash-checks them like any other query
+instead of recording a weaker rows-only verdict.
+
+Usage: python scripts/pin_oracles.py [sf_dir]
+Writes pinned_oracles.json at the repo root (committed).  Re-run
+whenever the synthesizer, extractors, or sketch parameters change.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+# Queries whose full output is small (≤ ~30 rows) and deterministic.
+PINNABLE = [
+    "golden_fixture_compare",
+    "stream_extract_parity",
+    "extract_pipeline_stats",
+    "extract_synth_corpus",
+    "multimodal_media_meta",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "neardup_pipeline",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    # 500-row per-document outputs: bulky as literals but fully
+    # deterministic (regex cleanup chain / seeded winnowing) and not
+    # SQL-expressible — pinning is the only oracle they can have.
+    "extract_cleanup_chain",
+    "text_winnow_fps",
+]
+
+_SQL_TYPES = {
+    "LongType()": "BIGINT",
+    "IntegerType()": "INTEGER",
+    "DoubleType()": "DOUBLE",
+    "FloatType()": "DOUBLE",
+    "StringType()": "VARCHAR",
+    "BooleanType()": "BOOLEAN",
+}
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    import __spark_entry__ as entrymod
+    from document_convert_to__markdown_spark.pipeline.session import (
+        build_session,
+    )
+
+    spark = build_session("pin_oracles", master="local[8]",
+                          shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    out = {}
+    for name in PINNABLE:
+        df = qs[name](spark, sf_dir)
+        cols = [(f.name, _SQL_TYPES[repr(f.dataType)])
+                for f in df.schema.fields]
+        rows = [[r[c] for c, _t in cols] for r in df.collect()]
+        out[name] = {"cols": cols, "rows": rows}
+        print(f"pinned {name}: {len(rows)} rows, cols={[c for c, _ in cols]}")
+
+    with open("pinned_oracles.json", "w") as f:
+        json.dump(out, f, indent=1, ensure_ascii=False)
+    spark.stop()
+    print(f"\nwrote pinned_oracles.json ({len(out)} queries)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

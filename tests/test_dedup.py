@@ -72,8 +72,26 @@ def test_ngram_jaccard_verifies_candidates(spark, docs):
     )
 
     pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
-             for r in ngram_jaccard_pairs(docs, block_on_length=False)
+             for r in ngram_jaccard_pairs(docs, block="none")
              .collect()}
     assert pairs[(2, 3)] == 1.0
     assert pairs[(0, 1)] > 0.8
     assert pairs.get((0, 4), 0.0) < 0.05
+
+
+def test_ngram_minhash_band_blocking_finds_neardups(spark, docs):
+    """The min-md5-gram band (1-perm MinHash) must recover the planted
+    near-dup pairs the old (lang, n_chars) key could miss whenever an
+    edit changed the byte length (VERDICT.md round 1 scale-killer #3)."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, block="minhash").collect()}
+    assert pairs[(2, 3)] == 1.0          # identical docs share every gram
+    # high-jaccard pair: collision prob == jaccard, and doc 0/1 share
+    # their minimum-hash gram in this fixture
+    assert pairs.get((0, 1), 0.0) > 0.8
+    # dissimilar docs must not be paired by the band
+    assert (0, 4) not in pairs

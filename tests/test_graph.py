@@ -52,3 +52,27 @@ def test_neardup_pipeline_drops_planted_dups(spark):
     kept = neardup_pipeline(docs, jaccard_threshold=0.8)
     ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert ids == {0, 2}  # 1 is a near-dup of 0; min doc_id survives
+
+
+def test_nonconvergence_raises_not_silently_splits(spark):
+    """A component with diameter > max_iter must raise (strict) or warn,
+    never return split labels quietly (ADVICE.md round 1)."""
+    import warnings
+
+    import pytest as _pytest
+
+    from document_convert_to__markdown_spark.operators.graph import (
+        connected_components,
+    )
+
+    # path graph 1-2-...-12: diameter 11 > max_iter=3
+    edges = spark.createDataFrame([(i, i + 1) for i in range(1, 12)],
+                                  "a long, b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3).collect()
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = connected_components(edges, max_iter=3, strict=False)
+        assert labels.count() == 12
+    assert any("did not converge" in str(w.message) for w in caught)

@@ -21,7 +21,7 @@ N_DOCS = 6000
 
 def test_sigkill_then_resume_completes(spark, tmp_path):
     out = str(tmp_path / "out")
-    raw = f"{out}/raw"
+    results_dir = f"{out}/results"
 
     # Launch the CLI in its own process on few cores so the run is slow
     # enough to kill mid-write.
@@ -39,15 +39,15 @@ def test_sigkill_then_resume_completes(spark, tmp_path):
         while time.time() < deadline:
             if proc.poll() is not None:
                 break  # finished before we could kill — resume is a no-op
-            if os.path.isdir(raw) and any(
+            if os.path.isdir(results_dir) and any(
                 f.startswith("part-") and f.endswith(".parquet")
-                for f in os.listdir(raw)
+                for f in os.listdir(results_dir)
             ):
                 os.killpg(proc.pid, signal.SIGKILL)
                 break
             time.sleep(0.25)
         else:
-            pytest.fail("raw output never appeared")
+            pytest.fail("results output never appeared")
         proc.wait(timeout=60)
     finally:
         if proc.poll() is None:

@@ -83,3 +83,18 @@ def test_video_frame_sample_one_to_many(spark, media_pages):
     idx = frames.select("frame_idx").distinct().collect()
     assert all(r["frame_idx"] % 4 == 0 for r in idx)
     assert frames.count() >= 60
+
+
+def test_top_terms_relational_equals_grouped_map(spark):
+    """The JVM-side production top-terms must agree exactly with the
+    grouped-map exerciser (same oracle in the driver contract)."""
+    from document_convert_to__markdown_spark.operators.text import (
+        top_terms_per_lang,
+        top_terms_per_lang_relational,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = sorted(map(tuple, top_terms_per_lang(docs, k=5).collect()))
+    b = sorted(map(tuple,
+                   top_terms_per_lang_relational(docs, k=5).collect()))
+    assert a == b and len(a) > 0

@@ -96,3 +96,56 @@ def test_ivf_prunes_scan(emb, qvec):
     biggest = (cells.groupBy("cell").count()
                .agg(F.max("count")).first()[0])
     assert biggest < emb.count() / 2
+
+
+def test_neardup_chunked_matmul_matches_single_chunk(spark):
+    """The bounded-memory chunked path must produce exactly the pairs the
+    one-shot dense matmul did, on a block far wider than the chunk
+    (VERDICT.md round 1 scale-killer #1)."""
+    import numpy as np
+
+    from document_convert_to__markdown_spark.operators.similarity import (
+        neardup_pairs_cosine,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 600  # one label → one oversized block
+    base = rng.standard_normal((6, 64))
+    vecs = base[rng.randint(0, 6, n)] + 0.05 * rng.standard_normal((n, 64))
+    rows = [(int(i), "single", [float(x) for x in vecs[i]])
+            for i in range(n)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+
+    def pairset(df):
+        return {(r["vec_a"], r["vec_b"], r["cosine"]) for r in df.collect()}
+
+    chunked = pairset(neardup_pairs_cosine(emb, threshold=0.9,
+                                           chunk_rows=64))
+    one_shot = pairset(neardup_pairs_cosine(emb, threshold=0.9,
+                                            chunk_rows=10**9))
+    exact = pairset(neardup_pairs_cosine(emb, threshold=0.9, block=False))
+    assert chunked == one_shot == exact
+    assert len(chunked) > 100  # the threshold actually bites
+
+
+def test_neardup_sub_bucket_is_subset(spark):
+    """LSH sub-bucketing bounds group width; its pairs are a subset of
+    the exact within-label pairs (recall tradeoff, no false positives)."""
+    import numpy as np
+
+    from document_convert_to__markdown_spark.operators.similarity import (
+        neardup_pairs_cosine,
+    )
+
+    rng = np.random.RandomState(4)
+    vecs = rng.standard_normal((200, 64))
+    rows = [(int(i), "L", [float(x) for x in vecs[i]]) for i in range(200)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>")
+    full = {(r["vec_a"], r["vec_b"])
+            for r in neardup_pairs_cosine(emb, threshold=0.3).collect()}
+    sub = {(r["vec_a"], r["vec_b"])
+           for r in neardup_pairs_cosine(emb, threshold=0.3,
+                                         sub_bucket=True).collect()}
+    assert sub <= full
