@@ -748,6 +748,96 @@ def _q_text_top_terms_relational(spark, sf):
     return top_terms_per_lang_relational(_load(spark, sf, "documents"), k=5)
 
 
+def _q_filter_repetition_stats(spark, sf):
+    """Gopher-style repetition profile per language: duplicate-word and
+    top-bigram fractions (micro-averaged exact integer ratios) + count
+    of docs over the per-doc thresholds.  Bigram mode is computed
+    relationally — fine-grained (doc_id, bigram) keys, no per-row
+    mode-of-array UDF."""
+    from document_convert_to__markdown_spark.operators.filters import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_load(spark, sf, "documents"))
+
+
+def _q_filter_gopher_summary(spark, sf):
+    """Gopher-rule document gate audit: per-(lang, verdict) counts from
+    a fixed-priority CASE chain (word-count bounds, mean word length,
+    stopword floor) — pure codegen'd expressions."""
+    from document_convert_to__markdown_spark.operators.filters import (
+        gopher_filter_summary,
+    )
+
+    return gopher_filter_summary(_load(spark, sf, "documents"))
+
+
+def _q_pii_scrub_audit(spark, sf):
+    """PII scrub over a deterministically PII-augmented corpus (the raw
+    synthetic text contains none): per-lang counts of scrubbed emails /
+    IPv4s / phone tokens plus total characters removed.  The augment +
+    scrub + audit chain is pure regexp expressions — zero shuffles
+    before the final tiny aggregate."""
+    from document_convert_to__markdown_spark.operators.filters import pii_scrub
+
+    docs = _load(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id", "lang",
+        F.concat(
+            F.lit("contact u"), F.col("doc_id").cast("string"),
+            F.lit("@ex"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com ip 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 tel 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" "), F.col("text"),
+        ).alias("text"),
+    )
+    return (
+        pii_scrub(aug)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_email").alias("emails"),
+            F.sum("n_ip").alias("ips"),
+            F.sum("n_phone").alias("phones"),
+            F.sum(F.length("text") - F.length("text_scrubbed"))
+            .alias("chars_removed"),
+        )
+    )
+
+
+def _q_decontaminate_benchmark(spark, sf):
+    """Benchmark decontamination (GPT-3 appendix C shape): word-4-gram
+    overlap of the corpus against a held-out benchmark slice
+    (doc_id % 97 == 0), benchmark grams deduped and broadcast so the
+    corpus side never shuffles.  Production n is 13; 4 here because the
+    small synthetic vocabulary makes longer grams collision-free."""
+    from document_convert_to__markdown_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    docs = _load(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    return ngram_contamination(corpus, bench, n=4)
+
+
+def _q_domain_cap(spark, sf):
+    """C4-style per-domain quota: keep the top 10 docs per source by
+    (n_chars DESC, doc_id), via the salted two-stage top-k whose output
+    is provably identical to the single-window form the oracle runs."""
+    from document_convert_to__markdown_spark.operators.sampling import (
+        domain_cap,
+    )
+
+    docs = _load(spark, sf, "documents")
+    capped = domain_cap(
+        docs, domain_col="source", cap=10,
+        order_cols=[F.col("n_chars").desc(), F.col("doc_id")],
+    )
+    return capped.select("source", "doc_id", "n_chars", "rn")
+
+
 def _q_dataset_split(spark, sf):
     """Content-hash train/val/test split — deterministic across re-runs
     and backfills (no leakage when the corpus grows)."""
@@ -879,6 +969,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curation_pipeline": _q_curation_pipeline,
         "text_top_terms": _q_text_top_terms,
         "text_top_terms_relational": _q_text_top_terms_relational,
+        "filter_repetition_stats": _q_filter_repetition_stats,
+        "filter_gopher_summary": _q_filter_gopher_summary,
+        "pii_scrub_audit": _q_pii_scrub_audit,
+        "decontaminate_benchmark": _q_decontaminate_benchmark,
+        "domain_cap": _q_domain_cap,
         # structured streaming (drained availableNow; 3 of 4 oracle-checked).
         # Ordered before the rows-only tail: round 1's driver run stopped
         # mid-list, so oracle-bearing queries must not sit dead last.
@@ -1352,6 +1447,135 @@ def oracle_sql() -> dict[str, str]:
                                         ORDER BY df DESC, term) AS rn
               FROM freq)
             SELECT lang, term, df, rn FROM ranked WHERE rn <= 5
+        """,
+        "filter_repetition_stats": """
+            WITH toks AS (
+              SELECT doc_id, lang, string_split(text, ' ') AS t
+              FROM documents),
+            dup AS (
+              SELECT doc_id, lang, len(t) AS n_tok,
+                     len(list_distinct(t)) AS n_distinct
+              FROM toks),
+            bi AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(range(1, len(t)),
+                            i -> t[i] || ' ' || t[i + 1])) AS g
+              FROM toks WHERE len(t) >= 2),
+            cnt AS (
+              SELECT doc_id, lang, g, count(*) AS c
+              FROM bi GROUP BY doc_id, lang, g),
+            topc AS (
+              SELECT doc_id, lang, max(c) AS max_c, sum(c) AS tot_c
+              FROM cnt GROUP BY doc_id, lang),
+            per_doc AS (
+              SELECT d.lang, d.n_tok, d.n_distinct, tc.max_c, tc.tot_c,
+                     (1 - CAST(d.n_distinct AS DOUBLE) / d.n_tok > 0.7
+                      OR CAST(tc.max_c AS DOUBLE) / tc.tot_c > 0.12)
+                       AS repetitive
+              FROM dup d JOIN topc tc
+                ON d.doc_id = tc.doc_id AND d.lang = tc.lang)
+            SELECT lang, count(*) AS n_docs,
+                   round(1 - CAST(sum(n_distinct) AS DOUBLE)
+                             / CAST(sum(n_tok) AS DOUBLE), 4)
+                     AS dup_word_frac,
+                   round(CAST(sum(max_c) AS DOUBLE)
+                         / CAST(sum(tot_c) AS DOUBLE), 4)
+                     AS top_bigram_frac,
+                   CAST(sum(CASE WHEN repetitive THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_repetitive
+            FROM per_doc GROUP BY lang
+        """,
+        "filter_gopher_summary": """
+            WITH sw AS (
+              SELECT doc_id,
+                     len(string_split(' ' || text || ' ', ' the ')) - 1
+                   + len(string_split(' ' || text || ' ', ' and ')) - 1
+                   + len(string_split(' ' || text || ' ', ' of ')) - 1
+                   + len(string_split(' ' || text || ' ', ' el ')) - 1
+                   + len(string_split(' ' || text || ' ', ' los ')) - 1
+                   + len(string_split(' ' || text || ' ', ' der ')) - 1
+                   + len(string_split(' ' || text || ' ', ' und ')) - 1
+                   + len(string_split(' ' || text || ' ', ' le ')) - 1
+                   + len(string_split(' ' || text || ' ', ' les ')) - 1
+                     AS stop_hits
+              FROM documents),
+            flags AS (
+              SELECT d.lang,
+                     CASE
+                       WHEN len(string_split(d.text, ' ')) < 30
+                         THEN 'too_few_words'
+                       WHEN len(string_split(d.text, ' ')) > 100000
+                         THEN 'too_many_words'
+                       WHEN length(d.text)
+                            / len(string_split(d.text, ' ')) < 3.0
+                         THEN 'words_too_short'
+                       WHEN length(d.text)
+                            / len(string_split(d.text, ' ')) > 10.0
+                         THEN 'words_too_long'
+                       WHEN sw.stop_hits < 2 THEN 'too_few_stopwords'
+                       ELSE 'keep' END AS gopher_verdict
+              FROM documents d JOIN sw ON d.doc_id = sw.doc_id)
+            SELECT lang, gopher_verdict, count(*) AS n_docs
+            FROM flags GROUP BY lang, gopher_verdict
+        """,
+        "pii_scrub_audit": """
+            WITH aug AS (
+              SELECT doc_id, lang,
+                     'contact u' || doc_id || '@ex' || (doc_id % 7)
+                     || '.com ip 10.0.' || (doc_id % 256) || '.7 tel 555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' ' || text AS text
+              FROM documents),
+            scrub AS (
+              SELECT lang,
+                     len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS n_email,
+                     len(regexp_extract_all(text,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+                       AS n_ip,
+                     len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b'))
+                       AS n_phone,
+                     length(text) - length(
+                       regexp_replace(regexp_replace(regexp_replace(text,
+                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                         '<EMAIL>', 'g'),
+                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                         '<IP>', 'g'),
+                         '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'))
+                       AS removed
+              FROM aug)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_email) AS BIGINT) AS emails,
+                   CAST(sum(n_ip) AS BIGINT) AS ips,
+                   CAST(sum(n_phone) AS BIGINT) AS phones,
+                   CAST(sum(removed) AS BIGINT) AS chars_removed
+            FROM scrub GROUP BY lang
+        """,
+        "decontaminate_benchmark": """
+            WITH toks AS (
+              SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+            grams AS (
+              SELECT doc_id,
+                     unnest(list_distinct(list_transform(
+                       range(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+3], ' ')))) AS gram
+              FROM toks WHERE len(t) >= 4),
+            bench AS (
+              SELECT DISTINCT gram FROM grams WHERE doc_id % 97 = 0),
+            corpus AS (
+              SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0)
+            SELECT c.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_contaminated_grams
+            FROM corpus c JOIN bench b ON c.gram = b.gram
+            GROUP BY c.doc_id
+        """,
+        "domain_cap": """
+            SELECT source, doc_id, n_chars, rn FROM (
+              SELECT source, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY source
+                                        ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents) WHERE rn <= 10
         """,
         # Iterative min-label propagation == recursive-CTE reachability.
         "dedup_clusters": """

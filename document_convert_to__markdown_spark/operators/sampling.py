@@ -73,3 +73,43 @@ def stratified_sample(documents: DataFrame, fractions: dict,
     a given input partitioning): the data-mixing knob for training
     corpora — e.g. downsample dominant languages."""
     return documents.sampleBy(stratum_col, fractions, seed=seed)
+
+
+def domain_cap(df: DataFrame, domain_col: str = "source", cap: int = 10,
+               order_cols: list | None = None, key_col: str = "doc_id",
+               num_salts: int = 16) -> DataFrame:
+    """Per-domain document cap (the C4-style host quota): keep at most
+    ``cap`` rows per domain under a deterministic total order.
+
+    Scale shape: a naive ``row_number() OVER (PARTITION BY domain)``
+    puts every row of a mega-domain through one task.  This runs the
+    standard salted two-stage top-k instead:
+
+    1. rank within ``(domain, salt)`` where salt = hash(``key_col``) %
+       ``num_salts`` — each partition holds ~1/num_salts of the domain,
+       and only ``cap`` rows per salt bucket survive;
+    2. re-rank the ≤ cap x num_salts survivors within ``domain``.
+
+    Any row in the domain's true top ``cap`` ranks ≤ cap inside its salt
+    bucket too, so the result is *identical* to the single-window form
+    (the oracle checks it with plain SQL ``row_number``) while stage 2's
+    per-domain input is bounded by construction.  The order must be
+    total (callers should end with a unique key, e.g. doc_id) or ranks
+    are nondeterministic.
+    """
+    from pyspark.sql import Window
+
+    order_cols = order_cols or [F.col(key_col)]
+    salt = F.pmod(F.hash(key_col), F.lit(num_salts))
+    staged = df.withColumn("_salt", salt)
+    w1 = Window.partitionBy(domain_col, "_salt").orderBy(*order_cols)
+    survivors = (
+        staged.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= cap)
+        .drop("_salt", "_rn1")
+    )
+    w2 = Window.partitionBy(domain_col).orderBy(*order_cols)
+    return (
+        survivors.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= cap)
+    )
