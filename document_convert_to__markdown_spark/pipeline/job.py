@@ -284,10 +284,17 @@ def run_extraction_resumable(
     obs = Observation("extract_counters")
     statuses = ["ok", "failed", "skipped_empty", "skipped_unsupported",
                 "skipped_too_large"]
+    # DISK_ONLY, not MEMORY_AND_DISK: the cached relation carries every
+    # markdown/asset blob, and unrolling multi-MB rows into the columnar
+    # storage-memory cache competes with Arrow/shuffle execution memory
+    # exactly when the extract stage needs it most (heap pressure
+    # observed on 50k+-doc soaks at default heap).  Blob relations
+    # belong on executor-local scratch disk: written once, re-read
+    # sequentially per consuming action, never occupying storage memory.
     raw = plan.raw.observe(obs, *[
         F.sum(F.when(F.col("status") == s, 1).otherwise(0)).alias(s)
         for s in statuses
-    ]).persist(StorageLevel.MEMORY_AND_DISK)
+    ]).persist(StorageLevel.DISK_ONLY)
     try:
         docs = raw.filter(F.col("kind") == "doc")
         write_table(

@@ -242,8 +242,28 @@ skipped_too_large: 1}}`. The 122MB outlier surfaced a silent-drop bug in
 the size gate (row filtered instead of becoming a status row) - now
 fixed and regression-tested (`tests/test_skew_routing.py`).
 
+## Soak: write amplification of the resumable path (round-2 fix)
+
+Round 1 wrote a combined `raw` table then re-derived results/assets
+from it - every blob hit table storage twice. Round 2 caches the
+extract output on executor-local scratch (`DISK_ONLY` - blob relations
+must never occupy storage memory) and writes each table exactly once.
+Evidence (`python scripts/soak_resumable.py 50000 8.0`, local[32]):
+
+    bytes_in (corpus parquet)        688,007,044
+    bytes_out (results+assets+ledger) 682,457,623
+    stray bytes (e.g. a raw table)              0
+    amplification_vs_input               0.992x   (round 1: ~2x)
+    50,000/50,000 rows accounted, 127s = 392 docs/s
+    statuses {{ok: 49895, skipped_empty: 43, skipped_unsupported: 62}}
+
+Kill/resume semantics unchanged (`tests/test_kill_resume.py` green):
+commit order assets -> ledger -> results keeps `results` the
+done-marker.
+
 Regenerate: `python scripts/bench_scaling.py` (prints the JSON line and
-rewrites this file; the soak numbers above are from a one-off 200k run).
+rewrites this file; the soak numbers above are from one-off runs of the
+200k raw-path soak and `scripts/soak_resumable.py`).
 
 ```json
 {json.dumps(report)}
