@@ -691,6 +691,43 @@ def _q_stream_extract_parity(spark, sf):
     )
 
 
+def _q_warc_ingest(spark, sf):
+    """Common-Crawl-shaped ingest: synthesize a WARC archive (gzip,
+    per the CC contract), explode records to pages via the binaryFile +
+    mapInPandas source, extract, and prove byte-parity with the same
+    corpus fed straight from the synthesizer (sources/warc.py)."""
+    import tempfile
+
+    from document_convert_to__markdown_spark.data.synth import synth_page
+    from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
+    from document_convert_to__markdown_spark.pipeline.job import run_extraction
+    from document_convert_to__markdown_spark.sources.warc import (
+        read_warc_pages,
+        write_warc,
+    )
+
+    base = tempfile.mkdtemp(prefix="doc2md_warc_q_")
+    n = 80
+    rows = [(synth_page(i).url, synth_page(i).html) for i in range(n)]
+    with open(f"{base}/part-0.warc.gz", "wb") as fh:
+        write_warc(rows, fh, compress=True)
+
+    pages = read_warc_pages(spark, base)
+    got = run_extraction(pages, partitions=4).results \
+        .select("url", "status", "md_sha256")
+    want = run_extraction(synth_pages_df(spark, n), partitions=4) \
+        .results.select("url", "md_sha256")
+    joined = got.alias("g").join(want.alias("w"), "url")
+    return spark.createDataFrame(
+        [(
+            got.count(),
+            joined.filter("g.md_sha256 <=> w.md_sha256").count(),
+            got.join(want, "url", "left_anti").count(),
+        )],
+        "n_warc_docs bigint, n_hash_match bigint, n_unmatched bigint",
+    )
+
+
 def _q_multimodal_resize(spark, sf):
     """Resize plumbing (stubbed decode): every image row yields one
     fixed-shape resized row."""
@@ -982,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_sessionize_stateful": _q_stream_sessionize_stateful,
         "golden_fixture_compare": _q_golden_fixture_compare,
         "stream_extract_parity": _q_stream_extract_parity,
+        "warc_ingest": _q_warc_ingest,
         # extraction pipeline (Arrow UDF, rows-only)
         "extract_cleanup_chain": _q_extract_cleanup_chain,
         "extract_pipeline_stats": _q_extract_pipeline_stats,

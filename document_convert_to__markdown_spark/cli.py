@@ -27,6 +27,9 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--input-dir", default=None,
                         help="directory/glob of loose document files "
                              "(the reference CLI's input shape)")
+    parser.add_argument("--input-warc", default=None,
+                        help="directory/glob of WARC archives "
+                             "(.warc/.warc.gz, Common-Crawl shape)")
     parser.add_argument("--n-docs", type=int, default=None,
                         help="synthesize this many pages instead of reading a table")
     parser.add_argument("--seed", type=int, default=42)
@@ -61,8 +64,10 @@ def main(argv: list[str] | None = None) -> int:
 
     if not args.output:
         parser.error("--output is required")
-    if not args.input_table and not args.n_docs and not args.input_dir:
-        parser.error("one of --input-table / --input-dir / --n-docs is required")
+    if not (args.input_table or args.n_docs or args.input_dir
+            or args.input_warc):
+        parser.error("one of --input-table / --input-dir / --input-warc "
+                     "/ --n-docs is required")
 
     from .pipeline.session import build_session
     from .pipeline.job import run_extraction_resumable
@@ -76,6 +81,9 @@ def main(argv: list[str] | None = None) -> int:
         elif args.input_dir:
             from .sources import read_pages_from_files
             pages = read_pages_from_files(spark, args.input_dir)
+        elif args.input_warc:
+            from .sources.warc import read_warc_pages
+            pages = read_warc_pages(spark, args.input_warc)
         else:
             from .sources import read_pages
             pages = read_pages(spark, args.input_table)

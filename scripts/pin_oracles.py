@@ -25,6 +25,7 @@ sys.path.insert(0, ".")
 PINNABLE = [
     "golden_fixture_compare",
     "stream_extract_parity",
+    "warc_ingest",
     "extract_pipeline_stats",
     "extract_synth_corpus",
     "multimodal_media_meta",
