@@ -875,6 +875,43 @@ def _q_domain_cap(spark, sf):
     return capped.select("source", "doc_id", "n_chars", "rn")
 
 
+def _q_weighted_sample(spark, sf):
+    """Deterministic importance sampling: keep iff uniform(md5(doc_id))
+    < quality-proportional weight.  Unlike sampleBy, the decision is a
+    pure function of the row — identical across re-runs, partitionings
+    and backfills — and exactly SQL-expressible."""
+    from document_convert_to__markdown_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "w", F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0)))
+    return (
+        weighted_sample(docs, "w")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"),
+             F.sum("n_chars").alias("tokens_kept"))
+    )
+
+
+def _q_token_budget_select(spark, sf):
+    """Per-language token-budget selection (data-mixing primitive),
+    production bucketed form: driver prefix-sums coarse token-value
+    buckets, keeps full buckets wholesale, and runs the exact
+    cumulative window only inside the one boundary bucket per language
+    — identical output to the naive whole-language window the oracle
+    runs."""
+    from document_convert_to__markdown_spark.operators.sampling import (
+        token_budget_select_bucketed,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return (
+        token_budget_select_bucketed(docs, budget=10_000)
+        .select("lang", "doc_id", "n_chars", "cum_tokens")
+    )
+
+
 def _q_dataset_split(spark, sf):
     """Content-hash train/val/test split — deterministic across re-runs
     and backfills (no leakage when the corpus grows)."""
@@ -1011,6 +1048,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub_audit": _q_pii_scrub_audit,
         "decontaminate_benchmark": _q_decontaminate_benchmark,
         "domain_cap": _q_domain_cap,
+        "weighted_sample": _q_weighted_sample,
+        "token_budget_select": _q_token_budget_select,
         # structured streaming (drained availableNow; 3 of 4 oracle-checked).
         # Ordered before the rows-only tail: round 1's driver run stopped
         # mid-list, so oracle-bearing queries must not sit dead last.
@@ -1614,6 +1653,30 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY source
                                         ORDER BY n_chars DESC, doc_id) AS rn
               FROM documents) WHERE rn <= 10
+        """,
+        "weighted_sample": """
+            WITH drawn AS (
+              SELECT lang, n_chars,
+                     ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT / 4294967296.0 AS u,
+                     least(1.0, n_chars / 400.0) AS w
+              FROM documents)
+            SELECT lang, count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS tokens_kept
+            FROM drawn WHERE u < w GROUP BY lang
+        """,
+        "token_budget_select": """
+            SELECT lang, doc_id, n_chars,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM (
+              SELECT lang, doc_id, n_chars,
+                     sum(n_chars) OVER (
+                       PARTITION BY lang
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+              FROM documents)
+            WHERE cum_tokens <= 10000
         """,
         # Iterative min-label propagation == recursive-CTE reachability.
         "dedup_clusters": """

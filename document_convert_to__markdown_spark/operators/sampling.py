@@ -113,3 +113,133 @@ def domain_cap(df: DataFrame, domain_col: str = "source", cap: int = 10,
         survivors.withColumn("rn", F.row_number().over(w2))
         .filter(F.col("rn") <= cap)
     )
+
+
+def weighted_sample(df: DataFrame, weight_col: str,
+                    key_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-row Bernoulli sample: keep a row iff
+    uniform(key) < weight.
+
+    The uniform draw is a pure function of the row key (first 8 hex
+    digits of its md5, scaled to [0,1)) — re-runs, backfills and
+    incremental arrivals make identical keep/drop decisions, the same
+    no-leakage property ``dataset_split`` has, generalized to
+    per-row importance weights (e.g. quality-proportional downsampling
+    of boilerplate-heavy domains).  Pure Catalyst expressions; exactly
+    SQL-expressible, so the driver oracle checks it bit-for-bit
+    (``sampleBy``'s RNG draw, by contrast, depends on partitioning).
+    """
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("double") / F.lit(float(1 << 32))
+    )
+    return df.filter(u < F.col(weight_col))
+
+
+def token_budget_select(documents: DataFrame, budget: int,
+                        tokens_col: str = "n_chars",
+                        lang_col: str = "lang") -> DataFrame:
+    """Keep the best documents per language until a token budget fills
+    (the data-mixing primitive: "give me 50B tokens of each language,
+    best-first").
+
+    Order is (tokens_col DESC, doc_id) — a total order — and a document
+    is kept while the running token total *including it* stays within
+    ``budget``.  Implemented as a per-language cumulative window; the
+    two-phase bucketed form that survives a mega-language (prefix-sum
+    coarse value buckets on the driver, exact window only inside the
+    boundary bucket) is ``token_budget_select_bucketed`` — both return
+    identical rows and share one oracle.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(lang_col)
+         .orderBy(F.col(tokens_col).desc(), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        documents.withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )
+
+
+def token_budget_select_bucketed(documents: DataFrame, budget: int,
+                                 tokens_col: str = "n_chars",
+                                 lang_col: str = "lang",
+                                 bucket_width: int = 64) -> DataFrame:
+    """Scale-safe twin of ``token_budget_select``.
+
+    A per-language cumulative window puts the whole language through
+    one task.  But the cumsum order is (tokens DESC, doc_id), so
+    value-range buckets of the token count are *aligned prefixes* of
+    that order: bucket b = floor(tokens / width) descending.  Phase 1
+    aggregates (lang, bucket) → (sum, count) — a fine-grained shuffle
+    that partial-aggregates map-side; the per-language bucket lists are
+    tiny and prefix-summed on the driver.  Buckets whose prefix fits
+    entirely inside the budget are kept wholesale with no window at
+    all; exactly one boundary bucket per language still needs the exact
+    cumulative window, seeded with the prefix total — and its width is
+    bounded by the value range, not the language size.
+    """
+    from pyspark.sql import Window
+
+    bucket = F.floor(F.col(tokens_col) / bucket_width).alias("bucket")
+    per_bucket = (
+        documents.groupBy(lang_col, bucket)
+        .agg(F.sum(tokens_col).alias("tok"))
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in per_bucket:
+        by_lang.setdefault(r[lang_col], []).append((r["bucket"], r["tok"]))
+
+    full, boundary = [], []  # (lang, min_bucket_kept) / (lang, bucket, base)
+    for lang, buckets in by_lang.items():
+        buckets.sort(key=lambda t: -t[0])  # tokens DESC == bucket DESC
+        run = 0
+        for b, tok in buckets:
+            if run + tok <= budget:
+                run += tok
+                full.append((lang, b))
+            else:
+                boundary.append((lang, b, run))
+                break  # later buckets cannot fit ahead of this one
+
+    spark = documents.sparkSession
+    docs_b = documents.withColumn(
+        "bucket", F.floor(F.col(tokens_col) / bucket_width))
+
+    parts = []
+    if full:
+        full_df = F.broadcast(spark.createDataFrame(
+            full, f"{lang_col} string, min_bucket long")
+            .groupBy(lang_col).agg(F.min("min_bucket").alias("min_bucket")))
+        kept_full = (
+            docs_b.join(full_df, lang_col)
+            .filter(F.col("bucket") >= F.col("min_bucket"))
+            .drop("min_bucket")
+        )
+        # exact running totals for the kept-wholesale rows (same window,
+        # but over the bounded prefix relation, not the whole language)
+        parts.append(kept_full)
+    if boundary:
+        bdf = F.broadcast(spark.createDataFrame(
+            boundary, f"{lang_col} string, bucket long, base long"))
+        parts.append(
+            docs_b.join(bdf, [lang_col, "bucket"]).drop("base"))
+    if not parts:
+        return token_budget_select(documents, budget, tokens_col, lang_col)
+
+    candidates = parts[0]
+    for p in parts[1:]:
+        candidates = candidates.unionByName(p)
+    # One exact window over the pruned candidate set: full buckets plus
+    # the single boundary bucket per language — everything past the
+    # boundary was dropped before any window ran.
+    w = (Window.partitionBy(lang_col)
+         .orderBy(F.col(tokens_col).desc(), F.col("doc_id"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        candidates.drop("bucket")
+        .withColumn("cum_tokens", F.sum(tokens_col).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

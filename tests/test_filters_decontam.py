@@ -141,3 +141,52 @@ def test_domain_cap_respects_cap(spark):
                         order_cols=[F.col("doc_id")])
     per = capped.groupBy("source").count().collect()
     assert per and all(r["count"] <= 3 for r in per)
+
+
+# --------------------------------------------------------------------------
+# weighted sampling / token budget
+# --------------------------------------------------------------------------
+
+def test_weighted_sample_deterministic_and_monotone(spark):
+    from document_convert_to__markdown_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    docs = _docs(spark).withColumn(
+        "w", F.least(F.lit(1.0), F.col("n_chars") / F.lit(400.0)))
+    a = weighted_sample(docs, "w").select("doc_id")
+    b = weighted_sample(docs.repartition(13), "w").select("doc_id")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    # weight 1.0 keeps everything; weight 0.0 keeps nothing
+    assert weighted_sample(docs.withColumn("w", F.lit(1.0)), "w").count() \
+        == docs.count()
+    assert weighted_sample(docs.withColumn("w", F.lit(0.0)), "w").count() == 0
+
+
+def test_token_budget_bucketed_equals_naive(spark):
+    from document_convert_to__markdown_spark.operators.sampling import (
+        token_budget_select,
+        token_budget_select_bucketed,
+    )
+
+    docs = _docs(spark)
+    for budget in (500, 10_000, 10_000_000):
+        naive = token_budget_select(docs, budget) \
+            .select("lang", "doc_id", "cum_tokens")
+        bucketed = token_budget_select_bucketed(docs, budget) \
+            .select("lang", "doc_id", "cum_tokens")
+        assert naive.exceptAll(bucketed).count() == 0
+        assert bucketed.exceptAll(naive).count() == 0
+
+
+def test_token_budget_respects_budget(spark):
+    from document_convert_to__markdown_spark.operators.sampling import (
+        token_budget_select_bucketed,
+    )
+
+    kept = token_budget_select_bucketed(_docs(spark), budget=5000)
+    per_lang = kept.groupBy("lang").agg(F.sum("n_chars").alias("tot")) \
+        .collect()
+    assert per_lang and all(r["tot"] <= 5000 for r in per_lang)
+    assert kept.agg(F.max("cum_tokens")).first()[0] <= 5000
