@@ -73,7 +73,8 @@ def versions(root: str) -> list:
     return list(reversed(out))
 
 
-def _commit(root: str, df: DataFrame, op: str) -> Snapshot:
+def _commit(root: str, df: DataFrame, op: str,
+            base_files: list | None = None) -> Snapshot:
     os.makedirs(_snap_dir(root), exist_ok=True)
     parent = current_version(root)
     version = parent + 1
@@ -86,9 +87,12 @@ def _commit(root: str, df: DataFrame, op: str) -> Snapshot:
         if f.startswith("part-") and f.endswith(".parquet")
     )
 
-    files = new_files if op == "overwrite" or parent == 0 else (
-        load_snapshot(root, parent).files + new_files
-    )
+    if base_files is not None:
+        files = sorted(base_files) + new_files
+    elif op == "overwrite" or parent == 0:
+        files = new_files
+    else:
+        files = load_snapshot(root, parent).files + new_files
     manifest = {"op": op, "parent": parent, "files": files}
 
     # Write-then-rename: the manifest and the current pointer both land
@@ -126,6 +130,37 @@ def read(spark: SparkSession, root: str, version: int | None = None
         raise FileNotFoundError(f"no committed snapshot at {root}")
     snap = load_snapshot(root, v)
     return spark.read.parquet(*snap.files)
+
+
+def compact(spark: SparkSession, root: str,
+            small_file_bytes: int = 32 * 1024 * 1024,
+            target_file_bytes: int = 128 * 1024 * 1024) -> Snapshot | None:
+    """Bin-pack small data files into ~target-sized ones (the Iceberg
+    ``rewrite_data_files`` analog — the maintenance pass a 100 TB table
+    of streaming/append commits needs, or scans drown in file-open
+    overhead and tiny row groups defeat column-statistics pruning).
+
+    Reads only the files under ``small_file_bytes``, rewrites them as
+    ``ceil(total/target)`` files, and commits a manifest that keeps the
+    already-large files untouched — readers atomically flip from the
+    old file set to the new one with identical row contents.  The
+    superseded small files stay on disk for time travel until
+    ``expire_snapshots`` collects them.  Returns the new snapshot, or
+    None when fewer than two small files exist (nothing to gain).
+    """
+    v = current_version(root)
+    if v == 0:
+        return None
+    snap = load_snapshot(root, v)
+    sizes = {f: os.path.getsize(f) for f in snap.files}
+    small = [f for f, s in sizes.items() if s < small_file_bytes]
+    if len(small) < 2:
+        return None
+    big = [f for f in snap.files if f not in set(small)]
+    total = sum(sizes[f] for f in small)
+    n_out = max(1, -(-total // target_file_bytes))
+    compacted = spark.read.parquet(*small).repartition(n_out)
+    return _commit(root, compacted, "compact", base_files=big)
 
 
 def expire_snapshots(root: str, keep_last: int = 1) -> int:

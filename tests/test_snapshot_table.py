@@ -57,3 +57,33 @@ def test_expire_snapshots_deletes_dead_files(spark, root):
 def test_read_empty_table_raises(spark, root):
     with pytest.raises(FileNotFoundError):
         snap.read(spark, root)
+
+
+def test_compact_bin_packs_small_files(spark, root):
+    # 4 append commits x 4 partitions = 16 tiny files
+    for lo in range(0, 400, 100):
+        snap.commit_append(_df(spark, lo, lo + 100).repartition(4), root)
+    before = snap.load_snapshot(root, snap.current_version(root))
+    assert len(before.files) == 16
+
+    s = snap.compact(spark, root, small_file_bytes=1 << 20,
+                     target_file_bytes=1 << 20)
+    assert s is not None and s.op == "compact"
+    after = snap.load_snapshot(root, snap.current_version(root))
+    assert len(after.files) < len(before.files)
+
+    # identical contents, atomically flipped; old snapshot still readable
+    cur = snap.read(spark, root)
+    assert cur.count() == 400
+    assert cur.agg({"k": "sum"}).first()[0] == sum(range(400))
+    assert snap.read(spark, root, version=before.version).count() == 400
+
+    # expire now collects the superseded small files
+    deleted = snap.expire_snapshots(root, keep_last=1)
+    assert deleted >= len(before.files) - len(after.files) > 0
+    assert snap.read(spark, root).count() == 400
+
+
+def test_compact_noop_when_nothing_small(spark, root):
+    snap.commit_append(_df(spark, 0, 10).coalesce(1), root)
+    assert snap.compact(spark, root, small_file_bytes=1) is None
