@@ -118,39 +118,64 @@ def responses_from_warc(data: bytes) -> Iterator[tuple]:
                http_response_body(rec.payload))
 
 
+def _explode_warc_blobs(batches):
+    """mapInPandas kernel: (content) file-blob rows → pages rows.
+    ``text``/``lang`` are None — they are oracle columns the synthetic
+    corpus carries, not crawl data."""
+    import pandas as pd
+
+    for pdf in batches:
+        urls, tss, bodies = [], [], []
+        for blob in pdf["content"]:
+            for url, ts, body in responses_from_warc(bytes(blob)):
+                urls.append(url)
+                tss.append(ts)
+                bodies.append(body)
+        yield pd.DataFrame({
+            "url": urls,
+            "warc_ts": tss,
+            "html": bodies,
+            "text": [None] * len(urls),
+            "lang": [None] * len(urls),
+        })
+
+
+# binaryFile's fixed schema — needed explicitly for the streaming
+# reader (file-stream sources cannot infer).
+BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                      "length long, content binary")
+
+
 def read_warc_pages(spark, path_glob: str):
     """Directory/glob of ``.warc``/``.warc.gz`` files → pages relation.
 
     ``binaryFile`` gives (path, content) rows; each file's records are
-    exploded by an Arrow-batched ``mapInPandas``.  ``text``/``lang``
-    are None — they are oracle columns the synthetic corpus carries,
-    not crawl data.
+    exploded by an Arrow-batched ``mapInPandas``.
     """
-    import pandas as pd
-
     from ..pipeline.schemas import PAGES_SCHEMA
-
-    def explode(batches):
-        for pdf in batches:
-            urls, tss, bodies = [], [], []
-            for blob in pdf["content"]:
-                for url, ts, body in responses_from_warc(bytes(blob)):
-                    urls.append(url)
-                    tss.append(ts)
-                    bodies.append(body)
-            yield pd.DataFrame({
-                "url": urls,
-                "warc_ts": tss,
-                "html": bodies,
-                "text": [None] * len(urls),
-                "lang": [None] * len(urls),
-            })
 
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.warc*")
              .load(path_glob)
              .select("content"))
-    return files.mapInPandas(explode, schema=PAGES_SCHEMA)
+    return files.mapInPandas(_explode_warc_blobs, schema=PAGES_SCHEMA)
+
+
+def read_warc_pages_stream(spark, path_glob: str,
+                           max_files_per_trigger: Optional[int] = None):
+    """Streaming twin of ``read_warc_pages``: new WARC files arriving in
+    the directory become micro-batches (the continuous-crawl ingest
+    shape — each Common Crawl segment shows up as a file, the stream
+    checkpoint guarantees each is extracted exactly once)."""
+    from ..pipeline.schemas import PAGES_SCHEMA
+
+    reader = (spark.readStream.format("binaryFile")
+              .schema(BINARY_FILE_SCHEMA)
+              .option("pathGlobFilter", "*.warc*"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path_glob).select("content")
+    return files.mapInPandas(_explode_warc_blobs, schema=PAGES_SCHEMA)
 
 
 def write_warc(rows, fh: io.BufferedIOBase, compress: bool = False,

@@ -55,15 +55,20 @@ def stream_extract_df(
     input_path: str,
     max_files_per_trigger: Optional[int] = None,
     max_bytes: int = MAX_DOCUMENT_BYTES,
+    source_format: str = "parquet",
 ) -> DataFrame:
-    """Streaming extraction plan over a parquet directory of pages.
+    """Streaming extraction plan over arriving pages.
 
-    File-source streaming is the sandbox stand-in for an Iceberg
-    incremental scan (`spark.readStream.format("iceberg")` on a real
-    cluster — same plan shape, different source).  Giant-doc routing is
-    not split into a second branch here: the micro-batch boundary itself
-    bounds skew (small ``maxFilesPerTrigger`` keeps any one batch's
-    giant count low).
+    ``source_format="parquet"``: a directory of pages-schema parquet —
+    the sandbox stand-in for an Iceberg incremental scan
+    (`spark.readStream.format("iceberg")` on a real cluster — same plan
+    shape, different source).  ``source_format="warc"``: a directory of
+    Common-Crawl-shaped ``.warc``/``.warc.gz`` archives, exploded to
+    pages by ``sources.warc.read_warc_pages_stream`` — the
+    continuous-crawl ingest path.  Giant-doc routing is not split into
+    a second branch here: the micro-batch boundary itself bounds skew
+    (small ``maxFilesPerTrigger`` keeps any one batch's giant count
+    low).
 
     Batch/stream parity for the size gate: oversize documents are NOT
     filtered away — they surface as blob-free ``skipped_too_large``
@@ -72,10 +77,17 @@ def stream_extract_df(
     The union is stateless (two filters of one source), so it costs no
     extra streaming query.
     """
-    reader = spark.readStream.schema(PAGES_SCHEMA)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    pages = reader.parquet(_as_stream_source(input_path))
+    if source_format == "warc":
+        from ..sources.warc import read_warc_pages_stream
+
+        pages = read_warc_pages_stream(
+            spark, input_path, max_files_per_trigger=max_files_per_trigger)
+    else:
+        reader = spark.readStream.schema(PAGES_SCHEMA)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   max_files_per_trigger)
+        pages = reader.parquet(_as_stream_source(input_path))
 
     sized = pages.select("url", "html").withColumn(
         "_len", F.coalesce(F.length("html"), F.lit(0))
@@ -112,6 +124,7 @@ def run_stream_extraction(
     available_now: bool = True,
     max_files_per_trigger: Optional[int] = None,
     max_bytes: int = MAX_DOCUMENT_BYTES,
+    source_format: str = "parquet",
 ):
     """Run the stream to parquet; returns the StreamingQuery.
 
@@ -122,7 +135,8 @@ def run_stream_extraction(
     checkpoint only processes files added since the last commit.
     """
     results = stream_extract_df(spark, input_path, max_files_per_trigger,
-                                max_bytes=max_bytes)
+                                max_bytes=max_bytes,
+                                source_format=source_format)
     writer = (
         results.writeStream
         .format("parquet")

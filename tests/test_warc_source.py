@@ -85,3 +85,40 @@ def test_spark_warc_pages_extraction_parity(spark, tmp_path):
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
     assert got.filter(F.col("status") == "ok").count() > 0
+
+
+def test_stream_warc_ingest_incremental_exactly_once(spark, tmp_path):
+    """WARC files arriving in a watched directory become micro-batches;
+    the checkpoint makes re-drains no-ops and new files incremental."""
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        run_stream_extraction,
+    )
+
+    inp = tmp_path / "warc_in"
+    inp.mkdir()
+    out, chk = str(tmp_path / "out"), str(tmp_path / "chk")
+
+    def arrive(name, lo, hi):
+        rows = [(synth_page(i).url, synth_page(i).html)
+                for i in range(lo, hi)]
+        with open(inp / name, "wb") as fh:
+            write_warc(rows, fh, compress=True)
+
+    def drain():
+        q = run_stream_extraction(spark, str(inp), out, chk,
+                                  source_format="warc")
+        assert q.awaitTermination(120)
+
+    arrive("seg-0.warc.gz", 0, 15)
+    drain()
+    assert spark.read.parquet(out).count() == 15
+
+    drain()  # no new files -> no new rows (exactly-once per file)
+    assert spark.read.parquet(out).count() == 15
+
+    arrive("seg-1.warc.gz", 15, 25)
+    drain()
+    got = spark.read.parquet(out)
+    assert got.count() == 25
+    assert got.select("url").distinct().count() == 25
+    assert got.filter("status = 'ok'").count() > 0
