@@ -55,6 +55,31 @@ def _parse_headers(block: bytes) -> dict:
     return headers
 
 
+def _decompress_salvage(data: bytes) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream, salvaging every
+    complete member from a truncated or trailing-garbage file instead of
+    raising — crawl segments do arrive cut off, and one bad tail must
+    not lose the records before it (per-row isolation, extractor
+    contract)."""
+    import zlib
+
+    out, pos, n = [], 0, len(data)
+    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+        d = zlib.decompressobj(wbits=31)
+        try:
+            out.append(d.decompress(data[pos:]))
+            out.append(d.flush())
+        except zlib.error:
+            break
+        if not d.eof:
+            break  # truncated final member: keep what decompressed
+        consumed = n - pos - len(d.unused_data)
+        if consumed <= 0:
+            break
+        pos += consumed
+    return b"".join(out)
+
+
 def iter_records(data: bytes) -> Iterator[WarcRecord]:
     """Yield records from raw WARC bytes (gzip'd or plain).
 
@@ -63,7 +88,7 @@ def iter_records(data: bytes) -> Iterator[WarcRecord]:
     of raising.
     """
     if data[:2] == b"\x1f\x8b":
-        data = gzip.decompress(data)  # multi-member streams concatenate
+        data = _decompress_salvage(data)
     pos = 0
     n = len(data)
     while pos < n:

@@ -54,3 +54,47 @@ def test_text_payloads_roundtrip_without_failure(text):
     doc = extract_document("https://fuzz.example/t", text.encode("utf-8"))
     # text payloads may sniff as text/html/unknown, but never crash the row
     assert doc.status in VALID_STATUSES
+
+
+# --------------------------------------------------------------------------
+# WARC parser totality / roundtrip
+# --------------------------------------------------------------------------
+
+@settings(max_examples=150, deadline=None)
+@given(junk=st.binary(max_size=2048))
+def test_warc_parser_total_on_garbage(junk):
+    """iter_records never raises on arbitrary bytes — truncated heads,
+    bogus lengths, corrupt/truncated gzip and binary noise end
+    iteration (salvaging complete members) instead."""
+    from document_convert_to__markdown_spark.sources.warc import iter_records
+
+    for variant in (junk, b"WARC/1.0\r\n" + junk, b"\x1f\x8b" + junk):
+        records = list(iter_records(variant))
+        assert all(r.payload is not None for r in records)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    bodies=st.lists(st.binary(max_size=512), min_size=1, max_size=8),
+    compress=st.booleans(),
+)
+def test_warc_roundtrip_arbitrary_payloads(bodies, compress):
+    """write → parse recovers every record body byte-exact, in order,
+    for arbitrary binary payloads (incl. ones containing CRLFs and
+    fake WARC headers)."""
+    import io
+
+    from document_convert_to__markdown_spark.sources.warc import (
+        http_response_body,
+        iter_records,
+        write_warc,
+    )
+
+    rows = [(f"https://fuzz.example/{i}", b) for i, b in enumerate(bodies)]
+    buf = io.BytesIO()
+    write_warc(rows, buf, compress=compress)
+    recs = list(iter_records(buf.getvalue()))
+    assert len(recs) == len(bodies)
+    for rec, (url, body) in zip(recs, rows):
+        assert rec.target_uri == url
+        assert http_response_body(rec.payload) == body

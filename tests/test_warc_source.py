@@ -122,3 +122,20 @@ def test_stream_warc_ingest_incremental_exactly_once(spark, tmp_path):
     assert got.count() == 25
     assert got.select("url").distinct().count() == 25
     assert got.filter("status = 'ok'").count() > 0
+
+
+def test_truncated_gzip_salvages_complete_members():
+    """A gzip WARC cut mid-member still yields the records from the
+    members before the cut (one segment per member here)."""
+    import io
+
+    bufs = []
+    for i in range(3):
+        p = synth_page(i)
+        b = io.BytesIO()
+        write_warc([(p.url, p.html)], b, compress=True)
+        bufs.append(b.getvalue())
+    data = bufs[0] + bufs[1] + bufs[2][: len(bufs[2]) // 2]
+    recs = list(iter_records(data))
+    assert len(recs) == 2
+    assert recs[0].target_uri == synth_page(0).url
