@@ -42,6 +42,14 @@ BENCH_QUERIES = [
     "extract_cleanup_chain",
     "dataset_split",
     "curation_pipeline",
+    # round-2 curation gates
+    "filter_repetition_stats",
+    "filter_gopher_summary",
+    "pii_scrub_audit",
+    "decontaminate_benchmark",
+    "domain_cap",
+    "weighted_sample",
+    "token_budget_select",
 ]
 
 
