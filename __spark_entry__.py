@@ -875,6 +875,24 @@ def _q_domain_cap(spark, sf):
     return capped.select("source", "doc_id", "n_chars", "rn")
 
 
+def _q_sketch_distinct(spark, sf):
+    """HyperLogLog++ distinct-count sketches (approx_count_distinct)
+    next to exact counts — the constant-memory cardinality path for
+    10^12-row profiling (exact distinct shuffles every value; the
+    sketch is a fixed 2^p-register merge).  HLL++ is a pure function of
+    the value multiset (register max is commutative), so the output is
+    partition-independent and pinned as a golden oracle."""
+    docs = _load(spark, sf, "documents")
+    return (
+        docs.groupBy("source")
+        .agg(
+            F.approx_count_distinct("text", 0.02).alias("approx_texts"),
+            F.countDistinct("text").alias("exact_texts"),
+            F.approx_count_distinct("n_chars", 0.02).alias("approx_lengths"),
+        )
+    )
+
+
 def _q_weighted_sample(spark, sf):
     """Deterministic importance sampling: keep iff uniform(md5(doc_id))
     < quality-proportional weight.  Unlike sampleBy, the decision is a
@@ -1050,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": _q_domain_cap,
         "weighted_sample": _q_weighted_sample,
         "token_budget_select": _q_token_budget_select,
+        "sketch_distinct": _q_sketch_distinct,
         # structured streaming (drained availableNow; 3 of 4 oracle-checked).
         # Ordered before the rows-only tail: round 1's driver run stopped
         # mid-list, so oracle-bearing queries must not sit dead last.

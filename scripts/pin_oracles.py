@@ -26,6 +26,7 @@ PINNABLE = [
     "golden_fixture_compare",
     "stream_extract_parity",
     "warc_ingest",
+    "sketch_distinct",
     "extract_pipeline_stats",
     "extract_synth_corpus",
     "multimodal_media_meta",
