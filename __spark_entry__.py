@@ -875,6 +875,37 @@ def _q_domain_cap(spark, sf):
     return capped.select("source", "doc_id", "n_chars", "rn")
 
 
+def _q_asof_join_attribution(spark, sf):
+    """Point-in-time attribution: each click joined to the user's most
+    recent view at-or-before it — the as-of join Spark lacks natively,
+    built as a single-shuffle union + ordered window (operators/asof.py)
+    and checked against DuckDB's native ASOF LEFT JOIN."""
+    from document_convert_to__markdown_spark.operators.asof import asof_join
+
+    ev = _load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "value")
+    # Unmatched lefts coalesce to sentinels: NULL doubles/timestamps
+    # round-trip as NaN/NaT through pandas on the DuckDB side but as
+    # None through Spark collect — sentinels keep the value hash
+    # engine-neutral (left-join semantics themselves are covered by
+    # tests/test_asof.py).
+    return (
+        asof_join(clicks, views, on="ts", by="user_id",
+                  right_cols=["value"], suffix="_matched")
+        .select(
+            "event_id", "user_id", "ts",
+            F.coalesce(F.col("ts_matched"),
+                       F.lit("1970-01-01").cast("timestamp"))
+            .alias("matched_ts"),
+            F.coalesce(F.col("value_matched"), F.lit(-1.0))
+            .alias("matched_value"),
+        )
+    )
+
+
 def _q_sketch_distinct(spark, sf):
     """HyperLogLog++ distinct-count sketches (approx_count_distinct)
     next to exact counts — the constant-memory cardinality path for
@@ -1069,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample": _q_weighted_sample,
         "token_budget_select": _q_token_budget_select,
         "sketch_distinct": _q_sketch_distinct,
+        "asof_join_attribution": _q_asof_join_attribution,
         # structured streaming (drained availableNow; 3 of 4 oracle-checked).
         # Ordered before the rows-only tail: round 1's driver run stopped
         # mid-list, so oracle-bearing queries must not sit dead last.
@@ -1672,6 +1704,16 @@ def oracle_sql() -> dict[str, str]:
                      row_number() OVER (PARTITION BY source
                                         ORDER BY n_chars DESC, doc_id) AS rn
               FROM documents) WHERE rn <= 10
+        """,
+        "asof_join_attribution": """
+            SELECT l.event_id, l.user_id, l.ts,
+                   coalesce(r.ts, TIMESTAMP '1970-01-01')
+                     AS matched_ts,
+                   coalesce(r.value, -1.0) AS matched_value
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            ASOF LEFT JOIN
+                 (SELECT * FROM events WHERE event_type = 'view') r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
         """,
         "weighted_sample": """
             WITH drawn AS (

@@ -1,0 +1,77 @@
+"""As-of (point-in-time) join — the time-series primitive Spark lacks
+as a built-in, expressed as a single-shuffle union + ordered window.
+
+For every left row, find the latest right row of the same key whose
+time is <= the left row's time (``backward``; ``forward`` is the
+mirror).  The classic implementations are a per-key merge scan
+(pandas ``merge_asof``) or a range join; the Spark-native shape used
+here is the **union trick**:
+
+    tag left/right rows → union → window per key ordered by
+    (time, tag) → ``last(right_payload, ignorenulls=True)`` →
+    keep left rows
+
+One hash shuffle on the key, no Python, no range-explosion: the window
+carries the most recent right payload forward along each key's
+timeline, so every left row reads its match in O(1) amortized.  Rows
+that tie on time order right before left (tag 0 < 1), giving the
+inclusive `l.ts >= r.ts` semantics of DuckDB's native ASOF JOIN — which
+is exactly the oracle that checks this operator.
+
+Scale note: one key's full timeline lands in one window partition —
+inherent to as-of semantics (the scan is sequential per key).  Keys are
+users/instruments/sessions: high cardinality, so parallelism comes from
+key count; for a single pathological mega-key, pre-bucket by coarse
+time range and carry the last right row of bucket N-1 into bucket N
+(same driver-prefix pattern as sampling.token_budget_select_bucketed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: str | None = None, right_cols: list | None = None,
+              suffix: str = "_right",
+              direction: str = "backward") -> DataFrame:
+    """Left as-of join: every left row + the temporally closest right
+    row at-or-before (``backward``) / at-or-after (``forward``) it.
+
+    ``right_cols`` are the right-side columns to carry (default: all
+    but ``on``/``by``); they come back as ``<col><suffix>`` plus
+    ``<on><suffix>`` for the matched time.  Unmatched left rows keep
+    NULLs (left-join semantics).
+    """
+    from pyspark.sql import Window
+
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in (on, by)]
+    key_cols = [by] if by else []
+
+    payload = F.struct(F.col(on).alias(on),
+                       *[F.col(c) for c in right_cols])
+    r = right.select(*key_cols, F.col(on).alias("_t"),
+                     F.lit(0).alias("_tag"),
+                     payload.alias("_rp"))
+    l = left.select("*", F.col(on).alias("_t"), F.lit(1).alias("_tag"),
+                    F.lit(None).cast(r.schema["_rp"].dataType).alias("_rp"))
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    order = [F.col("_t"), F.col("_tag")]
+    if direction == "forward":
+        order = [F.col("_t").desc(), F.col("_tag")]
+    elif direction != "backward":
+        raise ValueError(f"direction must be backward/forward: {direction}")
+    w = (Window.partitionBy(*key_cols).orderBy(*order) if key_cols
+         else Window.orderBy(*order))
+    w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    matched = unioned.withColumn(
+        "_m", F.last("_rp", ignorenulls=True).over(w))
+    out = matched.filter(F.col("_tag") == 1)
+    proj = [F.col(c) for c in left.columns]
+    proj.append(F.col(f"_m.{on}").alias(f"{on}{suffix}"))
+    proj.extend(F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols)
+    return out.select(*proj)

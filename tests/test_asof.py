@@ -1,0 +1,75 @@
+"""As-of join: backward/forward semantics, ties, left-join nulls."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from document_convert_to__markdown_spark.operators.asof import asof_join
+
+
+def _t(s):
+    return datetime.fromisoformat(s)
+
+
+def _frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", _t("2024-01-01T10:00:00")),
+         (2, "u1", _t("2024-01-01T12:00:00")),
+         (3, "u2", _t("2024-01-01T09:00:00")),   # before any right row
+         (4, "u1", _t("2024-01-01T11:00:00"))],  # exact tie with right
+        ["id", "user", "ts"])
+    right = spark.createDataFrame(
+        [("u1", _t("2024-01-01T09:30:00"), 1.0),
+         ("u1", _t("2024-01-01T11:00:00"), 2.0),
+         ("u2", _t("2024-01-01T23:00:00"), 9.0)],
+        ["user", "ts", "v"])
+    return left, right
+
+
+def test_backward_semantics_and_ties(spark):
+    left, right = _frames(spark)
+    out = {r["id"]: r for r in
+           asof_join(left, right, on="ts", by="user",
+                     right_cols=["v"]).collect()}
+    assert out[1]["v_right"] == 1.0          # latest at-or-before 10:00
+    assert out[2]["v_right"] == 2.0          # 11:00 row wins at 12:00
+    assert out[4]["v_right"] == 2.0          # inclusive: equal ts matches
+    assert out[3]["v_right"] is None         # left-join: no earlier row
+    assert out[3]["ts_right"] is None
+
+
+def test_forward_semantics(spark):
+    left, right = _frames(spark)
+    out = {r["id"]: r for r in
+           asof_join(left, right, on="ts", by="user", right_cols=["v"],
+                     direction="forward").collect()}
+    assert out[1]["v_right"] == 2.0          # earliest at-or-after 10:00
+    assert out[3]["v_right"] == 9.0          # u2's 23:00 row
+    assert out[4]["v_right"] == 2.0          # inclusive tie
+    assert out[2]["v_right"] is None         # nothing after 12:00
+
+
+def test_asof_matches_duckdb_on_events(spark):
+    """Cross-engine: the union-window plan equals DuckDB's native ASOF
+    LEFT JOIN on the sf0.01 events table, row for row."""
+    import duckdb
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view") \
+        .select("user_id", "ts", "value")
+    got = {r["event_id"]: (r["ts_m"], r["value_m"]) for r in
+           asof_join(clicks, views, on="ts", by="user_id",
+                     right_cols=["value"], suffix="_m").collect()}
+
+    con = duckdb.connect()
+    con.execute("SET threads TO 2")
+    con.execute("CREATE VIEW events AS SELECT * FROM "
+                "read_parquet('/root/testdata/sf0.01/events.parquet')")
+    want = {row[0]: (row[1], row[2]) for row in con.execute("""
+        SELECT l.event_id, r.ts, r.value
+        FROM (SELECT * FROM events WHERE event_type='click') l
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r
+          ON l.user_id = r.user_id AND l.ts >= r.ts""").fetchall()}
+    assert got == want
