@@ -906,6 +906,34 @@ def _q_asof_join_attribution(spark, sf):
     )
 
 
+def _q_interval_join_errors(spark, sf):
+    """Range join via binned equi-join (operators/asof.py): errors
+    falling inside a +/-15min window around each click of the same
+    user, aggregated per click.  The naive BETWEEN plan is a
+    nested-loop cartesian; the binned form shuffles O(rows) on
+    (user, time-bin) and meets each qualifying pair in exactly one
+    bin.  Oracle: the plain BETWEEN join DuckDB can afford at sf."""
+    from document_convert_to__markdown_spark.operators.asof import (
+        interval_join,
+    )
+
+    ev = _load(spark, sf, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error") \
+        .select("user_id", "ts", "value")
+    return (
+        interval_join(errors, clicks, point_col="ts", by="user_id",
+                      bin_seconds=900)
+        .groupBy("click_id")
+        .agg(F.count("*").alias("n_errors"),
+             F.round(F.sum("value"), 4).alias("err_value"))
+    )
+
+
 def _q_sketch_distinct(spark, sf):
     """HyperLogLog++ distinct-count sketches (approx_count_distinct)
     next to exact counts — the constant-memory cardinality path for
@@ -1101,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_select": _q_token_budget_select,
         "sketch_distinct": _q_sketch_distinct,
         "asof_join_attribution": _q_asof_join_attribution,
+        "interval_join_errors": _q_interval_join_errors,
         # structured streaming (drained availableNow; 3 of 4 oracle-checked).
         # Ordered before the rows-only tail: round 1's driver run stopped
         # mid-list, so oracle-bearing queries must not sit dead last.
@@ -1714,6 +1743,21 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "interval_join_errors": """
+            WITH clicks AS (
+              SELECT event_id AS click_id, user_id,
+                     ts - INTERVAL 15 MINUTE AS s,
+                     ts + INTERVAL 15 MINUTE AS e
+              FROM events WHERE event_type = 'click'),
+            errors AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'error')
+            SELECT c.click_id, count(*) AS n_errors,
+                   round(sum(er.value), 4) AS err_value
+            FROM errors er JOIN clicks c
+              ON er.user_id = c.user_id AND er.ts BETWEEN c.s AND c.e
+            GROUP BY c.click_id
         """,
         "weighted_sample": """
             WITH drawn AS (

@@ -75,3 +75,37 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     proj.append(F.col(f"_m.{on}").alias(f"{on}{suffix}"))
     proj.extend(F.col(f"_m.{c}").alias(f"{c}{suffix}") for c in right_cols)
     return out.select(*proj)
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_col: str = "ts", start_col: str = "start",
+                  end_col: str = "end", by: str | None = None,
+                  bin_seconds: int = 900) -> DataFrame:
+    """Range join: every (point, interval) pair with
+    start <= point <= end (and equal ``by`` key, if given).
+
+    The naive plan for a BETWEEN predicate is a broadcast-nested-loop /
+    cartesian filter — O(points x intervals), dead at scale.  This runs
+    the standard **binned equi-join**: points get one time bin
+    (floor(epoch / bin_seconds)); intervals explode into the bin range
+    they overlap (``sequence`` — JVM-side, no Python); the join is then
+    a plain hash equi-join on (key, bin) with the exact BETWEEN as a
+    cheap post-filter.  Each qualifying pair meets in exactly one bin
+    (the point's), so no dedup pass is needed.  Shuffle volume is
+    O(points + interval-bins); pick ``bin_seconds`` near the typical
+    interval length so intervals explode into O(1) bins each.
+    """
+    key = [by] if by else []
+    p = points.withColumn(
+        "_bin", F.floor(F.unix_timestamp(point_col) / bin_seconds))
+    iv = intervals.withColumn(
+        "_bin",
+        F.explode(F.sequence(
+            F.floor(F.unix_timestamp(start_col) / bin_seconds),
+            F.floor(F.unix_timestamp(end_col) / bin_seconds))))
+    joined = p.join(iv, key + ["_bin"])
+    return (
+        joined.filter((F.col(point_col) >= F.col(start_col))
+                      & (F.col(point_col) <= F.col(end_col)))
+        .drop("_bin")
+    )

@@ -73,3 +73,53 @@ def test_asof_matches_duckdb_on_events(spark):
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type='view') r
           ON l.user_id = r.user_id AND l.ts >= r.ts""").fetchall()}
     assert got == want
+
+
+def test_interval_join_matches_naive(spark):
+    """Binned equi-join == naive BETWEEN join, incl. boundary points."""
+    from document_convert_to__markdown_spark.operators.asof import (
+        interval_join,
+    )
+
+    pts = spark.createDataFrame(
+        [(1, "u", _t("2024-01-01T10:00:00")),
+         (2, "u", _t("2024-01-01T10:15:00")),   # exact end boundary
+         (3, "u", _t("2024-01-01T10:15:01")),   # just outside
+         (4, "v", _t("2024-01-01T10:00:00"))],  # other key
+        ["pid", "user", "ts"])
+    ivs = spark.createDataFrame(
+        [(100, "u", _t("2024-01-01T09:45:00"), _t("2024-01-01T10:15:00"))],
+        ["iid", "user", "start", "end"])
+
+    got = interval_join(pts, ivs, point_col="ts", by="user",
+                        bin_seconds=60)
+    assert sorted(r["pid"] for r in got.collect()) == [1, 2]
+
+    naive = pts.join(ivs, "user").filter(
+        (F.col("ts") >= F.col("start")) & (F.col("ts") <= F.col("end")))
+    assert sorted(r["pid"] for r in naive.collect()) == [1, 2]
+
+
+def test_interval_join_corpus_parity_with_naive(spark):
+    """On real events, the binned plan returns exactly the naive
+    BETWEEN join's pairs for several bin widths."""
+    from document_convert_to__markdown_spark.operators.asof import (
+        interval_join,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    clicks = ev.filter("event_type = 'click'").select(
+        F.col("event_id").alias("click_id"), "user_id",
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end"))
+    errors = ev.filter("event_type = 'error'") \
+        .select("user_id", F.col("ts"), F.col("event_id").alias("err_id"))
+
+    naive = errors.join(clicks, "user_id").filter(
+        "ts >= start and ts <= end").select("click_id", "err_id")
+    for bins in (60, 900, 7200):
+        got = interval_join(errors, clicks, point_col="ts",
+                            by="user_id", bin_seconds=bins) \
+            .select("click_id", "err_id")
+        assert got.exceptAll(naive).count() == 0
+        assert naive.exceptAll(got).count() == 0
