@@ -906,6 +906,23 @@ def _q_asof_join_attribution(spark, sf):
     )
 
 
+def _q_tfidf_cosine_pairs(spark, sf):
+    """Embedding-free similarity: sparse TF-IDF cosine via the
+    inverted-index self-join (operators/similarity.py), fully
+    relational with a DuckDB oracle.  Scoped to a fixed 100-doc slice:
+    the synthetic corpus's ~31-term vocabulary makes every term a
+    stop-term (df≈80%), so the unpruned index join is inherently
+    quadratic on this data — the slice keeps the contract query
+    scale-invariant while the max_df prefix filter remains the
+    production control for real vocabularies."""
+    from document_convert_to__markdown_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+    )
+
+    docs = _load(spark, sf, "documents").filter(F.col("doc_id") < 100)
+    return tfidf_cosine_pairs(docs, threshold=0.8, max_df=95)
+
+
 def _q_interval_join_errors(spark, sf):
     """Range join via binned equi-join (operators/asof.py): errors
     falling inside a +/-15min window around each click of the same
@@ -1130,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_distinct": _q_sketch_distinct,
         "asof_join_attribution": _q_asof_join_attribution,
         "interval_join_errors": _q_interval_join_errors,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         # structured streaming (drained availableNow; 3 of 4 oracle-checked).
         # Ordered before the rows-only tail: round 1's driver run stopped
         # mid-list, so oracle-bearing queries must not sit dead last.
@@ -1743,6 +1761,39 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN
                  (SELECT * FROM events WHERE event_type = 'view') r
               ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "tfidf_cosine_pairs": """
+            WITH corpus AS (
+              SELECT * FROM documents WHERE doc_id < 100),
+            toks AS (
+              SELECT doc_id,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM corpus),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM toks WHERE term <> '' GROUP BY doc_id, term),
+            dfreq AS (
+              SELECT term, count(*) AS df FROM tf GROUP BY term),
+            w AS (
+              SELECT tf.doc_id, tf.term,
+                     tf.tf * ln(CAST((SELECT count(*) FROM corpus)
+                                     AS DOUBLE) / dfreq.df) AS w
+              FROM tf JOIN dfreq USING (term) WHERE dfreq.df <= 95),
+            norms AS (
+              SELECT doc_id, sqrt(sum(w * w)) AS norm
+              FROM w GROUP BY doc_id),
+            dots AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     sum(a.w * b.w) AS dot
+              FROM w a JOIN w b
+                ON a.term = b.term AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   round(dot / (na.norm * nb.norm), 4) AS cosine
+            FROM dots
+            JOIN norms na ON doc_a = na.doc_id
+            JOIN norms nb ON doc_b = nb.doc_id
+            WHERE round(dot / (na.norm * nb.norm), 4) >= 0.8
         """,
         "interval_join_errors": """
             WITH clicks AS (

@@ -293,3 +293,63 @@ def lsh_ann_topk(embeddings: DataFrame, query_vec: list[float],
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )
+
+
+def tfidf_cosine_pairs(documents: DataFrame, threshold: float = 0.3,
+                       max_df: int = 1000) -> DataFrame:
+    """Sparse TF-IDF cosine similarity pairs via an inverted-index join
+    — embedding-free near-dup/similarity detection, fully relational.
+
+    The classic MapReduce shape, all JVM-side:
+
+    1. term frequencies per (doc, term) + document frequencies per term
+       (two fine-grained aggregations with map-side partial combine);
+    2. TF-IDF weight ``tf * ln(N / df)`` and per-doc L2 norms;
+    3. the **inverted-index self-join**: pairs meet on shared terms, so
+       the join keys on ``term`` and the pair's dot product is
+       ``sum(w_a * w_b)`` grouped by (doc_a, doc_b).
+
+    Scale controls: terms with ``df > max_df`` are dropped before the
+    join (the standard stop-term prefix filter — a term appearing in
+    every doc contributes O(N²) join rows and ~zero discrimination
+    since idf→0), and the join shuffles on term, hash-distributed.
+    Exactly SQL-expressible → DuckDB oracle.
+    """
+    toks = documents.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("term").agg(F.count("*").alias("df")) \
+        .filter(F.col("df") <= max_df)
+    n_docs = documents.count()
+
+    w = (
+        tf.join(df, "term")
+        .select("doc_id", "term",
+                (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+                .alias("w"))
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+
+    a = w.alias("a")
+    b = w.alias("b")
+    dots = (
+        a.join(b, [F.col("a.term") == F.col("b.term"),
+                   F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("doc_a"),
+                 F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.alias("na")
+    nb = norms.alias("nb")
+    return (
+        dots.join(na, F.col("doc_a") == F.col("na.doc_id"))
+        .join(nb, F.col("doc_b") == F.col("nb.doc_id"))
+        .select(
+            "doc_a", "doc_b",
+            F.round(F.col("dot") / (F.col("na.norm") * F.col("nb.norm")),
+                    4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

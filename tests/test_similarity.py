@@ -149,3 +149,32 @@ def test_neardup_sub_bucket_is_subset(spark):
            for r in neardup_pairs_cosine(emb, threshold=0.3,
                                          sub_bucket=True).collect()}
     assert sub <= full
+
+
+def test_tfidf_cosine_pairs_pruning_and_ranking(spark):
+    """Near-identical docs score above unrelated ones; stop-terms over
+    max_df are pruned from the inverted index before the self-join."""
+    from document_convert_to__markdown_spark.operators.similarity import (
+        tfidf_cosine_pairs,
+    )
+
+    rows = [
+        (1, "the spark engine shuffles data across the cluster"),
+        (2, "the spark engine shuffles data across the network"),  # ~doc1
+        (3, "the cat sat on the mat with the hat"),                # unrelated
+        (4, "completely different vocabulary entirely here now"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r["doc_a"], r["doc_b"]): r["cosine"]
+             for r in tfidf_cosine_pairs(docs, threshold=0.0,
+                                         max_df=3).collect()}
+    assert pairs[(1, 2)] > 0.5                  # near-dup pair dominates
+    assert pairs[(1, 2)] > pairs.get((1, 3), 0.0)
+    assert (1, 4) not in pairs                  # zero shared terms
+
+    # "the" appears in 3 docs: max_df=2 prunes it from the index
+    pruned = {(r["doc_a"], r["doc_b"]): r["cosine"]
+              for r in tfidf_cosine_pairs(docs, threshold=0.0,
+                                          max_df=2).collect()}
+    assert (1, 3) not in pruned  # only shared term was the stop-term
+    assert pruned[(1, 2)] > 0.5
