@@ -248,18 +248,21 @@ Round 1 wrote a combined `raw` table then re-derived results/assets
 from it - every blob hit table storage twice. Round 2 caches the
 extract output on executor-local scratch (`DISK_ONLY` - blob relations
 must never occupy storage memory) and writes each table exactly once.
-Evidence (`python scripts/soak_resumable.py 50000 8.0`, local[32]):
+Evidence (`python scripts/soak_resumable.py 100000 8.0`, local[32],
+2.5GB corpus including one >100MB giant):
 
-    bytes_in (corpus parquet)        688,007,044
-    bytes_out (results+assets+ledger) 682,457,623
-    stray bytes (e.g. a raw table)              0
-    amplification_vs_input               0.992x   (round 1: ~2x)
-    50,000/50,000 rows accounted, 127s = 392 docs/s
-    statuses {{ok: 49895, skipped_empty: 43, skipped_unsupported: 62}}
+    bytes_in (corpus parquet)        1,851,086,967
+    bytes_out (results+assets+ledger) 1,355,309,244
+    stray bytes (e.g. a raw table)               0
+    amplification_vs_input                0.732x   (round 1: ~2x)
+    100,000/100,000 rows accounted, 282s = 355 docs/s
+    statuses {{ok: 99806, skipped_empty: 87, skipped_unsupported: 106,
+              skipped_too_large: 1}}  (the giant became a status row,
+              never a silent drop)
 
-Kill/resume semantics unchanged (`tests/test_kill_resume.py` green):
-commit order assets -> ledger -> results keeps `results` the
-done-marker.
+At 50k/688MB: 0.992x, 392 docs/s. Kill/resume semantics unchanged
+(`tests/test_kill_resume.py` green): commit order
+assets -> ledger -> results keeps `results` the done-marker.
 
 Regenerate: `python scripts/bench_scaling.py` (prints the JSON line and
 rewrites this file; the soak numbers above are from one-off runs of the
