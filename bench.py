@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "domain_cap",
     "weighted_sample",
     "token_budget_select",
+    "asof_join_attribution",
+    "interval_join_errors",
+    "tfidf_cosine_pairs",
+    "sketch_distinct",
 ]
 
 
