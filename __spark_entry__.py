@@ -676,6 +676,8 @@ def _q_stream_extract_parity(spark, sf):
     q = run_stream_extraction(spark, inp, out, chk)
     if not q.awaitTermination(120):
         q.stop()
+        raise TimeoutError("stream_extract_parity drain exceeded 120s; "
+                           "parity counts would be partial")
 
     streamed = spark.read.parquet(out).select("url", "md_sha256")
     batch = run_extraction(spark.read.parquet(inp), partitions=4) \
@@ -1701,25 +1703,35 @@ def oracle_sql() -> dict[str, str]:
                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                      || ' ' || text AS text
               FROM documents),
-            scrub AS (
+            -- counts taken on the progressively scrubbed text, matching
+            -- pii_scrub: each count equals actual replacements
+            s1 AS (
               SELECT lang,
                      len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
                        AS n_email,
-                     len(regexp_extract_all(text,
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t1,
+                     length(text) AS len0
+              FROM aug),
+            s2 AS (
+              SELECT lang, n_email, len0,
+                     len(regexp_extract_all(t1,
                        '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
                        AS n_ip,
-                     len(regexp_extract_all(text, '\\b\\d{3}-\\d{4}\\b'))
+                     regexp_replace(t1,
+                       '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+                       '<IP>', 'g') AS t2
+              FROM s1),
+            scrub AS (
+              SELECT lang, n_email, n_ip,
+                     len(regexp_extract_all(t2, '\\b\\d{3}-\\d{4}\\b'))
                        AS n_phone,
-                     length(text) - length(
-                       regexp_replace(regexp_replace(regexp_replace(text,
-                         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
-                         '<EMAIL>', 'g'),
-                         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
-                         '<IP>', 'g'),
-                         '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'))
+                     len0 - length(regexp_replace(t2,
+                       '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'))
                        AS removed
-              FROM aug)
+              FROM s2)
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_email) AS BIGINT) AS emails,
                    CAST(sum(n_ip) AS BIGINT) AS ips,

@@ -167,13 +167,16 @@ class _FallbackToStdlib(Exception):
     pass
 
 
+# ``=++`` mirrors stdlib attrfind_tolerant's ``=+`` (runs of equals
+# signs collapse before the value: ``a==x`` parses as value "x", not
+# "=x"); the value cannot then start with a quote (stdlib lookahead).
 _FAST_STARTTAG = re.compile(
     r'<([a-zA-Z][a-zA-Z0-9.:_-]*+)'
-    r'((?:\s++[^\s/>=]++(?:\s*+=\s*+'
+    r'((?:\s++[^\s/>=]++(?:\s*+=++\s*+'
     r'(?:"[^"]*+"|\'[^\']*+\'|(?![\'"])[^\s>]++))?+)*+)'
     r'\s*+(/?+)>')
 _FAST_ATTR = re.compile(
-    r'\s++([^\s/>=]++)(?:\s*+=\s*+'
+    r'\s++([^\s/>=]++)(?:\s*+=++\s*+'
     r'("[^"]*+"|\'[^\']*+\'|(?![\'"])[^\s>]++))?+')
 _FAST_ENDTAG = re.compile(r'</\s*+([a-zA-Z][-.a-zA-Z0-9:_]*+)\s*+>')
 _COMMENT_CLOSE = re.compile(r'--\s*>')

@@ -192,6 +192,8 @@ def _doc_text_from_clx(word: bytes, table: bytes,
     # Skip Prc (clxt 0x01) entries to the Pcdt (clxt 0x02).
     while pos < len(clx) and clx[pos] == 0x01:
         (cb,) = struct.unpack_from("<h", clx, pos + 1)
+        if cb <= 0:  # spec: cbGrpprl > 0; corrupt value must still advance
+            return None
         pos += 3 + cb
     if pos >= len(clx) or clx[pos] != 0x02:
         return None
@@ -280,7 +282,7 @@ def _xls_string(data: bytes, pos: int) -> Tuple[str, int]:
         (c_run,) = struct.unpack_from("<H", data, pos)
         pos += 2
     if opts & 0x04:  # fExtSt
-        (cb_ext,) = struct.unpack_from("<i", data, pos)
+        (cb_ext,) = struct.unpack_from("<I", data, pos)
         pos += 4
     if opts & 0x01:  # fHighByte → UTF-16LE
         raw = data[pos: pos + 2 * cch]

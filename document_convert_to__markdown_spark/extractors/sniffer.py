@@ -170,22 +170,30 @@ def sniff_format(payload: bytes) -> str:
     # CSV/TSV: >=3 parsed records sharing an identical field count >= 2
     # (csv.reader handles quoted fields containing delimiters; the last
     # line of the 512-byte head may be truncated mid-field, so drop it).
-    # Tab wins ties: a tabbed table often contains commas in its cells,
-    # but a comma table never contains stray tabs.
+    # BOTH delimiters are evaluated and the consistent one with the
+    # larger field count wins — a first-match-wins order misclassifies
+    # whichever dirty-data case it checks second (a comma table whose
+    # cells contain stray tabs, or a tabbed table with commas in cells;
+    # review r2).  Exact tie → tab, the rarer delimiter in prose.
     lines = [ln for ln in text.split("\n") if ln.strip()]
     if len(payload) > 512:
         lines = lines[:-1]
     if len(lines) >= 3:
         import csv as _csv
 
-        for delim, fmt in (("\t", FMT_TSV), (",", FMT_CSV)):
+        candidates = []
+        for delim, fmt, tiebreak in (("\t", FMT_TSV, 1), (",", FMT_CSV, 0)):
             try:
                 recs = list(_csv.reader(lines[:5], delimiter=delim))
             except _csv.Error:
                 continue
             if len(recs) >= 3:
                 widths = {len(r) for r in recs}
-                if len(widths) == 1 and widths.pop() >= 2:
-                    return fmt
+                if len(widths) == 1:
+                    w = widths.pop()
+                    if w >= 2:
+                        candidates.append((w, tiebreak, fmt))
+        if candidates:
+            return max(candidates)[2]
 
     return FMT_TEXT

@@ -153,8 +153,13 @@ def ngram_jaccard_pairs(documents: DataFrame, block: str = "minhash",
     ).select(
         "doc_id", "lang", "n_chars",
         F.expr(
-            "transform(sequence(0, greatest(size(toks) - 3, 0) - 1),"
+            # Guarded: size<4 would make sequence(0,-1) emit [0,-1] and
+            # toks[-1] crash under ANSI (short real-world docs; the
+            # committed testdata never goes below 10 tokens).
+            "CASE WHEN size(toks) > 3 THEN"
+            " transform(sequence(0, size(toks) - 4),"
             " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            " ELSE array() END"
         ).alias("grams"),
     )
     if block == "minhash":
@@ -267,8 +272,13 @@ def neardup_pipeline(documents: DataFrame, jaccard_threshold: float = 0.8
     ).select(
         "doc_id",
         F.expr(
-            "transform(sequence(0, greatest(size(toks) - 3, 0) - 1),"
+            # Guarded: size<4 would make sequence(0,-1) emit [0,-1] and
+            # toks[-1] crash under ANSI (short real-world docs; the
+            # committed testdata never goes below 10 tokens).
+            "CASE WHEN size(toks) > 3 THEN"
+            " transform(sequence(0, size(toks) - 4),"
             " i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))"
+            " ELSE array() END"
         ).alias("grams"),
     ).persist()
 

@@ -173,13 +173,17 @@ def pii_scrub(df: DataFrame, text_col: str = "text",
     Adds per-type match counts (``n_email``/``n_ip``/``n_phone``) so the
     caller can audit scrub volume without a second scan.  Order matters:
     emails are scrubbed before IPs so a host part containing dots is
-    not re-matched.  Spark ``regexp_replace`` is global by default
-    (DuckDB needs the 'g' flag — the oracle carries it).
+    not re-matched — and each count is taken on the *progressively
+    scrubbed* text, so counts equal actual replacements (counting the
+    raw column would report a phantom <PHONE> for '555-1234@x.com',
+    whose digits the email pass already consumed — review r2).  Spark
+    ``regexp_replace`` is global by default (DuckDB needs the 'g' flag —
+    the oracle carries it).
     """
     out = df
     scrubbed = F.col(text_col)
     for name, pat, tag in PII_PATTERNS:
-        out = out.withColumn(
-            f"n_{name}", F.regexp_count(text_col, F.lit(pat)))
+        out = out.withColumn(f"n_{name}",
+                             F.regexp_count(scrubbed, F.lit(pat)))
         scrubbed = F.regexp_replace(scrubbed, pat, tag)
     return out.withColumn(out_col, scrubbed)

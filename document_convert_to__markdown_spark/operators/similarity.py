@@ -128,9 +128,9 @@ def neardup_pairs_cosine(embeddings: DataFrame, threshold: float = 0.8,
     )
     a = normed.alias("a")
     b = normed.alias("b")
+    # Only reached with block=False (the grouped-map path returned
+    # above): the exact unblocked small-data variant.
     cond = [F.col("a.vec_id") < F.col("b.vec_id")]
-    if block:
-        cond.append(F.col("a.label") == F.col("b.label"))
     return (
         a.join(b, cond)
         .select(
@@ -178,9 +178,12 @@ def train_ivf_centroids(embeddings: DataFrame, n_centroids: int = _N_CENTROIDS,
     """Learn IVF centroids with MLlib k-means (kmeans|| init) — the real
     index-build step; at 10^9+ vectors this trains on a ~1% sample.
 
-    Returns L2-normalized centroids shaped (n_centroids, dim) for use
-    with ``ivf_ann_topk(..., centroids=...)``.  Deterministic: fixed
-    seed, fixed init.
+    Returns the raw cluster centers shaped (n_centroids, dim) — means
+    of unit vectors, so each has norm < 1; they are NOT re-normalized.
+    ``ivf_ann_topk`` routes by Euclidean distance on both sides, which
+    is consistent with unnormalized centers; a caller routing by
+    cosine/dot against these centers must normalize them first.
+    Deterministic: fixed seed, fixed init.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector

@@ -55,24 +55,39 @@ def _parse_headers(block: bytes) -> dict:
     return headers
 
 
-def _decompress_salvage(data: bytes) -> bytes:
+# Decompression ceiling per archive: Common Crawl WARCs are ~1 GB
+# compressed / ~4-5 GB raw.  A crafted gzip bomb would otherwise expand
+# without bound inside the executor (review r2).
+MAX_DECOMPRESSED_BYTES = 8 << 30
+
+
+def _decompress_salvage(data: bytes,
+                        max_bytes: int = MAX_DECOMPRESSED_BYTES) -> bytes:
     """Decompress a (possibly multi-member) gzip stream, salvaging every
     complete member from a truncated or trailing-garbage file instead of
     raising — crawl segments do arrive cut off, and one bad tail must
     not lose the records before it (per-row isolation, extractor
-    contract)."""
+    contract).  Output is capped at ``max_bytes``: members decoded
+    before the ceiling are kept, the rest of the archive is dropped
+    (a gzip bomb must not OOM the executor)."""
     import zlib
 
-    out, pos, n = [], 0, len(data)
+    out, total, pos, n = [], 0, 0, len(data)
     while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
         d = zlib.decompressobj(wbits=31)
         try:
-            out.append(d.decompress(data[pos:]))
-            out.append(d.flush())
+            chunk = d.decompress(data[pos:], max_bytes - total)
+            if d.unconsumed_tail:
+                break  # member alone exceeds the ceiling: stop here
+            chunk += d.flush()
         except zlib.error:
             break
+        out.append(chunk)
+        total += len(chunk)
         if not d.eof:
             break  # truncated final member: keep what decompressed
+        if total >= max_bytes:
+            break
         consumed = n - pos - len(d.unused_data)
         if consumed <= 0:
             break
@@ -145,24 +160,30 @@ def responses_from_warc(data: bytes) -> Iterator[tuple]:
 
 def _explode_warc_blobs(batches):
     """mapInPandas kernel: (content) file-blob rows → pages rows.
+
+    Yields one frame PER FILE, not per Arrow batch: a batch can hold
+    several ~1GB archives, and accumulating every decoded record of the
+    whole batch before emitting would spike executor memory to
+    O(sum of decompressed files) (review r2).  Per-file emission bounds
+    the peak at one decompressed archive + its decoded records.
     ``text``/``lang`` are None — they are oracle columns the synthetic
     corpus carries, not crawl data."""
     import pandas as pd
 
     for pdf in batches:
-        urls, tss, bodies = [], [], []
         for blob in pdf["content"]:
+            urls, tss, bodies = [], [], []
             for url, ts, body in responses_from_warc(bytes(blob)):
                 urls.append(url)
                 tss.append(ts)
                 bodies.append(body)
-        yield pd.DataFrame({
-            "url": urls,
-            "warc_ts": tss,
-            "html": bodies,
-            "text": [None] * len(urls),
-            "lang": [None] * len(urls),
-        })
+            yield pd.DataFrame({
+                "url": urls,
+                "warc_ts": tss,
+                "html": bodies,
+                "text": [None] * len(urls),
+                "lang": [None] * len(urls),
+            })
 
 
 # binaryFile's fixed schema — needed explicitly for the streaming

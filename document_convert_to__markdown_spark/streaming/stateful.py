@@ -107,6 +107,10 @@ def run_stream_sessionize(
     )
     if not q.awaitTermination(120):
         q.stop()
+        # Silent partials masquerade as complete session totals — fail
+        # loudly instead (review r2).
+        raise TimeoutError("sessionize drain exceeded 120s; partial "
+                           "state would be returned as final")
 
     from pyspark.sql.window import Window
 

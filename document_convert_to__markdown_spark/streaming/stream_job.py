@@ -216,9 +216,12 @@ def drain_stream_agg(agg: DataFrame, name: str) -> DataFrame:
         .outputMode("complete").trigger(availableNow=True).start()
     )
     # Bounded wait: availableNow drains in seconds at test scale; if the
-    # source stalls, stop rather than hang the caller (driver-friendly).
+    # source stalls, fail loudly — a stopped-short drain would surface
+    # truncated aggregates as if they were complete (review r2).
     if not q.awaitTermination(120):
         q.stop()
+        raise TimeoutError("stream drain exceeded 120s; aggregate would "
+                           "be partial")
     return spark.table(name)
 
 

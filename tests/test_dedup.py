@@ -95,3 +95,25 @@ def test_ngram_minhash_band_blocking_finds_neardups(spark, docs):
     assert pairs.get((0, 1), 0.0) > 0.8
     # dissimilar docs must not be paired by the band
     assert (0, 4) not in pairs
+
+
+def test_ngram_pairs_tolerate_short_docs(spark):
+    """Docs under 4 tokens must produce empty gram arrays, not an ANSI
+    array-index crash (sequence(0,-1) -> toks[-1]) — code-review r2."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        neardup_pipeline,
+        ngram_jaccard_pairs,
+    )
+
+    rows = [
+        (1, "a", "en", 1),
+        (2, "", "en", 0),
+        (3, "a b c", "en", 5),
+        (4, "w x y z longer doc with enough tokens here", "en", 43),
+        (5, "w x y z longer doc with enough tokens here", "en", 43),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang", "n_chars"])
+    pairs = ngram_jaccard_pairs(docs, block="minhash").collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(4, 5)}
+    kept = neardup_pipeline(docs)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3, 4]

@@ -190,3 +190,16 @@ def test_token_budget_respects_budget(spark):
         .collect()
     assert per_lang and all(r["tot"] <= 5000 for r in per_lang)
     assert kept.agg(F.max("cum_tokens")).first()[0] <= 5000
+
+
+def test_pii_counts_equal_actual_replacements(spark):
+    """Overlapping patterns: the email pass consumes '555-1234@x.com'
+    whole, so no phone tag is inserted and n_phone must be 0 —
+    counts are taken on the progressively scrubbed text (review r2)."""
+    df = spark.createDataFrame(
+        [(1, "reach 555-1234@example.com today")], ["doc_id", "text"])
+    row = pii_scrub(df).first()
+    assert row["n_email"] == 1
+    assert row["n_phone"] == 0
+    assert row["text_scrubbed"] == "reach <EMAIL> today"
+    assert row["text_scrubbed"].count("<PHONE>") == 0

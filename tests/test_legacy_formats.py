@@ -131,3 +131,62 @@ def test_new_formats_deterministic():
         d1 = extract_document("http://x/d", a)
         d2 = extract_document("http://x/d", a)
         assert d1 == d2
+
+
+def test_doc_clx_negative_prc_terminates():
+    """Corrupt Prc cb <= -3 must not hang the CLX skip loop (review r2)."""
+    import struct
+
+    from document_convert_to__markdown_spark.extractors.ole2 import (
+        _doc_text_from_clx,
+    )
+
+    clx = b"\x01" + struct.pack("<h", -3) + b"\x00" * 8
+    assert _doc_text_from_clx(b"", clx, 0, len(clx)) is None
+
+
+def test_xls_string_negative_cbext_advances():
+    """cbExtRst read as signed made next_pos == pos -> SST loop spin;
+    must now strictly advance past the record (review r2)."""
+    import struct
+
+    from document_convert_to__markdown_spark.extractors.ole2 import (
+        _xls_string,
+    )
+
+    data = struct.pack("<H", 0) + bytes([0x04]) + struct.pack("<i", -7)
+    text, nxt = _xls_string(data, 0)
+    assert nxt > 0 and text == ""
+
+
+def test_extract_document_survives_corrupt_ole2():
+    """A crafted OLE2 container with corrupt inner streams must come
+    back as a status row in bounded time, never a hang/crash."""
+    from document_convert_to__markdown_spark.extractors.extract import (
+        extract_document,
+    )
+
+    # minimal header with OLE2 magic + garbage body
+    payload = (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 504
+               + b"\xff" * 2048)
+    r = extract_document("https://x.example/corrupt.doc", payload)
+    assert r.status in ("ok", "failed", "skipped_unsupported")
+
+
+def test_sniffer_prefers_higher_field_count_delimiter():
+    """A comma table whose cells contain stray tabs must stay CSV; a tab
+    table with commas in cells must stay TSV (review r2)."""
+    from document_convert_to__markdown_spark.extractors.sniffer import (
+        FMT_CSV,
+        FMT_TSV,
+        sniff_format,
+    )
+
+    csv_with_tabs = ("a\tb,c\td,e,f\n" * 4).encode()
+    assert sniff_format(csv_with_tabs) == FMT_CSV  # 4 comma fields vs 3 tab
+    tsv_with_commas = ("x, y\tz\tw\tv\n" * 4).encode()
+    assert sniff_format(tsv_with_commas) == FMT_TSV  # 4 tab fields vs 2 comma
+    pure_tsv = ("k1\tk2\tk3\n" * 4).encode()
+    assert sniff_format(pure_tsv) == FMT_TSV
+    pure_csv = ("k1,k2,k3\n" * 4).encode()
+    assert sniff_format(pure_csv) == FMT_CSV

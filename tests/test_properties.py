@@ -137,6 +137,7 @@ _HTML_CHUNKS = st.sampled_from([
     "\n  ", "<h2>t</h2>", "<td>", "<span data=a/>", "<a/ >", "<a href=>",
     "<![CDATA[raw]]>", "</>", "<foo.bar:baz>", "<div\nid='n'>",
     "<script></SCRIPT >", "<script></scriptx></script>",
+    "<a href==/page.html>", "<a b==='x'>", "<a b= =x>", "<a b==>",
 ])
 
 

@@ -139,3 +139,25 @@ def test_truncated_gzip_salvages_complete_members():
     recs = list(iter_records(data))
     assert len(recs) == 2
     assert recs[0].target_uri == synth_page(0).url
+
+
+def test_gzip_bomb_capped():
+    """A hugely-expanding member must not blow past the decompression
+    ceiling; members before it are kept (review r2)."""
+    import gzip as _gz
+    import io
+
+    from document_convert_to__markdown_spark.sources.warc import (
+        _decompress_salvage,
+    )
+
+    ok = io.BytesIO()
+    write_warc([(synth_page(0).url, synth_page(0).html)], ok, compress=True)
+    bomb = _gz.compress(b"\x00" * (64 << 20), mtime=0)  # 64MB from ~64KB
+    data = ok.getvalue() + bomb
+
+    out = _decompress_salvage(data, max_bytes=1 << 20)
+    assert len(out) < (2 << 20)  # bomb not expanded past the ceiling
+    # end-to-end: the capped archive still yields the good record
+    got = list(responses_from_warc(data))
+    assert len(got) == 1 and got[0][0] == synth_page(0).url
