@@ -141,3 +141,64 @@ def test_exact_dedup_partial_agg(spark, sf):
     assert plan.count("HashAggregate") == 2, plan
     assert "Exchange hashpartitioning(text_hash" in plan, plan
     assert "text#" not in plan.split("Exchange")[0], plan
+
+
+def test_decontamination_broadcasts_benchmark(spark, sf):
+    """Benchmark grams must broadcast — the corpus side never shuffles
+    for the join (only the final per-doc aggregation exchanges)."""
+    from document_convert_to__markdown_spark.operators.decontam import (
+        ngram_contamination,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    corpus = docs.filter(F.col("doc_id") % 97 != 0)
+    p = plan_str(ngram_contamination(corpus, bench, n=4))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_interval_join_is_hash_join(spark, sf):
+    """The BETWEEN predicate must ride a binned hash equi-join — never
+    a nested-loop/cartesian plan."""
+    from document_convert_to__markdown_spark.operators.asof import (
+        interval_join,
+    )
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = ev.filter("event_type = 'click'").select(
+        "user_id",
+        (F.col("ts") - F.expr("INTERVAL 15 MINUTES")).alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 15 MINUTES")).alias("end"))
+    errors = ev.filter("event_type = 'error'").select("user_id", "ts")
+    p = plan_str(interval_join(errors, clicks, point_col="ts",
+                               by="user_id"))
+    assert "HashJoin" in p
+    assert "NestedLoop" not in p and "Cartesian" not in p
+
+
+def test_asof_join_single_shuffle(spark, sf):
+    """The union-window as-of plan exchanges exactly once (on the key)."""
+    from document_convert_to__markdown_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    clicks = ev.filter("event_type = 'click'") \
+        .select("event_id", "user_id", "ts")
+    views = ev.filter("event_type = 'view'").select("user_id", "ts", "value")
+    p = plan_str(asof_join(clicks, views, on="ts", by="user_id",
+                           right_cols=["value"]), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_domain_cap_two_bounded_windows(spark, sf):
+    """Salted top-k: exactly two exchanges — (domain, salt) then domain
+    over the cap-bounded survivors."""
+    from document_convert_to__markdown_spark.operators.sampling import (
+        domain_cap,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p = plan_str(domain_cap(docs, domain_col="source", cap=10,
+                            order_cols=[F.col("n_chars").desc(),
+                                        F.col("doc_id")]), mode="simple")
+    assert p.count("Exchange hashpartitioning") == 2
