@@ -1093,6 +1093,33 @@ def _q_golden_fixture_compare(spark, sf):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # --- Round-3 head: the 18 entries the driver never scored. ---
+        # The driver scores exactly the first 50 queries()
+        # (CORRECTNESS_r01/_r02 each contain exactly 50 rows, cut at list
+        # position 51), so entries past 50 never get a verdict.  Rounds
+        # 1-2 banked green rows for the other 50; rotating these to the
+        # head gets them their driver verdict (VERDICT.md r2 "Next
+        # round" #1).  All 18 pass scripts/check_correctness.py locally.
+        "token_budget_select": _q_token_budget_select,
+        "sketch_distinct": _q_sketch_distinct,
+        "asof_join_attribution": _q_asof_join_attribution,
+        "interval_join_errors": _q_interval_join_errors,
+        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
+        # structured streaming (drained availableNow)
+        "stream_window_events": _q_stream_window_events,
+        "stream_dedup_users": _q_stream_dedup_users,
+        "stream_sessionize_stateful": _q_stream_sessionize_stateful,
+        "golden_fixture_compare": _q_golden_fixture_compare,
+        "stream_extract_parity": _q_stream_extract_parity,
+        "warc_ingest": _q_warc_ingest,
+        # extraction pipeline (Arrow UDF)
+        "extract_cleanup_chain": _q_extract_cleanup_chain,
+        "extract_pipeline_stats": _q_extract_pipeline_stats,
+        "extract_synth_corpus": _q_extract_synth_corpus,
+        "multimodal_media_meta": _q_multimodal_media_meta,
+        "multimodal_resize": _q_multimodal_resize,
+        "multimodal_frame_sample": _q_multimodal_frame_sample,
+        "text_winnow_fps": _q_text_winnow_fps,
         # SURVEY §2 Part A/B operators (SQL-expressible)
         "a2_size_filter": _q_a2_size_filter,
         "a3_validation_status": _q_a3_validation_status,
@@ -1145,28 +1172,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_benchmark": _q_decontaminate_benchmark,
         "domain_cap": _q_domain_cap,
         "weighted_sample": _q_weighted_sample,
-        "token_budget_select": _q_token_budget_select,
-        "sketch_distinct": _q_sketch_distinct,
-        "asof_join_attribution": _q_asof_join_attribution,
-        "interval_join_errors": _q_interval_join_errors,
-        "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
-        # structured streaming (drained availableNow; 3 of 4 oracle-checked).
-        # Ordered before the rows-only tail: round 1's driver run stopped
-        # mid-list, so oracle-bearing queries must not sit dead last.
-        "stream_window_events": _q_stream_window_events,
-        "stream_dedup_users": _q_stream_dedup_users,
-        "stream_sessionize_stateful": _q_stream_sessionize_stateful,
-        "golden_fixture_compare": _q_golden_fixture_compare,
-        "stream_extract_parity": _q_stream_extract_parity,
-        "warc_ingest": _q_warc_ingest,
-        # extraction pipeline (Arrow UDF, rows-only)
-        "extract_cleanup_chain": _q_extract_cleanup_chain,
-        "extract_pipeline_stats": _q_extract_pipeline_stats,
-        "extract_synth_corpus": _q_extract_synth_corpus,
-        "multimodal_media_meta": _q_multimodal_media_meta,
-        "multimodal_resize": _q_multimodal_resize,
-        "multimodal_frame_sample": _q_multimodal_frame_sample,
-        "text_winnow_fps": _q_text_winnow_fps,
     }
 
 
