@@ -79,13 +79,24 @@ class CompoundFile:
             (sid,) = struct.unpack_from("<I", self._raw, 76 + 4 * i)
             if sid not in (_FREESECT, _ENDOFCHAIN):
                 fat_sector_ids.append(sid)
-        # ...then DIFAT sectors chain through their last entry.
+        # ...then DIFAT sectors chain through their last entry.  The
+        # header-declared count is attacker-controlled (up to 2^32) and
+        # a self-looping DIFAT sector would otherwise spin forever while
+        # appending 127 ids per pass (ADVICE r2) — clamp the walk to the
+        # number of sectors the payload can physically hold and break on
+        # any revisited sector, mirroring the _chain guard.
         sid = self._difat_start
         per = self._sector_size // 4 - 1
-        for _ in range(self._n_difat_sects):
-            if sid in (_FREESECT, _ENDOFCHAIN):
+        seen: set = set()
+        max_difat = min(self._n_difat_sects,
+                        len(self._raw) // self._sector_size + 1)
+        for _ in range(max_difat):
+            if sid in (_FREESECT, _ENDOFCHAIN) or sid in seen:
                 break
+            seen.add(sid)
             sect = self._sector(sid)
+            if len(sect) < self._sector_size:
+                break  # chain points past the payload: unframeable
             for i in range(per):
                 (e,) = struct.unpack_from("<I", sect, 4 * i)
                 if e not in (_FREESECT, _ENDOFCHAIN):

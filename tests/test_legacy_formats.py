@@ -159,6 +159,36 @@ def test_xls_string_negative_cbext_advances():
     assert nxt > 0 and text == ""
 
 
+def test_difat_self_loop_terminates():
+    """A header-declared 2^32-sector DIFAT chain whose sector points at
+    itself must terminate instantly, not hang sniff_format for every
+    OLE2-magic crawl payload (ADVICE r2)."""
+    import struct
+    import time
+
+    from document_convert_to__markdown_spark.extractors.ole2 import (
+        sniff_ole2_subtype,
+    )
+
+    head = bytearray(512)
+    head[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", head, 30, 9)   # 512-byte sectors
+    struct.pack_into("<H", head, 32, 6)
+    struct.pack_into("<I", head, 48, 0xFFFFFFFE)  # dir: end of chain
+    struct.pack_into("<I", head, 60, 0xFFFFFFFE)  # minifat: none
+    struct.pack_into("<I", head, 68, 0)           # DIFAT chain at sector 0
+    struct.pack_into("<I", head, 72, 0xFFFFFFFF)  # claimed chain length
+    for off in range(76, 512, 4):
+        struct.pack_into("<I", head, off, 0xFFFFFFFF)
+    difat_sect = bytearray(b"\xff" * 512)
+    struct.pack_into("<I", difat_sect, 508, 0)    # next DIFAT -> itself
+    payload = bytes(head) + bytes(difat_sect)
+
+    t0 = time.monotonic()
+    assert sniff_ole2_subtype(payload) == "unknown"
+    assert time.monotonic() - t0 < 2.0
+
+
 def test_extract_document_survives_corrupt_ole2():
     """A crafted OLE2 container with corrupt inner streams must come
     back as a status row in bounded time, never a hang/crash."""
