@@ -828,6 +828,10 @@ def _q_pii_scrub_audit(spark, sf):
             F.lit(".com ip 10.0."), (F.col("doc_id") % 256).cast("string"),
             F.lit(".7 tel 555-"),
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" intl +1-202-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" office (415) 555."),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
             F.lit(" "), F.col("text"),
         ).alias("text"),
     )
@@ -1706,6 +1710,10 @@ def oracle_sql() -> dict[str, str]:
                      'contact u' || doc_id || '@ex' || (doc_id % 7)
                      || '.com ip 10.0.' || (doc_id % 256) || '.7 tel 555-'
                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' intl +1-202-555-'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     || ' office (415) 555.'
+                     || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                      || ' ' || text AS text
               FROM documents),
             -- counts taken on the progressively scrubbed text, matching
@@ -1731,10 +1739,12 @@ def oracle_sql() -> dict[str, str]:
               FROM s1),
             scrub AS (
               SELECT lang, n_email, n_ip,
-                     len(regexp_extract_all(t2, '\\b\\d{3}-\\d{4}\\b'))
+                     len(regexp_extract_all(t2,
+                       '(?:\\+\\d{1,3}[-. ])?(?:\\(\\d{3}\\)[-. ]?\\d{3}[-.]\\d{4}\\b|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b|\\b\\d{3}-\\d{4}\\b)'))
                        AS n_phone,
                      len0 - length(regexp_replace(t2,
-                       '\\b\\d{3}-\\d{4}\\b', '<PHONE>', 'g'))
+                       '(?:\\+\\d{1,3}[-. ])?(?:\\(\\d{3}\\)[-. ]?\\d{3}[-.]\\d{4}\\b|\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b|\\b\\d{3}-\\d{4}\\b)',
+                       '<PHONE>', 'g'))
                        AS removed
               FROM s2)
             SELECT lang, count(*) AS n_docs,

@@ -158,11 +158,21 @@ def gopher_keep(documents: DataFrame) -> DataFrame:
 # PII scrubbing
 # --------------------------------------------------------------------------
 
-# ASCII-only patterns on which Java and RE2 regex dialects agree.
+# ASCII-only patterns on which Java and RE2 regex dialects agree (no
+# lookarounds — RE2 has none).  The phone family (VERDICT r2 #6) covers
+# optional +country code, (area) parens, and -/./space separators:
+# +1-555-123-4567, (555) 123-4567, 555.123.4567, 555-123-4567 and the
+# bare 555-1234 all scrub.  Spaces only follow a "+cc" or "(area)"
+# prefix — a space-separated bare 3-3-4 digit run is more often a
+# figure list than a phone, and scrubbing it would eat real data.
+PHONE_PATTERN = (r"(?:\+\d{1,3}[-. ])?"
+                 r"(?:\(\d{3}\)[-. ]?\d{3}[-.]\d{4}\b"
+                 r"|\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+                 r"|\b\d{3}-\d{4}\b)")
 PII_PATTERNS = [
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
-    ("phone", r"\b\d{3}-\d{4}\b", "<PHONE>"),
+    ("phone", PHONE_PATTERN, "<PHONE>"),
 ]
 
 

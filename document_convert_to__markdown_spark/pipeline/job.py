@@ -234,11 +234,12 @@ def run_extraction_resumable(
     ``results`` — only unfinished work reruns; a finished job re-run is
     a no-op (idempotent by url key, SURVEY A20).  Commit order is
     assets → ledger → results: results is the done-marker, so a crash
-    before its commit re-extracts those urls (duplicate asset rows are
-    possible across a crash boundary and are deduped by
-    (url, asset_name) on read — the reference's delete-then-rewrite
-    key semantics, image_processor.py:100-110, at table scope; with
-    ``table_format="snapshot"`` each append is atomic).
+    before its commit re-extracts those urls; their re-extracted asset
+    rows are anti-joined against the committed (url, asset_name) keys
+    before the append, keeping the assets table key-unique — the
+    reference's delete-then-rewrite key semantics
+    (image_processor.py:100-110) at table scope; with
+    ``table_format="snapshot"`` each append is atomic.
     """
     from pyspark import StorageLevel
 
@@ -297,7 +298,7 @@ def run_extraction_resumable(
     ]).persist(StorageLevel.DISK_ONLY)
     try:
         docs = raw.filter(F.col("kind") == "doc")
-        write_table(
+        new_assets = (
             docs.filter(F.col("n_images") > 0)
             .select("url", F.explode("assets").alias("asset"))
             .select(
@@ -305,9 +306,24 @@ def run_extraction_resumable(
                 F.col("asset.name").alias("asset_name"),
                 F.col("asset.page").alias("page"),
                 F.col("asset.data").alias("data"),
-            ),
-            "assets",
+            )
         )
+        if resume:
+            # A crash between the assets commit and the results commit
+            # leaves those urls' asset rows committed but the url marked
+            # unfinished; the rerun re-extracts them, so anti-join the
+            # new rows against committed (url, asset_name) keys to keep
+            # the table key-unique (ADVICE r2: the promised read-side
+            # dedup never existed — dedup on write instead).  Column
+            # pruning reads only the two key columns, never the blobs.
+            try:
+                committed = (read_table(f"{out_dir}/assets")
+                             .select("url", "asset_name"))
+                new_assets = new_assets.join(
+                    committed, ["url", "asset_name"], "left_anti")
+            except Exception:
+                pass  # no assets table yet — nothing to dedup against
+        write_table(new_assets, "assets")
         run_counts = {k: v for k, v in obs.get.items() if v}
         write_table(
             raw.filter(F.col("kind") == "metrics")

@@ -49,6 +49,27 @@ def test_forward_semantics(spark):
     assert out[2]["v_right"] is None         # nothing after 12:00
 
 
+def test_unkeyed_small_works_and_large_refused(spark, monkeypatch):
+    """by=None funnels everything through one window partition — allowed
+    for small reference relations, refused beyond the row limit
+    (VERDICT r2 #4)."""
+    import pytest
+
+    from document_convert_to__markdown_spark.operators import asof as mod
+
+    left, right = _frames(spark)
+    out = {r["id"]: r for r in
+           asof_join(left.drop("user"), right.drop("user"), on="ts",
+                     right_cols=["v"]).collect()}
+    assert out[3]["v_right"] is None     # 09:00 precedes every right row
+    assert out[1]["v_right"] == 1.0      # keyless: 09:30 row wins at 10:00
+
+    monkeypatch.setattr(mod, "_UNKEYED_ROW_LIMIT", 5)
+    with pytest.raises(ValueError, match="one window partition"):
+        mod.asof_join(left.drop("user"), right.drop("user"), on="ts",
+                      right_cols=["v"])
+
+
 def test_asof_matches_duckdb_on_events(spark):
     """Cross-engine: the union-window plan equals DuckDB's native ASOF
     LEFT JOIN on the sf0.01 events table, row for row."""

@@ -82,6 +82,24 @@ def test_pii_scrub_replaces_and_counts(spark):
     assert "bob.smith" not in s and "192.168" not in s
 
 
+def test_pii_scrub_international_phone_family(spark):
+    """The broadened family (VERDICT r2 #6): +cc, parens, dot/dash
+    separators all scrub; space-separated bare digit runs do not."""
+    df = spark.createDataFrame(
+        [(1, "a +1-202-555-0133 b (415) 555-0134 c 415.555.0135 "
+             "d 555-123-4567 e 555-0136"),
+         (2, "figures 100 200 3000 and range 1234-5678901")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert rows[1]["n_phone"] == 5
+    assert rows[1]["text_scrubbed"].count("<PHONE>") == 5
+    for frag in ("202-555", "(415)", "415.555", "123-4567", "555-0136"):
+        assert frag not in rows[1]["text_scrubbed"]
+    # no false positives on figure lists / long numeric ranges
+    assert rows[2]["n_phone"] == 0
+    assert rows[2]["text_scrubbed"] == rows[2]["text"]
+
+
 def test_pii_scrub_noop_on_clean_text(spark):
     docs = _docs(spark).limit(50)
     out = pii_scrub(docs)

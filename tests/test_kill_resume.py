@@ -67,3 +67,50 @@ def test_sigkill_then_resume_completes(spark, tmp_path):
     results = spark.read.parquet(f"{out}/results")
     assert results.count() == N_DOCS
     assert results.select("url").distinct().count() == N_DOCS
+
+    # Assets must be key-unique too: the killed run may have committed
+    # asset rows for urls whose results commit never happened; the
+    # resume re-extracts those urls and must not append duplicates.
+    assets = spark.read.parquet(f"{out}/assets")
+    assert (assets.count()
+            == assets.select("url", "asset_name").distinct().count())
+
+
+def test_crash_between_assets_and_results_commit_dedups(spark, tmp_path):
+    """Simulate the exact crash window the resume docstring describes:
+    assets committed, results not — the rerun must re-extract those
+    urls without duplicating their committed asset rows (ADVICE r2)."""
+    from document_convert_to__markdown_spark.pipeline.corpus import (
+        synth_pages_df,
+    )
+    from document_convert_to__markdown_spark.pipeline.job import (
+        run_extraction, run_extraction_resumable,
+    )
+
+    n = 300
+    out = str(tmp_path / "out")
+    pages = synth_pages_df(spark, n)
+
+    # Full clean run to learn the expected final tables.
+    run_extraction_resumable(spark, pages, out, run_id="full",
+                             resume=False, partitions=8)
+    want_assets = spark.read.parquet(f"{out}/assets") \
+        .select("url", "asset_name").collect()
+
+    # Reset to the crashed state: assets fully committed, results only
+    # for half the urls (crash before the final results write).
+    from pyspark.sql import functions as F
+
+    crashed = str(tmp_path / "crashed")
+    plan = run_extraction(pages, partitions=8)
+    plan.assets.write.parquet(f"{crashed}/assets")
+    plan.results.filter(F.crc32(F.col("url")) % 2 == 0) \
+        .write.parquet(f"{crashed}/results")
+
+    summary = run_extraction_resumable(spark, pages, crashed, run_id="r",
+                                       resume=True, partitions=8)
+    assert sum(summary.values()) == n
+    got = spark.read.parquet(f"{crashed}/assets")
+    assert got.count() == got.select("url", "asset_name").distinct().count()
+    assert got.select("url", "asset_name").distinct().count() == \
+        len({(r["url"], r["asset_name"]) for r in want_assets})
