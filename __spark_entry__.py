@@ -635,6 +635,19 @@ def _q_stream_dedup_users(spark, sf):
     return stream_dedup_user_counts(spark, f"{sf}/events.parquet")
 
 
+def _q_stream_dedup_watermarked(spark, sf):
+    """Bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    the production continuous-crawl form — state for keys older than
+    the watermark horizon is evicted.  With the horizon covering the
+    whole corpus span, the drained result equals batch count(DISTINCT);
+    eviction/re-admission is pinned by tests/test_streaming.py."""
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        stream_dedup_users_watermarked,
+    )
+
+    return stream_dedup_users_watermarked(spark, f"{sf}/events.parquet")
+
+
 def _q_stream_sessionize_stateful(spark, sf):
     """Custom stateful streaming operator (applyInPandasWithState):
     per-user session state carried across micro-batches.  Drained
@@ -1112,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # structured streaming (drained availableNow)
         "stream_window_events": _q_stream_window_events,
         "stream_dedup_users": _q_stream_dedup_users,
+        "stream_dedup_watermarked": _q_stream_dedup_watermarked,
         "stream_sessionize_stateful": _q_stream_sessionize_stateful,
         "golden_fixture_compare": _q_golden_fixture_compare,
         "stream_extract_parity": _q_stream_extract_parity,
@@ -1894,6 +1908,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Drained streaming dropDuplicates == batch count(DISTINCT).
         "stream_dedup_users": """
+            SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
+            FROM events GROUP BY event_type
+        """,
+        # Watermarked dedup with the horizon covering the corpus span:
+        # nothing evicts during the drain, so ditto.
+        "stream_dedup_watermarked": """
             SELECT event_type, count(DISTINCT user_id) AS n_distinct_users
             FROM events GROUP BY event_type
         """,
