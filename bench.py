@@ -84,21 +84,37 @@ def main() -> int:
             .write.mode("overwrite").parquet(corpus_path)
     pages = spark.read.parquet(corpus_path)
 
-    t0 = time.time()
-    plan = run_extraction(pages, partitions=cpus)
-    n_done = plan.results.filter("status is not null").count()
-    extract_sec = time.time() - t0
+    # Best-of over interleaved rounds (VERDICT r2 #9): the sandbox VM
+    # has 10-40% noisy-neighbor windows, and a single pass let that
+    # drift masquerade as round-over-round regressions.  Interleaving
+    # whole rounds (not per-query repeats) means a noise window hits
+    # every query a little instead of one query fully; best-of keeps
+    # the cleanest sample per query.  Round 1 also doubles as JIT
+    # warm-up for round 2.
+    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+
+    extract_secs = []
+    n_done = 0
+    for _ in range(rounds):
+        t0 = time.time()
+        plan = run_extraction(pages, partitions=cpus)
+        n_done = plan.results.filter("status is not null").count()
+        extract_secs.append(time.time() - t0)
+    extract_sec = min(extract_secs)
     docs_per_sec = round(n_done / extract_sec, 2)
 
     # --- per-query timings ------------------------------------------------
     queries = entrymod.queries()
     q_times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = queries[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.count()  # force full execution
-        q_times[name] = round(time.time() - t0, 3)
+    for _ in range(rounds):
+        for name in BENCH_QUERIES:
+            fn = queries[name]
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            df.count()  # force full execution
+            took = round(time.time() - t0, 3)
+            if name not in q_times or took < q_times[name]:
+                q_times[name] = took
 
     total_sec = round(time.time() - t_all0, 2)
     print(json.dumps({
@@ -109,6 +125,7 @@ def main() -> int:
         "extract_docs": n_done,
         "extract_sec": round(extract_sec, 2),
         "cores": cpus,
+        "rounds": rounds,
         "queries": q_times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
