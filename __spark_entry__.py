@@ -387,6 +387,91 @@ def _q_dedup_ngram_jaccard(spark, sf):
     return ngram_jaccard_pairs(docs, block="minhash")
 
 
+def _q_dedup_paragraphs(spark, sf):
+    """Corpus-level duplicate-paragraph removal (C4 repeated-line rule):
+    boilerplate paragraphs injected into every synthetic doc are
+    detected by distinct-doc count and stripped; per-lang audit of
+    kept/dropped paragraph counts and surviving characters.  Fully
+    relational (posexplode → hash-count → anti-flag → ordered
+    reassembly) — the DuckDB oracle replays it with string_split /
+    list aggregates."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_paragraphs,
+    )
+
+    docs = _load(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id", "lang",
+        F.concat_ws(
+            "\n",
+            F.substring("text", 1, 60),
+            F.lit("share this article"),
+            F.substring("text", 31, 60),
+            F.lit("all rights reserved"),
+            F.substring("text", 61, 60),
+        ).alias("text"),
+    )
+    out = remove_duplicate_paragraphs(aug, min_docs=5)
+    return (
+        out.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_paras_kept").alias("paras_kept"),
+            F.sum("n_paras_dropped").alias("paras_dropped"),
+            F.sum(F.length("text_deduped")).alias("chars_kept"),
+        )
+    )
+
+
+def _q_url_canonicalize(spark, sf):
+    """URL canonicalization + registered-domain audit: messy spellings
+    (upper-case host, default port, tracking params, unsorted query,
+    fragment) synthesized per doc_id collapse to canonical urls; counts
+    per registrable domain.  Pure Catalyst regex/array expressions,
+    mirrored exactly in the DuckDB oracle."""
+    from document_convert_to__markdown_spark.functions.url import (
+        canonicalize_url, registered_domain, url_host,
+    )
+
+    docs = _load(spark, sf, "documents")
+    messy = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 23).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".CO.UK:443"))
+            .otherwise(F.lit(".COM")),
+            F.lit("/Article/"), F.col("doc_id").cast("string"),
+            F.lit("?utm_source=feed&z=26&a=1&fbclid=x&ref=tw#section"),
+        ).alias("url"),
+    )
+    # second spelling of the SAME page: clean scheme/host case, no
+    # tracking params, different param order — must collapse with the
+    # first after canonicalization (n_distinct == n_urls / 2).
+    messy2 = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("https://www.site"), (F.col("doc_id") % 23).cast("string"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk"))
+            .otherwise(F.lit(".com")),
+            F.lit("/Article/"), F.col("doc_id").cast("string"),
+            F.lit("?z=26&a=1"),
+        ).alias("url"),
+    )
+    canon = messy.unionByName(messy2).select(
+        "doc_id", canonicalize_url(F.col("url")).alias("url"))
+    return (
+        canon
+        .withColumn("domain", registered_domain(url_host(F.col("url"))))
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.count_distinct("url").alias("n_distinct"),
+            F.min("url").alias("sample_url"),
+        )
+    )
+
+
 def _q_dedup_minhash_lsh(spark, sf):
     from document_convert_to__markdown_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -1138,6 +1223,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_frame_sample": _q_multimodal_frame_sample,
         "text_winnow_fps": _q_text_winnow_fps,
+        # round-3 operators (new — must sit inside the driver's 50)
+        "dedup_paragraphs": _q_dedup_paragraphs,
+        "url_canonicalize": _q_url_canonicalize,
         # SURVEY §2 Part A/B operators (SQL-expressible)
         "a2_size_filter": _q_a2_size_filter,
         "a3_validation_status": _q_a3_validation_status,
@@ -1378,6 +1466,129 @@ def oracle_sql() -> dict[str, str]:
         """,
         # Candidate key = min-md5 gram (1-permutation MinHash band),
         # re-derived in SQL — same blocking the Spark operator uses.
+        # C4 repeated-line rule: paragraphs in >=5 distinct docs drop;
+        # ordered reassembly replayed with string_agg(... ORDER BY pos).
+        "dedup_paragraphs": """
+            WITH aug AS (
+              SELECT doc_id, lang,
+                     substring(text, 1, 60) || chr(10)
+                     || 'share this article' || chr(10)
+                     || substring(text, 31, 60) || chr(10)
+                     || 'all rights reserved' || chr(10)
+                     || substring(text, 61, 60) AS text
+              FROM documents),
+            paras AS (
+              SELECT doc_id, lang,
+                     unnest(string_split(text, chr(10))) AS para,
+                     unnest(range(1, len(string_split(text, chr(10))) + 1))
+                       AS pos
+              FROM aug),
+            dups AS (
+              SELECT para FROM paras GROUP BY para
+              HAVING count(DISTINCT doc_id) >= 5),
+            flagged AS (
+              SELECT p.doc_id, p.lang, p.pos, p.para,
+                     (d.para IS NOT NULL) AS is_dup
+              FROM paras p LEFT JOIN dups d ON p.para = d.para),
+            rebuilt AS (
+              SELECT doc_id, any_value(lang) AS lang,
+                     coalesce(string_agg(
+                       CASE WHEN NOT is_dup THEN para END, chr(10)
+                       ORDER BY pos), '') AS text_deduped,
+                     sum(CASE WHEN is_dup THEN 0 ELSE 1 END) AS kept,
+                     sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS dropped
+              FROM flagged GROUP BY doc_id)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(kept) AS BIGINT) AS paras_kept,
+                   CAST(sum(dropped) AS BIGINT) AS paras_dropped,
+                   CAST(sum(length(text_deduped)) AS BIGINT) AS chars_kept
+            FROM rebuilt GROUP BY lang
+        """,
+        # Mirrors functions/url.py rule for rule (defragment, lowercase
+        # scheme+host, default-port strip, tracking-param filter + sort,
+        # last-2/3-label registrable domain).
+        "url_canonicalize": """
+            WITH messy AS (
+              SELECT doc_id,
+                     'HTTPS://WWW.Site' || (doc_id % 23)
+                     || CASE WHEN doc_id % 3 = 0 THEN '.CO.UK:443'
+                             ELSE '.COM' END
+                     || '/Article/' || doc_id
+                     || '?utm_source=feed&z=26&a=1&fbclid=x&ref=tw#section'
+                       AS url
+              FROM documents
+              UNION ALL
+              SELECT doc_id,
+                     'https://www.site' || (doc_id % 23)
+                     || CASE WHEN doc_id % 3 = 0 THEN '.co.uk'
+                             ELSE '.com' END
+                     || '/Article/' || doc_id || '?z=26&a=1' AS url
+              FROM documents),
+            defrag AS (
+              SELECT doc_id, regexp_replace(url, '#.*', '') AS u
+              FROM messy),
+            parts AS (
+              SELECT doc_id,
+                     lower(regexp_extract(u,
+                       '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                     lower(regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/?#]+)',
+                       1)) AS hostport,
+                     regexp_extract(u,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                       AS raw_path,
+                     regexp_extract(u, '\\?([^#]*)', 1) AS query
+              FROM defrag),
+            canon AS (
+              SELECT doc_id,
+                     scheme || '://'
+                     || CASE WHEN scheme = 'http'
+                               THEN regexp_replace(hostport, ':80$', '')
+                             WHEN scheme = 'https'
+                               THEN regexp_replace(hostport, ':443$', '')
+                             ELSE hostport END
+                     || CASE WHEN raw_path = '' THEN '/' ELSE raw_path END
+                     || CASE WHEN qs = '' THEN '' ELSE '?' || qs END AS url
+              FROM (SELECT *,
+                      array_to_string(list_sort(list_filter(
+                        string_split(query, '&'),
+                        x -> x <> '' AND NOT regexp_matches(x,
+                          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)'))),
+                        '&') AS qs
+                    FROM parts)),
+            hosted AS (
+              SELECT doc_id, url,
+                     lower(regexp_replace(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.\\-]*://(?:[^/@?#]*@)?([^/?#]+)',
+                       1), ':[0-9]+$', '')) AS host
+              FROM canon),
+            dom AS (
+              SELECT doc_id, url,
+                     CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+                          WHEN array_to_string(list_slice(
+                                 string_split(host, '.'),
+                                 len(string_split(host, '.')) - 1,
+                                 len(string_split(host, '.'))), '.')
+                               IN ('co.uk','org.uk','gov.uk','ac.uk',
+                                   'co.jp','ne.jp','or.jp','com.au',
+                                   'net.au','org.au','com.br','com.cn',
+                                   'com.mx','co.in','co.kr','com.tw',
+                                   'com.sg','co.za','com.ar')
+                            THEN array_to_string(list_slice(
+                                   string_split(host, '.'),
+                                   len(string_split(host, '.')) - 2,
+                                   len(string_split(host, '.'))), '.')
+                          ELSE array_to_string(list_slice(
+                                 string_split(host, '.'),
+                                 len(string_split(host, '.')) - 1,
+                                 len(string_split(host, '.'))), '.') END
+                       AS domain
+              FROM hosted)
+            SELECT domain, count(*) AS n_urls,
+                   CAST(count(DISTINCT url) AS BIGINT) AS n_distinct,
+                   min(url) AS sample_url
+            FROM dom GROUP BY domain
+        """,
         "dedup_ngram_jaccard": """
             WITH grams AS (
               SELECT doc_id, lang,

@@ -117,6 +117,74 @@ def dedup_keep_first(documents: DataFrame) -> DataFrame:
     return documents.join(keepers, "doc_id", "left_semi")
 
 
+def remove_duplicate_paragraphs(documents: DataFrame,
+                                text_col: str = "text",
+                                id_col: str = "doc_id",
+                                sep: str = "\n",
+                                min_docs: int = 2,
+                                broadcast_dups: bool = True) -> DataFrame:
+    """Corpus-level duplicate-paragraph removal (the C4 repeated-line
+    rule / CCNet paragraph dedup): drop every paragraph that occurs in
+    ``min_docs`` or more *distinct* documents — boilerplate ("share
+    this article", cookie banners, nav footers) repeats across pages,
+    body text does not.
+
+    Relational end to end:
+
+    1. ``posexplode(split(text, sep))`` → (doc, pos, para) — position
+       is kept so the document reassembles in order;
+    2. duplicate paragraphs by **md5 only**: the count groupBy carries
+       a 32-char hash, never paragraph text, so the exchange is narrow
+       (same hash-first shape as ``exact_duplicates``);
+    3. anti-join paragraphs against the duplicate-hash set (broadcast
+       when the boilerplate set is small — it usually is: boilerplate
+       is by definition few distinct strings);
+    4. reassemble: ``array_sort(collect_list(struct(pos, para)))`` →
+       ``array_join`` — per-doc grouping, bounded by document size.
+
+    Documents whose every paragraph was boilerplate come back with an
+    empty string, not a missing row (no-silent-drop invariant).
+    Returns (id_col, text_deduped, n_paras_kept, n_paras_dropped).
+    ``sep`` is used both as the split regex and the rejoin literal, so
+    pass a literal separator ("\\n").  ``broadcast_dups=False`` falls
+    back to a shuffled join for a corpus whose duplicated-paragraph set
+    is itself huge (e.g. mass spam) — same plan, bigger exchange.
+    """
+    paras = documents.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("pos", "para"),
+    ).withColumn("para_hash", F.md5("para"))
+
+    dup_hashes = (
+        paras.groupBy("para_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("para_hash")
+        .withColumn("_dup", F.lit(1))
+    )
+    if broadcast_dups:
+        dup_hashes = F.broadcast(dup_hashes)
+    flagged = paras.join(dup_hashes, "para_hash", "left")
+
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.when(F.col("_dup").isNull(),
+                               F.struct("pos", "para")))),
+                    lambda x: x["para"]),
+                sep).alias("text_deduped"),
+            F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+            .alias("n_paras_kept"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0))
+            .alias("n_paras_dropped"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(documents: DataFrame, block: str = "minhash",
                         materialize: bool = True) -> DataFrame:
     """Exact word-3-gram Jaccard for blocked candidate pairs.

@@ -264,6 +264,20 @@ At 50k/688MB: 0.992x, 392 docs/s. Kill/resume semantics unchanged
 (`tests/test_kill_resume.py` green): commit order
 assets -> ledger -> results keeps `results` the done-marker.
 
+## Round-3 note: the `dedup_minhash_lsh` r01->r02 "+38%" was noise
+
+VERDICT r2 flagged 1.78s (r01) -> 2.45s (r02) on `dedup_minhash_lsh` as
+a per-query regression worth a bisect.  Isolated re-measure at round-3
+HEAD (fresh JVM, local[32], sf0.1, no preceding queries): 7.76s cold,
+then **0.74 / 0.62 / 0.50s warm** — several times faster than either
+round's in-suite number.  Both headline figures were dominated by
+JVM/JIT state left by the queries before it in the suite (round 2 added
+11 queries ahead of it, which is the whole delta).  No dedup.py change
+implicated; nothing to bisect.  `bench.py` now runs the suite in
+interleaved rounds with per-query best-of (default `BENCH_ROUNDS=2`,
+round 1 doubling as warm-up) so round-over-round comparisons carry far
+less of this drift.
+
 Regenerate: `python scripts/bench_scaling.py` (prints the JSON line and
 rewrites this file; the soak numbers above are from one-off runs of the
 200k raw-path soak and `scripts/soak_resumable.py`).

@@ -117,3 +117,49 @@ def test_ngram_pairs_tolerate_short_docs(spark):
     assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(4, 5)}
     kept = neardup_pipeline(docs)
     assert sorted(r["doc_id"] for r in kept.collect()) == [1, 2, 3, 4]
+
+
+def test_remove_duplicate_paragraphs_drops_boilerplate_keeps_order(spark):
+    """C4 repeated-line rule: a paragraph in >= min_docs distinct docs
+    drops everywhere; unique paragraphs survive in original order."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_paragraphs,
+    )
+
+    boiler = "share this article"
+    rows = [
+        (1, f"alpha one\n{boiler}\nbeta two"),
+        (2, f"{boiler}\ngamma three"),
+        (3, f"delta four\n{boiler}"),
+        (4, "unique only\nno boiler here"),
+        (5, boiler),  # entirely boilerplate
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_paragraphs(docs, min_docs=3).collect()}
+
+    assert out[1]["text_deduped"] == "alpha one\nbeta two"
+    assert out[1]["n_paras_dropped"] == 1
+    assert out[2]["text_deduped"] == "gamma three"
+    assert out[3]["text_deduped"] == "delta four"
+    assert out[4]["text_deduped"] == "unique only\nno boiler here"
+    assert out[4]["n_paras_dropped"] == 0
+    # all-boilerplate doc stays present with empty text (no silent drop)
+    assert out[5]["text_deduped"] == ""
+    assert out[5]["n_paras_kept"] == 0 and out[5]["n_paras_dropped"] == 1
+
+
+def test_remove_duplicate_paragraphs_within_doc_repeat_not_dropped(spark):
+    """The count is distinct-DOC occurrences: a paragraph repeated many
+    times inside ONE document is not corpus boilerplate."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_paragraphs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "same line\nsame line\nsame line"), (2, "other text")],
+        ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_paragraphs(docs, min_docs=2).collect()}
+    assert out[1]["text_deduped"] == "same line\nsame line\nsame line"
+    assert out[1]["n_paras_dropped"] == 0

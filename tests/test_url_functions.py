@@ -1,0 +1,61 @@
+"""URL canonicalization / registered-domain column functions."""
+
+from pyspark.sql import functions as F
+
+from document_convert_to__markdown_spark.functions.url import (
+    canonicalize_url,
+    registered_domain,
+    url_host,
+)
+
+
+def _canon(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    return [r["c"] for r in
+            df.select(canonicalize_url(F.col("url")).alias("c")).collect()]
+
+
+def test_canonicalize_case_port_fragment_tracking_sort(spark):
+    got = _canon(spark, [
+        "HTTPS://WWW.Example.COM:443/Path/Item?utm_source=x&b=2&a=1#frag",
+        "http://example.com:80/",
+        "https://example.com",                       # empty path -> /
+        "http://user:pw@Example.com/a",              # userinfo stripped
+        "https://ex.com/p?fbclid=abc&gclid=1&ref=tw",  # all params tracking
+        "not a url at all",                          # passthrough
+    ])
+    assert got[0] == "https://www.example.com/Path/Item?a=1&b=2"
+    assert got[1] == "http://example.com/"
+    assert got[2] == "https://example.com/"
+    assert got[3] == "http://example.com/a"
+    assert got[4] == "https://ex.com/p"
+    assert got[5] == "not a url at all"
+
+
+def test_canonicalize_preserves_path_case_and_real_params(spark):
+    (got,) = _canon(
+        spark, ["https://Ex.com/CaseSensitive/Path?id=AbC&utm_medium=m"])
+    assert got == "https://ex.com/CaseSensitive/Path?id=AbC"
+
+
+def test_canonicalize_non_default_port_kept(spark):
+    (got,) = _canon(spark, ["https://ex.com:8443/x", ])
+    assert got == "https://ex.com:8443/x"
+
+
+def test_registered_domain_and_host(spark):
+    rows = [
+        ("https://WWW.news.Example.CO.UK:443/a", "www.news.example.co.uk",
+         "example.co.uk"),
+        ("http://a.b.c.example.com/x", "a.b.c.example.com", "example.com"),
+        ("http://example.com/", "example.com", "example.com"),
+        ("http://localhost/", "localhost", "localhost"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _h, _d in rows], ["url"])
+    got = df.select(
+        url_host(F.col("url")).alias("h"),
+        registered_domain(url_host(F.col("url"))).alias("d"),
+    ).collect()
+    for (u, want_h, want_d), r in zip(rows, got):
+        assert r["h"] == want_h, u
+        assert r["d"] == want_d, u
