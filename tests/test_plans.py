@@ -190,6 +190,64 @@ def test_asof_join_single_shuffle(spark, sf):
     assert p.count("Exchange hashpartitioning") == 1
 
 
+def test_paragraph_dedup_broadcasts_dups_and_prunes_text(spark, sf):
+    """Duplicate-paragraph removal: the dup-hash set arrives by
+    broadcast (boilerplate is few distinct strings), and the
+    distinct-doc count shuffles only (para_hash, doc_id) — paragraph
+    text never crosses that exchange."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_paragraphs,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.substring("text", 1, 60), F.lit("boiler"),
+                    F.substring("text", 31, 60)).alias("text"))
+    p = plan_str(remove_duplicate_paragraphs(aug), mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
+    # count side exchanges on (para_hash[, doc_id]) only; para text is
+    # projected away before both count exchanges.
+    count_side = p.split("BroadcastExchange")[1]
+    for ex in count_side.split("Exchange hashpartitioning")[1:]:
+        head = ex[:60]
+        assert "para_hash#" in head, p
+        assert "para#" not in head, p
+
+
+def test_url_canonicalize_is_pure_codegen_projection(spark, sf):
+    """canonicalize_url is a single whole-stage-codegen projection —
+    no shuffle, no Python, runs at scan speed on all 10^12 rows."""
+    from document_convert_to__markdown_spark.functions.url import (
+        canonicalize_url,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    df = docs.select(canonicalize_url(
+        F.concat(F.lit("https://Ex.com/"), F.col("doc_id").cast("string"))
+    ).alias("u"))
+    p = plan_str(df, mode="simple")
+    assert "Exchange" not in p, p
+    assert "*(1)" in p, p  # whole-stage codegen stage
+    assert "Python" not in p and "BatchEval" not in p, p
+
+
+def test_neardup_auto_mode_keeps_grouped_map_and_no_cartesian(spark, sf):
+    """Auto sub-bucketing adds the width join but must stay two
+    grouped-map branches over hash exchanges — no cartesian, no
+    nested-loop, and the width relation joins on label (the same key
+    the groupBys shuffle on)."""
+    from document_convert_to__markdown_spark.operators.similarity import (
+        neardup_pairs_cosine,
+    )
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    p = plan_str(neardup_pairs_cosine(emb, threshold=0.35), mode="simple")
+    assert p.count("FlatMapGroupsInPandas") == 2, p
+    assert "Cartesian" not in p and "NestedLoop" not in p, p
+
+
 def test_domain_cap_two_bounded_windows(spark, sf):
     """Salted top-k: exactly two exchanges — (domain, salt) then domain
     over the cap-bounded survivors."""
