@@ -264,6 +264,13 @@ At 50k/688MB: 0.992x, 392 docs/s. Kill/resume semantics unchanged
 (`tests/test_kill_resume.py` green): commit order
 assets -> ledger -> results keeps `results` the done-marker.
 
+Round-3 re-run at 2x the corpus (`soak_resumable.py 200000 8.0`,
+3.3GB/~25KB-median pages, local[32]): **200,000/200,000 rows accounted
+in 421s = 475 docs/s sustained, 0.863x amplification, 0 stray bytes**,
+statuses `{{ok: 199590, skipped_empty: 191, skipped_unsupported: 218,
+skipped_too_large: 1}}` — the resume-dedup change (assets anti-join on
+committed keys) holds at soak scale.
+
 ## Round-3 note: the `dedup_minhash_lsh` r01->r02 "+38%" was noise
 
 VERDICT r2 flagged 1.78s (r01) -> 2.45s (r02) on `dedup_minhash_lsh` as
