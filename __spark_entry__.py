@@ -442,7 +442,7 @@ def _q_url_canonicalize(spark, sf):
             F.when(F.col("doc_id") % 3 == 0, F.lit(".CO.UK:443"))
             .otherwise(F.lit(".COM")),
             F.lit("/Article/"), F.col("doc_id").cast("string"),
-            F.lit("?utm_source=feed&z=26&a=1&fbclid=x&ref=tw#section"),
+            F.lit("?utm_source=feed&z=26&a=1&fbclid=x&igshid=tw#section"),
         ).alias("url"),
     )
     # second spelling of the SAME page: clean scheme/host case, no
@@ -1484,8 +1484,9 @@ def oracle_sql() -> dict[str, str]:
                        AS pos
               FROM aug),
             dups AS (
-              SELECT para FROM paras GROUP BY para
-              HAVING count(DISTINCT doc_id) >= 5),
+              -- blank paragraphs are structure, never boilerplate
+              SELECT para FROM paras WHERE length(trim(para)) > 0
+              GROUP BY para HAVING count(DISTINCT doc_id) >= 5),
             flagged AS (
               SELECT p.doc_id, p.lang, p.pos, p.para,
                      (d.para IS NOT NULL) AS is_dup
@@ -1514,7 +1515,7 @@ def oracle_sql() -> dict[str, str]:
                      || CASE WHEN doc_id % 3 = 0 THEN '.CO.UK:443'
                              ELSE '.COM' END
                      || '/Article/' || doc_id
-                     || '?utm_source=feed&z=26&a=1&fbclid=x&ref=tw#section'
+                     || '?utm_source=feed&z=26&a=1&fbclid=x&igshid=tw#section'
                        AS url
               FROM documents
               UNION ALL
@@ -1553,7 +1554,7 @@ def oracle_sql() -> dict[str, str]:
                       array_to_string(list_sort(list_filter(
                         string_split(query, '&'),
                         x -> x <> '' AND NOT regexp_matches(x,
-                          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid|ref|ref_src)(=|$)'))),
+                          '^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid|igshid)(=|$)'))),
                         '&') AS qs
                     FROM parts)),
             hosted AS (

@@ -73,6 +73,12 @@ class CompoundFile:
         return self._raw[off: off + self._sector_size]
 
     def _read_fat(self) -> List[int]:
+        # The file can hold at most this many sectors, so more FAT
+        # sector ids than that are garbage; without the cap a crafted
+        # payload under the 100MB gate could enumerate ~25M ids from
+        # DIFAT sectors and blow the `fat` list to tens of GB
+        # (review r3, same depth as the DIFAT walk clamp below).
+        max_fat_ids = len(self._raw) // self._sector_size + 1
         fat_sector_ids: List[int] = []
         # 109 DIFAT entries live in the header...
         for i in range(109):
@@ -91,7 +97,8 @@ class CompoundFile:
         max_difat = min(self._n_difat_sects,
                         len(self._raw) // self._sector_size + 1)
         for _ in range(max_difat):
-            if sid in (_FREESECT, _ENDOFCHAIN) or sid in seen:
+            if (sid in (_FREESECT, _ENDOFCHAIN) or sid in seen
+                    or len(fat_sector_ids) >= max_fat_ids):
                 break
             seen.add(sid)
             sect = self._sector(sid)
@@ -101,7 +108,10 @@ class CompoundFile:
                 (e,) = struct.unpack_from("<I", sect, 4 * i)
                 if e not in (_FREESECT, _ENDOFCHAIN):
                     fat_sector_ids.append(e)
+                    if len(fat_sector_ids) >= max_fat_ids:
+                        break
             (sid,) = struct.unpack_from("<I", sect, 4 * per)
+        del fat_sector_ids[max_fat_ids:]
         fat: List[int] = []
         for fsid in fat_sector_ids:
             sect = self._sector(fsid)

@@ -15,8 +15,12 @@ Canonicalization rules (the conservative, always-safe subset):
 - strip userinfo and the scheme-default port (http:80 / https:443);
 - empty path becomes "/";
 - drop tracking parameters (utm_*, fbclid, gclid, msclkid, mc_eid,
-  igshid, ref, ref_src) and sort the survivors — parameter order is
-  almost never significant, tracking params never identify content;
+  igshid) and sort the survivors — parameter order is almost never
+  significant, and these params never identify content.  ``ref`` /
+  ``ref_src`` are deliberately NOT in the default list: on real sites
+  ``ref`` selects content (a git branch, a referrer-scoped page), and
+  since the canonical url is a dedup/keep-first key, stripping it
+  would silently merge distinct pages (review r3);
 - a string with no ``scheme://`` passes through unchanged (not a url).
 
 ``registered_domain`` is the quota/grouping key for ``domain_cap``: a
@@ -36,7 +40,7 @@ _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@?#]*@)?([^/?#]+)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
 _QUERY_RE = r"\?([^#]*)"
 TRACKING_PARAM_RE = (r"^(utm_[A-Za-z0-9_]*|fbclid|gclid|msclkid|mc_eid"
-                     r"|igshid|ref|ref_src)(=|$)")
+                     r"|igshid)(=|$)")
 
 # Common second-level public suffixes (static subset of the PSL).
 SECOND_LEVEL_SUFFIXES = [

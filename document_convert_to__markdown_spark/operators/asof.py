@@ -59,14 +59,18 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     from pyspark.sql import Window
 
     if by is None:
-        # Count cheaply before building the single-partition window.
-        n_rows = left.count() + right.count()
-        if n_rows > _UNKEYED_ROW_LIMIT:
+        # Guard probes are limit-capped: each scans at most LIMIT+1 rows
+        # and short-circuits, instead of two full count() jobs over an
+        # arbitrarily expensive upstream plan (review r3).
+        lim = _UNKEYED_ROW_LIMIT
+        n_rows = (left.select(F.lit(1)).limit(lim + 1).count()
+                  + right.select(F.lit(1)).limit(lim + 1).count())
+        if n_rows > lim:
             raise ValueError(
-                f"asof_join(by=None) serializes {n_rows} rows through one "
-                f"window partition (limit {_UNKEYED_ROW_LIMIT}); pass a "
-                "key column, or pre-bucket by coarse time range and chain "
-                "the per-bucket boundary rows (see docstring)")
+                f"asof_join(by=None) serializes >{lim} rows through one "
+                "window partition; pass a key column, or pre-bucket by "
+                "coarse time range and chain the per-bucket boundary "
+                "rows (see docstring)")
 
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in (on, by)]

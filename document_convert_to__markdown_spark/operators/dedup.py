@@ -156,8 +156,12 @@ def remove_duplicate_paragraphs(documents: DataFrame,
         .alias("pos", "para"),
     ).withColumn("para_hash", F.md5("para"))
 
+    # Blank/whitespace paragraphs trivially recur across documents but
+    # are structure (markdown paragraph breaks), not boilerplate —
+    # they are never dedup-eligible (review r3).
     dup_hashes = (
-        paras.groupBy("para_hash")
+        paras.filter(F.length(F.trim("para")) > 0)
+        .groupBy("para_hash")
         .agg(F.count_distinct(F.col(id_col)).alias("nd"))
         .filter(F.col("nd") >= min_docs)
         .select("para_hash")

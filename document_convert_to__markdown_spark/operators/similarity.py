@@ -126,7 +126,12 @@ def neardup_pairs_cosine(embeddings: DataFrame, threshold: float = 0.8,
             # for labels wider than the cap.  The width join and both
             # groupBys shuffle on label, so the exchange is reused.
             widths = keyed.groupBy("label").agg(F.count("*").alias("_n"))
-            sized = keyed.join(widths, "label")
+            # eqNullSafe: groupBy keeps a NULL-label group, so the width
+            # join must too — a plain inner join would silently drop
+            # every NULL-label row (review r3).
+            sized = keyed.join(
+                widths.withColumnRenamed("label", "_wl"),
+                keyed["label"].eqNullSafe(F.col("_wl"))).drop("_wl")
             small = (sized.filter(F.col("_n") <= auto_bucket_threshold)
                      .drop("_n"))
             big = (sized.filter(F.col("_n") > auto_bucket_threshold)

@@ -264,6 +264,15 @@ def run_extraction_resumable(
         else:
             df.write.mode("append" if resume else "overwrite").parquet(target)
 
+    from pyspark.errors import AnalysisException
+
+    # Missing-table signals only: parquet raises AnalysisException
+    # (PATH_NOT_FOUND), the snapshot layer FileNotFoundError.  Anything
+    # else (transient FS error, corrupt manifest) must fail loudly — a
+    # swallowed read error here would silently redo finished work and,
+    # for assets, append duplicate rows (review r3).
+    _MISSING_TABLE = (AnalysisException, FileNotFoundError)
+
     todo = pages
     if resume:
         try:
@@ -272,7 +281,7 @@ def run_extraction_resumable(
             # anti join shuffles on url — same key as the extract
             # repartition, so the exchange is reused.
             todo = pages.join(done, "url", "left_anti")
-        except Exception:
+        except _MISSING_TABLE:
             todo = pages  # nothing to resume from
 
     plan = run_extraction(todo, partitions=partitions,
@@ -321,7 +330,7 @@ def run_extraction_resumable(
                              .select("url", "asset_name"))
                 new_assets = new_assets.join(
                     committed, ["url", "asset_name"], "left_anti")
-            except Exception:
+            except _MISSING_TABLE:
                 pass  # no assets table yet — nothing to dedup against
         write_table(new_assets, "assets")
         run_counts = {k: v for k, v in obs.get.items() if v}

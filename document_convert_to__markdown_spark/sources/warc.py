@@ -88,20 +88,34 @@ def _iter_decompressed_chunks(data: bytes,
     import zlib
 
     mv = memoryview(data)
-    pos, total, n = 0, 0, len(data)
-    while pos < n and data[pos:pos + 2] == b"\x1f\x8b":
+    total, feed, n = 0, 0, len(data)
+    # Input sliced past the previous member's end is carried into the
+    # next member instead of being re-sliced from ``mv``: on Common
+    # Crawl's one-member-per-record framing, re-feeding from the source
+    # would copy each byte ~(_CHUNK / member size) times (review r3).
+    # With the carry, every input byte is sliced exactly once.
+    carry = b""
+    while True:
+        if len(carry) < 2 and feed < n:
+            take = 2 - len(carry)
+            carry += bytes(mv[feed:feed + take])
+            feed += take
+        if len(carry) < 2 or carry[:2] != b"\x1f\x8b":
+            return  # no further member (or trailing garbage)
         d = zlib.decompressobj(wbits=31)
-        feed = pos
         try:
             while not d.eof:
                 if d.unconsumed_tail:
-                    chunk = d.decompress(d.unconsumed_tail, _CHUNK)
+                    src = d.unconsumed_tail
+                elif carry:
+                    src, carry = carry, b""
                 elif feed < n:
                     nxt = min(feed + _CHUNK, n)
-                    chunk = d.decompress(mv[feed:nxt], _CHUNK)
+                    src = mv[feed:nxt]
                     feed = nxt
                 else:
-                    break  # input exhausted before end-of-member
+                    return  # truncated final member: keep what streamed
+                chunk = d.decompress(src, _CHUNK)
                 if chunk:
                     if total + len(chunk) >= max_bytes:
                         yield chunk[:max_bytes - total]
@@ -110,21 +124,18 @@ def _iter_decompressed_chunks(data: bytes,
                     yield chunk
         except zlib.error:
             return  # corrupt member: keep what already streamed
-        if not d.eof:
-            return  # truncated final member
-        # Read the leftover-input count BEFORE flush(): flush() shuffles
-        # unconsumed_tail into unused_data again, double-counting it.
-        leftover = len(d.unused_data)
+        # Capture the leftover input BEFORE flush(): flush() shuffles
+        # unconsumed_tail into unused_data again, and at eof the two
+        # alias the same bytes — reading after flush doubles the carry
+        # at every member boundary (exponential blowup on multi-member
+        # archives).
+        carry = d.unused_data  # leftover input starts the next member
         tail = d.flush()
         if tail:
             yield tail[:max_bytes - total]
             total += len(tail)
             if total >= max_bytes:
                 return
-        nxt_pos = feed - leftover
-        if nxt_pos <= pos:
-            return  # no forward progress: refuse to loop
-        pos = nxt_pos
 
 
 def _decompress_salvage(data: bytes,
@@ -213,7 +224,12 @@ def iter_records(data: bytes) -> Iterator[WarcRecord]:
     if data[:2] == b"\x1f\x8b":
         chunks: Iterator[bytes] = _iter_decompressed_chunks(data)
     else:
-        chunks = iter((data,))
+        # Slice plain archives too: feeding the whole blob as one chunk
+        # would make the framing buffer O(archive), and its per-record
+        # `del buf[:need]` compaction quadratic (review r3).
+        mv = memoryview(data)
+        chunks = (bytes(mv[i:i + _CHUNK])
+                  for i in range(0, len(data), _CHUNK))
     yield from _iter_records_from_chunks(chunks)
 
 

@@ -247,36 +247,29 @@ def stream_dedup_users_watermarked(spark: SparkSession, events_path: str,
     deduped = stream_dedup_within_watermark(
         events.select("event_type", "user_id", "ts"),
         keys=["event_type", "user_id"], ts_col="ts", delay=delay)
-
-    name = "stream_dedup_users_wm"
-    q = (
-        deduped.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("watermarked dedup drain exceeded 120s; "
-                           "result would be partial")
+    rows = drain_stream_agg(deduped, "stream_dedup_users_wm",
+                            output_mode="append")
     return (
-        spark.table(name)
-        .groupBy("event_type")
+        rows.groupBy("event_type")
         .agg(F.count("*").alias("n_distinct_users"))
     )
 
 
-def drain_stream_agg(agg: DataFrame, name: str) -> DataFrame:
-    """Run a streaming aggregation to completion (availableNow) into a
-    memory sink and return the result as a batch DataFrame.
+def drain_stream_agg(agg: DataFrame, name: str,
+                     output_mode: str = "complete") -> DataFrame:
+    """Run a streaming query to completion (availableNow) into a memory
+    sink and return the result as a batch DataFrame.
 
-    Complete-mode + availableNow drains everything currently in the
-    source, so the result is deterministic and oracle-comparable — the
-    harness path that lets streaming operators face the same DuckDB
-    check as batch ones.
+    Complete-mode (aggregations) + availableNow drains everything
+    currently in the source, so the result is deterministic and
+    oracle-comparable — the harness path that lets streaming operators
+    face the same DuckDB check as batch ones.  ``output_mode="append"``
+    is the row-stream form (e.g. watermarked dedup output).
     """
     spark = agg.sparkSession
     q = (
         agg.writeStream.format("memory").queryName(name)
-        .outputMode("complete").trigger(availableNow=True).start()
+        .outputMode(output_mode).trigger(availableNow=True).start()
     )
     # Bounded wait: availableNow drains in seconds at test scale; if the
     # source stalls, fail loudly — a stopped-short drain would surface

@@ -21,8 +21,9 @@ def test_canonicalize_case_port_fragment_tracking_sort(spark):
         "http://example.com:80/",
         "https://example.com",                       # empty path -> /
         "http://user:pw@Example.com/a",              # userinfo stripped
-        "https://ex.com/p?fbclid=abc&gclid=1&ref=tw",  # all params tracking
+        "https://ex.com/p?fbclid=abc&gclid=1&mc_eid=7",  # all tracking
         "not a url at all",                          # passthrough
+        "https://github.com/o/r/blob/f?ref=dev",     # ref selects content
     ])
     assert got[0] == "https://www.example.com/Path/Item?a=1&b=2"
     assert got[1] == "http://example.com/"
@@ -30,6 +31,9 @@ def test_canonicalize_case_port_fragment_tracking_sort(spark):
     assert got[3] == "http://example.com/a"
     assert got[4] == "https://ex.com/p"
     assert got[5] == "not a url at all"
+    # ref is NOT a tracking param: stripping it would merge distinct
+    # pages through the dedup key (review r3)
+    assert got[6] == "https://github.com/o/r/blob/f?ref=dev"
 
 
 def test_canonicalize_preserves_path_case_and_real_params(spark):
