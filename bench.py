@@ -54,6 +54,9 @@ BENCH_QUERIES = [
     "interval_join_errors",
     "tfidf_cosine_pairs",
     "sketch_distinct",
+    # round-3 operators
+    "dedup_paragraphs",
+    "url_canonicalize",
 ]
 
 

@@ -189,6 +189,47 @@ def test_difat_self_loop_terminates():
     assert time.monotonic() - t0 < 2.0
 
 
+def test_fat_enumeration_capped_at_physical_sectors():
+    """DIFAT sectors stuffed with FAT ids must not enumerate more FAT
+    sectors than the payload can physically hold (review r3: a crafted
+    sub-100MB file could otherwise build a multi-GB fat list)."""
+    import struct
+
+    from document_convert_to__markdown_spark.extractors.ole2 import (
+        CompoundFile, CompoundFileError,
+    )
+
+    head = bytearray(512)
+    head[0:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", head, 30, 9)
+    struct.pack_into("<H", head, 32, 6)
+    struct.pack_into("<I", head, 48, 0xFFFFFFFE)  # dir: end of chain
+    struct.pack_into("<I", head, 60, 0xFFFFFFFE)  # minifat: none
+    struct.pack_into("<I", head, 68, 0)           # DIFAT chain at sector 0
+    struct.pack_into("<I", head, 72, 64)
+    for off in range(76, 512, 4):
+        struct.pack_into("<I", head, off, 0xFFFFFFFF)
+    # two DIFAT sectors, each stuffed with 127 in-range FAT ids
+    s0 = bytearray()
+    for _ in range(127):
+        s0 += struct.pack("<I", 2)
+    s0 += struct.pack("<I", 1)                    # chain to sector 1
+    s1 = bytearray()
+    for _ in range(127):
+        s1 += struct.pack("<I", 2)
+    s1 += struct.pack("<I", 0xFFFFFFFE)
+    payload = bytes(head) + bytes(s0) + bytes(s1) + b"\x00" * 512
+
+    try:
+        cf = CompoundFile(payload)
+    except CompoundFileError:
+        return  # rejecting it outright is fine too
+    max_ids = len(payload) // 512 + 1
+    # each FAT sector contributes <=128 ints; the id list itself is
+    # capped at the physical sector count
+    assert len(cf._fat) <= max_ids * 128
+
+
 def test_extract_document_survives_corrupt_ole2():
     """A crafted OLE2 container with corrupt inner streams must come
     back as a status row in bounded time, never a hang/crash."""
