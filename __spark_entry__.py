@@ -472,6 +472,28 @@ def _q_url_canonicalize(spark, sf):
     )
 
 
+def _q_text_lm_quality(spark, sf):
+    """CCNet-style LM quality bucketing: add-alpha bigram LM trained
+    relationally on the corpus itself, per-doc mean negative log
+    conditional probability, per-lang ntile(3) head/middle/tail split.
+    Per-(lang, bucket) audit of counts and score ranges."""
+    from document_convert_to__markdown_spark.operators.text import (
+        lm_quality_buckets,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return (
+        lm_quality_buckets(docs, n_buckets=3)
+        .groupBy("lang", "quality_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("lm_score"), 4).alias("avg_score"),
+            F.min("lm_score").alias("min_score"),
+            F.max("lm_score").alias("max_score"),
+        )
+    )
+
+
 def _q_dedup_minhash_lsh(spark, sf):
     from document_convert_to__markdown_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -1226,6 +1248,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 operators (new — must sit inside the driver's 50)
         "dedup_paragraphs": _q_dedup_paragraphs,
         "url_canonicalize": _q_url_canonicalize,
+        "text_lm_quality": _q_text_lm_quality,
         # SURVEY §2 Part A/B operators (SQL-expressible)
         "a2_size_filter": _q_a2_size_filter,
         "a3_validation_status": _q_a3_validation_status,
@@ -1504,6 +1527,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dropped) AS BIGINT) AS paras_dropped,
                    CAST(sum(length(text_deduped)) AS BIGINT) AS chars_kept
             FROM rebuilt GROUP BY lang
+        """,
+        # CCNet-style bigram LM replay: same tokenization, same
+        # add-alpha arithmetic, same (score, doc_id)-ordered ntile.
+        "text_lm_quality": """
+            WITH toks AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '') AS t
+              FROM documents),
+            uni AS (
+              SELECT w1, count(*) AS c1
+              FROM (SELECT unnest(t) AS w1 FROM toks) GROUP BY w1),
+            vocab AS (SELECT count(*) AS v FROM uni),
+            bgs AS (
+              SELECT doc_id, lang,
+                     unnest(list_transform(
+                       range(1, greatest(len(t) - 1, 0) + 1),
+                       i -> t[i] || ' ' || t[i + 1])) AS bg
+              FROM toks),
+            bg_counts AS (SELECT bg, count(*) AS c2 FROM bgs GROUP BY bg),
+            nll AS (
+              SELECT d.doc_id, d.lang,
+                     -ln((coalesce(b.c2, 0) + 0.5)
+                         / (coalesce(u.c1, 0) + 0.5 * v.v)) AS nll
+              FROM (SELECT doc_id, lang, bg,
+                           string_split(bg, ' ')[1] AS w1 FROM bgs) d
+              LEFT JOIN bg_counts b USING (bg)
+              LEFT JOIN uni u USING (w1)
+              CROSS JOIN vocab v),
+            per_doc AS (
+              SELECT doc_id, any_value(lang) AS lang,
+                     round(avg(nll), 4) AS lm_score
+              FROM nll GROUP BY doc_id),
+            bucketed AS (
+              SELECT lang, lm_score,
+                     ntile(3) OVER (PARTITION BY lang
+                                    ORDER BY lm_score, doc_id)
+                       AS quality_bucket
+              FROM per_doc WHERE lm_score IS NOT NULL)
+            SELECT lang, quality_bucket, count(*) AS n_docs,
+                   round(avg(lm_score), 4) AS avg_score,
+                   min(lm_score) AS min_score,
+                   max(lm_score) AS max_score
+            FROM bucketed GROUP BY lang, quality_bucket
         """,
         # Mirrors functions/url.py rule for rule (defragment, lowercase
         # scheme+host, default-port strip, tracking-param filter + sort,

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     # round-3 operators
     "dedup_paragraphs",
     "url_canonicalize",
+    "text_lm_quality",
 ]
 
 

@@ -284,3 +284,103 @@ def cleanup_chain(documents: DataFrame) -> DataFrame:
         F.sha2("_clean", 256).alias("clean_sha256"),
         F.length("_clean").alias("clean_len"),
     )
+
+
+def ngram_lm_score(documents: DataFrame, reference: DataFrame | None = None,
+                   alpha: float = 0.5) -> DataFrame:
+    """CCNet-style n-gram LM quality scoring, fully relational.
+
+    CCNet buckets web documents by the perplexity of a KenLM 5-gram
+    model trained on a trusted corpus; documents whose language-model
+    score marks them as far from the reference distribution are the
+    low-quality tail.  This is that pipeline's Spark-native shape with
+    an add-alpha-smoothed **bigram** model (the model order is a knob,
+    not the architecture):
+
+    1. TRAIN — token and bigram counts over ``reference`` (default: the
+       corpus itself, i.e. self-perplexity): two aggregations with
+       map-side partial combine, shuffling only (gram, count) pairs.
+    2. SCORE — every document's bigrams join the count relations
+       (shuffles keyed on the gram — hash-distributed, no broadcast of
+       the corpus-sized model) and the doc score is the mean negative
+       log conditional probability
+
+           -mean(ln((c(w1 w2) + alpha) / (c(w1) + alpha * V)))
+
+       — lower is more reference-like.
+
+    Everything is Catalyst expressions (``transform`` over the token
+    array builds bigrams; no UDF), so TRAIN and SCORE both run at scan
+    speed, and the arithmetic is exactly mirrored by the DuckDB oracle.
+    Returns (doc_id, lang, n_bigrams, lm_score); single-token documents
+    get NULL score (no bigrams — the caller's gate decides their fate,
+    the scorer does not invent one).
+    """
+    reference = reference if reference is not None else documents
+
+    def toks(col):
+        return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+
+    def bigrams(tok_col):
+        return F.expr(
+            "transform(slice({c}, 1, greatest(size({c}) - 1, 0)), "
+            "(w, i) -> concat(w, ' ', element_at({c}, i + 2)))"
+            .format(c=tok_col))
+
+    ref_toks = reference.select(toks(F.col("text")).alias("toks"))
+    unigrams = (
+        ref_toks.select(F.explode("toks").alias("w1"))
+        .groupBy("w1").agg(F.count("*").alias("c1"))
+    )
+    bigram_counts = (
+        ref_toks.select(F.explode(bigrams("toks")).alias("bg"))
+        .groupBy("bg").agg(F.count("*").alias("c2"))
+    )
+    vocab = unigrams.count()
+
+    doc_bg = (
+        documents.select("doc_id", "lang", toks(F.col("text")).alias("toks"))
+        .select("doc_id", "lang", F.explode(bigrams("toks")).alias("bg"))
+        .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
+    )
+    scored = (
+        doc_bg
+        .join(bigram_counts, "bg", "left")
+        .join(unigrams, "w1", "left")
+        .select(
+            "doc_id", "lang",
+            (-F.log(
+                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                / (F.coalesce(F.col("c1"), F.lit(0))
+                   + F.lit(alpha) * F.lit(float(vocab)))
+            )).alias("nll"),
+        )
+        .groupBy("doc_id", "lang")
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg("nll"), 4).alias("lm_score"))
+    )
+    return scored
+
+
+def lm_quality_buckets(documents: DataFrame, n_buckets: int = 3,
+                       alpha: float = 0.5) -> DataFrame:
+    """Per-language LM-perplexity quality buckets (the CCNet head /
+    middle / tail split): rank documents by ``ngram_lm_score`` within
+    each language and ntile into ``n_buckets``.
+
+    The ntile order is (lm_score, doc_id) — total, so bucket assignment
+    is deterministic and the DuckDB oracle reproduces it exactly.
+    Scale note: the window partitions by lang; languages are few and
+    the windowed relation carries only (doc_id, lang, score) — for a
+    true mega-language the salted two-stage pattern in
+    ``sampling.domain_cap`` applies, but a 3-int row stream through one
+    task per language is sort-bound, not memory-bound, and ntile needs
+    a global per-language rank by definition.
+    """
+    from pyspark.sql import Window
+
+    scores = ngram_lm_score(documents, alpha=alpha)
+    w = Window.partitionBy("lang").orderBy(
+        F.col("lm_score"), F.col("doc_id"))
+    return scores.filter(F.col("lm_score").isNotNull()).withColumn(
+        "quality_bucket", F.ntile(n_buckets).over(w))

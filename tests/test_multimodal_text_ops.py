@@ -98,3 +98,34 @@ def test_top_terms_relational_equals_grouped_map(spark):
     b = sorted(map(tuple,
                    top_terms_per_lang_relational(docs, k=5).collect()))
     assert a == b and len(a) > 0
+
+
+def test_ngram_lm_scores_rank_off_distribution_text_worse(spark):
+    """An out-of-distribution document must receive a higher (worse)
+    mean negative log-prob than in-distribution ones, and land in the
+    tail quality bucket; single-token docs get NULL, never a made-up
+    score."""
+    from document_convert_to__markdown_spark.operators.text import (
+        lm_quality_buckets,
+        ngram_lm_score,
+    )
+
+    common = "the cat sat on the mat and the dog sat on the rug"
+    rows = [
+        (1, common, "en"),
+        (2, "the cat sat on the rug and the dog sat on the mat", "en"),
+        (3, "the dog sat on the mat and the cat sat on the rug", "en"),
+        (4, "zx qv wq jj kx vz bb qq zz xx nn pp", "en"),  # gibberish
+        (5, "solo", "en"),                                 # no bigrams
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    scores = {r["doc_id"]: r["lm_score"]
+              for r in ngram_lm_score(docs).collect()}
+    assert 5 not in scores or scores.get(5) is None
+    in_dist = max(scores[i] for i in (1, 2, 3))
+    assert scores[4] > in_dist
+
+    buckets = {r["doc_id"]: r["quality_bucket"]
+               for r in lm_quality_buckets(docs, n_buckets=2).collect()}
+    assert buckets[4] == 2          # gibberish in the tail bucket
+    assert 5 not in buckets         # NULL-score rows are not bucketed

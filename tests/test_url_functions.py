@@ -63,3 +63,26 @@ def test_registered_domain_and_host(spark):
     for (u, want_h, want_d), r in zip(rows, got):
         assert r["h"] == want_h, u
         assert r["d"] == want_d, u
+
+
+def test_canonicalize_is_idempotent(spark):
+    """Canonical output must be a fixed point: canonicalizing twice
+    changes nothing — otherwise two passes of the pipeline would emit
+    different dedup keys for the same page."""
+    urls = [
+        "HTTPS://WWW.Example.COM:443/Path?utm_source=x&b=2&a=1#f",
+        "http://example.com:80",
+        "https://a.b.C.co.UK/x/y/?z=1&y=2&utm_a=1",
+        "http://user@ex.com:8080/p?gclid=1",
+        "https://ex.com/p?a=1?b=2",        # ? inside query stays put
+        "ftp://Files.Example.com:21/pub",  # non-http scheme, port kept
+        "no scheme here",
+        "https://ex.com/trailing/?",
+        "http://[weird]/path",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    once = canonicalize_url(F.col("url"))
+    got = df.select(once.alias("c1"),
+                    canonicalize_url(once).alias("c2")).collect()
+    for r in got:
+        assert r["c1"] == r["c2"], r
