@@ -336,27 +336,39 @@ def ngram_lm_score(documents: DataFrame, reference: DataFrame | None = None,
         ref_toks.select(F.explode(bigrams("toks")).alias("bg"))
         .groupBy("bg").agg(F.count("*").alias("c2"))
     )
-    vocab = unigrams.count()
+    # Vocabulary size stays a (broadcast) 1-row relation: collecting it
+    # to a Python scalar would run an eager full reference aggregation
+    # at plan-build time AND recompute the unigram agg for the join
+    # (review r3) — the cross join keeps the whole plan lazy.
+    vocab_rel = unigrams.agg(F.count("*").cast("double").alias("_v"))
 
+    # explode_outer: zero-bigram documents keep their row (NULL bg) —
+    # they come back with n_bigrams=0, lm_score NULL, never dropped and
+    # never given an invented score.
     doc_bg = (
         documents.select("doc_id", "lang", toks(F.col("text")).alias("toks"))
-        .select("doc_id", "lang", F.explode(bigrams("toks")).alias("bg"))
+        .select("doc_id", "lang",
+                F.explode_outer(bigrams("toks")).alias("bg"))
         .withColumn("w1", F.split(F.col("bg"), " ").getItem(0))
     )
     scored = (
         doc_bg
         .join(bigram_counts, "bg", "left")
         .join(unigrams, "w1", "left")
+        .crossJoin(F.broadcast(vocab_rel))
         .select(
             "doc_id", "lang",
-            (-F.log(
-                (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
-                / (F.coalesce(F.col("c1"), F.lit(0))
-                   + F.lit(alpha) * F.lit(float(vocab)))
-            )).alias("nll"),
+            F.when(
+                F.col("bg").isNotNull(),
+                -F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("c1"), F.lit(0))
+                       + F.lit(alpha) * F.col("_v"))
+                )
+            ).alias("nll"),
         )
         .groupBy("doc_id", "lang")
-        .agg(F.count("*").alias("n_bigrams"),
+        .agg(F.count("nll").alias("n_bigrams"),
              F.round(F.avg("nll"), 4).alias("lm_score"))
     )
     return scored

@@ -264,25 +264,31 @@ def run_extraction_resumable(
         else:
             df.write.mode("append" if resume else "overwrite").parquet(target)
 
-    from pyspark.errors import AnalysisException
+    def table_exists(path: str) -> bool:
+        """Positive missing-table probe: existence is checked directly
+        instead of catching read exceptions — a caught AnalysisException
+        / FileNotFoundError can also mean a *corrupt* table (renamed
+        column, missing snapshot json), and treating that as 'nothing
+        to resume' silently redoes finished work and appends duplicate
+        rows (review r3).  With the probe, any read error on an
+        existing table propagates."""
+        if table_format == "snapshot":
+            from ..sources import snapshot as snap
 
-    # Missing-table signals only: parquet raises AnalysisException
-    # (PATH_NOT_FOUND), the snapshot layer FileNotFoundError.  Anything
-    # else (transient FS error, corrupt manifest) must fail loudly — a
-    # swallowed read error here would silently redo finished work and,
-    # for assets, append duplicate rows (review r3).
-    _MISSING_TABLE = (AnalysisException, FileNotFoundError)
+            return snap.current_version(path) > 0
+        # Hadoop FS probe: works for any scheme the session can read.
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs.exists(hpath)
 
     todo = pages
-    if resume:
-        try:
-            done = read_table(results_path).select("url")
-            # Broadcast-friendly when the remainder is small; at scale the
-            # anti join shuffles on url — same key as the extract
-            # repartition, so the exchange is reused.
-            todo = pages.join(done, "url", "left_anti")
-        except _MISSING_TABLE:
-            todo = pages  # nothing to resume from
+    if resume and table_exists(results_path):
+        done = read_table(results_path).select("url")
+        # Broadcast-friendly when the remainder is small; at scale the
+        # anti join shuffles on url — same key as the extract
+        # repartition, so the exchange is reused.
+        todo = pages.join(done, "url", "left_anti")
 
     plan = run_extraction(todo, partitions=partitions,
                           giant_threshold=giant_threshold)
@@ -317,7 +323,7 @@ def run_extraction_resumable(
                 F.col("asset.data").alias("data"),
             )
         )
-        if resume:
+        if resume and table_exists(f"{out_dir}/assets"):
             # A crash between the assets commit and the results commit
             # leaves those urls' asset rows committed but the url marked
             # unfinished; the rerun re-extracts them, so anti-join the
@@ -325,13 +331,10 @@ def run_extraction_resumable(
             # the table key-unique (ADVICE r2: the promised read-side
             # dedup never existed — dedup on write instead).  Column
             # pruning reads only the two key columns, never the blobs.
-            try:
-                committed = (read_table(f"{out_dir}/assets")
-                             .select("url", "asset_name"))
-                new_assets = new_assets.join(
-                    committed, ["url", "asset_name"], "left_anti")
-            except _MISSING_TABLE:
-                pass  # no assets table yet — nothing to dedup against
+            committed = (read_table(f"{out_dir}/assets")
+                         .select("url", "asset_name"))
+            new_assets = new_assets.join(
+                committed, ["url", "asset_name"], "left_anti")
         write_table(new_assets, "assets")
         run_counts = {k: v for k, v in obs.get.items() if v}
         write_table(

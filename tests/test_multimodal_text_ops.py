@@ -119,9 +119,12 @@ def test_ngram_lm_scores_rank_off_distribution_text_worse(spark):
         (5, "solo", "en"),                                 # no bigrams
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
-    scores = {r["doc_id"]: r["lm_score"]
-              for r in ngram_lm_score(docs).collect()}
-    assert 5 not in scores or scores.get(5) is None
+    rows_out = {r["doc_id"]: r for r in ngram_lm_score(docs).collect()}
+    scores = {k: r["lm_score"] for k, r in rows_out.items()}
+    # zero-bigram doc keeps its row: NULL score, 0 bigrams — dropped
+    # rows would violate the no-silent-drop contract (review r3)
+    assert scores[5] is None
+    assert rows_out[5]["n_bigrams"] == 0
     in_dist = max(scores[i] for i in (1, 2, 3))
     assert scores[4] > in_dist
 
