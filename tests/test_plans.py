@@ -248,6 +248,25 @@ def test_neardup_auto_mode_keeps_grouped_map_and_no_cartesian(spark, sf):
     assert "Cartesian" not in p and "NestedLoop" not in p, p
 
 
+def test_lm_score_partial_aggs_and_tiny_cross_join(spark, sf):
+    """ngram_lm_score: gram-count aggregations partial-combine map-side
+    (only (gram, count) crosses each exchange), the model joins by gram
+    key, and the only nested-loop join is the broadcast of the 1-row
+    vocabulary relation — never a corpus-sized cartesian."""
+    from document_convert_to__markdown_spark.operators.text import (
+        ngram_lm_score,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    p = plan_str(ngram_lm_score(docs), mode="simple")
+    # partial + final HashAggregate pairs for unigram, bigram and vocab
+    assert p.count("HashAggregate") >= 6, p
+    # the vocab cross join broadcasts one row; no cartesian product
+    assert "CartesianProduct" not in p, p
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert p.count("BroadcastNestedLoopJoin") == 1, p
+
+
 def test_domain_cap_two_bounded_windows(spark, sf):
     """Salted top-k: exactly two exchanges — (domain, salt) then domain
     over the cap-bounded survivors."""
