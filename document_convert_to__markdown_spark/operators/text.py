@@ -396,3 +396,36 @@ def lm_quality_buckets(documents: DataFrame, n_buckets: int = 3,
         F.col("lm_score"), F.col("doc_id"))
     return scores.filter(F.col("lm_score").isNotNull()).withColumn(
         "quality_bucket", F.ntile(n_buckets).over(w))
+
+
+def lm_quality_buckets_scalable(documents: DataFrame, n_buckets: int = 3,
+                                alpha: float = 0.5,
+                                accuracy: int = 10_000) -> DataFrame:
+    """Mega-language twin of ``lm_quality_buckets`` (same twin pattern
+    as ``sampling.token_budget_select_bucketed``).
+
+    Exact ntile puts a whole language through one window task.  This
+    form computes per-language approximate quantile cutoffs with
+    ``percentile_approx`` (a mergeable sketch — map-side partial
+    aggregation, one tiny row per language out) and assigns each
+    document's bucket by comparing its score to the broadcast cutoffs:
+    fully partition-parallel, no per-language serialization.  Buckets
+    converge to ntile's equal-count split as ``accuracy`` grows; the
+    boundary documents may differ from exact ntile by one bucket (the
+    usual sketch trade), which is why the exact form keeps the oracle
+    and this form carries the scale.
+    """
+    scores = ngram_lm_score(documents, alpha=alpha) \
+        .filter(F.col("lm_score").isNotNull())
+    fracs = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    cuts = scores.groupBy("lang").agg(
+        F.percentile_approx("lm_score", fracs, F.lit(accuracy))
+        .alias("cuts"))
+    return (
+        scores.join(F.broadcast(cuts), "lang")
+        .withColumn(
+            "quality_bucket",
+            (F.lit(1) + F.size(F.filter(
+                "cuts", lambda c: c < F.col("lm_score")))).cast("int"))
+        .drop("cuts")
+    )

@@ -132,3 +132,38 @@ def test_ngram_lm_scores_rank_off_distribution_text_worse(spark):
                for r in lm_quality_buckets(docs, n_buckets=2).collect()}
     assert buckets[4] == 2          # gibberish in the tail bucket
     assert 5 not in buckets         # NULL-score rows are not bucketed
+
+
+def test_lm_buckets_scalable_tracks_exact_ntile(spark):
+    """The partition-parallel quantile-cutoff form must track the exact
+    ntile split: near-equal bucket counts and monotone score ranges
+    (ties at a boundary may shift a few docs — the documented trade)."""
+    from pyspark.sql import functions as F
+
+    from document_convert_to__markdown_spark.operators.text import (
+        lm_quality_buckets,
+        lm_quality_buckets_scalable,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    exact = lm_quality_buckets(docs, n_buckets=3)
+    approx = lm_quality_buckets_scalable(docs, n_buckets=3)
+
+    ec = {(r["lang"], r["quality_bucket"]): r["count"]
+          for r in exact.groupBy("lang", "quality_bucket").count().collect()}
+    ac = {(r["lang"], r["quality_bucket"]): r["count"]
+          for r in approx.groupBy("lang", "quality_bucket").count().collect()}
+    assert set(k[1] for k in ac) == {1, 2, 3}
+    for key, n_exact in ec.items():
+        assert abs(ac.get(key, 0) - n_exact) <= max(3, n_exact * 0.15), \
+            (key, n_exact, ac.get(key))
+
+    # monotone: bucket b's max score <= bucket b+1's min score
+    rng = {(r["lang"], r["quality_bucket"]): (r["lo"], r["hi"]) for r in
+           approx.groupBy("lang", "quality_bucket")
+           .agg(F.min("lm_score").alias("lo"), F.max("lm_score").alias("hi"))
+           .collect()}
+    for (lang, b), (_lo, hi) in rng.items():
+        nxt = rng.get((lang, b + 1))
+        if nxt:
+            assert hi <= nxt[0], (lang, b, hi, nxt)
