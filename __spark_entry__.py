@@ -472,6 +472,22 @@ def _q_url_canonicalize(spark, sf):
     )
 
 
+def _q_pack_sequences(spark, sf):
+    """Sequence packing for training export: each doc's (seq_id,
+    offset) in the per-language packed token stream, computed with the
+    two-phase driver-prefix plan; oracle = the plain global cumulative
+    window it is provably identical to."""
+    from document_convert_to__markdown_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = _load(spark, sf, "documents")
+    # range_width 100 forces multiple ranges per language at sf0.01, so
+    # the prefix-chaining logic (not just the trivial one-range case)
+    # is what the oracle checks.
+    return pack_sequences(docs, seq_len=1024, range_width=100)
+
+
 def _q_text_lm_quality(spark, sf):
     """CCNet-style LM quality bucketing: add-alpha bigram LM trained
     relationally on the corpus itself, per-doc mean negative log
@@ -1249,6 +1265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_paragraphs": _q_dedup_paragraphs,
         "url_canonicalize": _q_url_canonicalize,
         "text_lm_quality": _q_text_lm_quality,
+        "pack_sequences": _q_pack_sequences,
         # SURVEY §2 Part A/B operators (SQL-expressible)
         "a2_size_filter": _q_a2_size_filter,
         "a3_validation_status": _q_a3_validation_status,
@@ -1527,6 +1544,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dropped) AS BIGINT) AS paras_dropped,
                    CAST(sum(length(text_deduped)) AS BIGINT) AS chars_kept
             FROM rebuilt GROUP BY lang
+        """,
+        # The two-phase packed-stream plan must equal one global window.
+        "pack_sequences": """
+            WITH cum AS (
+              SELECT doc_id, lang, n_chars AS tokens,
+                     sum(n_chars) OVER (PARTITION BY lang
+                                        ORDER BY doc_id) AS c
+              FROM documents)
+            SELECT doc_id, lang, tokens,
+                   CAST(floor((c - tokens) / 1024.0) AS BIGINT) AS seq_id,
+                   CAST((c - tokens) % 1024 AS BIGINT) AS offset
+            FROM cum
         """,
         # CCNet-style bigram LM replay: same tokenization, same
         # add-alpha arithmetic, same (score, doc_id)-ordered ntile.

@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "url_canonicalize",
     "text_lm_quality",
+    "pack_sequences",
 ]
 
 

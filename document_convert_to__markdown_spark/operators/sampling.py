@@ -243,3 +243,66 @@ def token_budget_select_bucketed(documents: DataFrame, budget: int,
         .withColumn("cum_tokens", F.sum(tokens_col).over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def pack_sequences(documents: DataFrame, seq_len: int = 4096,
+                   tokens_col: str = "n_chars", lang_col: str = "lang",
+                   id_col: str = "doc_id",
+                   range_width: int = 100_000) -> DataFrame:
+    """Sequence packing: each document's position in the per-language
+    packed token stream — the training-data step that concatenates
+    documents and slices the stream into fixed ``seq_len`` windows.
+    Returns (id, lang, tokens, seq_id, offset): the document starts in
+    sequence ``seq_id`` at token ``offset`` (documents may straddle
+    sequence boundaries; the loader consumes them from the stream).
+
+    Assignment needs each doc's exact running-total start position, which
+    a naive per-language cumulative window serializes through one task.
+    Two-phase instead (same driver-prefix pattern as
+    ``token_budget_select_bucketed``): docs bucket into id ranges of
+    ``range_width``; per-(lang, range) token sums — one fine-grained
+    aggregation — are prefix-summed on the driver (bounded by
+    n_docs / range_width rows per language, not corpus size) and
+    broadcast back as each range's base offset; the exact cumulative
+    window then runs per (lang, range), whose width is capped by
+    construction.  Provably identical to the single global window (the
+    oracle checks it with plain SQL ``sum() OVER``): prefix(base) +
+    within-range cumsum == global cumsum under the same
+    (lang, id) total order.
+    """
+    from pyspark.sql import Window
+
+    spark = documents.sparkSession
+    rng_col = F.floor(F.col(id_col) / range_width)
+    per_range = (
+        documents.groupBy(F.col(lang_col).alias("_l"),
+                          rng_col.alias("_r"))
+        .agg(F.sum(tokens_col).alias("_tok"))
+        .collect()
+    )
+    by_lang: dict = {}
+    for r in per_range:
+        by_lang.setdefault(r["_l"], []).append((r["_r"], r["_tok"]))
+    bases = []
+    for lang, ranges in by_lang.items():
+        run = 0
+        for rid, tok in sorted(ranges):
+            bases.append((lang, rid, run))
+            run += tok
+    base_df = F.broadcast(spark.createDataFrame(
+        bases, f"{lang_col} string, _rng long, _base long"))
+
+    w = (Window.partitionBy(lang_col, "_rng").orderBy(F.col(id_col))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    staged = (
+        documents.select(id_col, lang_col, F.col(tokens_col).alias("tokens"))
+        .withColumn("_rng", F.floor(F.col(id_col) / range_width))
+        .join(base_df, [lang_col, "_rng"])
+        .withColumn("_cum", F.col("_base") + F.sum("tokens").over(w))
+    )
+    start = F.col("_cum") - F.col("tokens")
+    return staged.select(
+        id_col, lang_col, "tokens",
+        F.floor(start / seq_len).alias("seq_id"),
+        (start % seq_len).alias("offset"),
+    )

@@ -73,3 +73,49 @@ def test_stratified_sample_ratios_and_determinism(spark):
             for r in docs.groupBy("lang").count().collect()}
     assert got["zh"] == base["zh"]  # fraction 1.0 keeps everything
     assert 0.3 < got["en"] / base["en"] < 0.7
+
+
+def test_pack_sequences_equals_global_window_any_range_width(spark):
+    """The two-phase driver-prefix packing must equal the naive global
+    per-language cumulative window for every range width, including
+    widths that split languages into many ranges."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from document_convert_to__markdown_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    w = Window.partitionBy("lang").orderBy("doc_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    start = F.sum("n_chars").over(w) - F.col("n_chars")
+    naive = docs.select(
+        "doc_id", "lang", F.col("n_chars").alias("tokens"),
+        F.floor(start / 512).alias("seq_id"),
+        (start % 512).alias("offset"))
+    want = sorted(map(tuple, naive.collect()))
+    for width in (10, 100, 10**9):
+        got = sorted(map(tuple, pack_sequences(
+            docs, seq_len=512, range_width=width).collect()))
+        assert got == want, width
+
+
+def test_pack_sequences_stream_is_gapless(spark):
+    """Consecutive docs in one language tile the token stream with no
+    gaps or overlaps: next start == previous start + previous tokens."""
+    from pyspark.sql import functions as F
+
+    from document_convert_to__markdown_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences(docs, seq_len=256, range_width=7)
+    rows = sorted(
+        ((r["lang"], r["doc_id"], r["seq_id"] * 256 + r["offset"],
+          r["tokens"]) for r in out.collect()))
+    pos = {}
+    for lang, _doc, start, tokens in rows:
+        assert start == pos.get(lang, 0), (lang, start)
+        pos[lang] = start + tokens
