@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--list-formats", action="store_true",
                         help="print supported (magic-byte-sniffed) formats "
                              "and exit")
+    parser.add_argument("--curate", action="store_true",
+                        help="after extraction, run the curation chain "
+                             "(langid -> Gopher gate -> PII scrub -> dedup "
+                             "-> paragraph dedup -> domain cap -> split -> "
+                             "sequence packing) and export sharded training "
+                             "JSONL under <output>/curated")
     args = parser.parse_args(argv)
 
     if args.list_formats:
@@ -96,13 +102,24 @@ def main(argv: list[str] | None = None) -> int:
         )
         elapsed = time.time() - t0
         n_docs = sum(summary.values())
-        print(json.dumps({
+        out = {
             "run_id": args.run_id,
             "elapsed_sec": round(elapsed, 2),
             "docs": n_docs,
             "docs_per_sec": round(n_docs / elapsed, 2) if elapsed else None,
             "status_counts": summary,
-        }))
+        }
+        if args.curate:
+            from .pipeline.curate import run_curation
+
+            results = spark.read.parquet(f"{args.output}/results") \
+                if args.table_format == "parquet" else None
+            if results is None:
+                from .sources import snapshot as snap
+                results = snap.read(spark, f"{args.output}/results")
+            out["curation_funnel"] = run_curation(
+                results, f"{args.output}/curated")
+        print(json.dumps(out))
         return 0 if summary.get("failed", 0) == 0 else 1
     finally:
         spark.stop()

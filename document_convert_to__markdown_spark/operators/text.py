@@ -37,27 +37,30 @@ def _probe_count(col: Column, probes: list[str]) -> Column:
     return c
 
 
-def language_id(documents: DataFrame) -> DataFrame:
-    """Heuristic language ID → confusion matrix vs the labeled ``lang``."""
-    scores = documents.select(
-        "doc_id", "lang",
-        F.regexp_count("text", F.lit(r"[一-鿿]")).alias("cjk"),
-        *[
-            _probe_count(F.col("text"), probes).alias(f"s_{code}")
-            for code, probes in LANG_PROBES.items()
-        ],
-    )
-    pred = (
-        F.when(F.col("cjk") > 0, F.lit("zh"))
-        .when((F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de"))
-              & (F.col("s_en") >= F.col("s_fr")), F.lit("en"))
-        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")),
-              F.lit("es"))
-        .when(F.col("s_de") >= F.col("s_fr"), F.lit("de"))
+def predicted_lang(text_col: Column) -> Column:
+    """Per-row heuristic language prediction (the expression
+    ``language_id`` aggregates; reusable wherever rows arrive without a
+    ``lang`` label, e.g. the CLI curation stage over extracted
+    markdown).  Pure codegen'd expressions — CJK range probe plus
+    stopword probe argmax."""
+    cjk = F.regexp_count(text_col, F.lit(r"[一-鿿]"))
+    s = {code: _probe_count(text_col, probes)
+         for code, probes in LANG_PROBES.items()}
+    return (
+        F.when(cjk > 0, F.lit("zh"))
+        .when((s["en"] >= s["es"]) & (s["en"] >= s["de"])
+              & (s["en"] >= s["fr"]), F.lit("en"))
+        .when((s["es"] >= s["de"]) & (s["es"] >= s["fr"]), F.lit("es"))
+        .when(s["de"] >= s["fr"], F.lit("de"))
         .otherwise(F.lit("fr"))
     )
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Heuristic language ID → confusion matrix vs the labeled ``lang``."""
     return (
-        scores.select("lang", pred.alias("pred_lang"))
+        documents.select(
+            "lang", predicted_lang(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count("*").alias("n"))
     )

@@ -129,3 +129,48 @@ def test_spark_markdown_matches_standalone(spark, pages):
            for r in plan.results.select("url", "md_sha256").collect()
            if r["md_sha256"] is not None}
     assert got == expected
+
+
+def test_curate_extracted_funnel_and_determinism(spark, tmp_path):
+    """The composed curation chain over extraction results: funnel
+    counts are monotone non-increasing, output rows carry every key the
+    loader needs, and the whole chain is deterministic (content/url
+    hash keyed — no RNG, no clock)."""
+    from document_convert_to__markdown_spark.pipeline.corpus import (
+        synth_pages_df,
+    )
+    from document_convert_to__markdown_spark.pipeline.curate import (
+        curate_extracted, run_curation,
+    )
+    from document_convert_to__markdown_spark.pipeline.job import (
+        run_extraction,
+    )
+
+    results = run_extraction(synth_pages_df(spark, 400), partitions=8) \
+        .results.cache()
+    curated, funnel = curate_extracted(results, paragraph_min_docs=5,
+                                       domain_cap_docs=50, seq_len=512)
+    stages = ["extracted_ok", "gopher_keep", "after_exact_dedup",
+              "after_paragraph_dedup", "after_domain_cap", "curated"]
+    assert list(funnel) == stages
+    vals = [funnel[s] for s in stages]
+    assert vals[0] > 0
+    assert all(a >= b for a, b in zip(vals, vals[1:])), funnel
+    rows = curated.collect()
+    assert len(rows) == funnel["curated"]
+    assert {r["split"] for r in rows} <= {"train", "val", "test"}
+    assert all(r["seq_id"] >= 0 and 0 <= r["offset"] < 512 for r in rows)
+    assert all(r["lang"] and r["domain"] for r in rows)
+
+    again, funnel2 = curate_extracted(results, paragraph_min_docs=5,
+                                      domain_cap_docs=50, seq_len=512)
+    assert funnel2 == funnel
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+
+    out = str(tmp_path / "curated")
+    f3 = run_curation(results, out, paragraph_min_docs=5,
+                      domain_cap_docs=50, seq_len=512)
+    assert f3["curated"] == funnel["curated"]
+    exported = spark.read.json(f"{out}/split=*/*.txt.gz")
+    assert exported.count() == funnel["curated"]
+    results.unpersist()
