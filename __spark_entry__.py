@@ -424,6 +424,41 @@ def _q_dedup_paragraphs(spark, sf):
     )
 
 
+def _q_dedup_substring_spans(spark, sf):
+    """Duplicated-substring span removal (ExactSubstr, Lee et al. 2022):
+    a 10-word boilerplate sentence spliced mid-document into every doc
+    is detected as duplicated 8-gram windows (>=5 distinct docs) and cut
+    from every copy; per-lang audit of words kept/removed.  Fully
+    relational (window-hash count -> broadcast flag -> index mask ->
+    JVM reassembly) — the DuckDB oracle replays it with zipped unnest /
+    list slicing."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = _load(spark, sf, "documents")
+    aug = docs.select(
+        "doc_id", "lang",
+        F.concat_ws(
+            " ",
+            F.substring("text", 1, 60),
+            F.lit("click here to subscribe to our daily newsletter for free"),
+            F.substring("text", 61, 60),
+        ).alias("text"),
+    )
+    out = remove_duplicate_spans(aug, n=8, min_docs=5)
+    return (
+        out.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_words_before").alias("words_before"),
+            F.sum("n_words_removed").alias("words_removed"),
+            F.sum(F.length("text_deduped")).alias("chars_kept"),
+        )
+    )
+
+
 def _q_url_canonicalize(spark, sf):
     """URL canonicalization + registered-domain audit: messy spellings
     (upper-case host, default port, tracking params, unsorted query,
@@ -1266,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": _q_url_canonicalize,
         "text_lm_quality": _q_text_lm_quality,
         "pack_sequences": _q_pack_sequences,
+        "dedup_substring_spans": _q_dedup_substring_spans,
         # SURVEY §2 Part A/B operators (SQL-expressible)
         "a2_size_filter": _q_a2_size_filter,
         "a3_validation_status": _q_a3_validation_status,
@@ -1556,6 +1592,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((c - tokens) / 1024.0) AS BIGINT) AS seq_id,
                    CAST((c - tokens) % 1024 AS BIGINT) AS offset
             FROM cum
+        """,
+        # ExactSubstr replay: same 8-gram window hashes, same >=5
+        # distinct-doc rule, same index mask; parallel unnest zips
+        # (word, idx) the way Spark's transform(w, (x, i) -> ...) does.
+        "dedup_substring_spans": """
+            WITH aug AS (
+              SELECT doc_id, lang,
+                     substring(text, 1, 60) || ' ' ||
+                     'click here to subscribe to our daily newsletter for free'
+                     || ' ' || substring(text, 61, 60) AS text
+              FROM documents),
+            words AS (
+              SELECT doc_id, lang,
+                     list_filter(string_split(text, ' '),
+                                 t -> t <> '') AS w
+              FROM aug),
+            wins AS (
+              SELECT doc_id, s,
+                     md5(array_to_string(w[s+1:s+8], ' ')) AS h
+              FROM words, unnest(range(0, len(w) - 7)) AS t(s)),
+            dups AS (
+              SELECT h FROM wins
+              GROUP BY h HAVING count(DISTINCT doc_id) >= 5),
+            removed AS (
+              SELECT DISTINCT wi.doc_id, t.i AS idx
+              FROM wins wi JOIN dups USING (h),
+                   unnest(range(wi.s, wi.s + 8)) AS t(i)),
+            wordpos AS (
+              SELECT doc_id, lang, len(w) AS nw,
+                     unnest(w) AS word,
+                     unnest(range(0, len(w))) AS idx
+              FROM words),
+            rebuilt AS (
+              SELECT wp.doc_id, any_value(wp.lang) AS lang,
+                     any_value(wp.nw) AS nw,
+                     coalesce(string_agg(
+                       CASE WHEN r.doc_id IS NULL THEN wp.word END, ' '
+                       ORDER BY wp.idx), '') AS text_deduped,
+                     sum(CASE WHEN r.doc_id IS NULL THEN 0 ELSE 1 END)
+                       AS removed
+              FROM wordpos wp
+              LEFT JOIN removed r
+                ON wp.doc_id = r.doc_id AND wp.idx = r.idx
+              GROUP BY wp.doc_id)
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(nw) AS BIGINT) AS words_before,
+                   CAST(sum(removed) AS BIGINT) AS words_removed,
+                   CAST(sum(length(text_deduped)) AS BIGINT) AS chars_kept
+            FROM rebuilt GROUP BY lang
         """,
         # CCNet-style bigram LM replay: same tokenization, same
         # add-alpha arithmetic, same (score, doc_id)-ordered ntile.

@@ -56,6 +56,7 @@ BENCH_QUERIES = [
     "sketch_distinct",
     # round-3 operators
     "dedup_paragraphs",
+    "dedup_substring_spans",
     "url_canonicalize",
     "text_lm_quality",
     "pack_sequences",

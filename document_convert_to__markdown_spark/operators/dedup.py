@@ -414,3 +414,126 @@ def simhash_near_pairs(documents: DataFrame, max_hamming: int = 3,
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def remove_duplicate_spans(documents: DataFrame,
+                           n: int = 8,
+                           min_docs: int = 2,
+                           id_col: str = "doc_id",
+                           text_col: str = "text",
+                           sep: str = " ",
+                           keep_first: bool = False,
+                           broadcast_dups: bool = True) -> DataFrame:
+    """Corpus-level duplicated-substring removal (the ExactSubstr rule of
+    Lee et al. 2022, "Deduplicating Training Data Makes Language Models
+    Better"): any word n-gram window that occurs in ``min_docs`` or more
+    *distinct* documents is a duplicated span; every word covered by a
+    duplicated window is cut, and the document is reassembled from the
+    surviving words.  Sits between whole-document dedup
+    (:func:`dedup_keep_first`) and paragraph dedup
+    (:func:`remove_duplicate_paragraphs`) in granularity: it catches
+    boilerplate that is *embedded mid-sentence* (injected ad sentences,
+    templated lead-ins) which neither coarser rule sees.
+
+    The paper builds a corpus-wide suffix array — a sequential,
+    single-node structure that cannot shard.  The Spark-native shape is
+    the windowed-hash MapReduce equivalent:
+
+    1. windows: for each doc, starts ``0..len(words)-n`` with
+       ``md5(array_join(slice(words, s+1, n)))`` — pure Catalyst
+       projection, no shuffle, ~one row per word;
+    2. duplicated hashes: ``groupBy(h).count_distinct(doc)`` — the one
+       big exchange, and it carries (32-char hash, doc id) only, never
+       text; partial distinct aggregation runs map-side;
+    3. the duplicated-hash set is **tiny** relative to the corpus (most
+       windows are unique), so the join back to window occurrences is a
+       broadcast — the corpus-side windows never shuffle
+       (``broadcast_dups=False`` falls back to a shuffled join for
+       degenerate corpora where most windows are duplicated);
+    4. covered word indices: explode ``sequence(start, start+n-1)`` over
+       *flagged occurrences only* (bounded by n x duplicates, not corpus
+       size), ``collect_set`` per doc — overlapping windows merge for
+       free through the set;
+    5. reassembly: one equi-join of ``documents`` against the <=1-row-
+       per-doc removed-index relation, then a JVM-side
+       ``filter(transform(words, (w, i) -> ...))`` mask — the full
+       corpus never explodes to word granularity.
+
+    ``keep_first=True`` applies the paper's keep-one-copy semantics: the
+    globally-first occurrence of each duplicated window (min
+    ``(doc, start)``) is retained, all others are cut.  The default
+    (``False``) is the C4-style drop-everywhere rule, matching
+    :func:`remove_duplicate_paragraphs`.
+
+    Documents shorter than ``n`` words produce no windows and pass
+    through verbatim; every input row appears in the output
+    (no-silent-drop invariant).  Returns
+    (id_col, text_deduped, n_words_before, n_words_removed).
+    """
+    words = F.filter(F.split(F.col(text_col), sep), lambda x: x != F.lit(""))
+    docs_w = documents.select(F.col(id_col), words.alias("w"))
+    # sequence(0, negative) would yield a *descending* sequence in Spark,
+    # so short docs need an explicit empty-starts guard.
+    starts = F.when(
+        F.size("w") >= n, F.sequence(F.lit(0), F.size("w") - n)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = (
+        docs_w.select(id_col, "w", F.explode(starts).alias("start"))
+        .select(
+            id_col,
+            "start",
+            F.md5(F.array_join(F.slice("w", F.col("start") + 1, F.lit(n)),
+                               sep)).alias("h"),
+        )
+    )
+
+    dup_h = (
+        wins.groupBy("h")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("h")
+    )
+    if broadcast_dups:
+        dup_h = F.broadcast(dup_h)
+    flagged = wins.join(dup_h, "h").select(id_col, "start", "h")
+
+    if keep_first:
+        # Keep the globally-first occurrence of each duplicated window:
+        # min (doc, start) per hash, subtracted from the flagged set.
+        canon = flagged.groupBy("h").agg(
+            F.min(F.struct(F.col(id_col).alias("i"),
+                           F.col("start").alias("s"))).alias("c"))
+        flagged = (
+            flagged.join(canon, "h")
+            .filter(~((F.col(id_col) == F.col("c.i"))
+                      & (F.col("start") == F.col("c.s"))))
+            .select(id_col, "start")
+        )
+
+    removed = (
+        flagged.select(
+            id_col,
+            F.explode(F.sequence(F.col("start"),
+                                 F.col("start") + (n - 1))).alias("idx"),
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("idx").alias("rm"))
+    )
+
+    rebuilt = (
+        documents.select(id_col, words.alias("w"))
+        .join(removed, id_col, "left")
+        .withColumn("rm", F.coalesce("rm", F.array().cast("array<int>")))
+    )
+    kept = F.filter(
+        F.transform(
+            "w", lambda x, i: F.struct(x.alias("word"), i.alias("idx"))),
+        lambda s: ~F.array_contains("rm", s["idx"]),
+    )
+    return rebuilt.select(
+        id_col,
+        F.array_join(F.transform(kept, lambda s: s["word"]), sep)
+        .alias("text_deduped"),
+        F.size("w").alias("n_words_before"),
+        F.size("rm").alias("n_words_removed"),
+    )

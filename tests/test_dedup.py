@@ -163,3 +163,74 @@ def test_remove_duplicate_paragraphs_within_doc_repeat_not_dropped(spark):
            remove_duplicate_paragraphs(docs, min_docs=2).collect()}
     assert out[1]["text_deduped"] == "same line\nsame line\nsame line"
     assert out[1]["n_paras_dropped"] == 0
+
+
+def test_remove_duplicate_spans_cuts_shared_window_everywhere(spark):
+    """ExactSubstr (Lee et al. 2022) drop-all default: an 8-word span
+    shared by >= min_docs docs is cut from every copy, including
+    overlap-merged coverage; unique docs and sub-window docs pass
+    through verbatim."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{shared} unique1 tail1"),
+        (2, f"prefix2 {shared} tail2 more2"),
+        (3, "totally different words here nothing shared at all today"),
+        (4, "short doc"),  # < n words: no windows, passes through
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, n=8, min_docs=2).collect()}
+
+    assert out[1]["text_deduped"] == "unique1 tail1"
+    assert out[1]["n_words_removed"] == 8
+    assert out[2]["text_deduped"] == "prefix2 tail2 more2"
+    assert out[2]["n_words_removed"] == 8
+    assert out[3]["n_words_removed"] == 0
+    assert out[4]["text_deduped"] == "short doc"
+    assert out[4]["n_words_before"] == 2
+    assert len(out) == 4  # no silent drops
+
+
+def test_remove_duplicate_spans_keep_first_retains_one_copy(spark):
+    """keep_first=True is the paper's semantics: the globally-first
+    occurrence (min (doc, start)) survives, later copies are cut."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{shared} unique1 tail1"),
+        (2, f"prefix2 {shared} tail2 more2"),
+        (3, f"p3 q3 {shared}"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, n=8, min_docs=2,
+                                  keep_first=True).collect()}
+    assert out[1]["text_deduped"].startswith(shared)
+    assert out[1]["n_words_removed"] == 0
+    assert out[2]["text_deduped"] == "prefix2 tail2 more2"
+    assert out[3]["text_deduped"] == "p3 q3"
+
+
+def test_remove_duplicate_spans_overlapping_windows_merge(spark):
+    """A 10-word shared run produces three overlapping duplicated
+    8-windows; coverage merges to exactly the 10 shared words."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    rows = [(1, f"a1 {shared} z1"), (2, f"b2 c2 {shared}")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, n=8, min_docs=2).collect()}
+    assert out[1]["text_deduped"] == "a1 z1"
+    assert out[1]["n_words_removed"] == 10
+    assert out[2]["text_deduped"] == "b2 c2"
+    assert out[2]["n_words_removed"] == 10

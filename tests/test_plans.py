@@ -279,3 +279,31 @@ def test_domain_cap_two_bounded_windows(spark, sf):
                             order_cols=[F.col("n_chars").desc(),
                                         F.col("doc_id")]), mode="simple")
     assert p.count("Exchange hashpartitioning") == 2
+
+
+def test_substring_span_dedup_broadcasts_dups_and_prunes_text(spark, sf):
+    """ExactSubstr span removal: the duplicated-window-hash set arrives
+    by broadcast (most windows are unique, the dup set is tiny) and the
+    distinct-doc count exchange carries (h, doc_id) only — neither the
+    word array nor document text crosses it."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    aug = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.substring("text", 1, 60),
+                    F.lit("one two three four five six seven eight nine"),
+                    F.substring("text", 61, 60)).alias("text"))
+    p = plan_str(remove_duplicate_spans(aug, n=8, min_docs=5),
+                 mode="simple")
+    assert "BroadcastHashJoin" in p, p
+    assert "CartesianProduct" not in p and "NestedLoop" not in p, p
+    # every hash-count exchange is keyed on the window hash h, and the
+    # word array / raw text never ride those exchanges
+    count_side = p.split("BroadcastExchange")[1]
+    for ex in count_side.split("Exchange hashpartitioning")[1:]:
+        head = ex[:60]
+        if "h#" in head:
+            assert "w#" not in head and "text#" not in head, p
