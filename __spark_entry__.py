@@ -1302,6 +1302,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_quality": _q_text_lm_quality,
         "pack_sequences": _q_pack_sequences,
         "dedup_substring_spans": _q_dedup_substring_spans,
+        # ORDERING INVARIANT: the driver scores exactly the FIRST 50
+        # entries of this dict per round.  Every entry below position 50
+        # must already hold a green verdict in a prior CORRECTNESS_r*.json
+        # (all do: r02 scored the 24 entries now in the tail).  When
+        # inserting a new query above this line, check what falls past
+        # position 50 — it must be a previously-scored query.
         # SURVEY §2 Part A/B operators (SQL-expressible)
         "a2_size_filter": _q_a2_size_filter,
         "a3_validation_status": _q_a3_validation_status,

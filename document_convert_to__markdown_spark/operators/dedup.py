@@ -461,14 +461,22 @@ def remove_duplicate_spans(documents: DataFrame,
 
     ``keep_first=True`` applies the paper's keep-one-copy semantics: the
     globally-first occurrence of each duplicated window (min
-    ``(doc, start)``) is retained, all others are cut.  The default
-    (``False``) is the C4-style drop-everywhere rule, matching
-    :func:`remove_duplicate_paragraphs`.
+    ``(doc, start)``) is retained, all others are cut.  Word indices
+    covered by a canonical occurrence are *protected* in that document
+    — another flagged window overlapping them cannot cut them — so
+    every duplicated window is guaranteed at least one intact surviving
+    copy even when overlapping windows have their canonical occurrences
+    in different documents.  The default (``False``) is the C4-style
+    drop-everywhere rule, matching :func:`remove_duplicate_paragraphs`.
 
     Documents shorter than ``n`` words produce no windows and pass
     through verbatim; every input row appears in the output
     (no-silent-drop invariant).  Returns
     (id_col, text_deduped, n_words_before, n_words_removed).
+    ``sep`` is used both as the split *regex* and the rejoin literal
+    (same contract as :func:`remove_duplicate_paragraphs`), so pass a
+    literal separator — regex metacharacters like ``"|"`` would
+    mis-tokenize.
     """
     words = F.filter(F.split(F.col(text_col), sep), lambda x: x != F.lit(""))
     docs_w = documents.select(F.col(id_col), words.alias("w"))
@@ -497,42 +505,58 @@ def remove_duplicate_spans(documents: DataFrame,
         dup_h = F.broadcast(dup_h)
     flagged = wins.join(dup_h, "h").select(id_col, "start", "h")
 
-    if keep_first:
-        # Keep the globally-first occurrence of each duplicated window:
-        # min (doc, start) per hash, subtracted from the flagged set.
-        canon = flagged.groupBy("h").agg(
-            F.min(F.struct(F.col(id_col).alias("i"),
-                           F.col("start").alias("s"))).alias("c"))
-        flagged = (
-            flagged.join(canon, "h")
-            .filter(~((F.col(id_col) == F.col("c.i"))
-                      & (F.col("start") == F.col("c.s"))))
-            .select(id_col, "start")
-        )
-
-    removed = (
-        flagged.select(
+    def _covered(df):
+        # Duplicate (doc, idx) rows are fine: the final collect_set
+        # dedups, and the keep_first anti-join is row-multiplicity
+        # agnostic — so no distinct() (it would add an exchange).
+        return df.select(
             id_col,
             F.explode(F.sequence(F.col("start"),
                                  F.col("start") + (n - 1))).alias("idx"),
         )
-        .groupBy(id_col)
-        .agg(F.collect_set("idx").alias("rm"))
-    )
+
+    if keep_first:
+        # Keep the globally-first occurrence of each duplicated window:
+        # min (doc, start) per hash.  Indices covered by a canonical
+        # occurrence are protected in that doc — an overlapping flagged
+        # window whose canonical copy lives elsewhere cannot cut them —
+        # so at least one intact copy of every duplicated window
+        # survives (review r3: without the protection, two overlapping
+        # windows canonical in different docs could destroy each
+        # other's kept copy).
+        with_canon = flagged.join(
+            flagged.groupBy("h").agg(
+                F.min(F.struct(F.col(id_col).alias("i"),
+                               F.col("start").alias("s"))).alias("c")),
+            "h")
+        is_canon = ((F.col(id_col) == F.col("c.i"))
+                    & (F.col("start") == F.col("c.s")))
+        protected = _covered(with_canon.filter(is_canon))
+        removed_idx = _covered(with_canon.filter(~is_canon)).join(
+            protected, [id_col, "idx"], "left_anti")
+    else:
+        removed_idx = _covered(flagged)
+
+    removed = removed_idx.groupBy(id_col).agg(
+        F.collect_set("idx").alias("rm"))
 
     rebuilt = (
         documents.select(id_col, words.alias("w"))
         .join(removed, id_col, "left")
         .withColumn("rm", F.coalesce("rm", F.array().cast("array<int>")))
     )
-    kept = F.filter(
-        F.transform(
-            "w", lambda x, i: F.struct(x.alias("word"), i.alias("idx"))),
-        lambda s: ~F.array_contains("rm", s["idx"]),
-    )
+    # array_except is hash-set based: O(words + removed) per doc, vs the
+    # O(words x removed) of an array_contains scan per word — the
+    # difference matters on large heavily-duplicated documents.  It
+    # preserves the left array's order, so indices stay sorted.
+    kept_idx = F.when(
+        F.size("w") > 0,
+        F.array_except(F.sequence(F.lit(0), F.size("w") - 1), F.col("rm")),
+    ).otherwise(F.array().cast("array<int>"))
     return rebuilt.select(
         id_col,
-        F.array_join(F.transform(kept, lambda s: s["word"]), sep)
+        F.array_join(
+            F.transform(kept_idx, lambda i: F.element_at("w", i + 1)), sep)
         .alias("text_deduped"),
         F.size("w").alias("n_words_before"),
         F.size("rm").alias("n_words_removed"),

@@ -234,3 +234,33 @@ def test_remove_duplicate_spans_overlapping_windows_merge(spark):
     assert out[1]["n_words_removed"] == 10
     assert out[2]["text_deduped"] == "b2 c2"
     assert out[2]["n_words_removed"] == 10
+
+
+def test_remove_duplicate_spans_keep_first_overlap_protected(spark):
+    """Review r3 regression: two overlapping duplicated windows with
+    canonical occurrences in DIFFERENT docs must not destroy each
+    other's kept copy — canonical-covered indices are protected, so an
+    intact copy of every duplicated window survives somewhere."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        remove_duplicate_spans,
+    )
+
+    rows = [
+        (1, "A B C D E F G H x1 y1"),        # canonical for "A..H"
+        (2, "A B C D E F G H I z2"),          # canonical for "B..I"
+        (3, "p3 B C D E F G H I q3"),         # non-canonical copy
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in
+           remove_duplicate_spans(docs, n=8, min_docs=2,
+                                  keep_first=True).collect()}
+    # doc1 keeps its canonical "A..H" intact
+    assert out[1]["text_deduped"] == "A B C D E F G H x1 y1"
+    # doc2: index 0 ("A", covered only by the non-canonical "A..H"
+    # occurrence) is cut; B..I are protected by doc2's canonical "B..I"
+    assert out[2]["text_deduped"] == "B C D E F G H I z2"
+    # doc3's copy is non-canonical for every window: fully cut
+    assert out[3]["text_deduped"] == "p3 q3"
+    # every duplicated window has an intact surviving copy
+    assert "A B C D E F G H" in out[1]["text_deduped"]
+    assert "B C D E F G H I" in out[2]["text_deduped"]
