@@ -459,6 +459,33 @@ def _q_dedup_substring_spans(spark, sf):
     )
 
 
+def _q_bpe_tokenize(spark, sf):
+    """BPE subword tokenization (Sennrich et al. 2016): 20 merges
+    trained relationally on the word-frequency dictionary (corpus
+    touched once; one collected row per merge round), then Arrow-batched
+    greedy encode; per-lang token/vocabulary audit.  Iterative training
+    is not SQL-expressible — pinned golden oracle (deterministic:
+    seeded corpus, tie-break on (count desc, left, right))."""
+    from document_convert_to__markdown_spark.operators.bpe import (
+        bpe_encode, bpe_train,
+    )
+
+    docs = _load(spark, sf, "documents")
+    merges = bpe_train(docs, num_merges=20)
+    enc = bpe_encode(docs, merges).select("lang", "n_tokens", "tokens")
+    enc = enc.persist()  # one ArrowEvalPython pass feeds both branches
+    counts = enc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )
+    vocab = (
+        enc.select("lang", F.explode("tokens").alias("t"))
+        .groupBy("lang")
+        .agg(F.count_distinct("t").alias("distinct_subwords"))
+    )
+    return counts.join(vocab, "lang")
+
+
 def _q_url_canonicalize(spark, sf):
     """URL canonicalization + registered-domain audit: messy spellings
     (upper-case host, default port, tracking params, unsorted query,
@@ -1302,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lm_quality": _q_text_lm_quality,
         "pack_sequences": _q_pack_sequences,
         "dedup_substring_spans": _q_dedup_substring_spans,
+        "bpe_tokenize": _q_bpe_tokenize,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json

@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     # round-3 operators
     "dedup_paragraphs",
     "dedup_substring_spans",
+    "bpe_tokenize",
     "url_canonicalize",
     "text_lm_quality",
     "pack_sequences",

@@ -32,6 +32,7 @@ PINNABLE = [
     "multimodal_media_meta",
     "multimodal_resize",
     "multimodal_frame_sample",
+    "bpe_tokenize",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "neardup_pipeline",
