@@ -40,13 +40,23 @@ from pyspark.sql.types import ArrayType, StringType
 END_OF_WORD = "</w>"
 
 
-def _word_freqs(documents: DataFrame, text_col: str) -> DataFrame:
-    words = F.filter(
+def _words_expr(text_col: str):
+    """The ONE tokenization both training and encoding share: JVM-side
+    lowercase + ``\\s+`` split.  The encode UDF receives this pre-split
+    array rather than re-tokenizing in Python — Python's ``str.split``
+    also breaks on NBSP/U+3000/NEL (which Java's ``\\s`` does not) and
+    ``str.lower()`` can disagree with the JVM's locale-sensitive
+    lowercasing, so a second Python-side implementation would silently
+    segment differently from the trained dictionary (review r3)."""
+    return F.filter(
         F.split(F.lower(F.col(text_col)), r"\s+"),
         lambda x: x != F.lit(""),
     )
+
+
+def _word_freqs(documents: DataFrame, text_col: str) -> DataFrame:
     return (
-        documents.select(F.explode(words).alias("word"))
+        documents.select(F.explode(_words_expr(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
@@ -100,6 +110,11 @@ def bpe_train(documents: DataFrame, num_merges: int = 50,
             break
         l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, l, r, c))
+        if rank == num_merges - 1:
+            # The rewritten dictionary would never be read — skip the
+            # final fold-merge + checkpoint job (one full-dictionary
+            # pass saved per training call).
+            break
 
         lcol, rcol, mcol = F.lit(l), F.lit(r), F.lit(l + r)
         # Left-to-right non-overlapping merge as a fold: the freshly
@@ -163,15 +178,19 @@ def bpe_encode(documents: DataFrame,
     ranks = {(l, r): rank for rank, l, r, _c in merges}
 
     @pandas_udf(ArrayType(StringType()))
-    def _bpe(texts: pd.Series) -> pd.Series:
+    def _bpe(word_arrays: pd.Series) -> pd.Series:
         cache: dict[str, list[str]] = {}
         out = []
-        for t in texts:
+        for words in word_arrays:
             toks: list[str] = []
-            for w in (t or "").lower().split():
-                toks.extend(_encode_word(w, ranks, cache))
+            if words is not None:
+                for w in words:
+                    toks.extend(_encode_word(w, ranks, cache))
             out.append(toks)
         return pd.Series(out)
 
-    return documents.withColumn(tokens_col, _bpe(F.col(text_col))) \
+    # Tokenization happens JVM-side via the SAME expression training
+    # used (_words_expr) — the UDF only applies merges, so train and
+    # encode can never disagree on word boundaries or lowercasing.
+    return documents.withColumn(tokens_col, _bpe(_words_expr(text_col))) \
         .withColumn("n_tokens", F.size(tokens_col))

@@ -73,7 +73,11 @@ def main() -> int:
         df = qs[name](spark, sf_dir)
         cols = [(f.name, _SQL_TYPES[repr(f.dataType)])
                 for f in df.schema.fields]
-        rows = [[r[c] for c, _t in cols] for r in df.collect()]
+        # collect() order is shuffle-nondeterministic; the comparator is
+        # order-insensitive, so sort rows to make re-pinning reproducible
+        # (no spurious diffs in committed golden data).
+        rows = sorted(([r[c] for c, _t in cols] for r in df.collect()),
+                      key=lambda row: [repr(v) for v in row])
         out[name] = {"cols": cols, "rows": rows}
         print(f"pinned {name}: {len(rows)} rows, cols={[c for c, _ in cols]}")
 

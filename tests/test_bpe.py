@@ -113,3 +113,22 @@ def test_bpe_encode_is_single_arrow_pass_no_shuffle(spark):
     p = buf.getvalue()
     assert p.count("ArrowEvalPython") == 1, p
     assert "Exchange" not in p, p
+
+
+def test_bpe_train_encode_share_tokenization(spark):
+    """Review r3 regression: NBSP (U+00A0) is NOT a Java \\s character,
+    so 'foo\\xa0bar' is ONE dictionary word in training — encoding must
+    segment identically (JVM-side split feeds the UDF), keeping the
+    NBSP inside the token instead of silently splitting on it."""
+    from document_convert_to__markdown_spark.operators.bpe import (
+        bpe_encode, bpe_train,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "foo\xa0bar foo\xa0bar foo\xa0bar")], ["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=10)
+    row = bpe_encode(docs, merges).collect()[0]
+    # one fully-merged token per word occurrence, NBSP preserved inside
+    assert row["tokens"] == ["foo\xa0bar</w>"] * 3
+    rebuilt = "".join(row["tokens"]).replace("</w>", " ").strip()
+    assert rebuilt == row["text"].lower()
