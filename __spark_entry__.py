@@ -576,6 +576,20 @@ def _q_text_lm_quality(spark, sf):
     )
 
 
+def _q_bm25_topk(spark, sf):
+    """Okapi BM25 ranked retrieval (operators/retrieval.py): top-10
+    docs for a 3-term bag-of-words query.  One corpus pass builds tf+dl
+    together; df/stats broadcast; TakeOrderedAndProject top-k.  Scores
+    rounded to 4 decimals BEFORE the cut with doc_id tie-break so Spark
+    and DuckDB select identical rows despite ln() ulp drift."""
+    from document_convert_to__markdown_spark.operators.retrieval import (
+        bm25_topk,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return bm25_topk(docs, ["dup", "key", "vector"], k=10)
+
+
 def _q_dedup_minhash_lsh(spark, sf):
     from document_convert_to__markdown_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -1334,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "dedup_substring_spans": _q_dedup_substring_spans,
         "bpe_tokenize": _q_bpe_tokenize,
+        "bm25_topk": _q_bm25_topk,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
@@ -1630,6 +1645,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor((c - tokens) / 1024.0) AS BIGINT) AS seq_id,
                    CAST((c - tokens) % 1024 AS BIGINT) AS offset
             FROM cum
+        """,
+        # Okapi BM25 with the Lucene non-negative idf; round-then-cut
+        # with doc_id tie-break keeps the top-k row set engine-stable.
+        "bm25_topk": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 t -> t <> '') AS w
+              FROM documents),
+            toks AS (
+              SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+              FROM toks WHERE term IN ('dup', 'key', 'vector')
+              GROUP BY doc_id, term),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(len(w)) AS avgdl
+              FROM w),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                                         + 0.75 * tf.dl / s.avgdl))
+                     ), 4) AS score,
+                     count(*) AS n_matched
+              FROM tf
+              JOIN dfreq d USING (term)
+              CROSS JOIN stats s
+              GROUP BY tf.doc_id)
+            SELECT doc_id, score, n_matched
+            FROM scored ORDER BY score DESC, doc_id LIMIT 10
         """,
         # ExactSubstr replay: same 8-gram window hashes, same >=5
         # distinct-doc rule, same index mask; parallel unnest zips

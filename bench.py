@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "dedup_paragraphs",
     "dedup_substring_spans",
     "bpe_tokenize",
+    "bm25_topk",
     "url_canonicalize",
     "text_lm_quality",
     "pack_sequences",
