@@ -590,6 +590,25 @@ def _q_bm25_topk(spark, sf):
     return bm25_topk(docs, ["dup", "key", "vector"], k=10)
 
 
+def _q_temperature_resample(spark, sf):
+    """Temperature-based language rebalancing (operators/sampling.py):
+    alpha=0.3, budget=250 over the 500-doc sf0.01 corpus — head
+    languages get keep_rate < 1, the tail saturates at the min(1, .)
+    clamp, and the md5-uniform draw makes the kept set deterministic.
+    Per-lang audit of kept counts and rates."""
+    from document_convert_to__markdown_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return (
+        temperature_resample(docs, alpha=0.3, budget=250)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_kept"),
+             F.round(F.first("keep_rate"), 4).alias("keep_rate"))
+    )
+
+
 def _q_dedup_minhash_lsh(spark, sf):
     from document_convert_to__markdown_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -1349,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_substring_spans": _q_dedup_substring_spans,
         "bpe_tokenize": _q_bpe_tokenize,
         "bm25_topk": _q_bm25_topk,
+        "temperature_resample": _q_temperature_resample,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
@@ -1680,6 +1700,26 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY tf.doc_id)
             SELECT doc_id, score, n_matched
             FROM scored ORDER BY score DESC, doc_id LIMIT 10
+        """,
+        # XLM-R temperature sampling: p_l ∝ n_l^0.3, budget-scaled
+        # per-lang Bernoulli rate, md5-uniform deterministic draw.
+        "temperature_resample": """
+            WITH counts AS (
+              SELECT lang, count(*) AS n_l FROM documents GROUP BY lang),
+            z AS (SELECT sum(pow(n_l, 0.3)) AS z FROM counts),
+            rates AS (
+              SELECT lang,
+                     least(1.0, 250.0 * pow(n_l, 0.3) / z.z / n_l)
+                       AS keep_rate
+              FROM counts CROSS JOIN z),
+            kept AS (
+              SELECT d.lang, r.keep_rate
+              FROM documents d JOIN rates r USING (lang)
+              WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+                      ::BIGINT / 4294967296.0 < r.keep_rate)
+            SELECT lang, count(*) AS n_kept,
+                   round(any_value(keep_rate), 4) AS keep_rate
+            FROM kept GROUP BY lang
         """,
         # ExactSubstr replay: same 8-gram window hashes, same >=5
         # distinct-doc rule, same index mask; parallel unnest zips

@@ -136,6 +136,50 @@ def weighted_sample(df: DataFrame, weight_col: str,
     return df.filter(u < F.col(weight_col))
 
 
+def temperature_resample(documents: DataFrame, alpha: float = 0.3,
+                         budget: int = 1000, lang_col: str = "lang",
+                         key_col: str = "doc_id") -> DataFrame:
+    """Temperature-based language rebalancing (XLM-R, Conneau et al.
+    2020 §3.1; the exponentiated-count sampling UniMax [Chung et al.
+    2023] improves on): sample language l with probability
+    p_l ∝ n_l^alpha, alpha < 1 flattening the head so low-resource
+    languages are upweighted relative to their corpus share.
+
+    Realized as a deterministic per-row Bernoulli: keep_rate_l =
+    min(1, budget * p_l / n_l), decided by the same md5-uniform draw
+    ``weighted_sample`` uses — re-runs and backfills keep identical
+    rows, and the expected kept count is ~budget.
+
+    Scale shape: the per-language rate relation is ONE aggregation of
+    (lang) — thousands of rows at most — broadcast back onto the
+    corpus; the corpus itself never shuffles, so this composes with an
+    upstream scan at zero extra exchanges on the wide side.  Returns
+    the input rows that survive, plus their language's ``keep_rate``.
+    """
+    counts = documents.groupBy(lang_col).agg(F.count("*").alias("_n_l"))
+    # normalizer as a 1-row relation: sum over langs of n_l^alpha
+    z = counts.agg(F.sum(F.pow("_n_l", F.lit(alpha))).alias("_z"))
+    rates = (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            lang_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(budget)) * F.pow("_n_l", F.lit(alpha))
+                / F.col("_z") / F.col("_n_l"),
+            ).alias("keep_rate"),
+        )
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+               16, 10).cast("double") / F.lit(float(1 << 32))
+    )
+    return (
+        documents.join(F.broadcast(rates), lang_col)
+        .filter(u < F.col("keep_rate"))
+    )
+
+
 def token_budget_select(documents: DataFrame, budget: int,
                         tokens_col: str = "n_chars",
                         lang_col: str = "lang") -> DataFrame:

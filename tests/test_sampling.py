@@ -119,3 +119,60 @@ def test_pack_sequences_stream_is_gapless(spark):
     for lang, _doc, start, tokens in rows:
         assert start == pos.get(lang, 0), (lang, start)
         pos[lang] = start + tokens
+
+
+def test_temperature_resample_flattens_and_clamps(spark):
+    from document_convert_to__markdown_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    # 400 'en' docs vs 20 'is' docs: alpha=0.3 must give the
+    # low-resource language a strictly higher keep rate, and a small
+    # enough budget keeps both rates < 1.
+    docs = spark.range(420).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 400, F.lit("en")).otherwise(F.lit("is"))
+        .alias("lang"),
+    )
+    kept = temperature_resample(docs, alpha=0.3, budget=100)
+    rates = {r["lang"]: r["rate"] for r in
+             kept.groupBy("lang").agg(F.first("keep_rate").alias("rate"))
+             .collect()}
+    assert rates["is"] > rates["en"]
+    assert rates["en"] < 1.0
+
+    # expected kept count ~ budget (Bernoulli, so allow slack)
+    n = kept.count()
+    assert 60 <= n <= 140, n
+
+    # a huge budget clamps every rate at exactly 1.0 -> whole corpus
+    full = temperature_resample(docs, alpha=0.3, budget=10**6)
+    assert full.count() == 420
+    assert all(r["keep_rate"] == 1.0 for r in
+               full.select("keep_rate").distinct().collect())
+
+
+def test_temperature_resample_deterministic(spark):
+    from document_convert_to__markdown_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = _docs(spark)
+    a = sorted(r["doc_id"] for r in
+               temperature_resample(docs, budget=250).collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_resample(docs, budget=250).collect())
+    assert a == b and 0 < len(a) < 500
+
+
+def test_temperature_resample_plan_broadcasts_rates(spark):
+    from document_convert_to__markdown_spark.operators.sampling import (
+        temperature_resample,
+    )
+    from tests.test_plans import plan_str
+
+    plan = plan_str(temperature_resample(_docs(spark), budget=250))
+    # the per-lang rate relation reaches the corpus via broadcast — the
+    # wide side never shuffles for the join
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
