@@ -609,6 +609,22 @@ def _q_temperature_resample(spark, sf):
     )
 
 
+def _q_dsir_select(spark, sf):
+    """DSIR importance resampling (operators/dsir.py, Xie et al. 2023):
+    hashed-bigram importance weights against the English slice as the
+    trusted target, Gumbel-top-k resample of 50 docs.  The md5 bucket
+    hash and md5-uniform Gumbel draw replay bit-for-bit in DuckDB;
+    scores rounded to 4 decimals BEFORE the cut with doc_id tie-break
+    so both engines select identical rows."""
+    from document_convert_to__markdown_spark.operators.dsir import (
+        dsir_select,
+    )
+
+    docs = _load(spark, sf, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    return dsir_select(docs, target, k=50, n_buckets=256)
+
+
 def _q_dedup_minhash_lsh(spark, sf):
     from document_convert_to__markdown_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -1369,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_tokenize": _q_bpe_tokenize,
         "bm25_topk": _q_bm25_topk,
         "temperature_resample": _q_temperature_resample,
+        "dsir_select": _q_dsir_select,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
@@ -1720,6 +1737,56 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(*) AS n_kept,
                    round(any_value(keep_rate), 4) AS keep_rate
             FROM kept GROUP BY lang
+        """,
+        # DSIR replay: same md5 bucket hash, same add-alpha ratio
+        # arithmetic, same md5-uniform Gumbel draw, same rounded-score
+        # + doc_id ordering at the top-k cut.
+        "dsir_select": """
+            WITH toks_r AS (
+              SELECT doc_id,
+                     list_filter(string_split(lower(text), ' '),
+                                 t -> t <> '') AS t
+              FROM documents),
+            bk_r AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(unnest(list_transform(
+                        range(1, greatest(len(t) - 1, 0) + 1),
+                        i -> t[i] || ' ' || t[i + 1]))), 1, 4))::BIGINT
+                       % 256 AS bucket
+              FROM toks_r),
+            bk_t AS (
+              SELECT b.bucket
+              FROM bk_r b JOIN documents d USING (doc_id)
+              WHERE d.lang = 'en'),
+            cr AS (SELECT bucket, count(*) AS cr FROM bk_r
+                   GROUP BY bucket),
+            ct AS (SELECT bucket, count(*) AS ct FROM bk_t
+                   GROUP BY bucket),
+            tot AS (SELECT (SELECT sum(cr) FROM cr)::DOUBLE AS r_total,
+                           (SELECT sum(ct) FROM ct)::DOUBLE AS t_total),
+            lam AS (
+              SELECT cr.bucket,
+                     ln((coalesce(ct.ct, 0) + 0.5)
+                        / (tot.t_total + 0.5 * 256))
+                     - ln((cr.cr + 0.5)
+                          / (tot.r_total + 0.5 * 256)) AS lam
+              FROM cr LEFT JOIN ct USING (bucket) CROSS JOIN tot),
+            per_doc AS (
+              SELECT b.doc_id, count(*) AS n_grams, sum(l.lam) AS log_w
+              FROM bk_r b JOIN lam l USING (bucket)
+              GROUP BY b.doc_id),
+            scored AS (
+              SELECT d.doc_id,
+                     CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+                     round(coalesce(p.log_w, 0.0), 4) AS log_w,
+                     round(coalesce(p.log_w, 0.0)
+                           - ln(-ln(1.0
+                               - ('0x' || substr(md5(CAST(d.doc_id
+                                     AS VARCHAR)), 1, 8))::BIGINT
+                                 / 4294967296.0)), 4) AS gumbel_score
+              FROM documents d LEFT JOIN per_doc p USING (doc_id))
+            SELECT doc_id, n_grams, log_w, gumbel_score
+            FROM scored ORDER BY gumbel_score DESC, doc_id LIMIT 50
         """,
         # ExactSubstr replay: same 8-gram window hashes, same >=5
         # distinct-doc rule, same index mask; parallel unnest zips

@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "url_canonicalize",
     "text_lm_quality",
     "pack_sequences",
+    "dsir_select",
 ]
 
 
