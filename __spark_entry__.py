@@ -1726,8 +1726,8 @@ def oracle_sql() -> dict[str, str]:
             z AS (SELECT sum(pow(n_l, 0.3)) AS z FROM counts),
             rates AS (
               SELECT lang,
-                     least(1.0, 250.0 * pow(n_l, 0.3) / z.z / n_l)
-                       AS keep_rate
+                     round(least(1.0, 250.0 * pow(n_l, 0.3) / z.z / n_l),
+                           6) AS keep_rate
               FROM counts CROSS JOIN z),
             kept AS (
               SELECT d.lang, r.keep_rate
@@ -1780,9 +1780,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
                      round(coalesce(p.log_w, 0.0), 4) AS log_w,
                      round(coalesce(p.log_w, 0.0)
-                           - ln(-ln(1.0
-                               - ('0x' || substr(md5(CAST(d.doc_id
-                                     AS VARCHAR)), 1, 8))::BIGINT
+                           - ln(-ln((('0x' || substr(md5(CAST(d.doc_id
+                                     AS VARCHAR)), 1, 8))::BIGINT + 0.5)
                                  / 4294967296.0)), 4) AS gumbel_score
               FROM documents d LEFT JOIN per_doc p USING (doc_id))
             SELECT doc_id, n_grams, log_w, gumbel_score

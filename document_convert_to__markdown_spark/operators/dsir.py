@@ -36,16 +36,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-
-def _toks(col):
-    return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
-
-
-def _bigrams(tok_col: str):
-    # same relational bigram builder ngram_lm_score uses
-    return F.expr(
-        "transform(slice({c}, 1, greatest(size({c}) - 1, 0)), "
-        "(w, i) -> concat(w, ' ', element_at({c}, i + 2)))".format(c=tok_col))
+from .sampling import md5_u32
+from .text import bigram_array as _bigrams
+from .text import space_tokens as _toks
 
 
 def _bucket(col, n_buckets: int):
@@ -135,12 +128,12 @@ def dsir_select(raw: DataFrame, target: DataFrame, k: int = 100,
     identical across engines."""
     w = dsir_log_weights(raw, target, n_buckets=n_buckets, alpha=alpha,
                          text_col=text_col, id_col=id_col)
-    u = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8),
-               16, 10).cast("double") / F.lit(float(1 << 32))
-    )
-    # u in [0,1): flip to (0,1] so ln() never sees 0
-    gumbel = -F.log(-F.log(F.lit(1.0) - u))
+    # +0.5 centers the 32-bit draw inside (0,1) STRICTLY — at u=0 the
+    # outer ln would see -ln(1)=0 (NULL in Spark, a hard error in the
+    # DuckDB oracle), and a doc_id whose md5 starts '00000000' is
+    # certain at 10^12 rows (review r3).
+    u = (md5_u32(id_col) + F.lit(0.5)) / F.lit(float(1 << 32))
+    gumbel = -F.log(-F.log(u))
     scored = w.select(
         id_col, "n_grams",
         F.round(F.col("log_w"), 4).alias("log_w"),

@@ -115,6 +115,23 @@ def domain_cap(df: DataFrame, domain_col: str = "source", cap: int = 10,
     )
 
 
+def md5_u32(key_col: str):
+    """First 8 hex digits of md5(key) as a double in [0, 2^32) — the
+    ONE deterministic per-row randomness source (``weighted_sample``,
+    ``temperature_resample``, DSIR's Gumbel draw).  Oracle form:
+    ``('0x' || substr(md5(CAST(k AS VARCHAR)), 1, 8))::BIGINT`` — any
+    change here must land in every oracle that replays it."""
+    return F.conv(
+        F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
+        16, 10).cast("double")
+
+
+def md5_uniform(key_col: str):
+    """Deterministic uniform [0,1) draw, a pure function of the key —
+    re-runs, backfills and incremental arrivals draw identically."""
+    return md5_u32(key_col) / F.lit(float(1 << 32))
+
+
 def weighted_sample(df: DataFrame, weight_col: str,
                     key_col: str = "doc_id") -> DataFrame:
     """Deterministic per-row Bernoulli sample: keep a row iff
@@ -129,11 +146,7 @@ def weighted_sample(df: DataFrame, weight_col: str,
     SQL-expressible, so the driver oracle checks it bit-for-bit
     (``sampleBy``'s RNG draw, by contrast, depends on partitioning).
     """
-    u = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
-               16, 10).cast("double") / F.lit(float(1 << 32))
-    )
-    return df.filter(u < F.col(weight_col))
+    return df.filter(md5_uniform(key_col) < F.col(weight_col))
 
 
 def temperature_resample(documents: DataFrame, alpha: float = 0.3,
@@ -159,24 +172,31 @@ def temperature_resample(documents: DataFrame, alpha: float = 0.3,
     counts = documents.groupBy(lang_col).agg(F.count("*").alias("_n_l"))
     # normalizer as a 1-row relation: sum over langs of n_l^alpha
     z = counts.agg(F.sum(F.pow("_n_l", F.lit(alpha))).alias("_z"))
+    # round-before-cut: the rate decides row membership, so pin it to 6
+    # decimals in BOTH engines (Java Math.pow / partial-agg sum order vs
+    # DuckDB's libm can differ in the last ulp — same discipline as the
+    # bm25/dsir score cuts).
     rates = (
         counts.crossJoin(F.broadcast(z))
         .select(
             lang_col,
-            F.least(
-                F.lit(1.0),
-                F.lit(float(budget)) * F.pow("_n_l", F.lit(alpha))
-                / F.col("_z") / F.col("_n_l"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(budget)) * F.pow("_n_l", F.lit(alpha))
+                    / F.col("_z") / F.col("_n_l"),
+                ), 6,
             ).alias("keep_rate"),
         )
     )
-    u = (
-        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8),
-               16, 10).cast("double") / F.lit(float(1 << 32))
-    )
+    # eqNullSafe: a NULL-lang stratum must meet its own rate row (it was
+    # counted into z), not silently vanish at the equi-join (review r3).
     return (
-        documents.join(F.broadcast(rates), lang_col)
-        .filter(u < F.col("keep_rate"))
+        documents.join(
+            F.broadcast(rates),
+            documents[lang_col].eqNullSafe(rates[lang_col]))
+        .drop(rates[lang_col])
+        .filter(md5_uniform(key_col) < F.col("keep_rate"))
     )
 
 

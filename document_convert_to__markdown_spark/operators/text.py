@@ -27,6 +27,27 @@ LANG_PROBES: dict[str, list[str]] = {
 }
 
 
+def space_tokens(col: Column) -> Column:
+    """THE shared whitespace tokenizer: lowercase, split on single
+    spaces, drop empties.  ``ngram_lm_score`` and ``dsir`` both train
+    on it, and every DuckDB oracle mirrors it as
+    ``list_filter(string_split(lower(text), ' '), t -> t <> '')`` —
+    keep the three representations bit-identical."""
+    return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
+
+
+def bigram_array(tok_col: str) -> Column:
+    """Relational bigram builder over a token-array column name:
+    ``transform`` + ``slice`` (no UDF), shared by ``ngram_lm_score``
+    and ``dsir``; oracle form is
+    ``list_transform(range(1, greatest(len(t)-1,0)+1),
+    i -> t[i] || ' ' || t[i+1])``."""
+    return F.expr(
+        "transform(slice({c}, 1, greatest(size({c}) - 1, 0)), "
+        "(w, i) -> concat(w, ' ', element_at({c}, i + 2)))"
+        .format(c=tok_col))
+
+
 def _probe_count(col: Column, probes: list[str]) -> Column:
     c = F.lit(0)
     padded = F.concat(F.lit(" "), col, F.lit(" "))
@@ -321,14 +342,7 @@ def ngram_lm_score(documents: DataFrame, reference: DataFrame | None = None,
     """
     reference = reference if reference is not None else documents
 
-    def toks(col):
-        return F.filter(F.split(F.lower(col), " "), lambda t: t != "")
-
-    def bigrams(tok_col):
-        return F.expr(
-            "transform(slice({c}, 1, greatest(size({c}) - 1, 0)), "
-            "(w, i) -> concat(w, ' ', element_at({c}, i + 2)))"
-            .format(c=tok_col))
+    toks, bigrams = space_tokens, bigram_array
 
     ref_toks = reference.select(toks(F.col("text")).alias("toks"))
     unigrams = (

@@ -110,6 +110,17 @@ def test_select_prefers_target_like_documents(spark):
     assert picked == again  # deterministic, ordered identically
 
 
+def test_gumbel_score_never_null(spark):
+    """The (u32 + 0.5)/2^32 draw is strictly inside (0,1), so the
+    double-log Gumbel never hits ln(0) -> NULL (and the DuckDB oracle
+    never hits its ln(0) hard error)."""
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_select(docs, target, k=500)
+    assert out.filter(F.col("gumbel_score").isNull()).count() == 0
+    assert out.count() == 500
+
+
 def test_plan_broadcasts_ratio_and_single_wide_shuffle(spark):
     """The B-row log-ratio table must reach the exploded corpus via
     broadcast (never a sort-merge join), and the per-doc reduction is

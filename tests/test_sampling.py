@@ -152,6 +152,32 @@ def test_temperature_resample_flattens_and_clamps(spark):
                full.select("keep_rate").distinct().collect())
 
 
+def test_temperature_resample_null_lang_stratum_survives(spark):
+    """A NULL-lang stratum is counted into the normalizer, so it must
+    also meet its own rate row (eqNullSafe join) and be *sampled* at
+    that rate — not silently dropped wholesale (review r3)."""
+    from document_convert_to__markdown_spark.operators.sampling import (
+        temperature_resample,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 200, F.lit("en")).alias("lang"),  # 100 NULL
+    )
+    kept = temperature_resample(docs, alpha=0.3, budget=10**6)
+    # budget clamps every rate to 1.0: all 300 rows survive, including
+    # the whole NULL stratum, each carrying keep_rate.
+    assert kept.count() == 300
+    assert kept.filter(F.col("lang").isNull()).count() == 100
+    assert kept.filter(F.col("keep_rate").isNull()).count() == 0
+
+    # at a partial budget the NULL stratum is Bernoulli-sampled, not
+    # zeroed out
+    part = temperature_resample(docs, alpha=0.3, budget=150)
+    n_null = part.filter(F.col("lang").isNull()).count()
+    assert 0 < n_null < 100, n_null
+
+
 def test_temperature_resample_deterministic(spark):
     from document_convert_to__markdown_spark.operators.sampling import (
         temperature_resample,
