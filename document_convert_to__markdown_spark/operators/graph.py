@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
 
 
 def connected_components(edges: DataFrame, max_iter: int = 50,
@@ -88,3 +89,74 @@ def connected_components(edges: DataFrame, max_iter: int = 50,
 
         warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels
+
+
+def pagerank(edges: DataFrame, n_iter: int = 5,
+             damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — host-level
+    centrality for crawl prioritization / quality priors (the same rank
+    family Common Crawl publishes for its host graph).
+
+    Semantics (the classic power-iteration form, uniform teleport):
+
+    - multi-edges collapse first (``distinct``) — simple-graph rank;
+    - ``rank_0 = 1/N``;
+    - each round every node scatters ``d * rank/outdeg`` along its
+      out-edges; dangling nodes (no out-edges) scatter their whole mass
+      uniformly; every node adds the ``(1-d)/N`` teleport term.
+
+    Plan shape per round: one hash join (ranks ⋈ edges on src) + one
+    aggregation keyed on dst — both shuffle on node id, and at web
+    scale the node set is HOSTS (~10^8), not pages, so the state fits a
+    normal shuffle.  The dangling mass is a one-row aggregate joined
+    back by broadcast cross-join (never a driver collect inside the
+    loop); ``localCheckpoint`` truncates the per-round lineage exactly
+    as ``connected_components`` does.  Fixed ``n_iter`` (no float
+    convergence test) keeps runs bit-deterministic.
+
+    Returns ``(node, rank)`` — ranks sum to 1 (±float).
+    """
+    a, b = edges.columns[0], edges.columns[1]
+    e = (edges.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .distinct().persist())
+    nodes = (e.select(F.col("src").alias("node"))
+             .unionByName(e.select(F.col("dst").alias("node")))
+             .distinct().persist())
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return nodes.withColumn("rank", F.lit(0.0))
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+
+    for _ in range(n_iter):
+        state = (ranks.join(outdeg, ranks.node == outdeg.src, "left")
+                 .select("node", "rank", "outdeg"))
+        dangling = state.agg(
+            F.coalesce(F.sum(F.when(F.col("outdeg").isNull(),
+                                    F.col("rank"))), F.lit(0.0))
+            .alias("_dangling"))
+        contrib = (
+            e.join(state.withColumnRenamed("node", "_sn"),
+                   e.src == F.col("_sn"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(broadcast(dangling))
+            .select(
+                "node",
+                (F.lit((1.0 - damping) / n_nodes)
+                 + F.lit(damping)
+                 * (F.coalesce("_in", F.lit(0.0))
+                    + F.col("_dangling") / n_nodes)).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    e.unpersist()
+    nodes.unpersist()
+    return ranks

@@ -386,3 +386,78 @@ def tfidf_cosine_pairs(documents: DataFrame, threshold: float = 0.3,
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semdedup(embeddings: DataFrame, threshold: float = 0.9,
+             chunk_rows: int = 1024,
+             auto_bucket_threshold: int = 100_000) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding
+    — cluster the corpus, then inside each cluster drop every item that
+    is ε-similar to an earlier item (keep-first by id, the paper's
+    upper-triangle rule, made deterministic by the id sort).
+
+    Unlike MinHash/SimHash (lexical overlap) this removes *semantic*
+    duplicates — same content re-rendered, templated, or paraphrased —
+    the gap the paper measured as 3-8% extra LAION/C4 pruning at equal
+    quality.
+
+    Scale shape: the cluster id is the shuffle key, so pair scoring
+    never crosses clusters (the paper's O(n²/k) trick).  Cells here
+    come from the seeded spherical quantizer ``_ivf_cell`` (at 10^9+
+    rows: trained ``train_ivf_centroids`` with k ~ n/1000 — same
+    routing, same plan).  Within a cell the chunked matmul bounds
+    memory at O(chunk_rows × cell); cells wider than
+    ``auto_bucket_threshold`` additionally compose the LSH sign-bucket
+    into the key (bounded width by construction, recall traded — the
+    identical auto-bound ``neardup_pairs_cosine`` uses).
+
+    Returns ``(vec_id, cell, keep, max_prev_cosine)`` — every input row
+    appears, ``keep=false`` rows are the prune set, ``max_prev_cosine``
+    (round 4; null for the first row of a cell) is the evidence.
+    """
+    import pandas as pd_
+
+    def cell_prune(pdf: pd_.DataFrame) -> pd_.DataFrame:
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        cells = pdf["cell"].to_numpy()[order]
+        mat = np.vstack(pdf["embedding"].to_numpy()[order]).astype(
+            np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        matn = mat / norms
+        n = len(ids)
+        max_prev = np.full(n, np.nan)
+        for s in range(0, n, chunk_rows):
+            e = min(s + chunk_rows, n)
+            sims = matn[s:e] @ matn.T  # (chunk, n) bounded slab
+            for li in range(e - s):
+                gi = li + s
+                if gi > 0:
+                    max_prev[gi] = sims[li, :gi].max()
+        return pd_.DataFrame({
+            "vec_id": ids,
+            "cell": cells,
+            "keep": ~(np.round(max_prev, 4) >= threshold),
+            # nullable Float64: the NaN for a cell's first row must
+            # arrive Spark-side as NULL, not double-NaN
+            "max_prev_cosine": pd_.array(np.round(max_prev, 4),
+                                         dtype="Float64"),
+        })
+
+    out_schema = ("vec_id long, cell int, keep boolean, "
+                  "max_prev_cosine double")
+    celled = embeddings.select(
+        "vec_id", "embedding", _ivf_cell("embedding").alias("cell"))
+    widths = celled.groupBy("cell").agg(F.count("*").alias("_n"))
+    sized = celled.join(widths, "cell")
+    small = sized.filter(F.col("_n") <= auto_bucket_threshold).drop("_n")
+    big = (sized.filter(F.col("_n") > auto_bucket_threshold).drop("_n")
+           .withColumn("bucket", _lsh_bucket("embedding")))
+    return (
+        small.groupBy("cell").applyInPandas(cell_prune, out_schema)
+        .unionByName(
+            big.groupBy("cell", "bucket")
+            .applyInPandas(cell_prune, out_schema))
+    )

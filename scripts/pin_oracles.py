@@ -43,6 +43,10 @@ PINNABLE = [
     # SQL-expressible — pinning is the only oracle they can have.
     "extract_cleanup_chain",
     "text_winnow_fps",
+    # round-3b: trained-classifier histogram (training loop) and
+    # SemDeDup cell audit (seeded quantizer cells) aren't SQL.
+    "quality_classifier",
+    "semdedup_prune",
 ]
 
 _SQL_TYPES = {

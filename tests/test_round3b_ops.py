@@ -1,0 +1,238 @@
+"""Round-3b operators: snapshot delta, chunking, int8 quantization,
+PageRank, hashed quality classifier, SemDeDup."""
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from document_convert_to__markdown_spark.operators.chunking import (
+    chunk_documents,
+)
+from document_convert_to__markdown_spark.operators.classifier import (
+    score_quality, train_quality_classifier,
+)
+from document_convert_to__markdown_spark.operators.delta import snapshot_delta
+from document_convert_to__markdown_spark.operators.graph import pagerank
+from document_convert_to__markdown_spark.operators.quantize import (
+    quantize_embeddings, quantized_topk,
+)
+from document_convert_to__markdown_spark.operators.similarity import (
+    brute_force_topk, semdedup,
+)
+
+
+# ---------------------------------------------------------------- delta
+
+def test_snapshot_delta_statuses(spark):
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "C2"), (4, "d")], "doc_id long, text string")
+    rows = {r["doc_id"]: r["status"]
+            for r in snapshot_delta(old, new).collect()}
+    assert rows == {1: "deleted", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_snapshot_delta_exchange_carries_hashes_not_text(spark):
+    """The full-outer join must consume md5 projections, not bodies."""
+    old = spark.createDataFrame([(1, "x" * 10)], "doc_id long, text string")
+    new = spark.createDataFrame([(1, "x" * 10)], "doc_id long, text string")
+    plan = snapshot_delta(old, new)._jdf.queryExecution().toString()
+    # the text column must not survive past the pre-join projections
+    assert "md5" in plan
+
+
+# -------------------------------------------------------------- chunking
+
+def test_chunk_windows_cover_and_overlap(spark):
+    text = " ".join(f"t{i}" for i in range(100))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (chunk_documents(df, size=64, stride=48)
+            .orderBy("chunk_idx").collect())
+    # starts 0 and 48; window at 96 is redundant (48+64 >= 100)
+    assert [r["start_tok"] for r in rows] == [0, 48]
+    assert [r["n_tokens"] for r in rows] == [64, 52]
+    assert [r["chunk_idx"] for r in rows] == [0, 1]
+
+
+def test_chunk_short_and_empty_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "")], "doc_id long, text string")
+    rows = chunk_documents(df, size=64, stride=48).collect()
+    # empty-string doc: split gives [''] (1 token) -> one 1-token window
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 3
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 1
+
+
+def test_chunk_exact_boundary_no_redundant_tail(spark):
+    # n == size: exactly one window
+    text = " ".join(str(i) for i in range(64))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = chunk_documents(df, size=64, stride=48).collect()
+    assert len(rows) == 1 and rows[0]["n_tokens"] == 64
+
+
+def test_chunk_plan_is_narrow(spark):
+    """No exchange: chunking must ride the scan (pure explode)."""
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (chunk_documents(df)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "Exchange" not in plan
+
+
+# -------------------------------------------------------------- quantize
+
+def test_quantize_codes_bounded_and_dequantizable(spark):
+    rng = np.random.RandomState(3)
+    vecs = [(i, rng.standard_normal(16).tolist()) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = quantize_embeddings(df).collect()
+    for r in out:
+        q = np.array(r["qvec"])
+        assert np.abs(q).max() <= 127
+        orig = dict(vecs)[r["vec_id"]]
+        recon = q * r["scale"]
+        assert np.allclose(recon, orig, atol=r["scale"] * 0.5 + 1e-9)
+
+
+def test_quantize_zero_vector(spark):
+    df = spark.createDataFrame([(1, [0.0] * 8)],
+                               "vec_id long, embedding array<float>")
+    r = quantize_embeddings(df).first()
+    assert r["scale"] == 0.0 and all(v == 0 for v in r["qvec"])
+
+
+def test_quantized_topk_recall_vs_brute(spark, sf_dir="/root/testdata/sf0.001"):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [math.sin(i * 0.7) for i in range(64)]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    approx = {r["vec_id"] for r in quantized_topk(emb, q, k=10).collect()}
+    # int8 cosine error ~1e-2 worst case; recall@10 should be near-perfect
+    assert len(exact & approx) >= 8
+
+
+def test_quantized_topk_no_shuffle(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.5] * 8)], "vec_id long, embedding array<float>")
+    plan = (quantized_topk(df, [1.0] * 8, k=1)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "TakeOrderedAndProject" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+# -------------------------------------------------------------- pagerank
+
+def test_pagerank_two_node_cycle(spark):
+    e = spark.createDataFrame([("a", "b"), ("b", "a")],
+                              "src string, dst string")
+    ranks = {r["node"]: r["rank"] for r in pagerank(e, n_iter=10).collect()}
+    assert ranks["a"] == pytest.approx(0.5)
+    assert ranks["b"] == pytest.approx(0.5)
+
+
+def test_pagerank_dangling_mass_conserved(spark):
+    # b has no out-edges: its mass redistributes; ranks still sum to 1
+    e = spark.createDataFrame([("a", "b"), ("c", "b")],
+                              "src string, dst string")
+    rows = pagerank(e, n_iter=8).collect()
+    assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    ranks = {r["node"]: r["rank"] for r in rows}
+    assert ranks["b"] > ranks["a"] == pytest.approx(ranks["c"])
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(e, n_iter=6).collect()}
+
+    n, d = 4, 0.85
+    r = np.full(n, 1.0 / n)
+    out = {0: [1, 2], 1: [2], 2: [0], 3: [2]}
+    for _ in range(6):
+        nxt = np.full(n, (1 - d) / n)
+        dangling = sum(r[u] for u in range(n) if not out.get(u))
+        nxt += d * dangling / n
+        for u, vs in out.items():
+            for v in vs:
+                nxt[v] += d * r[u] / len(vs)
+        r = nxt
+    for node in range(n):
+        assert got[node] == pytest.approx(r[node], abs=1e-12)
+
+
+# ------------------------------------------------------------ classifier
+
+def test_classifier_learns_weak_label(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    labeled = docs.withColumn(
+        "y",
+        (F.size(F.split("text", " value ")) - 1
+         > F.size(F.split("text", " table ")) - 1).cast("int"))
+    w = train_quality_classifier(labeled, "y", dim=64)
+    scored = score_quality(labeled, w, dim=64)
+    acc_df = (labeled.select("doc_id", "y").join(scored, "doc_id")
+              .select(((F.col("prob") > 0.5).cast("int") == F.col("y"))
+                      .cast("int").alias("hit"))
+              .agg(F.avg("hit").alias("acc")).first())
+    base = labeled.agg(
+        F.greatest(F.avg("y"), 1 - F.avg("y")).alias("b")).first()["b"]
+    assert acc_df["acc"] > base  # beats majority class
+
+
+def test_classifier_deterministic_across_runs(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(50).withColumn("y", (F.col("doc_id") % 2).cast("int"))
+    w1 = train_quality_classifier(docs, "y", dim=32, epochs=3)
+    w2 = train_quality_classifier(docs, "y", dim=32, epochs=3)
+    assert np.array_equal(w1, w2)
+
+
+def test_score_quality_empty_doc_gets_bias(spark):
+    docs = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    w = np.zeros(33)
+    w[32] = 2.0  # bias
+    p = score_quality(docs, w, dim=32).first()["prob"]
+    assert p == pytest.approx(1 / (1 + math.exp(-2.0)))
+
+
+# -------------------------------------------------------------- semdedup
+
+def test_semdedup_drops_near_identical_keeps_first(spark):
+    base = np.random.RandomState(5).standard_normal(64)
+    rows = [
+        (1, base.tolist()),
+        (2, (base * 1.001).tolist()),          # same direction -> dup
+        (3, (-base).tolist()),                 # opposite -> kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in semdedup(df, threshold=0.95).collect()}
+    assert out[1]["keep"] is True and out[1]["max_prev_cosine"] is None
+    assert out[2]["keep"] is False and out[2]["max_prev_cosine"] >= 0.95
+    assert out[3]["keep"] is True
+
+
+def test_semdedup_every_row_accounted(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    out = semdedup(emb, threshold=0.8)
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+
+
+def test_semdedup_mega_cell_sub_buckets(spark):
+    """Cells wider than the cap must compose the LSH bucket key."""
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal(64)
+    rows = [(i, (base + 0.001 * rng.standard_normal(64)).tolist())
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = semdedup(df, threshold=0.99, auto_bucket_threshold=10)
+    # all 40 land in one quantizer cell (> cap) -> bucketed path;
+    # near-identical vectors share the LSH bucket, so dedup still fires
+    rows_out = out.collect()
+    assert len(rows_out) == 40
+    assert sum(1 for r in rows_out if not r["keep"]) >= 38
