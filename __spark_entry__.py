@@ -1518,6 +1518,71 @@ def _q_semdedup_prune(spark, sf):
     )
 
 
+def _q_stream_stream_join(spark, sf):
+    """Watermarked stream-stream inner join (streaming/stream_job.py):
+    purchases within 2 hours of a click by the same user, both sides
+    watermarked so join state is bounded by the time horizon.  Drained
+    availableNow over the static events table, the pair set equals the
+    batch interval join — the relational DuckDB oracle."""
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        stream_stream_attribution,
+    )
+
+    return stream_stream_attribution(spark, f"{sf}/events.parquet")
+
+
+def _q_snapshot_merge(spark, sf):
+    """MERGE INTO-style upsert (sources/snapshot.py:merge_upsert): the
+    old crawl is committed as a snapshot table, the new crawl merges
+    over it (matched keys replace, new keys insert), and the final
+    table state is audited — the write half of the incremental-recrawl
+    loop whose read half is ``snapshot_delta``.  The merge result is
+    collected before the scratch table is removed."""
+    import shutil
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    docs = _load(spark, sf, "documents")
+    old, new = _delta_snapshots(docs)
+    root = tempfile.mkdtemp(prefix="doc2md_merge_")
+    try:
+        snap.commit_overwrite(old, root)
+        snap.merge_upsert(spark, root, new, key="doc_id")
+        row = (
+            snap.read(spark, root)
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.length("text")).alias("total_chars"),
+                 F.sum(F.when(F.col("text").endswith(" rev2"), 1)
+                       .otherwise(0)).alias("n_revised"),
+                 F.min("doc_id").alias("min_doc"),
+                 F.max("doc_id").alias("max_doc"))
+            .first()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        [tuple(row)],
+        "n_docs bigint, total_chars bigint, n_revised bigint, "
+        "min_doc bigint, max_doc bigint")
+
+
+def _q_pq_ann_topk(spark, sf):
+    """Product-quantization ANN (operators/quantize.py, Jégou et al.
+    2011): sample-trained 16x16 codebooks (deterministic md5-uniform
+    sample + seeded Lloyd), one Arrow encode pass, JVM-side ADC lookup
+    sweep, exact-cosine re-rank of the top-40 candidates (the FAISS
+    refine shape).  Pinned oracle (codebook cells aren't SQL)."""
+    from document_convert_to__markdown_spark.operators.quantize import (
+        pq_topk, train_pq_codebooks,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    books = train_pq_codebooks(emb, m=16, k=16)
+    q = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(64)]
+    return pq_topk(emb, q, books, k=10, rerank=4)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -1565,6 +1630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "quality_classifier": _q_quality_classifier,
         "semdedup_prune": _q_semdedup_prune,
+        "stream_stream_join": _q_stream_stream_join,
+        "snapshot_merge": _q_snapshot_merge,
+        "pq_ann_topk": _q_pq_ann_topk,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
@@ -1823,6 +1891,41 @@ def oracle_sql() -> dict[str, str]:
         """,
         "quantized_ann": _quantized_ann_oracle(),
         "host_pagerank": _host_pagerank_oracle(),
+        "stream_stream_join": """
+            WITH c AS (
+              SELECT user_id, ts AS cts, event_id AS cid
+              FROM events WHERE event_type = 'click'
+            ), b AS (
+              SELECT user_id AS bu, ts AS bts, event_id AS bid
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.user_id, count(*) AS n_pairs,
+                   CAST(sum(cid) AS BIGINT) AS sum_click_id,
+                   CAST(sum(bid) AS BIGINT) AS sum_buy_id
+            FROM c JOIN b ON c.user_id = b.bu
+                 AND bts >= cts AND bts <= cts + INTERVAL 2 HOUR
+            GROUP BY c.user_id
+        """,
+        "snapshot_merge": """
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3
+            ), new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 5
+            ), merged AS (
+              SELECT * FROM old
+              WHERE doc_id NOT IN (SELECT doc_id FROM new)
+              UNION ALL SELECT * FROM new
+            )
+            SELECT count(*) AS n_docs,
+                   CAST(sum(length(text)) AS BIGINT) AS total_chars,
+                   CAST(sum(CASE WHEN text LIKE '% rev2' THEN 1
+                                 ELSE 0 END) AS BIGINT) AS n_revised,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM merged
+        """,
         "a2_size_filter": """
             SELECT lang, count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -63,6 +63,14 @@ BENCH_QUERIES = [
     "text_lm_quality",
     "pack_sequences",
     "dsir_select",
+    # round-3b operators (quality_classifier excluded: 10-epoch
+    # training loop is a multi-job benchmark of its own, not a query)
+    "snapshot_delta",
+    "chunk_documents",
+    "quantized_ann",
+    "host_pagerank",
+    "semdedup_prune",
+    "pq_ann_topk",
 ]
 
 

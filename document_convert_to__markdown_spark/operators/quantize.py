@@ -26,6 +26,7 @@ contract the LSH/IVF paths carry.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -94,5 +95,134 @@ def quantized_topk(embeddings: DataFrame, query_vec: list[float],
         )
         .filter(F.col("qcosine").isNotNull())
         .orderBy(F.col("qcosine").desc(), F.col("vec_id"))
+        .limit(k)
+    )
+
+
+def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
+                       sample_cap: int = 4096, iters: int = 10,
+                       seed: int = 13,
+                       vec_col: str = "embedding") -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    the L2-normalized vector into ``m`` subspaces, k-means each with
+    ``k`` centroids → an ``m``-byte code per vector (here m=8, k=16:
+    8 codes of 4 bits vs 256 float32 bytes — a 64x compression).
+
+    Training is SAMPLE-based, the standard index-build move at 10^9+
+    rows: the deterministic md5-uniform draw (same source as
+    ``weighted_sample``) takes ~``sample_cap`` rows, sorted by vec_id —
+    so the collected sample, the seeded Lloyd iterations, and therefore
+    the codebooks are bit-reproducible across runs and cluster layouts.
+    Returns ``(m, k, dim/m)`` float64 centroids.
+    """
+    from .sampling import md5_uniform
+
+    n = embeddings.count()
+    frac = min(1.0, sample_cap / max(n, 1))
+    sample = (embeddings
+              .filter(md5_uniform("vec_id") < F.lit(frac * 1.2) if frac < 1.0
+                      else F.lit(True))
+              .select("vec_id", vec_col)
+              .orderBy("vec_id").limit(sample_cap).collect())
+    mat = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    mat /= norms
+    dim = mat.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    rng = np.random.RandomState(seed)
+    books = np.empty((m, k, dsub))
+    for j in range(m):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        # seeded k-means++ -lite init: distinct sample rows
+        idx = rng.permutation(len(sub))[:k]
+        cents = sub[idx].copy()
+        for _ in range(iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = sub[mask].mean(axis=0)
+        books[j] = cents
+    return books
+
+
+def pq_encode(embeddings: DataFrame, codebooks: np.ndarray,
+              vec_col: str = "embedding") -> DataFrame:
+    """Corpus → ``(vec_id, codes: array<int>)``, one Arrow-batched pass
+    (the index build; codebooks travel by closure, m*k*dsub doubles).
+    Vectors are L2-normalized before encoding — cosine geometry."""
+    from pyspark.sql.pandas.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    books = codebooks
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(embs: pd.Series) -> pd.Series:
+        mat = np.vstack(embs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        mat /= norms
+        m, _k, dsub = books.shape
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return embeddings.select("vec_id", encode(vec_col).alias("codes"))
+
+
+def pq_topk(embeddings: DataFrame, query_vec: list[float],
+            codebooks: np.ndarray, k: int = 10, rerank: int = 4,
+            vec_col: str = "embedding") -> DataFrame:
+    """PQ asymmetric-distance top-k with exact re-ranking: the query
+    stays full-precision; per subspace a k-entry lookup table of
+    ``dot(q_j, centroid)`` is built driver-side, each row's ADC score
+    is ``Σ_j LUT_j[code_j]`` ≈ cosine (both sides unit-normalized),
+    and the ADC top ``k * rerank`` candidates are re-scored with the
+    exact cosine before the final cut — the FAISS refine pattern: the
+    compressed sweep touches m ints per row, the float vectors are
+    read for only ~k·rerank survivors.
+
+    The LUTs are inlined as literal arrays, so the candidate sweep is
+    pure Catalyst ``element_at`` arithmetic over the codes column —
+    after the one-off encode, the scan never touches Python (one
+    ArrowEvalPython total, pinned by test).  ``rerank=0`` returns raw
+    ADC scores (``pq_score`` column) without the refine join.
+    """
+    from ..functions.vector import cosine_similarity
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = q / (np.linalg.norm(q) or 1.0)
+    m, _k, dsub = codebooks.shape
+    luts = [codebooks[j] @ qn[j * dsub:(j + 1) * dsub] for j in range(m)]
+
+    codes = pq_encode(embeddings, codebooks, vec_col)
+    score = None
+    for j in range(m):
+        lut = F.array(*[F.lit(float(v)) for v in luts[j]])
+        term = F.element_at(lut, F.element_at("codes", j + 1) + F.lit(1))
+        score = term if score is None else score + term
+    adc = (
+        codes.select("vec_id", F.round(score, 4).alias("pq_score"))
+        .orderBy(F.col("pq_score").desc(), F.col("vec_id"))
+    )
+    if rerank <= 0:
+        return adc.limit(k)
+    qcol = F.array(*[F.lit(float(v)) for v in q])
+    candidates = adc.limit(k * rerank).select("vec_id")
+    return (
+        candidates.join(embeddings, "vec_id")
+        .select(
+            "vec_id",
+            F.round(cosine_similarity(F.col(vec_col), qcol), 4)
+            .alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(k)
     )

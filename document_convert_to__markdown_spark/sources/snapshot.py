@@ -192,3 +192,31 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
             json.dump(d, f)
         os.replace(tmp, path)
     return len(dead)
+
+
+def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
+                 key: str = "url") -> Snapshot:
+    """MERGE INTO-style upsert: rows of ``updates`` replace same-key rows
+    in the current snapshot, new keys insert — the write half of the
+    incremental-recrawl loop (``operators/delta.py`` decides WHAT
+    changed; this applies it).  Equivalent Iceberg form:
+    ``MERGE INTO t USING u ON t.url = u.url WHEN MATCHED THEN UPDATE *
+    WHEN NOT MATCHED THEN INSERT *``.
+
+    Plan: one LEFT ANTI join (current ⟕̸ updates on key — hash join,
+    updates side broadcast when small) + union + overwrite-commit.
+    The commit inherits ``_commit``'s write-then-rename atomicity: a
+    crash mid-merge leaves the table at the parent version, and the
+    parent stays time-travel readable afterward (same A20 idempotent
+    guarantee as ``commit_overwrite``).  At Iceberg scale the anti-join
+    becomes a partition-pruned merge-on-read; the logical shape here is
+    identical.
+    """
+    current = read(spark, root)
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge_upsert schema mismatch: table has {current.columns}, "
+            f"updates has {updates.columns}")
+    carried = current.join(updates.select(key).distinct(), key, "left_anti")
+    merged = carried.unionByName(updates.select(*current.columns))
+    return commit_overwrite(merged, root)

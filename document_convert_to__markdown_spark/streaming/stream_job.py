@@ -306,3 +306,59 @@ def stream_events_daily(spark: SparkSession, events_path: str) -> DataFrame:
         )
     )
     return drain_stream_agg(agg, "stream_events_daily")
+
+
+def stream_stream_attribution(spark: SparkSession, events_path: str,
+                              horizon: str = "2 hours",
+                              delay: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join — the attribution pattern
+    (purchase within ``horizon`` after a click by the same user), the
+    one streaming operator family the suite didn't yet cover.
+
+    Both sides carry watermarks and the join condition carries the
+    time-range bound, so Spark can size the join state: a click's state
+    row is droppable once the buy-side watermark passes
+    ``click_ts + horizon`` — bounded state on an unbounded feed, the
+    same property ``stream_dedup_within_watermark`` gives dedup.  At
+    crawl scale the identical shape joins a page-fetch stream to a
+    robots/seen-url stream within a freshness horizon.
+
+    Drained with availableNow over the static events table nothing is
+    evicted mid-run, so the pair set equals the batch interval join —
+    the DuckDB oracle.  Emitted append-mode, then aggregated per user
+    AFTER the drain (stream-stream joins can't chain a complete-mode
+    agg in one query).
+    """
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = _as_stream_source(events_path)
+    clicks = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", delay)
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"),
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"))
+        .withWatermark("buy_ts", delay)
+    )
+    pairs = clicks.join(
+        buys,
+        F.expr(f"c_user = b_user AND buy_ts >= click_ts "
+               f"AND buy_ts <= click_ts + interval {horizon}"),
+        "inner",
+    )
+    rows = drain_stream_agg(pairs, "stream_stream_attr",
+                            output_mode="append")
+    return (
+        rows.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"),
+             F.sum("click_id").alias("sum_click_id"),
+             F.sum("buy_id").alias("sum_buy_id"))
+    )

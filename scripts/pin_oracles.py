@@ -47,6 +47,7 @@ PINNABLE = [
     # SemDeDup cell audit (seeded quantizer cells) aren't SQL.
     "quality_classifier",
     "semdedup_prune",
+    "pq_ann_topk",
 ]
 
 _SQL_TYPES = {

@@ -1,0 +1,141 @@
+"""Round-3c operators: stream-stream watermarked join, snapshot MERGE
+upsert, product quantization."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from document_convert_to__markdown_spark.operators.quantize import (
+    pq_encode, pq_topk, train_pq_codebooks,
+)
+from document_convert_to__markdown_spark.operators.similarity import (
+    brute_force_topk,
+)
+from document_convert_to__markdown_spark.sources import snapshot as snap
+from document_convert_to__markdown_spark.streaming.stream_job import (
+    stream_stream_attribution,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------- stream-stream join
+
+def test_stream_stream_join_equals_batch_interval_join(spark):
+    got = {
+        r["user_id"]: (r["n_pairs"], r["sum_click_id"], r["sum_buy_id"])
+        for r in stream_stream_attribution(
+            spark, f"{SF}/events.parquet").collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    c = ev.filter("event_type = 'click'").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"),
+        F.col("event_id").alias("cid"))
+    b = ev.filter("event_type = 'purchase'").select(
+        F.col("user_id").alias("bu"), F.col("ts").alias("bts"),
+        F.col("event_id").alias("bid"))
+    want = {
+        r["cu"]: (r["n"], r["sc"], r["sb"])
+        for r in c.join(
+            b, F.expr("cu = bu AND bts >= cts "
+                      "AND bts <= cts + interval 2 hours"))
+        .groupBy("cu")
+        .agg(F.count("*").alias("n"), F.sum("cid").alias("sc"),
+             F.sum("bid").alias("sb")).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+# ------------------------------------------------------- merge upsert
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    snap.commit_overwrite(base, root)
+    updates = spark.createDataFrame(
+        [(2, "B2"), (4, "d")], "doc_id long, text string")
+    s = snap.merge_upsert(spark, root, updates, key="doc_id")
+    got = {r["doc_id"]: r["text"]
+           for r in snap.read(spark, root).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c", 4: "d"}
+    assert s.version == 2 and s.parent == 1
+    # parent still time-travel readable (A20 guarantee preserved)
+    old = {r["doc_id"]: r["text"]
+           for r in snap.read(spark, root, version=1).collect()}
+    assert old == {1: "a", 2: "b", 3: "c"}
+
+
+def test_merge_upsert_schema_mismatch_raises(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    snap.commit_overwrite(
+        spark.createDataFrame([(1, "a")], "doc_id long, text string"), root)
+    bad = spark.createDataFrame([(1,)], "doc_id long")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snap.merge_upsert(spark, root, bad, key="doc_id")
+
+
+def test_merge_upsert_idempotent_reapply(spark, tmp_path):
+    """Re-running the same merge (crash-retry) converges to the same
+    table state — the resume guarantee the extraction job relies on."""
+    root = str(tmp_path / "tbl")
+    snap.commit_overwrite(
+        spark.createDataFrame([(1, "a"), (2, "b")],
+                              "doc_id long, text string"), root)
+    updates = spark.createDataFrame([(2, "B2")], "doc_id long, text string")
+    snap.merge_upsert(spark, root, updates, key="doc_id")
+    snap.merge_upsert(spark, root, updates, key="doc_id")
+    got = sorted((r["doc_id"], r["text"])
+                 for r in snap.read(spark, root).collect())
+    assert got == [(1, "a"), (2, "B2")]
+
+
+# --------------------------------------------------------------- PQ
+
+def test_pq_codebooks_deterministic_and_shaped(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    b1 = train_pq_codebooks(emb, m=8, k=16)
+    b2 = train_pq_codebooks(emb, m=8, k=16)
+    assert b1.shape == (8, 16, 8)
+    assert np.array_equal(b1, b2)
+
+
+def test_pq_encode_codes_in_range(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=8, k=16)
+    rows = pq_encode(emb, books).collect()
+    assert len(rows) == emb.count()
+    for r in rows[:20]:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 16 for c in r["codes"])
+
+
+def test_pq_topk_recall_vs_brute(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=16, k=16)
+    import math
+    q = [math.sin(i * 0.7) for i in range(64)]
+    exact = {r["vec_id"] for r in brute_force_topk(emb, q, k=10).collect()}
+    # raw ADC: coarse codes, mid recall
+    adc = {r["vec_id"] for r in pq_topk(emb, q, books, k=10,
+                                        rerank=0).collect()}
+    # ADC + exact rerank over 4k candidates (the FAISS refine shape)
+    refined = {r["vec_id"] for r in pq_topk(emb, q, books, k=10).collect()}
+    assert len(exact & adc) >= 4
+    assert len(exact & refined) >= 8
+    assert len(exact & refined) >= len(exact & adc)
+
+
+def test_pq_topk_scoring_stays_jvm_side(spark):
+    """Exactly ONE Python stage (the encode); ADC scoring + top-k are
+    Catalyst element_at arithmetic."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=16, k=16)
+    plan = (pq_topk(emb, [0.1] * 64, books, k=5)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("ArrowEvalPython") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
