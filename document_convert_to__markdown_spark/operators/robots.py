@@ -1,0 +1,79 @@
+"""Robots-policy URL filtering — longest-prefix-match rule resolution,
+fully relational.
+
+A polite crawler resolves every candidate url against its host's
+robots.txt rule set (RFC 9309 §2.2.2: the matching rule with the
+LONGEST path prefix wins; on a length tie the least restrictive —
+allow — wins; no matching rule means allowed).  At 10^12 urls this is
+a per-row policy lookup, not a per-host loop: rules become a relation
+``(host, prefix, allow)`` and the resolution is
+
+    urls ⋈ rules ON host AND startswith(path, prefix)
+         → window top-1 per url BY (prefix length DESC, allow DESC)
+         → left-join back (urls with no matching rule default-allow)
+
+Plan shape: the join shuffles on host — the rules side is tiny (one
+robots.txt per host, ~10^8 rows vs 10^12 urls) so it broadcasts; the
+window partitions by url, which rides the same exchange AQE gives the
+join output.  Everything is Catalyst expressions (regex path split,
+``startswith``) — exactly SQL-expressible, so the DuckDB oracle replays
+it verbatim.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from ..functions.url import url_host
+
+_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
+
+
+def url_path(url) -> "F.Column":
+    """Path component of a url ('' → '/')."""
+    raw = F.regexp_extract(url, _PATH_RE, 1)
+    return F.when(raw == "", F.lit("/")).otherwise(raw)
+
+
+def apply_robots(urls: DataFrame, rules: DataFrame,
+                 url_col: str = "url") -> DataFrame:
+    """Resolve each url against per-host robots rules.
+
+    ``rules``: ``(host string, prefix string, allow boolean)`` — one row
+    per Allow/Disallow line.  Returns the input plus ``allowed`` (the
+    verdict), ``matched_prefix`` (null when no rule matched) and
+    ``matched_allow`` — every input row appears exactly once (audit,
+    not silent drop; callers filter on ``allowed``).
+
+    ``url_col`` must be unique (it is the crawl identity key — run
+    exact dedup upstream): the per-url top-1 window would collapse
+    duplicate url rows.
+    """
+    host = url_host(F.col(url_col)).alias("_host")
+    path = url_path(F.col(url_col)).alias("_path")
+    keyed = urls.select("*", host, path)
+    r = rules.select(F.col("host").alias("_rhost"), "prefix", "allow")
+    matched = (
+        keyed.join(broadcast(r),
+                   (F.col("_host") == F.col("_rhost"))
+                   & F.col("_path").startswith(F.col("prefix")),
+                   "left")
+    )
+    # explicit nulls-last: Spark's .desc() implies it, DuckDB's default
+    # null order does not flip with direction — the oracle says NULLS
+    # LAST explicitly so both engines rank the no-match row last.
+    w = (Window.partitionBy(url_col)
+         .orderBy(F.length("prefix").desc_nulls_last(),
+                  F.col("allow").desc_nulls_last()))
+    best = (
+        matched.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    return best.select(
+        *[F.col(c) for c in urls.columns],
+        F.coalesce(F.col("allow"), F.lit(True)).alias("allowed"),
+        F.col("prefix").alias("matched_prefix"),
+        F.col("allow").alias("matched_allow"),
+    )

@@ -362,3 +362,55 @@ def stream_stream_attribution(spark: SparkSession, events_path: str,
              F.sum("click_id").alias("sum_click_id"),
              F.sum("buy_id").alias("sum_buy_id"))
     )
+
+
+def run_stream_merge(spark: SparkSession, input_path: str, root: str,
+                     checkpoint: str, key: str = "url",
+                     schema: str = ("url string, warc_ts timestamp, "
+                                    "html binary, text string, lang string"),
+                     order_col: Optional[str] = "warc_ts",
+                     timeout_sec: int = 300) -> None:
+    """Continuous-crawl upsert sink: stream arriving page files into the
+    snapshot table via ``foreachBatch`` + ``merge_upsert`` — the
+    streaming end of the incremental loop (``snapshot_delta`` reads
+    diffs, ``merge_upsert`` writes them; this wires an unbounded feed
+    into the writer).
+
+    Semantics per micro-batch: rows are deduped to one-per-key first
+    (latest ``order_col`` wins, ties to the key's max — a url recrawled
+    twice inside one batch must not insert twice), then matched keys
+    replace and new keys insert.  The streaming checkpoint makes the
+    pipeline resumable exactly-once at file granularity: a second
+    availableNow run over the same directory processes only files the
+    WAL hasn't committed (pinned by test).  Iceberg form:
+    ``writeStream.foreachBatch(λ: MERGE INTO)`` — identical shape.
+    """
+    from ..sources import snapshot as snap
+    from pyspark.sql import Window
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if order_col is not None:
+            w = (Window.partitionBy(key)
+                 .orderBy(F.col(order_col).desc_nulls_last()))
+            batch_df = (batch_df.withColumn("_rn", F.row_number().over(w))
+                        .filter(F.col("_rn") == 1).drop("_rn"))
+        else:
+            batch_df = batch_df.dropDuplicates([key])
+        if snap.current_version(root) == 0:
+            snap.commit_overwrite(batch_df, root)
+        else:
+            snap.merge_upsert(batch_df.sparkSession, root, batch_df,
+                              key=key)
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(_as_stream_source(input_path))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("stream merge drain exceeded timeout; table "
+                           "state would be partial")

@@ -1,0 +1,120 @@
+"""Robots-policy URL filter + streaming foreachBatch merge sink."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_convert_to__markdown_spark.operators.robots import apply_robots
+from document_convert_to__markdown_spark.sources import snapshot as snap
+from document_convert_to__markdown_spark.streaming.stream_job import (
+    run_stream_merge,
+)
+
+
+def _rules(spark):
+    return spark.createDataFrame(
+        [
+            ("a.com", "/", False),          # disallow all ...
+            ("a.com", "/public", True),     # ... except /public
+            ("a.com", "/public/tmp", False),  # ... except its /tmp
+            ("b.com", "/x", False),
+            ("b.com", "/x", True),          # tie: allow wins (RFC 9309)
+        ],
+        "host string, prefix string, allow boolean")
+
+
+def test_robots_longest_prefix_wins(spark):
+    urls = spark.createDataFrame(
+        [("https://a.com/private/1",),
+         ("https://a.com/public/doc",),
+         ("https://a.com/public/tmp/x",)], "url string")
+    got = {r["url"]: (r["allowed"], r["matched_prefix"])
+           for r in apply_robots(urls, _rules(spark)).collect()}
+    assert got["https://a.com/private/1"] == (False, "/")
+    assert got["https://a.com/public/doc"] == (True, "/public")
+    assert got["https://a.com/public/tmp/x"] == (False, "/public/tmp")
+
+
+def test_robots_tie_least_restrictive_and_default_allow(spark):
+    urls = spark.createDataFrame(
+        [("https://b.com/x/1",),          # tie at length 2 -> allow
+         ("https://nobody.com/anything",)  # no rules -> default allow
+         ], "url string")
+    got = {r["url"]: (r["allowed"], r["matched_allow"])
+           for r in apply_robots(urls, _rules(spark)).collect()}
+    assert got["https://b.com/x/1"] == (True, True)
+    assert got["https://nobody.com/anything"] == (True, None)
+
+
+def test_robots_every_row_accounted(spark):
+    urls = spark.createDataFrame(
+        [(f"https://a.com/p{i}",) for i in range(20)], "url string")
+    out = apply_robots(urls, _rules(spark))
+    assert out.count() == 20
+    assert out.filter("allowed").count() == 0  # '/' disallow catches all
+
+
+def test_robots_rules_side_broadcasts(spark):
+    urls = spark.createDataFrame([("https://a.com/p",)], "url string")
+    plan = (apply_robots(urls, _rules(spark))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ------------------------------------------------ streaming merge sink
+
+SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def _write_arrival(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
+def test_stream_merge_upserts_and_resumes(spark, tmp_path):
+    import datetime as dt
+
+    arrivals = str(tmp_path / "arrivals")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+
+    _write_arrival(spark, arrivals, [(1, t1, "a"), (2, t1, "b")])
+    run_stream_merge(spark, arrivals, root, ckpt, key="doc_id",
+                     schema=SCHEMA, order_col="ts")
+    got = {r["doc_id"]: r["text"] for r in snap.read(spark, root).collect()}
+    assert got == {1: "a", 2: "b"}
+    v_after_first = snap.current_version(root)
+
+    # second arrival: update doc 2, insert doc 3
+    _write_arrival(spark, arrivals, [(2, t2, "B2"), (3, t2, "c")])
+    run_stream_merge(spark, arrivals, root, ckpt, key="doc_id",
+                     schema=SCHEMA, order_col="ts")
+    got = {r["doc_id"]: r["text"] for r in snap.read(spark, root).collect()}
+    assert got == {1: "a", 2: "B2", 3: "c"}
+
+    # exactly-once at file granularity: a third drain with NO new files
+    # must not commit a new snapshot version
+    v_before = snap.current_version(root)
+    run_stream_merge(spark, arrivals, root, ckpt, key="doc_id",
+                     schema=SCHEMA, order_col="ts")
+    assert snap.current_version(root) == v_before
+    assert v_before > v_after_first
+
+
+def test_stream_merge_in_batch_recrawl_latest_wins(spark, tmp_path):
+    import datetime as dt
+
+    arrivals = str(tmp_path / "arrivals")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+    # same url twice within one batch: the later fetch must win and
+    # the key must not insert twice
+    _write_arrival(spark, arrivals, [(1, t1, "old"), (1, t2, "new")])
+    run_stream_merge(spark, arrivals, root, ckpt, key="doc_id",
+                     schema=SCHEMA, order_col="ts")
+    rows = snap.read(spark, root).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "new"
