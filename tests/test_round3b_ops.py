@@ -117,12 +117,16 @@ def test_quantized_topk_recall_vs_brute(spark, sf_dir="/root/testdata/sf0.001"):
 
 
 def test_quantized_topk_no_shuffle(spark):
+    """One Arrow stage (the numpy int8 scorer — Catalyst HOF lambdas
+    re-evaluate the per-row scale aggregate per element, measured 45x
+    slower at 10^6 rows), top-k with no exchange."""
     df = spark.createDataFrame(
         [(1, [1.0] * 8), (2, [0.5] * 8)], "vec_id long, embedding array<float>")
     plan = (quantized_topk(df, [1.0] * 8, k=1)._jdf.queryExecution()
             .executedPlan().toString())
     assert "TakeOrderedAndProject" in plan
-    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1
+    assert "Exchange" not in plan.split("TakeOrderedAndProject")[1]
 
 
 # -------------------------------------------------------------- pagerank

@@ -139,3 +139,39 @@ def test_pq_topk_scoring_stays_jvm_side(spark):
     assert "TakeOrderedAndProject" in plan
 
 
+
+
+# ------------------------------------------------------------ z-order
+
+def test_zorder_interleave_known_bits(spark):
+    from document_convert_to__markdown_spark.functions.layout import (
+        zorder_key2,
+    )
+    df = spark.createDataFrame([(3, 1), (0, 0), (255, 255)],
+                               "x long, y long")
+    got = [r["z"] for r in
+           df.select(zorder_key2("x", "y", bits=8).alias("z"))
+           .orderBy("x").collect()]
+    # x=0,y=0 -> 0; x=3(0b11),y=1(0b01) -> 0b0111 = 7; 255,255 -> 65535
+    assert got == [0, 7, 65535]
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    """Sorted by zkey and cut into contiguous chunks, BOTH x and y
+    ranges shrink per chunk — the data-skipping property; a plain sort
+    on x leaves the y range at full width."""
+    from document_convert_to__markdown_spark.functions.layout import (
+        zorder_key2,
+    )
+    rows = [(i % 64, (i * 7) % 64) for i in range(4096)]
+    df = spark.createDataFrame(rows, "x long, y long")
+    keyed = df.withColumn("z", zorder_key2("x", "y", bits=6))
+    chunks = (keyed.withColumn(
+        "chunk", F.shiftright("z", 8))  # 16 contiguous z-ranges
+        .groupBy("chunk")
+        .agg((F.max("x") - F.min("x")).alias("xr"),
+             (F.max("y") - F.min("y")).alias("yr"))
+        .agg(F.avg("xr").alias("axr"), F.avg("yr").alias("ayr"))
+        .first())
+    # global range is 63; z-order chunks must bound both well below it
+    assert chunks["axr"] < 32 and chunks["ayr"] < 32
