@@ -1861,13 +1861,21 @@ def _quantized_ann_oracle() -> str:
     (scale = max|x|/127, codes = round(x/scale)), same query codes
     (quantized here in Python exactly as the operator does), integer
     dot products — bit-equal until the single final division."""
+    import numpy as np
+
+    from document_convert_to__markdown_spark.operators.quantize import (
+        _round_half_up,
+    )
+
     q = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(64)]
     amax = max(abs(v) for v in q)
     qs = amax / 127.0
-    # Python round is ties-to-even, exactly like the operator's
-    # np.round on the query side — the corpus side (Spark HALF_UP vs
-    # DuckDB round) never hits a .5 tie on this data.
-    qq = [round(v / qs) for v in q]
+    # The operator quantizes the query with _round_half_up (matching
+    # Spark/DuckDB round semantics on the corpus side) — use the SAME
+    # function here so a future query-vector edit that lands a
+    # component on an exact .5 tie cannot desynchronize the oracle
+    # (review r3b).
+    qq = [int(v) for v in _round_half_up(np.asarray(q) / qs)]
     qnorm2 = sum(v * v for v in qq)
     qlist = "[" + ", ".join(str(int(v)) for v in qq) + "]"
     return f"""
@@ -1978,7 +1986,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
                      CASE WHEN o.doc_id IS NULL THEN 'added'
                           WHEN n.doc_id IS NULL THEN 'deleted'
-                          WHEN o.h <> n.h THEN 'changed'
+                          WHEN o.h IS DISTINCT FROM n.h THEN 'changed'
                           ELSE 'unchanged' END AS status
               FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
             )
@@ -1991,6 +1999,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, string_split(text, ' ') AS t,
                      len(string_split(text, ' ')) AS n
               FROM documents
+              WHERE text IS NOT NULL AND text <> ''
             ), starts AS (
               SELECT doc_id, t, n,
                      unnest(generate_series(0, n - 1, 24)) AS start

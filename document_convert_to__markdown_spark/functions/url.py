@@ -56,6 +56,12 @@ def url_host(url: Column) -> Column:
     return F.lower(F.regexp_replace(hostport, r":\d+$", ""))
 
 
+def url_path(url: Column) -> Column:
+    """Path component of a url ('' → '/') — the robots-resolution key."""
+    raw = F.regexp_extract(url, _PATH_RE, 1)
+    return F.when(raw == "", F.lit("/")).otherwise(raw)
+
+
 def registered_domain(host: Column) -> Column:
     """Registrable domain from a host: last two labels, or three when
     the last two are a known second-level suffix (``a.b.co.uk`` →

@@ -38,10 +38,15 @@ def chunk_documents(documents: DataFrame, size: int = 64, stride: int = 48,
     """
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
-    toks = documents.select(
+    toks = documents.filter(
+        # empty/null text yields NO windows — split('', ' ') is ['']
+        # (a phantom 1-token chunk of md5('')), so gate on the string,
+        # not the token count (review r3b)
+        F.col(text_col).isNotNull() & (F.col(text_col) != "")
+    ).select(
         F.col(key_col),
         F.split(F.col(text_col), " ").alias("_toks"),
-    ).withColumn("_n", F.size("_toks")).filter(F.col("_n") > 0)
+    ).withColumn("_n", F.size("_toks"))
     starts = toks.select(
         key_col, "_toks", "_n",
         F.posexplode(

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
+from .sampling import md5_u32
+
 
 def _sigmoid(z: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-z))
@@ -49,10 +51,13 @@ def hashed_doc_features(documents: DataFrame, dim: int = 256,
         F.col(key_col),
         F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
     ).filter(F.col("term") != "")
+    # md5_u32 is THE shared hash idiom (its docstring: any change must
+    # land in every replaying oracle) — values < 2^32 are exact in the
+    # double it returns, so the mod/cast below is value-identical to a
+    # pure integer pipeline (review r3b: don't fork the idiom).
     feat = toks.select(
         key_col,
-        (F.conv(F.substring(F.md5("term"), 1, 8), 16, 10)
-         .cast("long") % dim).alias("feature"),
+        (md5_u32("term") % F.lit(dim)).cast("long").alias("feature"),
     )
     tf = feat.groupBy(key_col, "feature").agg(F.count("*").alias("tf"))
     ntok = feat.groupBy(key_col).agg(F.count("*").alias("_n"))

@@ -53,7 +53,10 @@ def snapshot_delta(old: DataFrame, new: DataFrame, key: str = "doc_id",
         F.coalesce("_kn", "_ko").alias(key),
         F.when(F.col("_ko").isNull(), F.lit("added"))
         .when(F.col("_kn").isNull(), F.lit("deleted"))
-        .when(F.col("_ho") != F.col("_hn"), F.lit("changed"))
+        # null-safe: content changing to or from NULL is 'changed', not
+        # the NULL-comparison fall-through (review r3b) — a page whose
+        # extraction newly fails must re-process
+        .when(~F.col("_ho").eqNullSafe(F.col("_hn")), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )

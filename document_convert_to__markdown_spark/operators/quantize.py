@@ -142,6 +142,11 @@ def train_pq_codebooks(embeddings: DataFrame, m: int = 8, k: int = 16,
                       else F.lit(True))
               .select("vec_id", vec_col)
               .orderBy("vec_id").limit(sample_cap).collect())
+    if len(sample) < k:
+        raise ValueError(
+            f"train_pq_codebooks needs at least k={k} sample rows to "
+            f"seed k centroids; got {len(sample)} — lower k or widen "
+            f"the corpus/sample")
     mat = np.array([r[vec_col] for r in sample], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0

@@ -26,15 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from ..functions.url import url_host
-
-_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)"
-
-
-def url_path(url) -> "F.Column":
-    """Path component of a url ('' → '/')."""
-    raw = F.regexp_extract(url, _PATH_RE, 1)
-    return F.when(raw == "", F.lit("/")).otherwise(raw)
+from ..functions.url import url_host, url_path
 
 
 def apply_robots(urls: DataFrame, rules: DataFrame,

@@ -33,6 +33,7 @@ import tempfile
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 @dataclass
@@ -195,7 +196,7 @@ def expire_snapshots(root: str, keep_last: int = 1) -> int:
 
 
 def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
-                 key: str = "url") -> Snapshot:
+                 key: str = "url", validate: bool = True) -> Snapshot:
     """MERGE INTO-style upsert: rows of ``updates`` replace same-key rows
     in the current snapshot, new keys insert — the write half of the
     incremental-recrawl loop (``operators/delta.py`` decides WHAT
@@ -217,6 +218,19 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
         raise ValueError(
             f"merge_upsert schema mismatch: table has {current.columns}, "
             f"updates has {updates.columns}")
+    if validate:
+        # ANSI MERGE errors when a target row matches multiple source
+        # rows; replaying that here keeps the one-row-per-key table
+        # invariant from breaking silently (review r3b).  One cheap
+        # aggregation over the (small) updates side; callers that
+        # pre-dedup (run_stream_merge) pass validate=False.
+        n_dup = (updates.groupBy(key).count()
+                 .filter(F.col("count") > 1).limit(1).count())
+        if n_dup:
+            raise ValueError(
+                f"merge_upsert: updates contain duplicate '{key}' values "
+                f"— dedup first (e.g. latest-fetch-wins) or the table "
+                f"would commit multiple rows per key")
     carried = current.join(updates.select(key).distinct(), key, "left_anti")
     merged = carried.unionByName(updates.select(*current.columns))
     return commit_overwrite(merged, root)

@@ -389,18 +389,25 @@ def run_stream_merge(spark: SparkSession, input_path: str, root: str,
     from pyspark.sql import Window
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if order_col is not None:
-            w = (Window.partitionBy(key)
-                 .orderBy(F.col(order_col).desc_nulls_last()))
-            batch_df = (batch_df.withColumn("_rn", F.row_number().over(w))
-                        .filter(F.col("_rn") == 1).drop("_rn"))
-        else:
-            batch_df = batch_df.dropDuplicates([key])
+        # deterministic tiebreak: two fetches of the same key with the
+        # same order_col value (or no order_col at all) must not let
+        # shuffle order pick the winner — rank ties by the md5 of the
+        # full row payload (to_json base64-encodes binary), so reruns
+        # of identical input commit identical tables (review r3b).
+        payload = F.md5(F.to_json(F.struct(
+            *[c for c in batch_df.columns if c != key])))
+        order = ([F.col(order_col).desc_nulls_last()]
+                 if order_col is not None else []) + [payload]
+        w = Window.partitionBy(key).orderBy(*order)
+        batch_df = (batch_df.withColumn("_rn", F.row_number().over(w))
+                    .filter(F.col("_rn") == 1).drop("_rn"))
         if snap.current_version(root) == 0:
             snap.commit_overwrite(batch_df, root)
         else:
+            # per-batch dedup above guarantees key uniqueness — skip
+            # merge_upsert's validation aggregation on the hot path
             snap.merge_upsert(batch_df.sparkSession, root, batch_df,
-                              key=key)
+                              key=key, validate=False)
 
     q = (
         spark.readStream.schema(schema)

@@ -40,7 +40,7 @@ def main() -> None:
     )
     from document_convert_to__markdown_spark.operators.graph import pagerank
     from document_convert_to__markdown_spark.operators.quantize import (
-        pq_encode, pq_topk, quantized_topk, train_pq_codebooks,
+        pq_topk, quantized_topk, train_pq_codebooks,
     )
     from document_convert_to__markdown_spark.operators.robots import (
         apply_robots,
@@ -129,8 +129,10 @@ def main() -> None:
 
     run("quantized_topk", lambda: quantized_topk(emb, q, k=10).count())
 
+    # NOTE: pq_encode(...).count() would NOT measure the encode —
+    # Catalyst prunes the unused codes column under count().  The
+    # pq_topk run below forces train + full encode + sweep + rerank.
     books = train_pq_codebooks(emb, m=16, k=16)
-    run("pq_encode", lambda: pq_encode(emb, books).count())
     run("pq_topk_rerank", lambda: pq_topk(emb, q, books, k=10).count())
 
     semdedup_n = min(n_vecs, 100_000)

@@ -61,12 +61,12 @@ def test_chunk_short_and_empty_docs(spark):
     df = spark.createDataFrame(
         [(1, "a b c"), (2, "")], "doc_id long, text string")
     rows = chunk_documents(df, size=64, stride=48).collect()
-    # empty-string doc: split gives [''] (1 token) -> one 1-token window
+    # empty-string doc yields NO windows (no phantom md5('') chunk)
     by_doc = {}
     for r in rows:
         by_doc.setdefault(r["doc_id"], []).append(r)
     assert len(by_doc[1]) == 1 and by_doc[1][0]["n_tokens"] == 3
-    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_tokens"] == 1
+    assert 2 not in by_doc
 
 
 def test_chunk_exact_boundary_no_redundant_tail(spark):
