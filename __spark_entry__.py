@@ -1697,6 +1697,39 @@ def _q_zorder_layout(spark, sf):
     )
 
 
+def _q_udaf_harmonic_mean(spark, sf):
+    """Grouped-aggregate pandas UDF (the UDAF surface, SURVEY §2 Part
+    B): per-lang harmonic mean of document length as an Arrow-batched
+    custom aggregate — the escape hatch for aggregates Catalyst lacks,
+    with map-side-combine traded away but the Python boundary still
+    batch-granular (never per-row).  Oracle: the identical algebraic
+    form n/sum(1/x) in SQL; both sides round 4."""
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    # explicit GROUPED_AGG: this module's `from __future__ import
+    # annotations` stringifies type hints, so signature inference
+    # can't see Series -> float here
+    @pandas_udf(DoubleType(), PandasUDFType.GROUPED_AGG)
+    def hmean(v):
+        return float(len(v) / (1.0 / v).sum())
+
+    from pyspark.sql.types import LongType
+
+    # Spark disallows mixing pandas and JVM aggregates in one agg —
+    # the count rides the same Arrow batch as a second pandas UDAF
+    @pandas_udf(LongType(), PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    docs = _load(spark, sf, "documents").filter(F.col("n_chars") > 0)
+    return (
+        docs.groupBy("lang")
+        .agg(n_rows("n_chars").alias("n_docs"),
+             F.round(hmean("n_chars"), 4).alias("hmean_chars"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -1750,6 +1783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,
         "stream_merge_upsert": _q_stream_merge_upsert,
         "zorder_layout": _q_zorder_layout,
+        "udaf_harmonic_mean": _q_udaf_harmonic_mean,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
@@ -2087,6 +2121,11 @@ def oracle_sql() -> dict[str, str]:
             f"((((user_id % 256) >> {i}) & 1) << {2 * i}) + "
             f"((((event_id % 256) >> {i}) & 1) << {2 * i + 1})"
             for i in range(8))),
+        "udaf_harmonic_mean": """
+            SELECT lang, count(*) AS n_docs,
+                   round(count(*) / sum(CAST(1 AS DOUBLE) / n_chars), 4) AS hmean_chars
+            FROM documents WHERE n_chars > 0 GROUP BY lang
+        """,
         "stream_merge_upsert": """
             WITH base AS (
               SELECT doc_id, text FROM documents
