@@ -1730,6 +1730,36 @@ def _q_udaf_harmonic_mean(spark, sf):
     )
 
 
+def _q_frontier_schedule(spark, sf):
+    """Polite crawl-frontier scheduling (operators/robots.py): urls
+    over 7 hosts prioritized by document length, one window keyed on
+    host assigns serial fetch slots 5s apart (RFC 9309 crawl-delay
+    semantics).  Per-host audit of queue depth and horizon.  Exactly
+    SQL-expressible."""
+    from document_convert_to__markdown_spark.operators.robots import (
+        frontier_schedule,
+    )
+
+    docs = _load(spark, sf, "documents")
+    urls = docs.select(
+        "doc_id",
+        F.concat(F.lit("https://host"),
+                 (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".site/page"), F.col("doc_id").cast("string"))
+        .alias("url"),
+        F.concat(F.lit("host"),
+                 (F.col("doc_id") % 7).cast("string")).alias("host"),
+        F.col("n_chars").alias("priority"),
+    )
+    sched = frontier_schedule(urls, delay_sec=5)
+    return (
+        sched.groupBy("host")
+        .agg(F.count("*").alias("n_urls"),
+             F.max("fetch_offset_sec").alias("horizon_sec"),
+             F.sum(F.col("slot") * F.col("doc_id")).alias("slot_checksum"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -1784,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_merge_upsert": _q_stream_merge_upsert,
         "zorder_layout": _q_zorder_layout,
         "udaf_harmonic_mean": _q_udaf_harmonic_mean,
+        "frontier_schedule": _q_frontier_schedule,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
@@ -2121,6 +2152,25 @@ def oracle_sql() -> dict[str, str]:
             f"((((user_id % 256) >> {i}) & 1) << {2 * i}) + "
             f"((((event_id % 256) >> {i}) & 1) << {2 * i + 1})"
             for i in range(8))),
+        "frontier_schedule": """
+            WITH urls AS (
+              SELECT doc_id,
+                     'https://host' || CAST(doc_id % 7 AS VARCHAR)
+                       || '.site/page' || CAST(doc_id AS VARCHAR) AS url,
+                     'host' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                     n_chars AS priority
+              FROM documents
+            ), sched AS (
+              SELECT *, row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY priority DESC NULLS LAST, url) - 1 AS slot
+              FROM urls
+            )
+            SELECT host, count(*) AS n_urls,
+                   CAST(max(slot * 5) AS BIGINT) AS horizon_sec,
+                   CAST(sum(slot * doc_id) AS BIGINT) AS slot_checksum
+            FROM sched GROUP BY host
+        """,
         "udaf_harmonic_mean": """
             SELECT lang, count(*) AS n_docs,
                    round(count(*) / sum(CAST(1 AS DOUBLE) / n_chars), 4) AS hmean_chars

@@ -69,3 +69,30 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
         F.col("prefix").alias("matched_prefix"),
         F.col("allow").alias("matched_allow"),
     )
+
+
+def frontier_schedule(urls: DataFrame, host_col: str = "host",
+                      priority_col: str = "priority",
+                      delay_sec: int = 5,
+                      url_col: str = "url") -> DataFrame:
+    """Polite crawl-frontier scheduling: within each host, order
+    candidate urls by priority (e.g. the PageRank of their host, a
+    freshness score) and assign fetch slots ``delay_sec`` apart — the
+    one-request-per-host-per-delay contract every polite crawler
+    honors (RFC 9309 crawl-delay semantics).
+
+    Relational shape: ONE window keyed on host (row_number by priority
+    desc, url tiebreak for determinism) → slot arithmetic.  The shuffle
+    key is the host, so a 10^12-url frontier partitions by its ~10^8
+    hosts; skew (one mega-host) is bounded because a host's schedule
+    is inherently serial — the long pole is the crawl itself, not the
+    plan.  Returns every input row with ``slot`` (0-based fetch index
+    within the host) and ``fetch_offset_sec`` (slot * delay).
+    """
+    w = (Window.partitionBy(host_col)
+         .orderBy(F.col(priority_col).desc_nulls_last(), F.col(url_col)))
+    return (
+        urls.withColumn("slot", F.row_number().over(w) - 1)
+        .withColumn("fetch_offset_sec",
+                    (F.col("slot") * delay_sec).cast("long"))
+    )

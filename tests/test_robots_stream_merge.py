@@ -118,3 +118,37 @@ def test_stream_merge_in_batch_recrawl_latest_wins(spark, tmp_path):
                      schema=SCHEMA, order_col="ts")
     rows = snap.read(spark, root).collect()
     assert len(rows) == 1 and rows[0]["text"] == "new"
+
+
+# ------------------------------------------------ frontier scheduling
+
+def test_frontier_slots_priority_ordered_per_host(spark):
+    from document_convert_to__markdown_spark.operators.robots import (
+        frontier_schedule,
+    )
+    urls = spark.createDataFrame(
+        [("u1", "a.com", 10.0), ("u2", "a.com", 30.0),
+         ("u3", "a.com", 20.0), ("u4", "b.com", 1.0)],
+        "url string, host string, priority double")
+    got = {r["url"]: (r["slot"], r["fetch_offset_sec"])
+           for r in frontier_schedule(urls, delay_sec=5).collect()}
+    assert got["u2"] == (0, 0)    # highest priority fetches first
+    assert got["u3"] == (1, 5)
+    assert got["u1"] == (2, 10)
+    assert got["u4"] == (0, 0)    # other host schedules independently
+
+
+def test_frontier_ties_break_deterministically(spark):
+    from document_convert_to__markdown_spark.operators.robots import (
+        frontier_schedule,
+    )
+    urls = spark.createDataFrame(
+        [(f"u{i}", "a.com", 1.0) for i in range(8)],
+        "url string, host string, priority double")
+    a = sorted((r["url"], r["slot"])
+               for r in frontier_schedule(urls).collect())
+    b = sorted((r["url"], r["slot"])
+               for r in frontier_schedule(urls).collect())
+    assert a == b
+    # url tiebreak: lexicographic order
+    assert dict(a)["u0"] == 0 and dict(a)["u7"] == 7
