@@ -1760,6 +1760,40 @@ def _q_frontier_schedule(spark, sf):
     )
 
 
+def _q_dedup_incremental(spark, sf):
+    """Incremental near-dup screening (operators/dedup.py): the corpus
+    (doc_id % 5 != 0) keeps only its MinHash band index; the arrival
+    batch (doc_id % 5 == 0, half of them plagiarizing the text of
+    corpus doc id+1) is minhashed and equi-joined against the index —
+    per-crawl work stays O(batch), never O(corpus).  Flag audit;
+    pinned oracle (minhash isn't SQL)."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        incremental_dedup, minhash_bands,
+    )
+
+    docs = _load(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    donors = docs.select(F.col("doc_id").alias("_d"),
+                         F.col("text").alias("_dt"))
+    arrivals = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .join(donors, F.col("doc_id") + 1 == F.col("_d"), "left")
+        .select(
+            "doc_id",
+            F.when((F.col("doc_id") % 10 == 0) & F.col("_dt").isNotNull(),
+                   F.col("_dt")).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    out = incremental_dedup(arrivals, minhash_bands(corpus))
+    return (
+        out.groupBy("is_dup_of_corpus")
+        .agg(F.count("*").alias("n"),
+             F.sum("n_corpus_hits").alias("total_hits"),
+             F.min("doc_id").alias("min_doc"),
+             F.max("doc_id").alias("max_doc"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -1815,6 +1849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "udaf_harmonic_mean": _q_udaf_harmonic_mean,
         "frontier_schedule": _q_frontier_schedule,
+        "dedup_incremental": _q_dedup_incremental,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json

@@ -561,3 +561,51 @@ def remove_duplicate_spans(documents: DataFrame,
         F.size("w").alias("n_words_before"),
         F.size("rm").alias("n_words_removed"),
     )
+
+
+def incremental_dedup(arrivals: DataFrame, corpus_bands: DataFrame,
+                      key_col: str = "doc_id") -> DataFrame:
+    """Incremental near-dup screening: flag ARRIVING documents that
+    LSH-collide with the already-curated corpus, without touching the
+    corpus text.
+
+    At 10^12 rows you never re-dedup the whole corpus per crawl; you
+    keep the MinHash band relation (``minhash_bands`` output — 3 small
+    ints per band row) as a persistent index table and screen each
+    arrival batch against it:
+
+        arrivals → minhash (one Arrow pass over the batch only)
+                 → equi-join on (band, band_hash) against the index
+                 → per-arrival hit aggregate
+
+    The join shuffles the (small) arrival bands; the corpus index side
+    is pre-bucketed by the same key in storage, so at scale this is a
+    bucketed join with no index-side shuffle.  New snapshots extend
+    the index by appending the surviving arrivals' band rows (the
+    ``snapshot.commit_append`` path) — the index grows, the work per
+    batch stays O(batch).
+
+    Returns every arrival row with ``is_dup_of_corpus``,
+    ``n_corpus_hits`` (distinct corpus docs sharing ≥1 band) and
+    ``dup_of`` (min colliding corpus id; null when none) — audit
+    columns, no silent drops; callers filter and append.
+    """
+    new_bands = minhash_bands(arrivals).withColumnRenamed(key_col, "_new")
+    idx = (corpus_bands.select(F.col(key_col).alias("_corpus"),
+                               "band", "band_hash"))
+    hits = (
+        new_bands.join(idx, ["band", "band_hash"])
+        .groupBy("_new")
+        .agg(F.countDistinct("_corpus").alias("n_corpus_hits"),
+             F.min("_corpus").alias("dup_of"))
+    )
+    return (
+        arrivals.join(hits, arrivals[key_col] == hits["_new"], "left")
+        .drop("_new")
+        .select(
+            *[F.col(c) for c in arrivals.columns],
+            F.col("dup_of").isNotNull().alias("is_dup_of_corpus"),
+            F.coalesce("n_corpus_hits", F.lit(0)).alias("n_corpus_hits"),
+            "dup_of",
+        )
+    )

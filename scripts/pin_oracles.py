@@ -48,6 +48,7 @@ PINNABLE = [
     "quality_classifier",
     "semdedup_prune",
     "pq_ann_topk",
+    "dedup_incremental",
 ]
 
 _SQL_TYPES = {

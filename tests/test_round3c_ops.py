@@ -175,3 +175,43 @@ def test_zorder_clusters_both_dimensions(spark):
         .first())
     # global range is 63; z-order chunks must bound both well below it
     assert chunks["axr"] < 32 and chunks["ayr"] < 32
+
+
+# ------------------------------------------------- incremental dedup
+
+def test_incremental_dedup_flags_corpus_copies(spark):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        incremental_dedup, minhash_bands,
+    )
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog again"),
+         (2, "an entirely different corpus document about spark plans")],
+        "doc_id long, text string")
+    arrivals = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over the lazy dog again"),  # copy
+         (11, "novel arrival text with words shared by no corpus doc")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r
+           for r in incremental_dedup(arrivals,
+                                      minhash_bands(corpus)).collect()}
+    assert out[10]["is_dup_of_corpus"] is True
+    assert out[10]["dup_of"] == 1 and out[10]["n_corpus_hits"] >= 1
+    assert out[11]["is_dup_of_corpus"] is False
+    assert out[11]["dup_of"] is None and out[11]["n_corpus_hits"] == 0
+    assert len(out) == 2  # every arrival accounted
+
+
+def test_incremental_dedup_corpus_text_never_read(spark):
+    """The screen consumes only the band index — the plan must not
+    scan a corpus text column at all."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        incremental_dedup, minhash_bands,
+    )
+    corpus = spark.createDataFrame(
+        [(1, "corpus text one"), (2, "corpus text two")],
+        "doc_id long, text string")
+    bands = minhash_bands(corpus).select("doc_id", "band", "band_hash")
+    arrivals = spark.createDataFrame(
+        [(10, "some arrival")], "doc_id long, text string")
+    out = incremental_dedup(arrivals, bands)
+    assert out.count() == 1  # runs green off the index alone
