@@ -1794,6 +1794,26 @@ def _q_dedup_incremental(spark, sf):
     )
 
 
+def _q_sketch_union_hll(spark, sf):
+    """Mergeable Datasketches HLL (Spark hll_sketch_agg/hll_union_agg):
+    one distinct-user sketch per event_type, then a union-merge to the
+    global estimate — the incremental pattern where per-crawl sketch
+    STATES are stored and merged across snapshots without rescanning
+    history (approx_count_distinct, by contrast, yields only a number).
+    Deterministic for fixed input → pinned oracle."""
+    ev = _load(spark, sf, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 12)").alias("sk"))
+    per_rows = per_type.select(
+        "event_type",
+        F.expr("hll_sketch_estimate(sk)").cast("long").alias("est_users"))
+    merged = per_type.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+        .cast("long").alias("est_users")).select(
+        F.lit("_all_merged").alias("event_type"), "est_users")
+    return per_rows.unionByName(merged)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -1850,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "udaf_harmonic_mean": _q_udaf_harmonic_mean,
         "frontier_schedule": _q_frontier_schedule,
         "dedup_incremental": _q_dedup_incremental,
+        "sketch_union_hll": _q_sketch_union_hll,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json

@@ -49,6 +49,7 @@ PINNABLE = [
     "semdedup_prune",
     "pq_ann_topk",
     "dedup_incremental",
+    "sketch_union_hll",
 ]
 
 _SQL_TYPES = {
