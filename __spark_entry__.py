@@ -1814,6 +1814,58 @@ def _q_sketch_union_hll(spark, sf):
     return per_rows.unionByName(merged)
 
 
+def _q_variant_semistructured(spark, sf):
+    """VARIANT semi-structured access (Spark 4 parse_json/variant_get):
+    the open-schema path for crawl metadata — parse once into the
+    binary variant encoding, then typed path extraction without a
+    fixed schema (vs get_json_object re-parsing the string per
+    access).  Oracle: the identical paths via DuckDB's JSON functions."""
+    ev = _load(spark, sf, "events")
+    v = ev.select(F.parse_json("props").alias("v"), "value")
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+            # missing path → NULL, not an error (try semantics)
+            F.expr("try_variant_get(v, '$.missing', 'string')")
+            .alias("absent"),
+            "value",
+        )
+        .groupBy((F.col("k") % 7).alias("k_mod7"))
+        .agg(F.count("*").alias("n"),
+             F.sum(F.col("absent").isNull().cast("int")).alias("n_absent"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def _q_stream_static_join(spark, sf):
+    """Stream-static join: the events stream enriched against a static
+    dimension (broadcast to every micro-batch — the canonical
+    stream-side lookup; state-free, unlike the stream-stream join).
+    Drained availableNow, equals the batch join — relational oracle."""
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        _as_stream_source, drain_stream_agg,
+    )
+    from pyspark.sql.functions import broadcast as _bc
+
+    dim = spark.range(200).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("tier"), (F.col("id") % 3).cast("string"))
+        .alias("tier"))
+    events = (
+        spark.readStream
+        .schema("event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string")
+        .parquet(_as_stream_source(f"{sf}/events.parquet"))
+    )
+    agg = (
+        events.join(_bc(dim), "user_id")
+        .groupBy("tier")
+        .agg(F.count("*").alias("n_events"),
+             F.round(F.sum("value"), 2).alias("total_value"))
+    )
+    return drain_stream_agg(agg, "stream_static_join")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -1871,6 +1923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "frontier_schedule": _q_frontier_schedule,
         "dedup_incremental": _q_dedup_incremental,
         "sketch_union_hll": _q_sketch_union_hll,
+        "variant_semistructured": _q_variant_semistructured,
+        "stream_static_join": _q_stream_static_join,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
@@ -2208,6 +2262,22 @@ def oracle_sql() -> dict[str, str]:
             f"((((user_id % 256) >> {i}) & 1) << {2 * i}) + "
             f"((((event_id % 256) >> {i}) & 1) << {2 * i + 1})"
             for i in range(8))),
+        "variant_semistructured": """
+            SELECT CAST(json_extract(props, '$.k') AS INTEGER) % 7
+                     AS k_mod7,
+                   count(*) AS n,
+                   CAST(sum(CASE WHEN json_extract_string(props,
+                                      '$.missing') IS NULL
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_absent,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1
+        """,
+        "stream_static_join": """
+            SELECT 'tier' || CAST(user_id % 3 AS VARCHAR) AS tier,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events WHERE user_id < 200 GROUP BY 1
+        """,
         "frontier_schedule": """
             WITH urls AS (
               SELECT doc_id,
