@@ -240,3 +240,35 @@ def test_semdedup_mega_cell_sub_buckets(spark):
     rows_out = out.collect()
     assert len(rows_out) == 40
     assert sum(1 for r in rows_out if not r["keep"]) >= 38
+
+
+def test_chunk_matches_reference_model_over_grid(spark):
+    """Every (doc length 0..130) x (size, stride) combination matches a
+    pure-Python reference model of the HF overflowing-tokens rule —
+    window starts, dense chunk ids, token counts and chunk hashes."""
+    import hashlib
+
+    def model(tokens, size, stride):
+        out = []
+        n = len(tokens)
+        for idx, s in enumerate(range(0, n, stride)):
+            if s != 0 and not (s - stride + size < n):
+                break
+            chunk = tokens[s:s + size]
+            out.append((idx, s, len(chunk),
+                        hashlib.md5(" ".join(chunk).encode()).hexdigest()))
+        return out
+
+    docs = [(n, " ".join(f"t{n}_{i}" for i in range(n)))
+            for n in range(0, 131, 7)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for size, stride in [(1, 1), (5, 4), (16, 12), (64, 48), (64, 64)]:
+        got = {}
+        for r in chunk_documents(df, size=size, stride=stride).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["chunk_idx"], r["start_tok"], r["n_tokens"],
+                 r["chunk_md5"]))
+        for n, text in docs:
+            toks = text.split(" ") if text else []
+            want = model(toks, size, stride)
+            assert sorted(got.get(n, [])) == want, (n, size, stride)
