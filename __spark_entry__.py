@@ -1851,10 +1851,13 @@ def _q_stream_static_join(spark, sf):
         F.col("id").alias("user_id"),
         F.concat(F.lit("tier"), (F.col("id") % 3).cast("string"))
         .alias("tier"))
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        EVENTS_STREAM_SCHEMA,
+    )
+
     events = (
         spark.readStream
-        .schema("event_id long, ts timestamp, user_id long, "
-                "event_type string, value double, props string")
+        .schema(EVENTS_STREAM_SCHEMA)
         .parquet(_as_stream_source(f"{sf}/events.parquet"))
     )
     agg = (

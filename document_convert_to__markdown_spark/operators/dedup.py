@@ -564,19 +564,20 @@ def remove_duplicate_spans(documents: DataFrame,
 
 
 def incremental_dedup(arrivals: DataFrame, corpus_bands: DataFrame,
-                      key_col: str = "doc_id") -> DataFrame:
+                      min_band_hits: int = 2) -> DataFrame:
     """Incremental near-dup screening: flag ARRIVING documents that
     LSH-collide with the already-curated corpus, without touching the
-    corpus text.
+    corpus text.  Same ``(doc_id, text)`` contract as every dedup
+    operator here; ``corpus_bands`` is ``minhash_bands`` output.
 
     At 10^12 rows you never re-dedup the whole corpus per crawl; you
-    keep the MinHash band relation (``minhash_bands`` output — 3 small
-    ints per band row) as a persistent index table and screen each
-    arrival batch against it:
+    keep the MinHash band relation (3 small ints per band row) as a
+    persistent index table and screen each arrival batch against it:
 
         arrivals → minhash (one Arrow pass over the batch only)
                  → equi-join on (band, band_hash) against the index
-                 → per-arrival hit aggregate
+                 → per-(arrival, corpus-doc) band count
+                 → flag at ``min_band_hits``
 
     The join shuffles the (small) arrival bands; the corpus index side
     is pre-bucketed by the same key in storage, so at scale this is a
@@ -585,22 +586,36 @@ def incremental_dedup(arrivals: DataFrame, corpus_bands: DataFrame,
     ``snapshot.commit_append`` path) — the index grows, the work per
     batch stays O(batch).
 
+    **Why ≥2 bands from the SAME corpus doc** (review r3c): band_hash
+    is 32-bit, so at 10^12-doc index scale every arrival accumulates
+    thousands of random single-band collisions with unrelated docs —
+    a 1-band verdict would flag essentially everything.  Two
+    independent band matches against one doc have ~(64/2^32)² random
+    odds (never at any scale) while an exact copy matches all 8 bands
+    and a Jaccard-0.9 near-dup matches ≥2 of 8 with p≈0.93.  For
+    J-threshold precision, feed the flagged pairs to
+    ``ngram_jaccard_pairs`` exactly as ``neardup_pipeline`` does
+    intra-corpus — this operator is the candidate screen.
+
     Returns every arrival row with ``is_dup_of_corpus``,
-    ``n_corpus_hits`` (distinct corpus docs sharing ≥1 band) and
-    ``dup_of`` (min colliding corpus id; null when none) — audit
+    ``n_corpus_hits`` (distinct corpus docs at ≥ min_band_hits bands)
+    and ``dup_of`` (min such corpus id; null when none) — audit
     columns, no silent drops; callers filter and append.
     """
-    new_bands = minhash_bands(arrivals).withColumnRenamed(key_col, "_new")
-    idx = (corpus_bands.select(F.col(key_col).alias("_corpus"),
+    new_bands = minhash_bands(arrivals).withColumnRenamed("doc_id", "_new")
+    idx = (corpus_bands.select(F.col("doc_id").alias("_corpus"),
                                "band", "band_hash"))
     hits = (
         new_bands.join(idx, ["band", "band_hash"])
+        .groupBy("_new", "_corpus")
+        .agg(F.count("*").alias("_n_bands"))
+        .filter(F.col("_n_bands") >= min_band_hits)
         .groupBy("_new")
         .agg(F.countDistinct("_corpus").alias("n_corpus_hits"),
              F.min("_corpus").alias("dup_of"))
     )
     return (
-        arrivals.join(hits, arrivals[key_col] == hits["_new"], "left")
+        arrivals.join(hits, arrivals["doc_id"] == hits["_new"], "left")
         .drop("_new")
         .select(
             *[F.col(c) for c in arrivals.columns],

@@ -22,8 +22,7 @@ from typing import Any, Iterable, Iterator, Optional
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-EVENTS_SCHEMA = ("event_id long, ts timestamp, user_id long, "
-                 "event_type string, value double, props string")
+from .stream_job import EVENTS_STREAM_SCHEMA as EVENTS_SCHEMA
 OUT_SCHEMA = "user_id long, n_sessions long, n_events long"
 STATE_SCHEMA = "last_ts long, n_sessions long, n_events long"
 

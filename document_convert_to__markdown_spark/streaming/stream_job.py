@@ -35,6 +35,13 @@ from ..pipeline.job import _doc_name_udf, _extract_partition
 from ..pipeline.schemas import EXTRACT_SCHEMA, PAGES_SCHEMA, RESULT_COLUMNS
 
 
+# One shared DDL for the events stream — six call sites read this
+# source; a missed copy on schema evolution silently yields all-null
+# columns (review r3c).
+EVENTS_STREAM_SCHEMA = ("event_id long, ts timestamp, user_id long, "
+                        "event_type string, value double, props string")
+
+
 def _as_stream_source(path: str) -> str:
     """File-source streaming needs a directory (or glob) whose base path
     is a directory.  For a single parquet *file*, rewrite the final
@@ -188,8 +195,7 @@ def stream_dedup_user_counts(spark: SparkSession, events_path: str) -> DataFrame
     """
     events = (
         spark.readStream
-        .schema("event_id long, ts timestamp, user_id long, "
-                "event_type string, value double, props string")
+        .schema(EVENTS_STREAM_SCHEMA)
         .parquet(_as_stream_source(events_path))
     )
     agg = (
@@ -240,8 +246,7 @@ def stream_dedup_users_watermarked(spark: SparkSession, events_path: str,
     """
     events = (
         spark.readStream
-        .schema("event_id long, ts timestamp, user_id long, "
-                "event_type string, value double, props string")
+        .schema(EVENTS_STREAM_SCHEMA)
         .parquet(_as_stream_source(events_path))
     )
     deduped = stream_dedup_within_watermark(
@@ -289,8 +294,7 @@ def stream_events_daily(spark: SparkSession, events_path: str) -> DataFrame:
     """
     events = (
         spark.readStream
-        .schema("event_id long, ts timestamp, user_id long, "
-                "event_type string, value double, props string")
+        .schema(EVENTS_STREAM_SCHEMA)
         .parquet(_as_stream_source(events_path))
     )
     agg = (
@@ -329,8 +333,7 @@ def stream_stream_attribution(spark: SparkSession, events_path: str,
     AFTER the drain (stream-stream joins can't chain a complete-mode
     agg in one query).
     """
-    schema = ("event_id long, ts timestamp, user_id long, "
-              "event_type string, value double, props string")
+    schema = EVENTS_STREAM_SCHEMA
     src = _as_stream_source(events_path)
     clicks = (
         spark.readStream.schema(schema).parquet(src)

@@ -202,16 +202,22 @@ def test_incremental_dedup_flags_corpus_copies(spark):
 
 
 def test_incremental_dedup_corpus_text_never_read(spark):
-    """The screen consumes only the band index — the plan must not
-    scan a corpus text column at all."""
+    """The screen consumes only the band index: exactly ONE Arrow
+    stage in the plan (the arrival-side minhash) — a regression that
+    re-minhashes the corpus would add a second."""
     from document_convert_to__markdown_spark.operators.dedup import (
         incremental_dedup, minhash_bands,
     )
     corpus = spark.createDataFrame(
         [(1, "corpus text one"), (2, "corpus text two")],
         "doc_id long, text string")
-    bands = minhash_bands(corpus).select("doc_id", "band", "band_hash")
+    # materialized index shape: band columns only, no text
+    bands = (spark.createDataFrame(
+        minhash_bands(corpus).select("doc_id", "band", "band_hash")
+        .collect(), "doc_id long, band int, band_hash int"))
     arrivals = spark.createDataFrame(
         [(10, "some arrival")], "doc_id long, text string")
     out = incremental_dedup(arrivals, bands)
-    assert out.count() == 1  # runs green off the index alone
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert out.count() == 1  # every arrival accounted
