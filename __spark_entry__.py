@@ -1869,6 +1869,24 @@ def _q_stream_static_join(spark, sf):
     return drain_stream_agg(agg, "stream_static_join")
 
 
+_TRUNC_DIMS = [8, 16, 32, 64]
+
+
+def _q_ann_truncated_recall(spark, sf):
+    """Matryoshka truncation ablation (operators/similarity.py):
+    recall@10 of cosine search over prefix-truncated embeddings vs the
+    full 64-dim ranking — the dims-vs-recall curve that sizes a
+    10^12-row vector index.  Scores round to 4 decimals BEFORE the cut
+    with vec_id tiebreak so Spark and DuckDB select identical rows."""
+    from document_convert_to__markdown_spark.operators.similarity import (
+        truncation_recall,
+    )
+
+    emb = _load(spark, sf, "embeddings")
+    q = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(64)]
+    return truncation_recall(emb, q, dims=_TRUNC_DIMS, k=10)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -1928,6 +1946,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sketch_union_hll": _q_sketch_union_hll,
         "variant_semistructured": _q_variant_semistructured,
         "stream_static_join": _q_stream_static_join,
+        "ann_truncated_recall": _q_ann_truncated_recall,
+        # ^ position 47 — the last head slot that still leaves three
+        # r02-proven entries inside the driver's 50-query window.  Any
+        # further new query must go BELOW the invariant comment and
+        # rotate to the head in round 4.
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
@@ -2148,9 +2171,50 @@ def _host_pagerank_oracle() -> str:
             + f"\n        SELECT node, round(rank, 4) AS rank_r FROM {prev}")
 
 
+def _truncation_recall_oracle() -> str:
+    """DuckDB replay of ``_q_ann_truncated_recall``: per truncation
+    width, cosine over the list prefix, round-4-then-rank with vec_id
+    tiebreak, semi-join overlap against the full-width top-k."""
+    q = [((i * 37 + 11) % 101 - 50) / 50.0 for i in range(64)]
+
+    def topk_cte(name: str, d: int) -> str:
+        qd = q[:d]
+        qlist = "[" + ", ".join(repr(float(v)) for v in qd) + "]::DOUBLE[]"
+        qnorm = "sqrt(list_dot_product(" + qlist + ", " + qlist + "))"
+        vec = (f"list_transform(embedding[1:{d}], "
+               f"x -> CAST(x AS DOUBLE))")
+        return f"""{name} AS (
+          SELECT vec_id, cos FROM (
+            SELECT vec_id,
+                   round(list_dot_product({vec}, {qlist})
+                         / (sqrt(list_dot_product({vec}, {vec}))
+                            * {qnorm}), 4) AS cos,
+                   row_number() OVER (
+                     ORDER BY round(list_dot_product({vec}, {qlist})
+                              / (sqrt(list_dot_product({vec}, {vec}))
+                                 * {qnorm}), 4) DESC, vec_id) AS rn
+            FROM embeddings)
+          WHERE rn <= 10
+        )"""
+
+    ctes = [topk_cte("t_full", 64)]
+    selects = []
+    for d in [8, 16, 32, 64]:
+        ctes.append(topk_cte(f"t{d}", d))
+        selects.append(f"""
+            SELECT CAST({d} AS INTEGER) AS dim,
+                   (SELECT count(*) FROM t{d}
+                    WHERE vec_id IN (SELECT vec_id FROM t_full))
+                     AS recall_at_k,
+                   (SELECT round(min(cos), 4) FROM t{d}) AS top_min_cos""")
+    return ("WITH " + ",\n        ".join(ctes)
+            + "\n            UNION ALL".join(selects))
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         **_pinned_oracles(),
+        "ann_truncated_recall": _truncation_recall_oracle(),
         "snapshot_delta": """
             WITH old AS (
               SELECT doc_id, md5(text) AS h FROM documents

@@ -221,3 +221,20 @@ def test_incremental_dedup_corpus_text_never_read(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1
     assert out.count() == 1  # every arrival accounted
+
+
+# ------------------------------------------------- truncation recall
+
+def test_truncation_recall_full_dim_is_perfect_and_monotonicish(spark):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        truncation_recall,
+    )
+    import math
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = [math.sin(i * 0.7) for i in range(64)]
+    rows = {r["dim"]: r["recall_at_k"]
+            for r in truncation_recall(emb, q, dims=[8, 32, 64],
+                                       k=10).collect()}
+    assert rows[64] == 10           # full width reproduces itself
+    assert 0 <= rows[8] <= rows[64]
+    assert rows[32] >= rows[8] - 2  # wider prefix, roughly no worse
