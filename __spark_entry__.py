@@ -1887,6 +1887,27 @@ def _q_ann_truncated_recall(spark, sf):
     return truncation_recall(emb, q, dims=_TRUNC_DIMS, k=10)
 
 
+def _q_dedup_keep_best(spark, sf):
+    """Best-copy dedup (operators/dedup.py:dedup_keep_best): two crawls
+    of the same url (doc_id % 250 as the url key) keep the
+    higher-quality copy (n_chars, doc_id tiebreak) — the C4/RefinedWeb
+    keep-longest rule, as one min_by aggregation + semi-join (no
+    full-row window shuffle).  Exactly SQL-expressible."""
+    from document_convert_to__markdown_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+
+    docs = _load(spark, sf, "documents").withColumn(
+        "url_key", F.col("doc_id") % 250)
+    kept = dedup_keep_best(docs, quality_col="n_chars",
+                           group_expr=F.col("url_key"))
+    return kept.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("kept_chars"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -1951,6 +1972,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r02-proven entries inside the driver's 50-query window.  Any
         # further new query must go BELOW the invariant comment and
         # rotate to the head in round 4.
+        # position 48 — with a2/a3 at 49-50 the driver window is now
+        # exactly full: 48 never-scored entries + 2 r02-proven ones.
+        # The NEXT new query must go at the very end of this dict and
+        # rotate to the head in round 4.
+        "dedup_keep_best": _q_dedup_keep_best,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
@@ -2215,6 +2241,21 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_pinned_oracles(),
         "ann_truncated_recall": _truncation_recall_oracle(),
+        "dedup_keep_best": """
+            WITH keyed AS (
+              SELECT *, doc_id % 250 AS url_key FROM documents
+            ), ranked AS (
+              SELECT doc_id, n_chars,
+                     row_number() OVER (PARTITION BY url_key
+                                        ORDER BY n_chars DESC, doc_id)
+                       AS rn
+              FROM keyed
+            )
+            SELECT count(*) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+                   min(doc_id) AS min_doc, max(doc_id) AS max_doc
+            FROM ranked WHERE rn = 1
+        """,
         "snapshot_delta": """
             WITH old AS (
               SELECT doc_id, md5(text) AS h FROM documents

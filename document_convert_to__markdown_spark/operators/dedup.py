@@ -117,6 +117,35 @@ def dedup_keep_first(documents: DataFrame) -> DataFrame:
     return documents.join(keepers, "doc_id", "left_semi")
 
 
+def dedup_keep_best(documents: DataFrame, quality_col: str,
+                    group_expr=None) -> DataFrame:
+    """Keep the BEST copy of each duplicate group, not the first: rank
+    within the content-hash group by ``quality_col`` descending
+    (doc_id ascending breaks ties deterministically) and keep rank 1.
+
+    The curation nuance min-id keep-first misses: duplicate crawls of
+    one page differ in extraction quality (truncation, boilerplate,
+    encoding damage), and C4/RefinedWeb-style pipelines keep the
+    longest / highest-scoring copy.  ``group_expr`` overrides the
+    grouping key (default md5(text) — exact dup groups; pass a
+    near-dup cluster id from ``connected_components`` to pick one best
+    doc per NEAR-dup cluster).
+
+    Plan: one aggregation keyed on the group (max_by — map-side
+    partial combine, no window shuffle over full rows) + a semi-join
+    back on doc_id.  Text never crosses the exchange: both sides of
+    the aggregate carry only (hash, quality, id).
+    """
+    group = group_expr if group_expr is not None else F.md5("text")
+    keyed = documents.select(
+        group.alias("_g"), F.col(quality_col).alias("_q"), "doc_id")
+    keepers = (
+        keyed.groupBy("_g")
+        .agg(F.expr("min_by(doc_id, struct(-_q, doc_id))").alias("doc_id"))
+    )
+    return documents.join(keepers.select("doc_id"), "doc_id", "left_semi")
+
+
 def remove_duplicate_paragraphs(documents: DataFrame,
                                 text_col: str = "text",
                                 id_col: str = "doc_id",

@@ -238,3 +238,32 @@ def test_truncation_recall_full_dim_is_perfect_and_monotonicish(spark):
     assert rows[64] == 10           # full width reproduces itself
     assert 0 <= rows[8] <= rows[64]
     assert rows[32] >= rows[8] - 2  # wider prefix, roughly no worse
+
+
+# ---------------------------------------------------- keep-best dedup
+
+def test_dedup_keep_best_prefers_quality_then_id(spark):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+    docs = spark.createDataFrame(
+        [(1, "short", 5, "u1"), (2, "a longer copy", 13, "u1"),
+         (3, "same", 4, "u2"), (4, "same", 4, "u2"),
+         (5, "solo", 4, "u3")],
+        "doc_id long, text string, q long, url_key string")
+    kept = sorted(r["doc_id"] for r in dedup_keep_best(
+        docs, quality_col="q", group_expr=F.col("url_key")).collect())
+    # u1: higher q wins (2); u2: quality tie -> min doc_id (3); u3: solo
+    assert kept == [2, 3, 5]
+
+
+def test_dedup_keep_best_default_groups_by_content(spark):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        dedup_keep_best,
+    )
+    docs = spark.createDataFrame(
+        [(1, "dup", 1), (2, "dup", 9), (3, "other", 0)],
+        "doc_id long, text string, q long")
+    kept = sorted(r["doc_id"] for r in
+                  dedup_keep_best(docs, quality_col="q").collect())
+    assert kept == [2, 3]
