@@ -1908,6 +1908,29 @@ def _q_dedup_keep_best(spark, sf):
         F.max("doc_id").alias("max_doc"))
 
 
+def _q_text_ngram_novelty(spark, sf):
+    """Bigram novelty vs the English slice as the trusted reference
+    (operators/text.py:ngram_novelty): per-lang audit of how much of
+    each document's bigram mass the reference has never seen — the
+    exact-match diversity axis complementing DSIR's importance ratio.
+    Broadcast distinct-reference join; exactly SQL-expressible."""
+    from document_convert_to__markdown_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    docs = _load(spark, sf, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    scored = ngram_novelty(docs, ref)
+    return (
+        scored.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("n_bigrams").alias("total_bigrams"),
+             F.sum("n_novel").alias("total_novel"),
+             F.round(F.avg("novelty"), 4).alias("avg_novelty"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -2035,6 +2058,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_benchmark": _q_decontaminate_benchmark,
         "domain_cap": _q_domain_cap,
         "weighted_sample": _q_weighted_sample,
+        # --- r4-rotation queue (past position 50 by design: the head
+        # window is full; these rotate to the head next round exactly
+        # as the 18 round-2 entries did this round; all locally green).
+        "text_ngram_novelty": _q_text_ngram_novelty,
     }
 
 
@@ -2241,6 +2268,39 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_pinned_oracles(),
         "ann_truncated_recall": _truncation_recall_oracle(),
+        "text_ngram_novelty": """
+            WITH toks AS (
+              SELECT doc_id, lang, string_split(lower(text), ' ') AS t
+              FROM documents
+            ), idx AS (
+              SELECT doc_id, lang, t,
+                     unnest(generate_series(1, len(t) - 1)) AS i
+              FROM toks WHERE len(t) >= 2
+            ), bg AS (
+              SELECT doc_id, lang, t[i] || ' ' || t[i + 1] AS bg FROM idx
+            ), ref AS (
+              SELECT DISTINCT bg FROM bg WHERE lang = 'en'
+            ), flagged AS (
+              SELECT b.doc_id, count(*) AS n_bigrams,
+                     CAST(sum(CASE WHEN r.bg IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_novel
+              FROM bg b LEFT JOIN ref r ON b.bg = r.bg
+              GROUP BY b.doc_id
+            ), scored AS (
+              SELECT d.doc_id, d.lang,
+                     coalesce(f.n_bigrams, 0) AS n_bigrams,
+                     coalesce(f.n_novel, 0) AS n_novel,
+                     CASE WHEN f.n_bigrams IS NULL THEN NULL
+                          ELSE round(CAST(f.n_novel AS DOUBLE)
+                                     / f.n_bigrams, 4) END AS novelty
+              FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+            )
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(n_bigrams) AS BIGINT) AS total_bigrams,
+                   CAST(sum(n_novel) AS BIGINT) AS total_novel,
+                   round(avg(novelty), 4) AS avg_novelty
+            FROM scored GROUP BY lang
+        """,
         "dedup_keep_best": """
             WITH keyed AS (
               SELECT *, doc_id % 250 AS url_key FROM documents

@@ -446,3 +446,61 @@ def lm_quality_buckets_scalable(documents: DataFrame, n_buckets: int = 3,
                 "cuts", lambda c: c < F.col("lm_score")))).cast("int"))
         .drop("cuts")
     )
+
+
+def ngram_novelty(documents: DataFrame, reference: DataFrame,
+                  text_col: str = "text",
+                  key_col: str = "doc_id") -> DataFrame:
+    """Bigram novelty vs a trusted reference corpus: the fraction of a
+    document's word bigrams that never occur in the reference — high
+    novelty flags content the reference distribution hasn't seen
+    (new-domain gold or garbage; paired with a quality gate it is the
+    classic diversity-vs-quality selection axis, the exact-match
+    complement of DSIR's importance ratio).
+
+    Fully relational: bigrams come from ``transform`` over an index
+    ``sequence`` (JVM-side, no Python); the reference's DISTINCT
+    bigram set broadcasts (a few million strings for any real trusted
+    corpus) and each doc bigram left-joins against it — the same
+    broadcast shape as benchmark decontamination.  Docs with < 2
+    tokens score null novelty (no bigrams), never a dropped row.
+
+    Returns ``(key, n_bigrams, n_novel, novelty)`` — novelty round 4.
+    """
+    from pyspark.sql.functions import broadcast
+
+    def bigrams(col):
+        toks = F.split(col, " ")
+        return F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - 1),
+                lambda i: F.concat(F.element_at(toks, i), F.lit(" "),
+                                   F.element_at(toks, i + 1)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    ref = (reference.select(
+        F.explode(bigrams(F.lower(F.col(text_col)))).alias("bg"))
+        .distinct())
+    doc_bg = documents.select(
+        key_col, F.explode(bigrams(F.lower(F.col(text_col)))).alias("bg"))
+    flagged = (
+        doc_bg.join(broadcast(ref.withColumn("_hit", F.lit(1))),
+                    "bg", "left")
+        .groupBy(key_col)
+        .agg(F.count("*").alias("n_bigrams"),
+             F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))
+             .alias("n_novel"))
+    )
+    return (
+        documents.select(key_col).join(flagged, key_col, "left")
+        .select(
+            key_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("n_novel", F.lit(0)).alias("n_novel"),
+            F.when(F.col("n_bigrams").isNull(), F.lit(None))
+            .otherwise(F.round(F.col("n_novel") / F.col("n_bigrams"), 4))
+            .alias("novelty"),
+        )
+    )

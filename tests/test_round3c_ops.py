@@ -267,3 +267,26 @@ def test_dedup_keep_best_default_groups_by_content(spark):
     kept = sorted(r["doc_id"] for r in
                   dedup_keep_best(docs, quality_col="q").collect())
     assert kept == [2, 3]
+
+
+# ------------------------------------------------------ bigram novelty
+
+def test_ngram_novelty_reference_docs_score_zero(spark):
+    from document_convert_to__markdown_spark.operators.text import (
+        ngram_novelty,
+    )
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),      # in-reference -> 0
+         (2, "the cat sat on the moon"),     # one novel bigram of 5
+         (3, "entirely unseen words here"),  # all novel
+         (4, "single")],                     # <2 tokens -> null
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, ref).collect()}
+    assert got[1]["novelty"] == 0.0
+    # only 'the moon' is unseen: 1 of 5 bigrams
+    assert got[2]["n_novel"] == 1 and got[2]["novelty"] == 0.2
+    assert got[3]["novelty"] == 1.0
+    assert got[4]["novelty"] is None and got[4]["n_bigrams"] == 0
+    assert len(got) == 4  # every input row accounted
