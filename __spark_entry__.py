@@ -1931,6 +1931,57 @@ def _q_text_ngram_novelty(spark, sf):
     )
 
 
+def _q_cluster_safe_split(spark, sf):
+    """Leakage-proof dataset split (operators/sampling.py:
+    cluster_safe_split): near-dup clusters (same md5/fingerprint edges
+    as dedup_clusters) are the split key, so template variants of one
+    page cannot straddle train and test.  Per-split audit plus the
+    leaking-cluster count, which must be 0 by construction.  Oracle:
+    recursive-CTE components + md5-bucket replay."""
+    from pyspark.sql import Window
+
+    from document_convert_to__markdown_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+
+    # The raw sf tables carry no exact duplicates, so synthesize the
+    # hazard this operator exists for: docs x0 and x1 of every decade
+    # share the decade leader's text (50 two-doc near-dup clusters a
+    # naive content-hash split COULD tear across train/test).
+    raw = _load(spark, sf, "documents")
+    leaders = raw.select(F.col("doc_id").alias("_lid"),
+                         F.col("text").alias("_lt"))
+    docs = (
+        raw.join(leaders,
+                 (F.col("doc_id") - F.col("doc_id") % 10) == F.col("_lid"))
+        .select(
+            "doc_id",
+            F.when(F.col("doc_id") % 10 <= 1, F.col("_lt"))
+            .otherwise(F.col("text")).alias("text"),
+        )
+    )
+    canon = F.md5(F.lower(F.regexp_replace("text", r"[^A-Za-z0-9]", "")))
+    e1 = docs.select(
+        F.min("doc_id").over(Window.partitionBy(F.md5("text"))).alias("a"),
+        F.col("doc_id").alias("b"),
+    ).filter("a < b")
+    e2 = docs.select(
+        F.min("doc_id").over(Window.partitionBy(canon)).alias("a"),
+        F.col("doc_id").alias("b"),
+    ).filter("a < b")
+    edges = e1.unionByName(e2).distinct()
+
+    out = cluster_safe_split(docs, edges)
+    per = out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("cluster").alias("n_clusters"))
+    leak = (out.groupBy("cluster")
+            .agg(F.countDistinct("split").alias("_ns"))
+            .agg(F.sum((F.col("_ns") > 1).cast("long"))
+                 .alias("leaking_clusters")))
+    return per.crossJoin(F.broadcast(leak))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-3 head: the 18 entries the driver never scored. ---
@@ -2062,6 +2113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # window is full; these rotate to the head next round exactly
         # as the 18 round-2 entries did this round; all locally green).
         "text_ngram_novelty": _q_text_ngram_novelty,
+        "cluster_safe_split": _q_cluster_safe_split,
     }
 
 
@@ -2268,6 +2320,62 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_pinned_oracles(),
         "ann_truncated_recall": _truncation_recall_oracle(),
+        "cluster_safe_split": """
+            WITH RECURSIVE
+            aug AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 10 <= 1 THEN l.text
+                          ELSE d.text END AS text
+              FROM documents d
+              JOIN documents l
+                ON d.doc_id - d.doc_id % 10 = l.doc_id),
+            e1 AS (
+              SELECT min(doc_id) OVER (PARTITION BY md5(text)) AS a,
+                     doc_id AS b
+              FROM aug),
+            e2 AS (
+              SELECT min(doc_id) OVER (PARTITION BY
+                       md5(lower(regexp_replace(text, '[^A-Za-z0-9]', '',
+                                                'g')))) AS a,
+                     doc_id AS b
+              FROM aug),
+            edges AS (
+              SELECT a, b FROM e1 WHERE a < b
+              UNION SELECT a, b FROM e2 WHERE a < b),
+            sym AS (
+              SELECT a AS s, b AS t FROM edges
+              UNION SELECT b, a FROM edges),
+            nodes AS (SELECT DISTINCT s AS n FROM sym),
+            reach(s, t) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.s, y.t FROM reach r JOIN sym y ON r.t = y.s),
+            comp AS (
+              SELECT s AS doc_id, min(t) AS component
+              FROM reach GROUP BY s),
+            clustered AS (
+              SELECT d.doc_id,
+                     coalesce(c.component, d.doc_id) AS cluster
+              FROM aug d LEFT JOIN comp c USING (doc_id)),
+            splits AS (
+              SELECT doc_id, cluster,
+                     CASE WHEN ('0x' || substr(md5(CAST(cluster AS
+                                VARCHAR)), 1, 4))::BIGINT % 100 < 80
+                            THEN 'train'
+                          WHEN ('0x' || substr(md5(CAST(cluster AS
+                                VARCHAR)), 1, 4))::BIGINT % 100 < 90
+                            THEN 'val'
+                          ELSE 'test' END AS split
+              FROM clustered)
+            SELECT split, count(*) AS n_docs,
+                   count(DISTINCT cluster) AS n_clusters,
+                   (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1
+                                              ELSE 0 END), 0) AS BIGINT)
+                    FROM (SELECT cluster, count(DISTINCT split) AS ns
+                          FROM splits GROUP BY cluster))
+                     AS leaking_clusters
+            FROM splits GROUP BY split
+        """,
         "text_ngram_novelty": """
             WITH toks AS (
               SELECT doc_id, lang, string_split(lower(text), ' ') AS t

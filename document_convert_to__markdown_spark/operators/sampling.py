@@ -370,3 +370,42 @@ def pack_sequences(documents: DataFrame, seq_len: int = 4096,
         F.floor(start / seq_len).alias("seq_id"),
         (start % seq_len).alias("offset"),
     )
+
+
+def cluster_safe_split(documents: DataFrame, edges: DataFrame,
+                       train_pct: int = 80, val_pct: int = 10,
+                       key_col: str = "doc_id") -> DataFrame:
+    """Leakage-proof train/val/test split: the split key is the
+    NEAR-DUP CLUSTER, not the document.
+
+    ``dataset_split`` keys on the content hash, which keeps exact
+    copies together but lets near-duplicates (one-word edits, template
+    variants) straddle train and test — the classic eval-contamination
+    leak (the reason The Pile/C4 test sets needed post-hoc dedup
+    audits).  Here pairwise near-dup ``edges`` resolve to connected
+    components first (``operators/graph.py``), every document adopts
+    its component id (isolated docs: their own id), and the
+    md5-uniform bucket is drawn on the CLUSTER id — whole clusters
+    land in one split by construction.
+
+    Returns the input plus ``cluster`` and ``split``; the companion
+    invariant (no cluster spans two splits) is pinned by test and by
+    the contract query's leakage count, which must be 0.
+    """
+    from .graph import connected_components
+
+    comp = connected_components(edges)
+    clustered = (
+        documents.join(
+            comp.withColumnRenamed("node", key_col), key_col, "left")
+        .withColumn("cluster",
+                    F.coalesce("component", F.col(key_col)))
+        .drop("component")
+    )
+    bucket = split_bucket(F.col("cluster").cast("string"))
+    split = (
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+    )
+    return clustered.withColumn("split", split)

@@ -290,3 +290,30 @@ def test_ngram_novelty_reference_docs_score_zero(spark):
     assert got[3]["novelty"] == 1.0
     assert got[4]["novelty"] is None and got[4]["n_bigrams"] == 0
     assert len(got) == 4  # every input row accounted
+
+
+# --------------------------------------------------- cluster-safe split
+
+def test_cluster_safe_split_no_leakage(spark):
+    from document_convert_to__markdown_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(60)], "doc_id long, text string")
+    # chain 0-1-2 into one cluster, pair 10-11 into another
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "a long, b long")
+    out = cluster_safe_split(docs, edges)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 60  # every doc present
+    # whole cluster shares one split AND one cluster id
+    assert len({rows[i]["split"] for i in (0, 1, 2)}) == 1
+    assert len({rows[i]["cluster"] for i in (0, 1, 2)}) == 1
+    assert rows[10]["split"] == rows[11]["split"]
+    # isolated docs get their own id as cluster
+    assert rows[30]["cluster"] == 30
+    # global invariant: no cluster spans two splits
+    leak = (out.groupBy("cluster")
+            .agg(F.countDistinct("split").alias("ns"))
+            .filter("ns > 1").count())
+    assert leak == 0
