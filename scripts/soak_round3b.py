@@ -140,6 +140,53 @@ def main() -> None:
         lambda: semdedup(emb.filter(F.col("vec_id") < semdedup_n),
                          threshold=0.95).filter("NOT keep").count())
 
+    # -- round-3d operators over the same 1M docs ---------------------------
+    from document_convert_to__markdown_spark.operators.dedup import (
+        dedup_keep_best, incremental_dedup, minhash_bands,
+    )
+    from document_convert_to__markdown_spark.operators.robots import (
+        frontier_schedule,
+    )
+    from document_convert_to__markdown_spark.operators.sampling import (
+        cluster_safe_split,
+    )
+    from document_convert_to__markdown_spark.operators.text import (
+        ngram_novelty,
+    )
+
+    run("frontier_schedule", lambda: frontier_schedule(
+        urls.withColumn("host", F.pmod(F.col("doc_id") * 13, F.lit(1000))
+                        .cast("string"))
+        .withColumn("priority", F.col("doc_id") % 97)).count())
+
+    # keep-best over 500k synthetic url groups (2 crawls per url)
+    run("dedup_keep_best", lambda: dedup_keep_best(
+        docs.withColumn("n_chars", F.length("text")),
+        quality_col="n_chars",
+        group_expr=F.col("doc_id") % (n_docs // 2)).count())
+
+    # incremental screen: 10% arrivals vs the other 90% as the index
+    corpus_docs = docs.filter(F.col("doc_id") % 10 != 0)
+    arrivals = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = minhash_bands(corpus_docs).persist()
+    idx.count()
+    run("incremental_dedup_100k_vs_900k_index",
+        lambda: incremental_dedup(arrivals, idx)
+        .filter("is_dup_of_corpus").count())
+    idx.unpersist()
+
+    # bigram novelty of everything vs a 100k-doc reference slice
+    run("ngram_novelty_vs_100k_ref", lambda: ngram_novelty(
+        docs, docs.filter(F.col("doc_id") < 100_000))
+        .filter("novelty >= 0.5").count())
+
+    # cluster-safe split over 1M docs with 100k synthetic dup pairs
+    edges = (docs.filter(F.col("doc_id") % 10 == 5)
+             .select(F.col("doc_id").alias("a"),
+                     (F.col("doc_id") + 1).alias("b")))
+    run("cluster_safe_split", lambda: cluster_safe_split(docs, edges)
+        .groupBy("split").count().count())
+
     print(json.dumps({
         "metric": "round3b_soak",
         "n_docs": n_docs,
