@@ -315,6 +315,27 @@ count (k ~ n/1000 trained centroids); the auto LSH sub-bucketing caps
 the width when a cell exceeds the threshold, which the 40-vector
 mega-cell test pins.
 
+Round-3d additions (same corpus; note the corpus is deliberately
+degenerate for dedup — `doc_id*997 mod 5000` gives only 5000 distinct
+texts in 1M docs, so the dedup rows measure the adversarial
+everything-is-a-duplicate worst case):
+
+| operator | rows out | wall sec |
+|---|---|---|
+| frontier_schedule (1M urls, 1000 hosts) | 1,000,000 | 0.2 |
+| dedup_keep_best (500k two-crawl url groups) | 500,000 | 2.7 |
+| cluster_safe_split (1M docs, 100k dup pairs) | 3 splits | 8.0 |
+| incremental_dedup (100k arrivals vs 900k-doc index) | 100,000 flagged | 637 |
+| ngram_novelty (1M docs vs 100k-doc reference) | 0 novel>=0.5 | 289 |
+
+The incremental screen's 637s is the worst case by construction: every
+arrival IS a corpus duplicate (5000 distinct texts), so each of its 8
+bands collides with ~180 index entries — ~144M candidate rows ground
+through the >=2-band filter with bounded memory and no OOM.  On a real
+crawl (duplicate rate a few percent, unique band hashes) the join is
+~100x sparser.  The all-flagged / zero-novelty outputs match the
+closed-form expectation of the degenerate corpus exactly.
+
 **Scale fix found by this soak**: the first `quantized_topk` scored
 rows with Catalyst `aggregate`/`transform` lambdas; project-collapse
 inlined the per-row scale aggregate into the per-element lambda
