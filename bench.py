@@ -71,6 +71,17 @@ BENCH_QUERIES = [
     "host_pagerank",
     "semdedup_prune",
     "pq_ann_topk",
+    # round-3c/3d operators (VERDICT r3 item 6: absent from the bench
+    # list meant a future regression in them was invisible)
+    "frontier_schedule",
+    "dedup_keep_best",
+    "cluster_safe_split",
+    "dedup_incremental",
+    "text_ngram_novelty",
+    "udaf_harmonic_mean",
+    # round-4
+    "lm_quality_scalable",
+    "robots_filter",
 ]
 
 

@@ -62,6 +62,16 @@ def _round_half_up(v: np.ndarray) -> np.ndarray:
     return np.trunc(v + np.copysign(0.5, v))
 
 
+def round_half_away(v: np.ndarray, decimals: int = 4) -> np.ndarray:
+    """``round(v, decimals)`` with half-away-from-zero ties — the same
+    semantics Spark's and DuckDB's ``round`` use, for numpy kernels
+    whose output faces a relational oracle (np.round is ties-to-even:
+    a value landing exactly on a decimal .5 tie would silently diverge,
+    ADVICE r3).  NaN passes through (NaN + x == NaN)."""
+    scale = 10.0 ** decimals
+    return _round_half_up(np.asarray(v, dtype=np.float64) * scale) / scale
+
+
 def quantized_topk(embeddings: DataFrame, query_vec: list[float],
                    k: int = 10, vec_col: str = "embedding") -> DataFrame:
     """Approximate cosine top-k scored entirely on int8 codes.
@@ -107,7 +117,11 @@ def quantized_topk(embeddings: DataFrame, query_vec: list[float],
         # UDF evaluated once (a pre-limit filter on the UDF column
         # makes Catalyst duplicate the ArrowEvalPython stage).
         cos[(norm2 == 0) | (qnorm2 == 0)] = -2.0
-        return pd.Series(np.round(cos, 4))
+        # half-away-from-zero like Spark/DuckDB round — an integer-dot
+        # cosine CAN land exactly on a 4th-decimal tie (small rational
+        # code dots), where np.round's ties-to-even would diverge from
+        # the oracle (ADVICE r3).
+        return pd.Series(round_half_away(cos))
 
     return (
         embeddings.select("vec_id", qscore(vec_col).alias("qcosine"))

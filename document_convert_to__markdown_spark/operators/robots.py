@@ -12,10 +12,15 @@ a per-row policy lookup, not a per-host loop: rules become a relation
          → window top-1 per url BY (prefix length DESC, allow DESC)
          → left-join back (urls with no matching rule default-allow)
 
-Plan shape: the join shuffles on host — the rules side is tiny (one
-robots.txt per host, ~10^8 rows vs 10^12 urls) so it broadcasts; the
-window partitions by url, which rides the same exchange AQE gives the
-join output.  Everything is Catalyst expressions (regex path split,
+Plan shape: the rules side is small *per url* (one robots.txt per
+host) but the full relation is ~10^8 rows at crawl scale — far past
+Spark's broadcast limits — so the join strategy is a knob:
+``broadcast_rules=None`` (default) broadcasts only when the rules
+relation is provably small (a cheap count against a row threshold),
+else shuffles both sides on host (the rules side pre-bucketed by host
+in storage makes that a one-sided shuffle at scale).  The window
+partitions by url, which rides the same exchange AQE gives the join
+output.  Everything is Catalyst expressions (regex path split,
 ``startswith``) — exactly SQL-expressible, so the DuckDB oracle replays
 it verbatim.
 """
@@ -30,7 +35,9 @@ from ..functions.url import url_host, url_path
 
 
 def apply_robots(urls: DataFrame, rules: DataFrame,
-                 url_col: str = "url") -> DataFrame:
+                 url_col: str = "url",
+                 broadcast_rules: bool | None = None,
+                 max_broadcast_rows: int = 1_000_000) -> DataFrame:
     """Resolve each url against per-host robots rules.
 
     ``rules``: ``(host string, prefix string, allow boolean)`` — one row
@@ -42,13 +49,30 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
     ``url_col`` must be unique (it is the crawl identity key — run
     exact dedup upstream): the per-url top-1 window would collapse
     duplicate url rows.
+
+    ``broadcast_rules``: ``True`` forces a broadcast-hash join of the
+    rules side (only for rule sets known to fit the driver/executor
+    broadcast budget), ``False`` forces the host-keyed shuffle join
+    (the 10^8-host production shape — at that scale an unconditional
+    broadcast is a job-killer, not a slowdown: it exceeds
+    ``spark.sql.autoBroadcastJoinThreshold`` hard limits and the driver
+    heap).  The default ``None`` probes the rules relation with a
+    bounded ``limit(max_broadcast_rows + 1).count()`` — never a full
+    scan of a huge rules table — and broadcasts only under the cap.
+    Same auto-knob contract as ``dedup.remove_duplicate_paragraphs``.
     """
     host = url_host(F.col(url_col)).alias("_host")
     path = url_path(F.col(url_col)).alias("_path")
     keyed = urls.select("*", host, path)
     r = rules.select(F.col("host").alias("_rhost"), "prefix", "allow")
+    if broadcast_rules is None:
+        broadcast_rules = (
+            rules.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+        )
+    if broadcast_rules:
+        r = broadcast(r)
     matched = (
-        keyed.join(broadcast(r),
+        keyed.join(r,
                    (F.col("_host") == F.col("_rhost"))
                    & F.col("_path").startswith(F.col("prefix")),
                    "left")

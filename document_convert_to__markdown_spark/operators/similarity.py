@@ -25,6 +25,7 @@ from pyspark.sql.pandas.functions import pandas_udf
 from pyspark.sql.types import IntegerType
 
 from ..functions.vector import cosine_similarity, dot, l2_norm
+from .quantize import round_half_away
 
 _DIM = 64
 # 6 planes → 64 buckets: sized so sandbox-scale corpora (~10²-10⁵ vectors)
@@ -104,14 +105,18 @@ def neardup_pairs_cosine(embeddings: DataFrame, threshold: float = 0.8,
             for s in range(0, n, chunk_rows):
                 e = min(s + chunk_rows, n)
                 sims = matn[s:e] @ matn.T  # (chunk, n) — bounded slab
-                li, gj = np.nonzero(np.round(sims, 4) >= threshold)
+                # half-away rounding before the threshold test — exact
+                # 4th-decimal .5 ties must resolve like Spark/DuckDB
+                # round, not np.round's ties-to-even (ADVICE r3)
+                rsims = round_half_away(sims)
+                li, gj = np.nonzero(rsims >= threshold)
                 gi = li + s
                 keep = gj > gi  # upper triangle only, global indices
                 if keep.any():
                     frames.append(pd_.DataFrame({
                         "vec_a": ids[gi[keep]],
                         "vec_b": ids[gj[keep]],
-                        "cosine": np.round(sims[li[keep], gj[keep]], 4),
+                        "cosine": rsims[li[keep], gj[keep]],
                     }))
             if not frames:
                 return pd_.DataFrame({"vec_a": pd_.Series(dtype="int64"),
@@ -390,7 +395,8 @@ def tfidf_cosine_pairs(documents: DataFrame, threshold: float = 0.3,
 
 def semdedup(embeddings: DataFrame, threshold: float = 0.9,
              chunk_rows: int = 1024,
-             auto_bucket_threshold: int = 100_000) -> DataFrame:
+             auto_bucket_threshold: int = 100_000,
+             centroids: Optional[np.ndarray] = None) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): semantic deduplication by embedding
     — cluster the corpus, then inside each cluster drop every item that
     is ε-similar to an earlier item (keep-first by id, the paper's
@@ -402,10 +408,15 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.9,
     quality.
 
     Scale shape: the cluster id is the shuffle key, so pair scoring
-    never crosses clusters (the paper's O(n²/k) trick).  Cells here
-    come from the seeded spherical quantizer ``_ivf_cell`` (at 10^9+
-    rows: trained ``train_ivf_centroids`` with k ~ n/1000 — same
-    routing, same plan).  Within a cell the chunked matmul bounds
+    never crosses clusters (the paper's O(n²/k) trick).  Cell routing:
+    pass ``centroids`` (``train_ivf_centroids`` output — spherical
+    k-means with k ~ n/1000, the paper's clustering) and rows are
+    assigned to their nearest trained center on the unit sphere; the
+    default ``None`` falls back to the seeded 64-cell spherical
+    quantizer ``_ivf_cell`` — fine for sandbox-scale corpora, but at
+    10^9+ rows 64 cells put ~10^7 vectors per cell and the LSH
+    sub-bucket would carry all the routing, trading recall the paper's
+    clustering doesn't.  Within a cell the chunked matmul bounds
     memory at O(chunk_rows × cell); cells wider than
     ``auto_bucket_threshold`` additionally compose the LSH sign-bucket
     into the key (bounded width by construction, recall traded — the
@@ -436,20 +447,43 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.9,
                 gi = li + s
                 if gi > 0:
                     max_prev[gi] = sims[li, :gi].max()
+        # half-away rounding before the keep test AND in the emitted
+        # audit column — an exact 4th-decimal .5 tie must not flip
+        # keep/prune vs the half-away semantics used repo-wide
+        # (ADVICE r3)
+        rprev = round_half_away(max_prev)
         return pd_.DataFrame({
             "vec_id": ids,
             "cell": cells,
-            "keep": ~(np.round(max_prev, 4) >= threshold),
+            "keep": ~(rprev >= threshold),
             # nullable Float64: the NaN for a cell's first row must
             # arrive Spark-side as NULL, not double-NaN
-            "max_prev_cosine": pd_.array(np.round(max_prev, 4),
-                                         dtype="Float64"),
+            "max_prev_cosine": pd_.array(rprev, dtype="Float64"),
         })
 
     out_schema = ("vec_id long, cell int, keep boolean, "
                   "max_prev_cosine double")
+    if centroids is None:
+        assign = _ivf_cell("embedding")
+    else:
+        # trained spherical-k-means routing (k ~ n/1000): nearest
+        # center by Euclidean distance on the L2-normalized vector —
+        # the same geometry ivf_ann_topk uses for trained centroids.
+        # Centroids travel by closure capture (tiny: k x dim doubles).
+        cents = np.asarray(centroids, dtype=np.float64)
+
+        @pandas_udf(IntegerType())
+        def _assign_trained(embs: pd.Series) -> pd.Series:
+            mat = np.vstack(embs.to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            mat = mat / norms
+            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+        assign = _assign_trained("embedding")
     celled = embeddings.select(
-        "vec_id", "embedding", _ivf_cell("embedding").alias("cell"))
+        "vec_id", "embedding", assign.alias("cell"))
     widths = celled.groupBy("cell").agg(F.count("*").alias("_n"))
     sized = celled.join(widths, "cell")
     small = sized.filter(F.col("_n") <= auto_bucket_threshold).drop("_n")

@@ -450,7 +450,8 @@ def lm_quality_buckets_scalable(documents: DataFrame, n_buckets: int = 3,
 
 def ngram_novelty(documents: DataFrame, reference: DataFrame,
                   text_col: str = "text",
-                  key_col: str = "doc_id") -> DataFrame:
+                  key_col: str = "doc_id",
+                  broadcast_ref: bool = True) -> DataFrame:
     """Bigram novelty vs a trusted reference corpus: the fraction of a
     document's word bigrams that never occur in the reference — high
     novelty flags content the reference distribution hasn't seen
@@ -460,10 +461,19 @@ def ngram_novelty(documents: DataFrame, reference: DataFrame,
 
     Fully relational: bigrams come from ``transform`` over an index
     ``sequence`` (JVM-side, no Python); the reference's DISTINCT
-    bigram set broadcasts (a few million strings for any real trusted
+    bigram set broadcasts (a few million strings for a curated trusted
     corpus) and each doc bigram left-joins against it — the same
     broadcast shape as benchmark decontamination.  Docs with < 2
     tokens score null novelty (no bigrams), never a dropped row.
+
+    ``broadcast_ref=False`` is the Wikipedia-scale fallback (~10^9
+    distinct reference bigrams would blow any broadcast budget): the
+    membership join shuffles instead, keyed on ``md5(bigram)`` so the
+    exchange carries fixed 32-char hashes, never raw bigram strings —
+    the same fallback contract as ``dedup.remove_duplicate_paragraphs``
+    / ``remove_duplicate_spans``.  Identical results either way (md5
+    collisions between distinct bigrams are ~2^-128 — the same
+    assumption every md5-keyed dedup here makes).
 
     Returns ``(key, n_bigrams, n_novel, novelty)`` — novelty round 4.
     """
@@ -480,14 +490,22 @@ def ngram_novelty(documents: DataFrame, reference: DataFrame,
             ),
         ).otherwise(F.array().cast("array<string>"))
 
-    ref = (reference.select(
-        F.explode(bigrams(F.lower(F.col(text_col)))).alias("bg"))
-        .distinct())
-    doc_bg = documents.select(
-        key_col, F.explode(bigrams(F.lower(F.col(text_col)))).alias("bg"))
+    join_key = "bg" if broadcast_ref else "bgh"
+
+    def keyed(df, *extra):
+        bg = F.explode(bigrams(F.lower(F.col(text_col)))).alias("bg")
+        out = df.select(*extra, bg)
+        if not broadcast_ref:
+            # hash-first: the shuffle carries md5(bigram), not the string
+            out = out.select(*extra, F.md5("bg").alias("bgh"))
+        return out
+
+    ref = keyed(reference).distinct().withColumn("_hit", F.lit(1))
+    if broadcast_ref:
+        ref = broadcast(ref)
+    doc_bg = keyed(documents, key_col)
     flagged = (
-        doc_bg.join(broadcast(ref.withColumn("_hit", F.lit(1))),
-                    "bg", "left")
+        doc_bg.join(ref, join_key, "left")
         .groupBy(key_col)
         .agg(F.count("*").alias("n_bigrams"),
              F.sum(F.when(F.col("_hit").isNull(), 1).otherwise(0))

@@ -314,7 +314,7 @@ def stream_events_daily(spark: SparkSession, events_path: str) -> DataFrame:
 
 def stream_stream_attribution(spark: SparkSession, events_path: str,
                               horizon: str = "2 hours",
-                              delay: str = "1 hour") -> DataFrame:
+                              delay: str = "365 days") -> DataFrame:
     """Watermarked stream-stream inner join — the attribution pattern
     (purchase within ``horizon`` after a click by the same user), the
     one streaming operator family the suite didn't yet cover.
@@ -329,9 +329,16 @@ def stream_stream_attribution(spark: SparkSession, events_path: str,
 
     Drained with availableNow over the static events table nothing is
     evicted mid-run, so the pair set equals the batch interval join —
-    the DuckDB oracle.  Emitted append-mode, then aggregated per user
-    AFTER the drain (stream-stream joins can't chain a complete-mode
-    agg in one query).
+    the DuckDB oracle.  That equality must hold even when availableNow
+    splits a multi-file source across several micro-batches (each batch
+    advances both watermarks): the default ``delay`` therefore covers
+    the source's full time span, so no click state can be evicted
+    before a later-file purchase arrives (ADVICE r3).  On a true
+    unbounded feed the caller sets ``delay`` to the real lateness bound
+    — that is what sizes the join state; the drain harness trades that
+    bound for batch-equality.  Emitted append-mode, then aggregated per
+    user AFTER the drain (stream-stream joins can't chain a
+    complete-mode agg in one query).
     """
     schema = EVENTS_STREAM_SCHEMA
     src = _as_stream_source(events_path)
@@ -382,7 +389,15 @@ def run_stream_merge(spark: SparkSession, input_path: str, root: str,
     Semantics per micro-batch: rows are deduped to one-per-key first
     (latest ``order_col`` wins, ties to the key's max — a url recrawled
     twice inside one batch must not insert twice), then matched keys
-    replace and new keys insert.  The streaming checkpoint makes the
+    replace and new keys insert.  ACROSS batches the same rule holds
+    (ADVICE r3): a matched key is replaced only when the arriving row's
+    ``order_col`` is strictly newer than the committed one (the
+    ``MERGE WHEN MATCHED AND u.ts > t.ts`` guard) — so an out-of-order
+    file drop (an older crawl processed after a newer one) can never
+    regress a key to stale content; equal-or-older arrivals keep the
+    committed row.  With ``order_col=None`` there is no recency notion
+    and last-batch-wins applies — callers must then guarantee
+    time-ordered arrival.  The streaming checkpoint makes the
     pipeline resumable exactly-once at file granularity: a second
     availableNow run over the same directory processes only files the
     WAL hasn't committed (pinned by test).  Iceberg form:
@@ -407,6 +422,22 @@ def run_stream_merge(spark: SparkSession, input_path: str, root: str,
         if snap.current_version(root) == 0:
             snap.commit_overwrite(batch_df, root)
         else:
+            if order_col is not None:
+                # cross-batch recency guard: drop arrivals not strictly
+                # newer than the committed row for their key (matched
+                # keys only — unmatched keys have _cur_ord null and
+                # always insert).  The committed side is projected to
+                # (key, order_col) before the join, so the guard never
+                # shuffles page payloads.
+                cur = (snap.read(batch_df.sparkSession, root)
+                       .select(F.col(key),
+                               F.col(order_col).alias("_cur_ord")))
+                batch_df = (
+                    batch_df.join(cur, key, "left")
+                    .filter(F.col("_cur_ord").isNull()
+                            | (F.col(order_col).isNotNull()
+                               & (F.col(order_col) > F.col("_cur_ord"))))
+                    .drop("_cur_ord"))
             # per-batch dedup above guarantees key uniqueness — skip
             # merge_upsert's validation aggregation on the hot path
             snap.merge_upsert(batch_df.sparkSession, root, batch_df,

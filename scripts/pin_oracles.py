@@ -50,6 +50,10 @@ PINNABLE = [
     "pq_ann_topk",
     "dedup_incremental",
     "sketch_union_hll",
+    # round-4: the percentile_approx twin — at sf0.01 the sketch holds
+    # every sample exactly (n per lang << accuracy), so the bucket
+    # assignment is deterministic and pinnable.
+    "lm_quality_scalable",
 ]
 
 _SQL_TYPES = {

@@ -214,7 +214,7 @@ def test_incremental_dedup_corpus_text_never_read(spark):
     # materialized index shape: band columns only, no text
     bands = (spark.createDataFrame(
         minhash_bands(corpus).select("doc_id", "band", "band_hash")
-        .collect(), "doc_id long, band int, band_hash int"))
+        .collect(), "doc_id long, band int, band_hash long"))
     arrivals = spark.createDataFrame(
         [(10, "some arrival")], "doc_id long, text string")
     out = incremental_dedup(arrivals, bands)

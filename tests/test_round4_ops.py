@@ -1,0 +1,241 @@
+"""Round-4 hardening: robots join-strategy knob, ngram-novelty shuffle
+fallback, semdedup trained-centroid routing, 64-bit LSH band hashes,
+half-away-from-zero rounding in numpy kernels, and the cross-batch
+recency guard in the streaming MERGE sink (VERDICT r3 items 2-5 +
+ADVICE r3)."""
+
+import datetime as dt
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from document_convert_to__markdown_spark.operators.robots import apply_robots
+
+
+def _rules(spark):
+    return spark.createDataFrame(
+        [("a.com", "/", False),
+         ("a.com", "/public", True),
+         ("b.com", "/x", False)],
+        "host string, prefix string, allow boolean")
+
+
+def _urls(spark):
+    return spark.createDataFrame(
+        [(f"https://{h}/p{i}",) for h in ("a.com", "b.com", "c.com")
+         for i in range(10)] + [("https://a.com/public/doc",)],
+        "url string")
+
+
+# -------------------------------------------- robots join-strategy knob
+
+def test_robots_shuffle_fallback_matches_broadcast(spark):
+    urls, rules = _urls(spark), _rules(spark)
+    bc = {r["url"]: (r["allowed"], r["matched_prefix"]) for r in
+          apply_robots(urls, rules, broadcast_rules=True).collect()}
+    sh = {r["url"]: (r["allowed"], r["matched_prefix"]) for r in
+          apply_robots(urls, rules, broadcast_rules=False).collect()}
+    assert bc == sh and len(bc) == 31
+
+
+def test_robots_forced_shuffle_plan_has_no_broadcast(spark):
+    # the production 10^8-host shape: rules must NOT broadcast
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (apply_robots(_urls(spark), _rules(spark),
+                             broadcast_rules=False)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_robots_auto_knob_probes_size(spark):
+    # small rules relation + default knob -> broadcast plan (the
+    # existing test_robots_rules_side_broadcasts pins the same shape
+    # for the explicit default; this pins the auto probe)
+    plan = (apply_robots(_urls(spark), _rules(spark), broadcast_rules=None,
+                         max_broadcast_rows=1000)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # rules bigger than the cap -> shuffle path
+    plan2 = (apply_robots(_urls(spark), _rules(spark), broadcast_rules=None,
+                          max_broadcast_rows=1)
+             ._jdf.queryExecution().executedPlan().toString())
+    assert "BroadcastHashJoin" not in plan2
+
+
+# ------------------------------------- ngram-novelty shuffle fallback
+
+def test_ngram_novelty_fallback_matches_broadcast(spark):
+    from document_convert_to__markdown_spark.operators.text import (
+        ngram_novelty,
+    )
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat"),
+         (2, "the cat sat on the moon"),
+         (3, "entirely unseen words here"),
+         (4, "single")],
+        "doc_id long, text string")
+    bc = {r["doc_id"]: (r["n_bigrams"], r["n_novel"], r["novelty"])
+          for r in ngram_novelty(docs, ref, broadcast_ref=True).collect()}
+    sh = {r["doc_id"]: (r["n_bigrams"], r["n_novel"], r["novelty"])
+          for r in ngram_novelty(docs, ref, broadcast_ref=False).collect()}
+    assert bc == sh and len(bc) == 4
+    assert bc[2] == (5, 1, 0.2)
+
+
+def test_ngram_novelty_fallback_exchange_carries_hashes(spark):
+    from document_convert_to__markdown_spark.operators.text import (
+        ngram_novelty,
+    )
+    docs = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (ngram_novelty(docs, docs, broadcast_ref=False)
+                ._jdf.queryExecution().executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # the membership join shuffles on md5(bigram), never the raw string
+    assert "bgh" in plan and "md5" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+# ------------------------------------ semdedup trained-centroid routing
+
+def test_semdedup_trained_centroids_route_and_prune(spark):
+    from document_convert_to__markdown_spark.operators.similarity import (
+        semdedup, train_ivf_centroids,
+    )
+    dim = 64
+    rng = np.random.RandomState(3)
+    base_a = rng.standard_normal(dim)
+    base_b = rng.standard_normal(dim)
+    rows = []
+    # two well-separated direction families, 20 vectors each; within a
+    # family every vector is a tiny perturbation (cosine ~ 1)
+    for i in range(20):
+        rows.append((int(i), (base_a + 0.001 * rng.standard_normal(dim))
+                     .tolist()))
+        rows.append((100 + int(i), (base_b + 0.001 * rng.standard_normal(dim))
+                     .tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_ivf_centroids(emb, n_centroids=2)
+    out = {r["vec_id"]: r for r in
+           semdedup(emb, threshold=0.99, centroids=cents).collect()}
+    assert len(out) == 40
+    # routed to the 2 trained cells, one family per cell
+    cells_a = {out[i]["cell"] for i in range(20)}
+    cells_b = {out[100 + i]["cell"] for i in range(20)}
+    assert len(cells_a) == 1 and len(cells_b) == 1 and cells_a != cells_b
+    # keep-first inside each cell: exactly the min id survives per family
+    kept = sorted(v["vec_id"] for v in out.values() if v["keep"])
+    assert kept == [0, 100]
+
+
+# --------------------------------------------- 64-bit LSH band hashes
+
+def test_minhash_bands_use_xxhash64(spark):
+    from document_convert_to__markdown_spark.operators.dedup import (
+        minhash_bands,
+    )
+    docs = spark.createDataFrame(
+        [(1, "some text here for hashing")], "doc_id long, text string")
+    bands = minhash_bands(docs)
+    plan = bands._jdf.queryExecution().analyzed().toString()
+    assert "xxhash64" in plan
+    # 8 bands per doc, 64-bit values (beyond-32-bit magnitudes are
+    # overwhelmingly likely for any real signature)
+    vals = [r["band_hash"] for r in bands.collect()]
+    assert len(vals) == 8
+    assert any(abs(v) > (1 << 32) for v in vals)
+
+
+# -------------------------------------- half-away-from-zero rounding
+
+def test_round_half_up_ties_away_from_zero():
+    from document_convert_to__markdown_spark.operators.quantize import (
+        _round_half_up,
+    )
+    got = _round_half_up(np.array([1.5, 2.5, -1.5, -2.5, 0.4, -0.4]))
+    # np.round would give 2, 2, -2, -2 (ties-to-even)
+    assert got.tolist() == [2.0, 3.0, -2.0, -3.0, 0.0, -0.0]
+
+
+def test_round_half_away_4dp_and_nan():
+    from document_convert_to__markdown_spark.operators.quantize import (
+        round_half_away,
+    )
+    v = np.array([12345.0, 12346.0]) / 2.0 / 1e4  # exact .5 ties at 4dp
+    got = round_half_away(v)
+    assert got.tolist() == [0.6173, 0.6173]
+    assert np.isnan(round_half_away(np.array([np.nan])))[0]
+    # sanity on a non-tie
+    assert round_half_away(np.array([0.61728]))[0] == pytest.approx(0.6173)
+
+
+# ------------------------------- streaming MERGE cross-batch recency
+
+SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def _write_arrival(spark, path, rows):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1) \
+        .write.mode("append").parquet(path)
+
+
+def test_stream_merge_out_of_order_file_never_regresses(spark, tmp_path):
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        run_stream_merge,
+    )
+    arrivals = str(tmp_path / "arrivals")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+
+    # the NEWER crawl lands first
+    _write_arrival(spark, arrivals, [(1, t2, "new"), (2, t2, "b-new")])
+    run_stream_merge(spark, arrivals, root, ckpt, key="doc_id",
+                     schema=SCHEMA, order_col="ts")
+    # then an OLDER file arrives (out-of-order drop / backfill replay):
+    # stale content for key 1, plus a genuinely new key 3
+    _write_arrival(spark, arrivals, [(1, t1, "stale"), (3, t1, "c")])
+    run_stream_merge(spark, arrivals, root, ckpt, key="doc_id",
+                     schema=SCHEMA, order_col="ts")
+    got = {r["doc_id"]: (r["text"], r["ts"]) for r in
+           snap.read(spark, root).collect()}
+    # key 1 must NOT regress; key 3 (unmatched) must still insert
+    assert got[1] == ("new", t2)
+    assert got[2] == ("b-new", t2)
+    assert got[3] == ("c", t1)
+
+
+def test_stream_merge_equal_ts_keeps_committed_row(spark, tmp_path):
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        run_stream_merge,
+    )
+    arrivals = str(tmp_path / "arrivals")
+    root = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+    t1 = dt.datetime(2024, 1, 1)
+    _write_arrival(spark, arrivals, [(1, t1, "first")])
+    run_stream_merge(spark, arrivals, root, ckpt, key="doc_id",
+                     schema=SCHEMA, order_col="ts")
+    # same-ts re-send (e.g. duplicated upstream file): strictly-newer
+    # rule keeps the committed row -> deterministic regardless of
+    # file processing order
+    _write_arrival(spark, arrivals, [(1, t1, "second")])
+    run_stream_merge(spark, arrivals, root, ckpt, key="doc_id",
+                     schema=SCHEMA, order_col="ts")
+    rows = snap.read(spark, root).collect()
+    assert len(rows) == 1 and rows[0]["text"] == "first"
