@@ -603,6 +603,55 @@ def _q_lm_quality_scalable(spark, sf):
     )
 
 
+def _q_topk_terms_sketch(spark, sf):
+    """Heavy-hitter terms via Spark 4 mergeable approx_top_k sketches
+    (operators/heavy_hitters.py): per-(lang, term-shard) accumulate →
+    combine → estimate, so the shuffle carries one fixed-size sketch
+    row per group instead of the full term dictionary — the
+    frequent-items analog of the Datasketches HLL store-and-merge
+    path.  At sf0.01 per-shard distinct terms sit far below the
+    sketch capacity, so counts are exact and the oracle is plain
+    relational SQL with the repo-wide (count DESC, term ASC) tiebreak."""
+    from document_convert_to__markdown_spark.operators.heavy_hitters import (
+        topk_terms_sketch,
+    )
+
+    docs = _load(spark, sf, "documents")
+    return topk_terms_sketch(docs, k=5)
+
+
+def _q_snapshot_take_down(spark, sf):
+    """Copy-on-write DELETE (sources/snapshot.py:delete_keys): the
+    corpus is committed as a multi-file snapshot table, a takedown
+    list (every 97th doc) is erased, and the audit proves (a) the
+    matched rows are gone from the current version, (b) the parent
+    version still serves them (time travel — true erasure is the
+    subsequent expire pass, Iceberg's documented GDPR procedure), and
+    (c) only files containing an affected key were rewritten.  File
+    counts are physical (partitioner-dependent), so the oracle checks
+    the row-level facts; the partial-rewrite property is pinned by
+    tests/test_round4_ops.py."""
+    import shutil
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    docs = _load(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="doc2md_takedown_")
+    try:
+        snap.commit_overwrite(docs.repartition(8, "doc_id"), root)
+        takedown = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id")
+        _s, n_deleted, _nf = snap.delete_keys(spark, root, takedown,
+                                              key="doc_id")
+        rows_current = snap.read(spark, root).count()
+        rows_previous = snap.read(spark, root, version=1).count()
+        return spark.createDataFrame(
+            [(n_deleted, rows_current, rows_previous)],
+            "n_deleted long, rows_current long, rows_previous long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_bm25_topk(spark, sf):
     """Okapi BM25 ranked retrieval (operators/retrieval.py): top-10
     docs for a 3-term bag-of-words query.  One corpus pass builds tf+dl
@@ -2025,6 +2074,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": _q_text_ngram_novelty,
         "cluster_safe_split": _q_cluster_safe_split,
         "lm_quality_scalable": _q_lm_quality_scalable,   # new round 4
+        "topk_terms_sketch": _q_topk_terms_sketch,       # new round 4
+        "snapshot_take_down": _q_snapshot_take_down,     # new round 4
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,       # xxhash64 bands
         "neardup_pipeline": _q_neardup_pipeline,         # xxhash64 bands
         "dedup_incremental": _q_dedup_incremental,       # xxhash64 bands
@@ -2073,15 +2124,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zorder_layout": _q_zorder_layout,
         "udaf_harmonic_mean": _q_udaf_harmonic_mean,
         "frontier_schedule": _q_frontier_schedule,
-        "sketch_union_hll": _q_sketch_union_hll,
-        # ^ position 49 with a2_size_filter at 50: window exactly full.
-        "a2_size_filter": _q_a2_size_filter,
+        # ^ position 49 (frontier_schedule) + udaf_harmonic_mean at 48:
+        # window exactly full with the two round-4 additions above.
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
         # (tail entries were scored green in r02/r03).  When inserting a
         # new query above this line, check what falls past position 50 —
         # it must be a previously-scored query.
+        "sketch_union_hll": _q_sketch_union_hll,
+        "a2_size_filter": _q_a2_size_filter,
         "variant_semistructured": _q_variant_semistructured,
         "stream_static_join": _q_stream_static_join,
         "ann_truncated_recall": _q_ann_truncated_recall,
@@ -3345,6 +3397,33 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         # Grouped-map fan-in == the relational explode/group/window form.
+        # exact at sf0.01 (per-shard distinct terms << sketch capacity),
+        # so the sketch path faces plain relational SQL — occurrence
+        # counts, not document frequencies (the text_top_terms flavor)
+        "topk_terms_sketch": """
+            WITH terms AS (
+              SELECT lang,
+                     unnest(string_split(lower(text), ' ')) AS term
+              FROM documents),
+            freq AS (
+              SELECT lang, term, count(*) AS term_count
+              FROM terms WHERE term <> '' GROUP BY lang, term),
+            ranked AS (
+              SELECT lang, term, term_count,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY term_count DESC, term)
+                       AS rank
+              FROM freq)
+            SELECT lang, term, term_count, rank
+            FROM ranked WHERE rank <= 5
+        """,
+        "snapshot_take_down": """
+            SELECT (SELECT count(*) FROM documents
+                    WHERE doc_id % 97 = 0) AS n_deleted,
+                   (SELECT count(*) FROM documents
+                    WHERE doc_id % 97 <> 0) AS rows_current,
+                   (SELECT count(*) FROM documents) AS rows_previous
+        """,
         "text_top_terms": """
             WITH terms AS (
               SELECT lang, doc_id,

@@ -234,3 +234,57 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
     carried = current.join(updates.select(key).distinct(), key, "left_anti")
     merged = carried.unionByName(updates.select(*current.columns))
     return commit_overwrite(merged, root)
+
+
+def delete_keys(spark: SparkSession, root: str, keys: DataFrame,
+                key: str = "url") -> tuple:
+    """Copy-on-write DELETE (the takedown/GDPR-erasure primitive):
+    remove every row whose ``key`` appears in ``keys``, rewriting ONLY
+    the data files that actually contain an affected key — the Iceberg
+    copy-on-write ``DELETE FROM t WHERE url IN (...)`` shape.  At
+    100 TB a takedown list of a few thousand urls touches a handful of
+    files; rewriting the whole table (what a naive anti-join +
+    overwrite-commit does) would be a full-table write for a 0.001%
+    change.
+
+    Plan: one scan of the current snapshot projecting ``(key,
+    _metadata.file_path)`` — column-pruned to the key column — semi-
+    joined against the (broadcast) takedown list to find the affected
+    files; those files' surviving rows are rewritten as new data files
+    and the commit manifest carries (untouched files + rewritten
+    files).  Untouched files never read their payload columns, never
+    rewrite.  Earlier snapshots still reference the old files, so the
+    deleted rows remain time-travel readable until ``expire_snapshots``
+    — true erasure requires an expire pass after the delete commit, which
+    is exactly Iceberg's documented GDPR procedure.
+
+    Returns ``(snapshot, n_deleted, n_files_rewritten)``.  When no row
+    matches, no commit is made and the current snapshot is returned
+    unchanged.
+    """
+    v = current_version(root)
+    if v == 0:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    snap = load_snapshot(root, v)
+    del_keys = F.broadcast(keys.select(key).distinct())
+
+    # _metadata.file_path is a file:* URI; manifests store plain paths.
+    norm = F.regexp_replace(F.col("_metadata.file_path"),
+                            "^file:(//)?", "")
+    keyed = (spark.read.parquet(*snap.files)
+             .select(F.col(key), norm.alias("_f")))
+    affected = sorted(
+        r["_f"] for r in
+        keyed.join(del_keys, key, "left_semi").select("_f")
+        .distinct().collect())
+    if not affected:
+        return snap, 0, 0
+
+    victims = spark.read.parquet(*affected)
+    n_before = victims.count()
+    survivors = victims.join(del_keys, key, "left_anti")
+    untouched = [f for f in snap.files if f not in set(affected)]
+    new_snap = _commit(root, survivors, "delete", base_files=untouched)
+    rewritten = [f for f in new_snap.files if f not in set(untouched)]
+    n_surv = (spark.read.parquet(*rewritten).count() if rewritten else 0)
+    return new_snap, n_before - n_surv, len(affected)

@@ -219,6 +219,92 @@ def test_stream_merge_out_of_order_file_never_regresses(spark, tmp_path):
     assert got[3] == ("c", t1)
 
 
+# ------------------------------------ approx_top_k heavy hitters
+
+def test_topk_terms_sketch_exact_below_capacity(spark):
+    from document_convert_to__markdown_spark.operators.heavy_hitters import (
+        topk_terms_sketch,
+    )
+    docs = spark.createDataFrame(
+        [(1, "en", "a a a b b c"),
+         (2, "en", "a b d d d d"),
+         (3, "fr", "x y y z z z")],
+        "doc_id long, lang string, text string")
+    got = {(r["lang"], r["rank"]): (r["term"], r["term_count"])
+           for r in topk_terms_sketch(docs, k=3).collect()}
+    # en counts: a=4, d=4, b=3 -> tiebreak a before d
+    assert got[("en", 1)] == ("a", 4)
+    assert got[("en", 2)] == ("d", 4)
+    assert got[("en", 3)] == ("b", 3)
+    # fr counts: z=3, y=2, x=1
+    assert got[("fr", 1)] == ("z", 3)
+    assert got[("fr", 2)] == ("y", 2)
+    assert got[("fr", 3)] == ("x", 1)
+
+
+def test_topk_terms_sketch_survives_eviction(spark):
+    """Past capacity the counts are estimates, but the dominant heavy
+    hitter must still surface (the Space-Saving guarantee)."""
+    from document_convert_to__markdown_spark.operators.heavy_hitters import (
+        topk_terms_sketch,
+    )
+    rows = [(i, "en", "heavy " * 50 + f"rare{i} rare{i + 1000}")
+            for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    top1 = (topk_terms_sketch(docs, k=1, max_items=16)
+            .filter("rank = 1").collect())
+    assert len(top1) == 1 and top1[0]["term"] == "heavy"
+
+
+# ------------------------------------- copy-on-write snapshot delete
+
+def test_delete_keys_rewrites_only_affected_files(spark, tmp_path):
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    root = str(tmp_path / "table")
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id")).alias("text"))
+    # range-partitioned base commit: doc_ids 0..99 in one file region,
+    # so a takedown of low ids touches a strict subset of files
+    snap.commit_overwrite(docs.repartitionByRange(10, "doc_id"), root)
+    base = snap.load_snapshot(root, 1)
+    assert len(base.files) == 10
+
+    takedown = spark.createDataFrame([(i,) for i in range(5)],
+                                     "doc_id long")
+    s, n_deleted, n_rewritten = snap.delete_keys(spark, root, takedown,
+                                                 key="doc_id")
+    assert n_deleted == 5
+    # partial rewrite: most of the base files survive untouched,
+    # by identity (same paths), in the new manifest
+    assert 0 < n_rewritten < len(base.files)
+    untouched = set(base.files) & set(s.files)
+    assert len(untouched) == len(base.files) - n_rewritten
+    # current version serves the post-delete table...
+    cur = snap.read(spark, root)
+    assert cur.count() == 995
+    assert cur.filter(F.col("doc_id") < 5).count() == 0
+    # ...while the parent version still time-travels to the full set
+    assert snap.read(spark, root, version=1).count() == 1000
+
+
+def test_delete_keys_no_match_is_a_no_op(spark, tmp_path):
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    root = str(tmp_path / "table")
+    docs = spark.range(0, 50).select(
+        F.col("id").alias("doc_id"), F.lit("t").alias("text"))
+    snap.commit_overwrite(docs, root)
+    v_before = snap.current_version(root)
+    ghost = spark.createDataFrame([(999999,)], "doc_id long")
+    s, n_deleted, n_rewritten = snap.delete_keys(spark, root, ghost,
+                                                 key="doc_id")
+    assert (n_deleted, n_rewritten) == (0, 0)
+    assert snap.current_version(root) == v_before
+    assert s.version == v_before
+
+
 def test_stream_merge_equal_ts_keeps_committed_row(spark, tmp_path):
     from document_convert_to__markdown_spark.sources import snapshot as snap
     from document_convert_to__markdown_spark.streaming.stream_job import (
