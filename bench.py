@@ -82,6 +82,8 @@ BENCH_QUERIES = [
     # round-4
     "lm_quality_scalable",
     "robots_filter",
+    "topk_terms_sketch",
+    "snapshot_take_down",
 ]
 
 
