@@ -652,6 +652,64 @@ def _q_snapshot_take_down(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_stream_dedup_ingest(spark, sf):
+    """The continuous-crawl dedup-ingest loop end-to-end
+    (streaming/stream_job.py:run_stream_dedup_ingest): crawl 1 streams
+    into an empty corpus + MinHash band index; crawl 2 (every 5th doc,
+    half plagiarizing the text of corpus doc id+1) is screened against
+    the PERSISTENT index built by crawl 1 — flagged rows land as audit
+    rows (is_dup/dup_of), survivors extend corpus and index.  Audit:
+    per-flag counts over the final corpus table plus the index band
+    count.  Pinned oracle (MinHash isn't SQL); deterministic: two
+    sequential availableNow drains fix the batch boundary."""
+    import shutil
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        run_stream_dedup_ingest,
+    )
+
+    docs = _load(spark, sf, "documents")
+    donors = docs.select(F.col("doc_id").alias("_d"),
+                         F.col("text").alias("_dt"))
+    crawl1 = docs.filter(F.col("doc_id") % 5 != 0).select("doc_id", "text")
+    crawl2 = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .join(donors, F.col("doc_id") + 1 == F.col("_d"), "left")
+        .select(
+            "doc_id",
+            F.when((F.col("doc_id") % 10 == 0) & F.col("_dt").isNotNull(),
+                   F.col("_dt")).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    work = tempfile.mkdtemp(prefix="doc2md_sdedup_")
+    arrivals, corpus, index, ckpt = (f"{work}/arrivals", f"{work}/corpus",
+                                     f"{work}/index", f"{work}/ckpt")
+    sch = "doc_id long, text string"
+    try:
+        crawl1.coalesce(1).write.mode("append").parquet(arrivals)
+        run_stream_dedup_ingest(spark, arrivals, corpus, index, ckpt,
+                                schema=sch)
+        crawl2.coalesce(1).write.mode("append").parquet(arrivals)
+        run_stream_dedup_ingest(spark, arrivals, corpus, index, ckpt,
+                                schema=sch)
+        per = (snap.read(spark, corpus)
+               .groupBy("is_dup")
+               .agg(F.count("*").alias("n"),
+                    F.sum("n_corpus_hits").alias("total_hits"),
+                    F.min("doc_id").alias("min_doc"),
+                    F.max("doc_id").alias("max_doc")))
+        n_bands = snap.read(spark, index).count()
+        rows = [(r["is_dup"], r["n"], r["total_hits"], r["min_doc"],
+                 r["max_doc"], n_bands) for r in per.collect()]
+        return spark.createDataFrame(
+            rows, "is_dup boolean, n long, total_hits long, "
+                  "min_doc long, max_doc long, index_bands long")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _q_bm25_topk(spark, sf):
     """Okapi BM25 ranked retrieval (operators/retrieval.py): top-10
     docs for a 3-term bag-of-words query.  One corpus pass builds tf+dl
@@ -2076,6 +2134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_quality_scalable": _q_lm_quality_scalable,   # new round 4
         "topk_terms_sketch": _q_topk_terms_sketch,       # new round 4
         "snapshot_take_down": _q_snapshot_take_down,     # new round 4
+        "stream_dedup_ingest": _q_stream_dedup_ingest,   # new round 4
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,       # xxhash64 bands
         "neardup_pipeline": _q_neardup_pipeline,         # xxhash64 bands
         "dedup_incremental": _q_dedup_incremental,       # xxhash64 bands
@@ -2123,15 +2182,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_merge": _q_snapshot_merge,
         "zorder_layout": _q_zorder_layout,
         "udaf_harmonic_mean": _q_udaf_harmonic_mean,
-        "frontier_schedule": _q_frontier_schedule,
-        # ^ position 49 (frontier_schedule) + udaf_harmonic_mean at 48:
-        # window exactly full with the two round-4 additions above.
+        # ^ position 49 (zorder_layout) + udaf_harmonic_mean at 50:
+        # window exactly full with the three round-4 additions above.
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
         # (tail entries were scored green in r02/r03).  When inserting a
         # new query above this line, check what falls past position 50 —
         # it must be a previously-scored query.
+        "frontier_schedule": _q_frontier_schedule,
         "sketch_union_hll": _q_sketch_union_hll,
         "a2_size_filter": _q_a2_size_filter,
         "variant_semistructured": _q_variant_semistructured,

@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "robots_filter",
     "topk_terms_sketch",
     "snapshot_take_down",
+    "stream_dedup_ingest",
 ]
 
 

@@ -455,3 +455,99 @@ def run_stream_merge(spark: SparkSession, input_path: str, root: str,
         q.stop()
         raise TimeoutError("stream merge drain exceeded timeout; table "
                            "state would be partial")
+
+
+def run_stream_dedup_ingest(spark: SparkSession, input_path: str,
+                            corpus_root: str, index_root: str,
+                            checkpoint: str,
+                            schema: str = "doc_id long, text string",
+                            min_band_hits: int = 2,
+                            timeout_sec: int = 300) -> None:
+    """Continuous-crawl dedup ingest: the full production loop wired
+    end-to-end — arriving documents stream through ``foreachBatch``,
+    each micro-batch is (a) deduped within itself (exact, keep min
+    doc_id), (b) screened against the PERSISTENT MinHash band index of
+    everything already accepted (``operators.dedup.incremental_dedup``
+    — per-batch work O(batch), never O(corpus)), and (c) the survivors
+    are appended to the corpus snapshot table while their band rows
+    extend the index table, so the NEXT batch screens against them too.
+
+    This is the shape a 10^12-document corpus actually maintains: the
+    corpus text is write-only (never re-read for dedup), the index
+    carries 3 small ints per band row and is pre-bucketed by
+    (band, band_hash) in storage at scale, and the work per crawl
+    batch is proportional to the batch.  Crash safety composes from
+    the parts: the streaming checkpoint gives file-granularity
+    exactly-once for arrivals; corpus-then-index commit order means a
+    crash between the two commits re-screens the batch against a
+    slightly stale index on replay — duplicates it re-admits are
+    bounded by that one batch (the same at-least-once-append trade
+    Iceberg streaming ingest makes without multi-table transactions).
+
+    Keep-first composes across granularities: an exact in-batch copy is
+    flagged against the batch's min-doc_id keeper; a batch-2 copy of a
+    batch-1 survivor is flagged because batch 1's bands are already
+    committed.  No arrival is ever silently dropped — every input row
+    lands in the corpus table, rejected ones with ``is_dup=true`` and
+    ``dup_of`` (the in-batch keeper or the corpus doc); the curation
+    read filters on the flag.  ``n_corpus_hits`` is 0 for in-batch
+    exact dups (they never reach the index screen).
+    """
+    from ..operators.dedup import incremental_dedup, minhash_bands
+    from ..sources import snapshot as snap
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # exact in-batch dedup, keep-first by doc_id — flag, don't drop
+        keepers = (batch_df.select(F.md5("text").alias("_h"), "doc_id")
+                   .groupBy("_h").agg(F.min("doc_id").alias("_keeper")))
+        flagged = (batch_df.withColumn("_h", F.md5("text"))
+                   .join(keepers, "_h").persist())
+        batch_dups = flagged.filter(
+            F.col("doc_id") != F.col("_keeper")).select(
+            *batch_df.columns,
+            F.lit(True).alias("is_dup"),
+            F.lit(0).cast("long").alias("n_corpus_hits"),
+            F.col("_keeper").alias("dup_of"))
+        uniq = (flagged.filter(F.col("doc_id") == F.col("_keeper"))
+                .select(*batch_df.columns))
+        if snap.current_version(index_root) > 0:
+            idx = snap.read(batch_df.sparkSession, index_root)
+            screened = incremental_dedup(
+                uniq, idx, min_band_hits=min_band_hits) \
+                .withColumnRenamed("is_dup_of_corpus", "is_dup")
+        else:
+            screened = uniq.select(
+                "*",
+                F.lit(False).alias("is_dup"),
+                F.lit(0).cast("long").alias("n_corpus_hits"),
+                F.lit(None).cast("long").alias("dup_of"),
+            )
+        screened = screened.unionByName(batch_dups).persist()
+        survivors = (screened.filter(~F.col("is_dup"))
+                     .select(*batch_df.columns))
+        # corpus first (audit rows incl. flagged dups), then index
+        # (survivor bands only) — see crash-ordering note above.
+        if snap.current_version(corpus_root) == 0:
+            snap.commit_overwrite(screened, corpus_root)
+        else:
+            snap.commit_append(screened, corpus_root)
+        new_bands = minhash_bands(survivors)
+        if snap.current_version(index_root) == 0:
+            snap.commit_overwrite(new_bands, index_root)
+        else:
+            snap.commit_append(new_bands, index_root)
+        screened.unpersist()
+        flagged.unpersist()
+
+    q = (
+        spark.readStream.schema(schema)
+        .parquet(_as_stream_source(input_path))
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout_sec):
+        q.stop()
+        raise TimeoutError("stream dedup ingest exceeded timeout; corpus/"
+                           "index state would be partial")

@@ -54,6 +54,10 @@ PINNABLE = [
     # every sample exactly (n per lang << accuracy), so the bucket
     # assignment is deterministic and pinnable.
     "lm_quality_scalable",
+    # round-4: the streaming dedup-ingest loop — MinHash isn't SQL;
+    # two sequential availableNow drains fix the batch boundary, so
+    # the corpus/index audit is deterministic.
+    "stream_dedup_ingest",
 ]
 
 _SQL_TYPES = {

@@ -219,6 +219,55 @@ def test_stream_merge_out_of_order_file_never_regresses(spark, tmp_path):
     assert got[3] == ("c", t1)
 
 
+# ---------------------------------- streaming dedup-ingest loop
+
+def test_stream_dedup_ingest_full_loop(spark, tmp_path):
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        run_stream_dedup_ingest,
+    )
+    arrivals = str(tmp_path / "arrivals")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    sch = "doc_id long, text string"
+
+    t_a = "the quick brown fox jumps over the lazy dog tonight"
+    t_b = "an entirely different document about spark physical plans"
+    t_c = "novel third arrival content sharing nothing with the others"
+
+    def drain(rows):
+        spark.createDataFrame(rows, sch).coalesce(1) \
+            .write.mode("append").parquet(arrivals)
+        run_stream_dedup_ingest(spark, arrivals, corpus, index, ckpt,
+                                schema=sch)
+
+    # batch 1: two uniques + one exact in-batch copy of doc 1
+    drain([(1, t_a), (2, t_b), (3, t_a)])
+    got = {r["doc_id"]: r for r in snap.read(spark, corpus).collect()}
+    assert len(got) == 3  # no silent drops
+    assert not got[1]["is_dup"] and not got[2]["is_dup"]
+    assert got[3]["is_dup"] and got[3]["dup_of"] == 1
+    # index carries bands for the 2 survivors only
+    assert snap.read(spark, index).count() == 2 * 8
+
+    # batch 2: a cross-batch copy of doc 2 + a genuinely novel doc
+    drain([(10, t_b), (11, t_c)])
+    got = {r["doc_id"]: r for r in snap.read(spark, corpus).collect()}
+    assert len(got) == 5
+    assert got[10]["is_dup"] and got[10]["dup_of"] == 2
+    assert got[10]["n_corpus_hits"] >= 1
+    assert not got[11]["is_dup"]
+    assert snap.read(spark, index).count() == 3 * 8
+
+    # exactly-once: a re-drain with no new files commits nothing
+    vc, vi = snap.current_version(corpus), snap.current_version(index)
+    run_stream_dedup_ingest(spark, arrivals, corpus, index, ckpt,
+                            schema=sch)
+    assert snap.current_version(corpus) == vc
+    assert snap.current_version(index) == vi
+
+
 # ------------------------------------ approx_top_k heavy hitters
 
 def test_topk_terms_sketch_exact_below_capacity(spark):
