@@ -141,6 +141,39 @@ def test_semdedup_trained_centroids_route_and_prune(spark):
     assert kept == [0, 100]
 
 
+def test_semdedup_trained_centroids_break_up_mega_cells(spark):
+    """VERDICT r3 item 4 done-criterion: on a corpus the fixed 64-cell
+    quantizer lumps into few wide cells, trained k-means routing (the
+    paper's k ~ n/1000) spreads rows into balanced cells."""
+    from document_convert_to__markdown_spark.operators.similarity import (
+        semdedup, train_ivf_centroids,
+    )
+    dim = 64
+    rng = np.random.RandomState(17)
+    fams = rng.standard_normal((8, dim))
+    rows = []
+    for f in range(8):
+        for i in range(25):
+            rows.append((int(f * 100 + i),
+                         (fams[f] + 0.001 * rng.standard_normal(dim))
+                         .tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def widths(df):
+        out = df.groupBy("cell").count().collect()
+        return sorted(r["count"] for r in out)
+
+    default_w = widths(semdedup(emb, threshold=2.0))  # no prune, audit only
+    cents = train_ivf_centroids(emb, n_centroids=8)
+    trained_w = widths(semdedup(emb, threshold=2.0, centroids=cents))
+    # trained: exactly 8 perfectly balanced cells, one per family
+    assert trained_w == [25] * 8
+    # and the fixed quantizer's widest cell is at least as wide (it can
+    # only merge families, never split one — seeded, so deterministic)
+    assert max(default_w) >= max(trained_w)
+    assert len(default_w) <= 8
+
+
 # --------------------------------------------- 64-bit LSH band hashes
 
 def test_minhash_bands_use_xxhash64(spark):
