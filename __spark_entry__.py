@@ -809,6 +809,40 @@ def _q_dedup_clusters(spark, sf):
     )
 
 
+def _q_dedup_clusters_star(spark, sf):
+    """Large-star/small-star connected components (operators/graph.py:
+    connected_components_star, Kiveris et al. 2014) — the O(log n)-
+    alternation, hub-shedding form a 10^12-edge dup graph needs where
+    min-label propagation pays diameter-many rounds.  Exercised on a
+    chain-heavy synthetic graph (diameter ~7: consecutive-id chains
+    per decade plus cross-decade bridges — the exact shape propagation
+    is slowest on).  Oracle: recursive-CTE reachability."""
+    from document_convert_to__markdown_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    docs = _load(spark, sf, "documents")
+    ids = docs.select("doc_id")
+    cand = (
+        ids.filter((F.col("doc_id") % 10) < 6)
+        .select(F.col("doc_id").alias("a"),
+                (F.col("doc_id") + 1).alias("b"))
+        .unionByName(
+            ids.filter(F.col("doc_id") % 100 == 9)
+            .select(F.col("doc_id").alias("a"),
+                    (F.col("doc_id") + 1).alias("b")))
+    )
+    edges = cand.join(ids.withColumnRenamed("doc_id", "b"), "b", "left_semi")
+
+    cc = connected_components_star(edges)
+    return docs.select("doc_id").join(
+        cc, docs.doc_id == cc.node, "left"
+    ).select(
+        docs.doc_id,
+        F.coalesce("component", docs.doc_id).alias("component"),
+    )
+
+
 def _q_neardup_pipeline(spark, sf):
     """Composed LSH→Jaccard-verify→keep-first dedup; returns the per-lang
     survivor counts (rows-only: candidates come from MinHash buckets)."""
@@ -1520,6 +1554,43 @@ def _q_snapshot_delta(spark, sf):
     )
 
 
+def _q_snapshot_changelog(spark, sf):
+    """CDC read over the snapshot table (operators/delta.py:
+    snapshot_changelog — the Iceberg table_changes shape): the two
+    synthetic crawls commit as table versions 1 and 2, and the
+    changelog between them is the incremental work list — inserts and
+    update-postimages carry payloads, deletes are key-only tombstones.
+    Audit per change type (payload nullness pinned by n_with_text).
+    Exactly SQL-expressible."""
+    import shutil
+    import tempfile
+
+    from document_convert_to__markdown_spark.operators.delta import (
+        snapshot_changelog,
+    )
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    docs = _load(spark, sf, "documents")
+    old, new = _delta_snapshots(docs)
+    root = tempfile.mkdtemp(prefix="doc2md_cdc_")
+    try:
+        snap.commit_overwrite(old, root)
+        snap.commit_overwrite(new, root)
+        out = (
+            snapshot_changelog(spark, root, 1, 2, key="doc_id")
+            .groupBy("_change_type")
+            .agg(F.count("*").alias("n"),
+                 F.sum("doc_id").alias("sum_doc"),
+                 F.count("text").alias("n_with_text"))
+        )
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "_change_type string, n long, sum_doc long, "
+                  "n_with_text long")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def _q_chunk_documents(spark, sf):
     """Sliding-window chunking (operators/chunking.py): 32-token windows
     advancing 24 tokens (8-token overlap), HF overflowing-tokens
@@ -2135,6 +2206,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_terms_sketch": _q_topk_terms_sketch,       # new round 4
         "snapshot_take_down": _q_snapshot_take_down,     # new round 4
         "stream_dedup_ingest": _q_stream_dedup_ingest,   # new round 4
+        "dedup_clusters_star": _q_dedup_clusters_star,   # new round 4
+        "snapshot_changelog": _q_snapshot_changelog,     # new round 4
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,       # xxhash64 bands
         "neardup_pipeline": _q_neardup_pipeline,         # xxhash64 bands
         "dedup_incremental": _q_dedup_incremental,       # xxhash64 bands
@@ -2180,16 +2253,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": _q_host_pagerank,
         "quality_classifier": _q_quality_classifier,
         "snapshot_merge": _q_snapshot_merge,
-        "zorder_layout": _q_zorder_layout,
-        "udaf_harmonic_mean": _q_udaf_harmonic_mean,
-        # ^ position 49 (zorder_layout) + udaf_harmonic_mean at 50:
-        # window exactly full with the three round-4 additions above.
+        # ^ position 50 (snapshot_merge): window exactly full with the
+        # six round-4 additions above (8 head entries lack a prior
+        # driver verdict; everything below is r02/r03-green).
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
         # (tail entries were scored green in r02/r03).  When inserting a
         # new query above this line, check what falls past position 50 —
         # it must be a previously-scored query.
+        "zorder_layout": _q_zorder_layout,
+        "udaf_harmonic_mean": _q_udaf_harmonic_mean,
         "frontier_schedule": _q_frontier_schedule,
         "sketch_union_hll": _q_sketch_union_hll,
         "a2_size_filter": _q_a2_size_filter,
@@ -2555,6 +2629,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS kept_chars,
                    min(doc_id) AS min_doc, max(doc_id) AS max_doc
             FROM ranked WHERE rn = 1
+        """,
+        "snapshot_changelog": """
+            WITH old AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 10 <> 3),
+            new AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 7 = 0 THEN text || ' rev2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 13 <> 5),
+            d AS (
+              SELECT coalesce(n.doc_id, o.doc_id) AS doc_id,
+                     CASE WHEN o.doc_id IS NULL THEN 'insert'
+                          WHEN n.doc_id IS NULL THEN 'delete'
+                          WHEN md5(o.text) <> md5(n.text)
+                            THEN 'update_postimage'
+                          ELSE 'unchanged' END AS ct,
+                     n.text AS text
+              FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id)
+            SELECT ct AS _change_type,
+                   count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc,
+                   count(text) AS n_with_text
+            FROM d WHERE ct <> 'unchanged' GROUP BY ct
         """,
         "snapshot_delta": """
             WITH old AS (
@@ -3743,6 +3840,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE cum_tokens <= 10000
         """,
         # Iterative min-label propagation == recursive-CTE reachability.
+        "dedup_clusters_star": """
+            WITH RECURSIVE
+            cand AS (
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 10 < 6
+              UNION
+              SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+              WHERE doc_id % 100 = 9),
+            edges AS (
+              SELECT c.a, c.b FROM cand c
+              JOIN documents d ON c.b = d.doc_id),
+            sym AS (
+              SELECT a AS s, b AS t FROM edges
+              UNION SELECT b, a FROM edges),
+            nodes AS (SELECT DISTINCT s AS n FROM sym),
+            reach(s, t) AS (
+              SELECT n, n FROM nodes
+              UNION
+              SELECT r.s, y.t FROM reach r JOIN sym y ON r.t = y.s),
+            comp AS (
+              SELECT s AS doc_id, min(t) AS component
+              FROM reach GROUP BY s)
+            SELECT d.doc_id,
+                   coalesce(c.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp c USING (doc_id)
+        """,
         "dedup_clusters": """
             WITH RECURSIVE
             e1 AS (

@@ -84,6 +84,8 @@ BENCH_QUERIES = [
     "robots_filter",
     "topk_terms_sketch",
     "snapshot_take_down",
+    "dedup_clusters_star",
+    "snapshot_changelog",
     # stream_dedup_ingest excluded like quality_classifier: two full
     # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
     # not a query; its components (dedup_incremental, minhash bands,

@@ -60,3 +60,47 @@ def snapshot_delta(old: DataFrame, new: DataFrame, key: str = "doc_id",
         .otherwise(F.lit("unchanged"))
         .alias("status"),
     )
+
+
+def snapshot_changelog(spark, root: str, from_version: int,
+                       to_version: int, key: str = "url",
+                       content: str = "text") -> DataFrame:
+    """CDC read over the snapshot table: the row-level changelog
+    between two committed versions — Iceberg's
+    ``table_changes``/``create_changelog_view`` shape on the sandbox
+    snapshot format (``sources/snapshot.py``).
+
+    Consumers of a 100 TB table don't rescan it per downstream job;
+    they subscribe to changes: ``changelog(v_n, v_m)`` is exactly the
+    work list for incremental re-extraction, index maintenance
+    (``incremental_dedup``), or downstream MERGE replication.  Built as
+    two time-travel reads + :func:`snapshot_delta` (hash-compare join,
+    exchange carries 16-byte hashes), then the changed/added rows are
+    re-joined to the NEW snapshot only for keys that need payloads —
+    deleted keys emit a key-only tombstone row (payload columns null),
+    matching CDC DELETE semantics.
+
+    Returns ``(key, _change_type in insert|update_postimage|delete,
+    <payload columns of the table>)`` — unchanged rows are NOT emitted
+    (the point of CDC).
+    """
+    from ..sources import snapshot as snap
+
+    old = snap.read(spark, root, version=from_version)
+    new = snap.read(spark, root, version=to_version)
+    d = snapshot_delta(old, new, key=key, content=content)
+    changed = d.filter(F.col("status") != "unchanged").select(
+        key,
+        F.when(F.col("status") == "added", "insert")
+        .when(F.col("status") == "changed", "update_postimage")
+        .otherwise("delete").alias("_change_type"),
+    )
+    payload_cols = [c for c in new.columns if c != key]
+    upserts = (changed.filter(F.col("_change_type") != "delete")
+               .join(new, key))
+    tombstones = changed.filter(F.col("_change_type") == "delete").select(
+        key, "_change_type",
+        *[F.lit(None).cast(dict(new.dtypes)[c]).alias(c)
+          for c in payload_cols])
+    return upserts.select(key, "_change_type", *payload_cols) \
+        .unionByName(tombstones)

@@ -252,6 +252,97 @@ def test_stream_merge_out_of_order_file_never_regresses(spark, tmp_path):
     assert got[3] == ("c", t1)
 
 
+# ----------------------------------------- CDC snapshot changelog
+
+def test_snapshot_changelog_cdc_semantics(spark, tmp_path):
+    from document_convert_to__markdown_spark.operators.delta import (
+        snapshot_changelog,
+    )
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    root = str(tmp_path / "table")
+    sch = "doc_id long, text string"
+    v1 = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], sch)
+    v2 = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], sch)  # 2 changed, 3 gone, 4 new
+    snap.commit_overwrite(v1, root)
+    snap.commit_overwrite(v2, root)
+
+    got = {r["doc_id"]: r for r in
+           snapshot_changelog(spark, root, 1, 2, key="doc_id").collect()}
+    # unchanged rows are not emitted
+    assert set(got) == {2, 3, 4}
+    assert got[4]["_change_type"] == "insert" and got[4]["text"] == "d"
+    assert (got[2]["_change_type"] == "update_postimage"
+            and got[2]["text"] == "B2")
+    # delete is a key-only tombstone: payload columns null
+    assert got[3]["_change_type"] == "delete" and got[3]["text"] is None
+
+
+def test_snapshot_changelog_identity_is_empty(spark, tmp_path):
+    from document_convert_to__markdown_spark.operators.delta import (
+        snapshot_changelog,
+    )
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    root = str(tmp_path / "table")
+    df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    snap.commit_overwrite(df, root)
+    snap.commit_overwrite(df, root)
+    assert snapshot_changelog(spark, root, 1, 2, key="doc_id").count() == 0
+
+
+# ------------------------- large-star/small-star connected components
+
+def _cc_star(spark, edge_rows, **kw):
+    from document_convert_to__markdown_spark.operators.graph import (
+        connected_components_star,
+    )
+    edges = spark.createDataFrame(edge_rows, "a long, b long")
+    return {r["node"]: r["component"]
+            for r in connected_components_star(edges, **kw).collect()}
+
+
+def test_cc_star_long_chain_and_bridge(spark):
+    # a 9-node chain (diameter 8) plus a separate triangle
+    rows = [(i, i + 1) for i in range(8)] + [(20, 21), (21, 22), (20, 22)]
+    got = _cc_star(spark, rows)
+    assert all(got[i] == 0 for i in range(9))
+    assert all(got[i] == 20 for i in (20, 21, 22))
+    assert len(got) == 12
+
+
+def test_cc_star_agrees_with_propagation(spark):
+    from document_convert_to__markdown_spark.operators.graph import (
+        connected_components,
+    )
+    import random
+    rng = random.Random(5)
+    rows = [(rng.randrange(60), rng.randrange(60)) for _ in range(80)]
+    rows = [(a, b) for a, b in rows if a != b]
+    edges = spark.createDataFrame(rows, "a long, b long")
+    star = {r["node"]: r["component"]
+            for r in __import__(
+                "document_convert_to__markdown_spark.operators.graph",
+                fromlist=["connected_components_star"])
+            .connected_components_star(edges).collect()}
+    prop = {r["node"]: r["component"]
+            for r in connected_components(edges).collect()}
+    assert star == prop
+
+
+def test_cc_star_self_loops_and_duplicates(spark):
+    got = _cc_star(spark, [(1, 1), (1, 2), (2, 1), (1, 2), (3, 3)])
+    # self-loop-only nodes vanish (isolated-node contract)
+    assert got == {1: 1, 2: 1}
+
+
+def test_cc_star_nonconvergence_raises(spark):
+    with pytest.raises(RuntimeError, match="did not converge"):
+        _cc_star(spark, [(i, i + 1) for i in range(40)], max_iter=1)
+
+
 # ---------------------------------- streaming dedup-ingest loop
 
 def test_stream_dedup_ingest_full_loop(spark, tmp_path):
