@@ -1825,6 +1825,43 @@ def _q_robots_filter(spark, sf):
     )
 
 
+def _q_robots_parse_rules(spark, sf):
+    """RFC 9309 robots.txt parsing (operators/robots.py:
+    parse_robots_txt): per-host robots bodies are synthesized
+    relationally (comments, a non-matching named-agent group,
+    consecutive User-agent lines opening one '*' group, an empty
+    Disallow, ignored Crawl-delay/Sitemap lines, a pre-group orphan
+    rule) and parsed to the (host, prefix, allow) rules relation —
+    the front half of the robots stack whose back half is
+    ``robots_filter``.  One narrow pass, window keyed on host.
+    Exactly SQL-expressible — the oracle replays the grammar."""
+    from document_convert_to__markdown_spark.operators.robots import (
+        parse_robots_txt,
+    )
+
+    docs = _load(spark, sf, "documents")
+    nl = "\n"
+    h = (F.col("doc_id") % 7).cast("string")
+    sec = (F.col("doc_id") % 7 % 5).cast("string")
+    body = F.concat(
+        F.lit("Disallow: /orphan" + nl),
+        F.lit("# policy for host "), h, F.lit(nl),
+        F.lit("User-agent: evilbot" + nl),
+        F.lit("Disallow: /" + nl),
+        F.lit(nl),
+        F.lit("User-agent: *" + nl),
+        F.lit("User-Agent: archiver" + nl),
+        F.lit("Disallow: /sec"), sec, F.lit("   # keep out" + nl),
+        F.lit("Allow: /sec"), sec, F.lit("/pub" + nl),
+        F.lit("Disallow:" + nl),
+        F.lit("Crawl-delay: 10"),
+    )
+    robots = (docs.select(F.concat(F.lit("host"), h, F.lit(".site"))
+                          .alias("host"), body.alias("robots_txt"))
+              .dropDuplicates(["host"]))
+    return parse_robots_txt(robots)
+
+
 def _q_stream_merge_upsert(spark, sf):
     """Streaming foreachBatch merge sink (streaming/stream_job.py:
     run_stream_merge): two crawl arrivals drained availableNow into the
@@ -2208,6 +2245,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_dedup_ingest": _q_stream_dedup_ingest,   # new round 4
         "dedup_clusters_star": _q_dedup_clusters_star,   # new round 4
         "snapshot_changelog": _q_snapshot_changelog,     # new round 4
+        "robots_parse_rules": _q_robots_parse_rules,     # new round 4
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,       # xxhash64 bands
         "neardup_pipeline": _q_neardup_pipeline,         # xxhash64 bands
         "dedup_incremental": _q_dedup_incremental,       # xxhash64 bands
@@ -2252,16 +2290,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": _q_chunk_documents,
         "host_pagerank": _q_host_pagerank,
         "quality_classifier": _q_quality_classifier,
-        "snapshot_merge": _q_snapshot_merge,
-        # ^ position 50 (snapshot_merge): window exactly full with the
-        # six round-4 additions above (8 head entries lack a prior
-        # driver verdict; everything below is r02/r03-green).
+        # ^ position 50 (quality_classifier): window exactly full with
+        # the seven round-4 additions above (9 head entries lack a
+        # prior driver verdict; everything below is r02/r03-green).
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50
         # entries of this dict per round.  Every entry below position 50
         # must already hold a green verdict in a prior CORRECTNESS_r*.json
         # (tail entries were scored green in r02/r03).  When inserting a
         # new query above this line, check what falls past position 50 —
         # it must be a previously-scored query.
+        "snapshot_merge": _q_snapshot_merge,
         "zorder_layout": _q_zorder_layout,
         "udaf_harmonic_mean": _q_udaf_harmonic_mean,
         "frontier_schedule": _q_frontier_schedule,
@@ -2711,6 +2749,60 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN b ON c.user_id = b.bu
                  AND bts >= cts AND bts <= cts + INTERVAL 2 HOUR
             GROUP BY c.user_id
+        """,
+        "robots_parse_rules": """
+            WITH hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),
+            bodies AS (
+              SELECT 'host' || h || '.site' AS host,
+                     'Disallow: /orphan' || chr(10) ||
+                     '# policy for host ' || h || chr(10) ||
+                     'User-agent: evilbot' || chr(10) ||
+                     'Disallow: /' || chr(10) ||
+                     chr(10) ||
+                     'User-agent: *' || chr(10) ||
+                     'User-Agent: archiver' || chr(10) ||
+                     'Disallow: /sec' || (h % 5) || '   # keep out'
+                       || chr(10) ||
+                     'Allow: /sec' || (h % 5) || '/pub' || chr(10) ||
+                     'Disallow:' || chr(10) ||
+                     'Crawl-delay: 10' AS txt
+              FROM hosts),
+            ls AS (SELECT host, string_split(txt, chr(10)) AS l
+                   FROM bodies),
+            lines AS (
+              SELECT host, generate_subscripts(l, 1) AS pos,
+                     trim(regexp_replace(unnest(l), '#.*$', '')) AS line
+              FROM ls),
+            parsed AS (
+              SELECT host, pos,
+                     lower(trim(regexp_extract(line, '^([^:]+):', 1)))
+                       AS key,
+                     trim(regexp_extract(line, '^[^:]+:(.*)$', 1)) AS val
+              FROM lines WHERE line <> ''),
+            keyed AS (SELECT * FROM parsed WHERE key <> ''),
+            flagged AS (
+              SELECT *, (key = 'user-agent') AS is_agent,
+                     ((key = 'user-agent') AND NOT coalesce(
+                        lag(key = 'user-agent')
+                          OVER (PARTITION BY host ORDER BY pos),
+                        false)) AS starts
+              FROM keyed),
+            grouped AS (
+              SELECT *, sum(CASE WHEN starts THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host ORDER BY pos) AS grp
+              FROM flagged),
+            matching AS (
+              SELECT host AS mhost, grp AS mgrp FROM grouped
+              WHERE is_agent AND grp > 0
+              GROUP BY host, grp
+              HAVING max(CASE WHEN lower(val) = '*' THEN 1 ELSE 0 END)
+                       = 1)
+            SELECT DISTINCT g.host, g.val AS prefix,
+                            (g.key = 'allow') AS allow
+            FROM grouped g
+            JOIN matching m ON g.host = m.mhost AND g.grp = m.mgrp
+            WHERE g.key IN ('allow', 'disallow') AND g.val <> ''
+              AND g.grp > 0
         """,
         "robots_filter": (lambda rules_values: f"""
             WITH urls AS (

@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "snapshot_take_down",
     "dedup_clusters_star",
     "snapshot_changelog",
+    "robots_parse_rules",
     # stream_dedup_ingest excluded like quality_classifier: two full
     # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
     # not a query; its components (dedup_incremental, minhash bands,

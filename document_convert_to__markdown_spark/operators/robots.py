@@ -95,6 +95,83 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
     )
 
 
+def parse_robots_txt(robots: DataFrame, agent: str = "*",
+                     host_col: str = "host",
+                     text_col: str = "robots_txt") -> DataFrame:
+    """Parse raw robots.txt bodies into the ``(host, prefix, allow)``
+    rules relation :func:`apply_robots` consumes — the missing front
+    half of the robots stack, fully relational (RFC 9309 §2.2).
+
+    Grammar subset implemented (the part a generic crawler needs):
+    ``#`` comments strip to end of line; lines are ``key: value`` with
+    case-insensitive keys; consecutive ``User-agent`` lines open ONE
+    group (RFC 9309: a start-of-group line may repeat); ``Allow`` /
+    ``Disallow`` lines attach to the current group; a group applies
+    when any of its agent tokens equals ``agent`` (case-insensitive
+    exact product-token match — the '*' group for a generic crawler);
+    an empty ``Disallow:`` value means "nothing disallowed" and emits
+    no rule (RFC 9309 §2.2.2).  Unknown keys (Crawl-delay, Sitemap)
+    are ignored, per the RFC's extensibility rule.
+
+    Relational shape — one pass, no Python: ``posexplode`` the lines,
+    assign group ids with a window over (host, line-order) — a group
+    starts at a User-agent line whose predecessor is not one (lag) —
+    then one aggregation marks each group as matching the agent, and
+    the rule lines of matching groups project to the output.  The only
+    exchange is keyed on host (the window/group key), the same key the
+    downstream join shuffles on.  At 10^8 hosts robots bodies are a
+    few KB each — this is a narrow ETL pass, run once per crawl
+    snapshot and materialized.
+
+    Exactly SQL-expressible — the DuckDB oracle replays the grammar.
+    """
+    from pyspark.sql import Window
+
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+    ).select(
+        "host", "pos",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    ).filter(F.col("line") != "")
+    parsed = lines.select(
+        "host", "pos",
+        F.lower(F.trim(F.regexp_extract("line", r"^([^:]+):", 1)))
+        .alias("key"),
+        F.trim(F.regexp_extract("line", r"^[^:]+:(.*)$", 1)).alias("val"),
+    ).filter(F.col("key") != "")
+    w = Window.partitionBy("host").orderBy("pos")
+    grouped = (
+        parsed
+        .withColumn("_is_agent", (F.col("key") == "user-agent"))
+        .withColumn(
+            "_starts_group",
+            F.col("_is_agent")
+            & ~F.coalesce(F.lag("_is_agent").over(w), F.lit(False)))
+        .withColumn("grp",
+                    F.sum(F.col("_starts_group").cast("int")).over(w))
+        .filter(F.col("grp") > 0)   # rules before any User-agent: ignored
+    )
+    matching = (
+        grouped.filter(F.col("_is_agent"))
+        .groupBy("host", "grp")
+        .agg(F.max((F.lower("val") == agent.lower()).cast("boolean"))
+             .alias("_match"))
+        .filter("_match")
+    )
+    return (
+        grouped.filter(F.col("key").isin("allow", "disallow"))
+        .filter(F.col("val") != "")
+        .join(matching.select("host", "grp"), ["host", "grp"])
+        .select(
+            "host",
+            F.col("val").alias("prefix"),
+            (F.col("key") == "allow").alias("allow"),
+        )
+        .distinct()
+    )
+
+
 def frontier_schedule(urls: DataFrame, host_col: str = "host",
                       priority_col: str = "priority",
                       delay_sec: int = 5,

@@ -69,6 +69,63 @@ def test_robots_auto_knob_probes_size(spark):
     assert "BroadcastHashJoin" not in plan2
 
 
+# ------------------------------------------- robots.txt parsing
+
+ROBOTS_BODY = """Disallow: /orphan
+# policy file
+User-agent: evilbot
+Disallow: /
+
+User-agent: *
+User-Agent: archiver
+Disallow: /private   # trailing comment
+Allow: /private/pub
+Disallow:
+Crawl-delay: 10
+Sitemap: https://a.com/map.xml
+"""
+
+
+def test_parse_robots_txt_grammar(spark):
+    from document_convert_to__markdown_spark.operators.robots import (
+        parse_robots_txt,
+    )
+    robots = spark.createDataFrame([("a.com", ROBOTS_BODY)],
+                                   "host string, robots_txt string")
+    got = {(r["prefix"], r["allow"])
+           for r in parse_robots_txt(robots).collect()}
+    # only the '*' group's non-empty rules survive: the orphan rule
+    # (before any User-agent) is ignored, the evilbot group doesn't
+    # match, the empty Disallow emits nothing, Crawl-delay/Sitemap are
+    # ignored, and consecutive User-agent lines share one group
+    assert got == {("/private", False), ("/private/pub", True)}
+    # the same body parsed for the named agent picks the other group
+    evil = {(r["prefix"], r["allow"])
+            for r in parse_robots_txt(robots, agent="evilbot").collect()}
+    assert evil == {("/", False)}
+
+
+def test_parse_robots_then_apply(spark):
+    from document_convert_to__markdown_spark.operators.robots import (
+        apply_robots, parse_robots_txt,
+    )
+    robots = spark.createDataFrame([("a.com", ROBOTS_BODY)],
+                                   "host string, robots_txt string")
+    urls = spark.createDataFrame(
+        [("https://a.com/private/x",),
+         ("https://a.com/private/pub/y",),
+         ("https://a.com/open",),
+         ("https://a.com/orphan/z",)], "url string")
+    rules = parse_robots_txt(robots)
+    got = {r["url"]: r["allowed"]
+           for r in apply_robots(urls, rules).collect()}
+    assert got == {"https://a.com/private/x": False,
+                   "https://a.com/private/pub/y": True,
+                   "https://a.com/open": True,
+                   # the pre-group orphan rule was ignored by the parse
+                   "https://a.com/orphan/z": True}
+
+
 # ------------------------------------- ngram-novelty shuffle fallback
 
 def test_ngram_novelty_fallback_matches_broadcast(spark):
