@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "dedup_clusters_star",
     "snapshot_changelog",
     "robots_parse_rules",
+    "stats_pruned_scan",
     # stream_dedup_ingest excluded like quality_classifier: two full
     # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
     # not a query; its components (dedup_incremental, minhash bands,

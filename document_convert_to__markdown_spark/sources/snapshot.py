@@ -236,6 +236,83 @@ def merge_upsert(spark: SparkSession, root: str, updates: DataFrame,
     return commit_overwrite(merged, root)
 
 
+def commit_with_stats(df: DataFrame, root: str, stats_cols: list,
+                      op: str = "overwrite") -> Snapshot:
+    """Commit ``df`` and record per-file min/max column statistics in a
+    sidecar (``v{n}.stats.json``) — the Iceberg manifest-stats analog
+    that makes :func:`read_pruned` possible.  Pair with a range- or
+    Z-order-clustered write (``repartitionByRange`` on the key, or
+    ``functions.layout.zorder_key``) so each file covers a NARROW
+    value range; stats over randomly-distributed files are wide and
+    prune nothing — clustering is what turns stats into skipped IO.
+
+    The stats pass is one extra aggregation over the just-written
+    files, grouped on ``_metadata.file_path`` — it reads only the
+    stats columns (column-pruned), never payloads.
+    """
+    if op == "overwrite":
+        snap = commit_overwrite(df, root)
+    elif op == "append":
+        snap = commit_append(df, root)
+    else:
+        raise ValueError(f"unsupported op {op!r}")
+    spark = df.sparkSession
+    norm = F.regexp_replace(F.col("_metadata.file_path"), "^file:(//)?", "")
+    aggs = []
+    for c in stats_cols:
+        aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
+    rows = (spark.read.parquet(*snap.files)
+            .groupBy(norm.alias("_f")).agg(*aggs).collect())
+    stats = {r["_f"]: {c: [r[f"_min_{c}"], r[f"_max_{c}"]]
+                       for c in stats_cols} for r in rows}
+    path = os.path.join(_snap_dir(root), f"v{snap.version:05d}.stats.json")
+    fd, tmp = tempfile.mkstemp(dir=_snap_dir(root), suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(stats, f, default=str)
+    os.replace(tmp, path)
+    return snap
+
+
+def read_pruned(spark: SparkSession, root: str, col: str, lo, hi,
+                version: int | None = None) -> tuple:
+    """Data-skipping scan: read only the files whose recorded
+    ``[min, max]`` range for ``col`` overlaps ``[lo, hi]`` (Iceberg's
+    min/max file pruning on the sandbox snapshot format), then apply
+    the row-level filter on the survivors.  Files without recorded
+    stats are conservatively read (never a wrong answer, only missed
+    skipping — the same contract real manifest stats carry).
+
+    Returns ``(df, n_files_scanned, n_files_total)`` — the file counts
+    are the skipping evidence tests pin; the row result is identical
+    to an unpruned filtered scan by construction.
+    """
+    v = current_version(root) if version is None else version
+    if v == 0:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    snap = load_snapshot(root, v)
+    stats_path = os.path.join(_snap_dir(root), f"v{v:05d}.stats.json")
+    try:
+        with open(stats_path) as f:
+            stats = json.load(f)
+    except FileNotFoundError:
+        stats = {}
+
+    def overlaps(f: str) -> bool:
+        rng = stats.get(f, {}).get(col)
+        if not rng or rng[0] is None or rng[1] is None:
+            return True
+        mn, mx = type(lo)(rng[0]), type(hi)(rng[1])
+        return not (mx < lo or mn > hi)
+
+    files = [f for f in snap.files if overlaps(f)]
+    if not files:
+        # preserve the schema without reading payloads
+        empty = spark.read.parquet(*snap.files).limit(0)
+        return empty, 0, len(snap.files)
+    df = spark.read.parquet(*files).filter(F.col(col).between(lo, hi))
+    return df, len(files), len(snap.files)
+
+
 def delete_keys(spark: SparkSession, root: str, keys: DataFrame,
                 key: str = "url") -> tuple:
     """Copy-on-write DELETE (the takedown/GDPR-erasure primitive):
