@@ -2259,6 +2259,122 @@ def _q_cluster_safe_split(spark, sf):
     return per.crossJoin(F.broadcast(leak))
 
 
+def _q_skew_salted_join(spark, sf):
+    """Skew-resistant salted equi-join (operators/joins.py:
+    salted_join): orders⋈customer with every fact key split across 8
+    deterministic content-hash salts and the dim side replicated per
+    salt, so one hot custkey spreads over 8 shuffle partitions instead
+    of serializing a straggler.  Row-identical to the plain join by
+    construction — the oracle IS the plain join.  The salt never
+    leaves the operator; plan shape (join keys include the salt
+    column) is pinned by tests/test_round4b_ops.py."""
+    from document_convert_to__markdown_spark.operators.joins import (
+        salted_join,
+    )
+
+    orders = _load(spark, sf, "orders").select("o_custkey", "o_totalprice")
+    cust = (_load(spark, sf, "customer")
+            .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment"))
+    joined = salted_join(orders, cust, "o_custkey", n_salt=8)
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+            .orderBy("c_mktsegment"))
+
+
+def _q_bloom_prune_join(spark, sf):
+    """Bloom-filter pre-join pruning (operators/joins.py:
+    bloom_prune_join): lineitem⋈(small part subset) where the Bloom
+    bitmap — built from scratch relationally: seeded-xxhash64 bit
+    positions packed into 64-bit words by ONE bit_or aggregation,
+    8 KiB collected — kills non-matching fact rows scan-side, before
+    the exchange.  False positives are re-filtered by the exact join,
+    so the result equals the plain join (the oracle) while the shuffle
+    carries only ~|dim|/|facts| of the rows.  Prune-rate evidence is
+    pinned by tests/test_round4b_ops.py."""
+    from document_convert_to__markdown_spark.operators.joins import (
+        bloom_prune_join,
+    )
+
+    li = _load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    part = (_load(spark, sf, "part")
+            .filter(F.col("p_size") <= 2)
+            .select(F.col("p_partkey").alias("l_partkey"), "p_brand"))
+    joined = bloom_prune_join(li, part, "l_partkey")
+    return (joined.groupBy("p_brand")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+                 F.sum("l_quantity").alias("total_qty"))
+            .orderBy("p_brand"))
+
+
+def _q_hybrid_rrf_retrieval(spark, sf):
+    """Hybrid retrieval via reciprocal-rank fusion (operators/
+    retrieval.py: rrf_fuse, Cormack et al. SIGIR 2009): the lexical
+    BM25 top-20 over documents and the dense cosine top-20 over
+    embeddings (vec_id is the doc_id key; query = vector 0) fuse on
+    rank alone — Σ 1/(60+rank) — so the incomparable score scales
+    never meet.  Both input lists are k-bounded before fusion, making
+    the fuse itself driver-cheap; ranks tie-break on id for
+    cross-engine determinism."""
+    from document_convert_to__markdown_spark.operators.retrieval import (
+        bm25_topk,
+        rrf_fuse,
+    )
+    from document_convert_to__markdown_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    docs = _load(spark, sf, "documents")
+    embs = _load(spark, sf, "embeddings")
+    lex = bm25_topk(docs, ["dup", "key", "vector"], k=20) \
+        .select("doc_id", "score")
+    qv = [float(x) for x in
+          embs.filter("vec_id = 0").select("embedding").head()[0]]
+    dense = brute_force_topk(embs.filter("vec_id <> 0"), qv, k=20) \
+        .select(F.col("vec_id").alias("doc_id"),
+                F.col("cosine").alias("score"))
+    return rrf_fuse([lex, dense], id_col="doc_id", k_rrf=60, k=10)
+
+
+def _q_wet_ingest(spark, sf):
+    """WET text-only ingest (sources/warc.py: read_wet_pages): the
+    first 40 documents serialize into a gzip WET archive (ISO 28500
+    ``conversion`` records — Common Crawl's extracted-text sibling of
+    WARC), read back through the binaryFile + mapInPandas source, and
+    text round-trip is proven by an equality join against the source
+    relation.  Same one-file-one-task scale shape as warc_ingest."""
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources.warc import (
+        read_wet_pages,
+        write_wet,
+    )
+
+    n = 40
+    src = (_load(spark, sf, "documents")
+           .orderBy("doc_id").limit(n)
+           .select(F.concat(F.lit("https://docs.example/"),
+                            F.col("doc_id")).alias("url"),
+                   "text"))
+    rows = [(r["url"], r["text"]) for r in src.collect()]  # bounded: 40
+    base = tempfile.mkdtemp(prefix="doc2md_wet_q_")
+    with open(f"{base}/part-0.wet.gz", "wb") as fh:
+        write_wet(rows, fh, compress=True)
+
+    got = read_wet_pages(spark, base).select("url", "text")
+    joined = got.alias("g").join(src.alias("w"), "url")
+    return spark.createDataFrame(
+        [(
+            got.count(),
+            joined.filter("g.text <=> w.text").count(),
+            got.join(src, "url", "left_anti").count(),
+        )],
+        "n_wet_docs bigint, n_text_match bigint, n_unmatched bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-4 head.  The driver scores exactly the FIRST 50
@@ -2291,6 +2407,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,               # join knob
         "stream_stream_join": _q_stream_stream_join,     # drain delay
         "stream_merge_upsert": _q_stream_merge_upsert,   # recency guard
+        "skew_salted_join": _q_skew_salted_join,         # new round 4b
+        "bloom_prune_join": _q_bloom_prune_join,         # new round 4b
+        "hybrid_rrf_retrieval": _q_hybrid_rrf_retrieval,  # new round 4b
+        "wet_ingest": _q_wet_ingest,                     # new round 4b
         # --- r03-green entries filling the rest of the window ---
         "token_budget_select": _q_token_budget_select,
         "sketch_distinct": _q_sketch_distinct,
@@ -2793,6 +2913,100 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id BETWEEN 100 AND 199
             GROUP BY lang
+        """,
+        # salted_join is row-identical to the plain join by
+        # construction, so the oracle IS the plain join.
+        "skew_salted_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+            ORDER BY c_mktsegment
+        """,
+        # Bloom false positives are re-filtered by the exact join, so
+        # the oracle is again the plain join.
+        "bloom_prune_join": """
+            SELECT p_brand, count(*) AS n_items,
+                   round(sum(l_extendedprice), 2) AS total_price,
+                   sum(l_quantity) AS total_qty
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_size <= 2
+            GROUP BY p_brand
+            ORDER BY p_brand
+        """,
+        # RRF replay: the bm25_topk oracle arithmetic verbatim (top-20
+        # cut), the ann cosine formula cut on the ROUNDED score (as
+        # brute_force_topk does), ranks tie-broken on doc_id, then
+        # sum(1/(60+rank)).
+        "hybrid_rrf_retrieval": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                 t -> t <> '') AS w
+              FROM documents),
+            toks AS (
+              SELECT doc_id, len(w) AS dl, unnest(w) AS term FROM w),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl
+              FROM toks WHERE term IN ('dup', 'key', 'vector')
+              GROUP BY doc_id, term),
+            stats AS (
+              SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(len(w)) AS avgdl
+              FROM w),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            bm25 AS (
+              SELECT tf.doc_id,
+                     round(sum(
+                       ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                       * tf.tf * (1.2 + 1.0)
+                       / (tf.tf + 1.2 * (1.0 - 0.75
+                                         + 0.75 * tf.dl / s.avgdl))
+                     ), 4) AS score
+              FROM tf
+              JOIN dfreq d USING (term)
+              CROSS JOIN stats s
+              GROUP BY tf.doc_id
+              ORDER BY score DESC, doc_id LIMIT 20),
+            lex AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+              FROM bm25),
+            q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+            dense_raw AS (
+              SELECT vec_id AS doc_id,
+                     round(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                            CAST(qv AS DOUBLE[]))
+                           / (sqrt(list_dot_product(
+                                CAST(embedding AS DOUBLE[]),
+                                CAST(embedding AS DOUBLE[])))
+                            * sqrt(list_dot_product(
+                                CAST(qv AS DOUBLE[]),
+                                CAST(qv AS DOUBLE[])))),
+                           4) AS score
+              FROM embeddings, q WHERE vec_id <> 0
+              ORDER BY score DESC, doc_id LIMIT 20),
+            dense AS (
+              SELECT doc_id,
+                     row_number() OVER (ORDER BY score DESC, doc_id)
+                       AS rank
+              FROM dense_raw),
+            u AS (SELECT doc_id, rank FROM lex
+                  UNION ALL
+                  SELECT doc_id, rank FROM dense)
+            SELECT doc_id,
+                   round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+                   count(*) AS n_lists
+            FROM u GROUP BY doc_id
+            ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        # WET round-trip counts, like warc_ingest: 40 in, 40 text
+        # matches, 0 unmatched.
+        "wet_ingest": """
+            SELECT * FROM (VALUES
+              (CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT))
+            ) AS t(n_wet_docs, n_text_match, n_unmatched)
         """,
         "robots_parse_rules": """
             WITH hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),

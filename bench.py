@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "snapshot_changelog",
     "robots_parse_rules",
     "stats_pruned_scan",
+    # round-4b join hardening + hybrid retrieval + WET ingest
+    "skew_salted_join",
+    "bloom_prune_join",
+    "hybrid_rrf_retrieval",
+    "wet_ingest",
     # stream_dedup_ingest excluded like quality_classifier: two full
     # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
     # not a query; its components (dedup_incremental, minhash bands,

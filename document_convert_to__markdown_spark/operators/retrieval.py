@@ -86,3 +86,43 @@ def bm25_topk(documents: DataFrame, query_terms: list[str], k: int = 10,
              F.count("*").alias("n_matched"))
     )
     return scored.orderBy(F.desc("score"), F.col(id_col)).limit(k)
+
+
+def rrf_fuse(rankings: list, id_col: str = "doc_id",
+             score_col: str = "score", k_rrf: int = 60,
+             k: int = 10) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked lists (Cormack et al.,
+    SIGIR 2009): score(d) = Σ_lists 1/(k_rrf + rank_list(d)).
+
+    The standard hybrid-retrieval combiner: fuse a lexical (BM25) and
+    a dense (embedding-cosine ANN) top-k WITHOUT score calibration —
+    only ranks matter, so the wildly different score scales never meet.
+
+    Inputs are DataFrames of (id_col, score_col); each is a top-k list
+    already cut by its retriever, so every input is k-bounded — the
+    unpartitioned row_number window below runs over ≤ k rows per list,
+    and the fused relation is ≤ N·k rows.  This operator is driver-
+    cheap by construction; the heavy lifting happened in the
+    retrievers.  Ranks tie-break on id for cross-engine determinism.
+
+    Returns (id_col, rrf_score, n_lists) — n_lists is how many input
+    lists surfaced the doc (a useful agreement signal).
+    """
+    if not rankings:
+        raise ValueError("rankings must be non-empty")
+    from pyspark.sql import Window
+
+    tagged = []
+    for df in rankings:
+        w = Window.orderBy(F.desc(score_col), F.col(id_col))
+        tagged.append(df.select(F.col(id_col),
+                                F.row_number().over(w).alias("rank")))
+    all_ranks = tagged[0]
+    for t in tagged[1:]:
+        all_ranks = all_ranks.unionByName(t)
+    fused = (all_ranks
+             .groupBy(id_col)
+             .agg(F.round(F.sum(F.lit(1.0) / (F.lit(k_rrf) + F.col("rank"))),
+                          6).alias("rrf_score"),
+                  F.count("*").alias("n_lists")))
+    return fused.orderBy(F.desc("rrf_score"), F.col(id_col)).limit(k)

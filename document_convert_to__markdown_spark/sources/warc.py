@@ -340,6 +340,101 @@ def read_warc_pages_stream(spark, path_glob: str,
     return files.mapInPandas(_explode_warc_blobs, schema=PAGES_SCHEMA)
 
 
+def texts_from_wet(data: bytes) -> Iterator[tuple]:
+    """(url, warc_ts, text) for every WET ``conversion`` record.
+
+    WET is Common Crawl's extracted-text sibling of WARC: the same ISO
+    28500 record framing, but record type ``conversion`` and a payload
+    that is the page's plain text (UTF-8, no HTTP envelope).  The
+    parser is therefore ``iter_records`` unchanged — only the record
+    filter and payload handling differ.
+    """
+    for rec in iter_records(data):
+        if rec.rec_type != "conversion" or not rec.target_uri:
+            continue
+        yield (rec.target_uri, _parse_warc_date(rec.date),
+               rec.payload.decode("utf-8", "replace"))
+
+
+def _explode_wet_blobs(batches):
+    """mapInPandas kernel: WET file blobs → (url, warc_ts, text) rows.
+
+    Same frame-emission bounds as ``_explode_warc_blobs`` (flush at
+    ``_FRAME_MAX_ROWS`` rows / ``_FRAME_MAX_BYTES`` text bytes), so a
+    multi-GB-raw WET file costs one bounded frame of executor memory.
+    """
+    import pandas as pd
+
+    def frame(urls, tss, texts):
+        return pd.DataFrame({"url": urls, "warc_ts": tss, "text": texts})
+
+    for pdf in batches:
+        for blob in pdf["content"]:
+            urls, tss, texts, nbytes = [], [], [], 0
+            for url, ts, text in texts_from_wet(bytes(blob)):
+                urls.append(url)
+                tss.append(ts)
+                texts.append(text)
+                nbytes += len(text)
+                if (len(urls) >= _FRAME_MAX_ROWS
+                        or nbytes >= _FRAME_MAX_BYTES):
+                    yield frame(urls, tss, texts)
+                    urls, tss, texts, nbytes = [], [], [], 0
+            yield frame(urls, tss, texts)
+
+
+def read_wet_pages(spark, path_glob: str):
+    """Directory/glob of ``.wet``/``.wet.gz`` files → (url, warc_ts,
+    text) — the text-only ingest path (Common Crawl publishes one WET
+    per WARC; pipelines that only need text skip HTML extraction
+    entirely and read ~1/5 the bytes).  Scale shape is identical to
+    ``read_warc_pages``: one file = one ``binaryFile`` row = one task.
+    """
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.wet*")
+             .load(path_glob)
+             .select("content"))
+    return files.mapInPandas(_explode_wet_blobs, schema=schema)
+
+
+def write_wet(rows, fh: io.BufferedIOBase, compress: bool = False,
+              warc_date: str = "2024-01-01T00:00:00Z") -> int:
+    """Serialize (url, text) pairs as WET ``conversion`` records.
+
+    Driver-side fixture helper, mirroring ``write_warc``.
+    """
+    out = fh if not compress else gzip.GzipFile(fileobj=fh, mode="wb",
+                                                mtime=0)
+    n = 0
+    for row in rows:
+        url, text = row[0], row[1]
+        date = row[2] if len(row) > 2 else warc_date
+        payload = (text if isinstance(text, bytes)
+                   else text.encode("utf-8"))
+        head = (
+            b"WARC/1.0" + CRLF
+            + b"WARC-Type: conversion" + CRLF
+            + b"WARC-Target-URI: " + url.encode("utf-8") + CRLF
+            + b"WARC-Date: " + str(date).encode("ascii") + CRLF
+            + b"WARC-Record-ID: <urn:uuid:wet-" + str(n).encode() + b">"
+            + CRLF
+            + b"Content-Length: " + str(len(payload)).encode("ascii")
+            + CRLF + CRLF
+        )
+        out.write(head + payload + CRLF + CRLF)
+        n += 1
+    if compress:
+        out.close()
+    return n
+
+
 def write_warc(rows, fh: io.BufferedIOBase, compress: bool = False,
                warc_date: str = "2024-01-01T00:00:00Z") -> int:
     """Serialize (url, html_bytes) pairs as WARC response records.

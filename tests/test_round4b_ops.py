@@ -1,0 +1,197 @@
+"""Round-4b operators: salted skew join, Bloom pre-join pruning,
+reciprocal-rank fusion, WET ingest."""
+
+import gzip
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from document_convert_to__markdown_spark.operators.joins import (
+    bloom_filter_words,
+    bloom_might_contain,
+    bloom_prune_join,
+    salted_join,
+)
+from document_convert_to__markdown_spark.operators.retrieval import rrf_fuse
+from document_convert_to__markdown_spark.sources.warc import (
+    read_wet_pages,
+    texts_from_wet,
+    write_wet,
+)
+
+
+@pytest.fixture()
+def facts_dims(spark):
+    # Skewed facts: key 0 holds half the rows.
+    facts = spark.range(0, 4000).select(
+        F.when(F.col("id") % 2 == 0, 0)
+        .otherwise(F.col("id") % 37).alias("k"),
+        F.col("id").alias("payload"))
+    dims = spark.range(0, 37, 3).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("dim"), F.col("id")).alias("name"))
+    return facts, dims
+
+
+class TestSaltedJoin:
+    def test_row_identical_to_plain_join(self, spark, facts_dims):
+        facts, dims = facts_dims
+        for how in ("inner", "left", "left_semi", "left_anti"):
+            plain = sorted(facts.join(dims, "k", how).collect())
+            salted = sorted(salted_join(facts, dims, "k",
+                                        n_salt=8, how=how).collect())
+            assert salted == plain, how
+
+    def test_hot_key_spreads_over_salts(self, spark, facts_dims):
+        facts, _ = facts_dims
+        n_salts = (facts
+                   .filter("k = 0")
+                   .select(F.pmod(F.xxhash64("k", "payload"), F.lit(8))
+                           .alias("s"))
+                   .distinct().count())
+        assert n_salts == 8  # the hot key occupies every salt bucket
+
+    def test_plan_joins_on_salt(self, spark, facts_dims):
+        facts, dims = facts_dims
+        plan = salted_join(facts, dims, "k", n_salt=8) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "__doc2md_salt" in plan
+
+    def test_refuses_right_and_full(self, spark, facts_dims):
+        facts, dims = facts_dims
+        for how in ("right", "full", "outer"):
+            with pytest.raises(ValueError):
+                salted_join(facts, dims, "k", how=how)
+
+
+class TestBloomPruneJoin:
+    def test_equals_plain_join(self, spark, facts_dims):
+        facts, dims = facts_dims
+        for how in ("inner", "left_semi"):
+            plain = sorted(facts.join(dims, "k", how).collect())
+            got = sorted(bloom_prune_join(facts, dims, "k",
+                                          how=how).collect())
+            assert got == plain, how
+
+    def test_no_false_negatives_and_prunes(self, spark):
+        # 10 sparse dim keys vs 100k facts: every dim key must survive
+        # the probe; the prune must kill (almost) everything else.
+        dims = spark.range(0, 10).select((F.col("id") * 991).alias("k"))
+        facts = spark.range(0, 100_000).select(F.col("id").alias("k"))
+        words = bloom_filter_words(dims, "k")
+        kept = facts.filter(
+            bloom_might_contain(F.col("k"), words, 1 << 16, 5))
+        n_kept = kept.count()
+        assert n_kept >= 10                      # no false negatives
+        assert n_kept < 1000                     # >=99% pruned
+        hits = {r["k"] for r in kept.collect()}
+        assert {i * 991 for i in range(10)} <= hits
+
+    def test_prune_is_scan_side(self, spark, facts_dims):
+        # The bloom probe must sit below the join in the physical plan
+        # (a Filter with getbit), so pruned rows never reach the
+        # exchange.
+        facts, dims = facts_dims
+        plan = bloom_prune_join(facts, dims, "k") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "getbit" in plan
+
+    def test_word_packing_matches_python_model(self, spark):
+        # Independent pure-Python replay of the bit packing.
+        import struct
+
+        def xxh(spark_df):  # get spark's xxhash64 for the model
+            return {r["k"]: [int(r[f"h{i}"]) for i in range(5)]
+                    for r in spark_df.select(
+                        "k", *[F.pmod(F.xxhash64("k", F.lit(i)),
+                                      F.lit(1 << 16)).alias(f"h{i}")
+                               for i in range(5)]).collect()}
+
+        dims = spark.range(0, 50).select(F.col("id").alias("k"))
+        words = bloom_filter_words(dims, "k", m_bits=1 << 16, n_hashes=5)
+        model = [0] * (1 << 10)
+        for positions in xxh(dims).values():
+            for p in positions:
+                w, b = p >> 6, p & 63
+                model[w] = _or_signed64(model[w], 1 << b)
+        assert words == model
+
+    def test_refuses_row_preserving_joins(self, spark, facts_dims):
+        facts, dims = facts_dims
+        for how in ("left", "full", "left_anti"):
+            with pytest.raises(ValueError):
+                bloom_prune_join(facts, dims, "k", how=how)
+
+
+def _or_signed64(a: int, bit: int) -> int:
+    v = (a & 0xFFFFFFFFFFFFFFFF) | (bit & 0xFFFFFFFFFFFFFFFF)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class TestRrfFuse:
+    def test_closed_form(self, spark):
+        a = spark.createDataFrame([(1, 9.0), (2, 8.0), (3, 7.0)],
+                                  "doc_id long, score double")
+        b = spark.createDataFrame([(3, 0.99), (4, 0.98), (1, 0.97)],
+                                  "doc_id long, score double")
+        got = {r["doc_id"]: (r["rrf_score"], r["n_lists"])
+               for r in rrf_fuse([a, b], k=10).collect()}
+        assert got[1] == (round(1 / 61 + 1 / 63, 6), 2)
+        assert got[3] == (round(1 / 63 + 1 / 61, 6), 2)
+        assert got[2] == (round(1 / 62, 6), 1)
+        assert got[4] == (round(1 / 62, 6), 1)
+
+    def test_rank_ties_break_on_id(self, spark):
+        # Two docs with equal scores: the lower id must get the better
+        # rank in BOTH engines, so pin it here.
+        a = spark.createDataFrame([(7, 1.0), (3, 1.0)],
+                                  "doc_id long, score double")
+        got = {r["doc_id"]: r["rrf_score"]
+               for r in rrf_fuse([a], k=2).collect()}
+        assert got[3] == round(1 / 61, 6)
+        assert got[7] == round(1 / 62, 6)
+
+    def test_empty_rankings_raise(self, spark):
+        with pytest.raises(ValueError):
+            rrf_fuse([])
+
+
+class TestWetIngest:
+    ROWS = [(f"https://ex{i}.org/page", f"text body {i} é中")
+            for i in range(30)]
+
+    def _archive(self, compress):
+        buf = io.BytesIO()
+        n = write_wet(self.ROWS, buf, compress=compress)
+        assert n == len(self.ROWS)
+        return buf.getvalue()
+
+    def test_roundtrip_plain_and_gzip(self):
+        for compress in (False, True):
+            data = self._archive(compress)
+            got = [(u, t) for (u, _ts, t) in texts_from_wet(data)]
+            assert got == self.ROWS
+
+    def test_non_conversion_records_skipped(self):
+        # A WARC response record inside the stream must be ignored.
+        from document_convert_to__markdown_spark.sources.warc import (
+            write_warc,
+        )
+
+        buf = io.BytesIO()
+        write_warc([("https://resp.org/", b"<html>x</html>")], buf)
+        write_wet(self.ROWS[:3], buf)
+        got = [u for (u, _ts, _t) in texts_from_wet(buf.getvalue())]
+        assert got == [u for (u, _t) in self.ROWS[:3]]
+
+    def test_spark_reader(self, spark, tmp_path):
+        with open(tmp_path / "a.wet.gz", "wb") as fh:
+            write_wet(self.ROWS[:20], fh, compress=True)
+        with open(tmp_path / "b.wet", "wb") as fh:
+            write_wet(self.ROWS[20:], fh, compress=False)
+        df = read_wet_pages(spark, str(tmp_path))
+        assert df.columns == ["url", "warc_ts", "text"]
+        got = sorted((r["url"], r["text"]) for r in df.collect())
+        assert got == sorted(self.ROWS)
+        assert df.filter("warc_ts is null").count() == 0
