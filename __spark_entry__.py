@@ -1736,6 +1736,22 @@ def _q_stream_stream_join(spark, sf):
     return stream_stream_attribution(spark, f"{sf}/events.parquet")
 
 
+def _q_stream_stream_outer_join(spark, sf):
+    """Watermarked LEFT OUTER stream-stream join (streaming/
+    stream_job.py: stream_stream_attribution_outer): every click
+    emits either its in-horizon purchases or — once the global
+    watermark min(max click_ts, max buy_ts) - 1h passes its 2h match
+    window — a null-buy abandonment row flushed from join state by
+    the final no-data micro-batch.  The oracle replays exactly that
+    eviction rule: matched pairs unconditionally, unmatched clicks
+    only where click_ts + horizon < final watermark."""
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        stream_stream_attribution_outer,
+    )
+
+    return stream_stream_attribution_outer(spark, f"{sf}/events.parquet")
+
+
 def _q_snapshot_merge(spark, sf):
     """MERGE INTO-style upsert (sources/snapshot.py:merge_upsert): the
     old crawl is committed as a snapshot table, the new crawl merges
@@ -2375,6 +2391,49 @@ def _q_wet_ingest(spark, sf):
     )
 
 
+def _q_wet_datasource_scan(spark, sf):
+    """Spark 4 custom Python DataSource front door (sources/
+    wet_datasource.py): the same 40 documents as ``wet_ingest``, split
+    across two WET archives, read back via
+    ``spark.read.format("wet")`` — registered through the public
+    ``pyspark.sql.datasource`` API with one InputPartition per file
+    (the Common Crawl work unit; n_partitions pins it).  Text parity
+    is proven by an equality join against the source relation, and
+    the mapInPandas twin is pinned row-identical in
+    tests/test_wet_datasource.py."""
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources.warc import write_wet
+    from document_convert_to__markdown_spark.sources.wet_datasource import (
+        register,
+    )
+
+    n = 40
+    src = (_load(spark, sf, "documents")
+           .orderBy("doc_id").limit(n)
+           .select(F.concat(F.lit("https://docs.example/"),
+                            F.col("doc_id")).alias("url"),
+                   "text"))
+    rows = [(r["url"], r["text"]) for r in src.collect()]  # bounded: 40
+    base = tempfile.mkdtemp(prefix="doc2md_wetds_q_")
+    with open(f"{base}/part-0.wet.gz", "wb") as fh:
+        write_wet(rows[:25], fh, compress=True)
+    with open(f"{base}/part-1.wet.gz", "wb") as fh:
+        write_wet(rows[25:], fh, compress=True)
+
+    register(spark)
+    got = spark.read.format("wet").load(base).select("url", "text")
+    joined = got.alias("g").join(src.alias("w"), "url")
+    return spark.createDataFrame(
+        [(
+            got.count(),
+            joined.filter("g.text <=> w.text").count(),
+            got.rdd.getNumPartitions(),
+        )],
+        "n_ds_docs bigint, n_text_match bigint, n_partitions bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-4 head.  The driver scores exactly the FIRST 50
@@ -2411,6 +2470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": _q_bloom_prune_join,         # new round 4b
         "hybrid_rrf_retrieval": _q_hybrid_rrf_retrieval,  # new round 4b
         "wet_ingest": _q_wet_ingest,                     # new round 4b
+        "wet_datasource_scan": _q_wet_datasource_scan,   # new round 4b
+        "stream_stream_outer_join": _q_stream_stream_outer_join,  # 4b
         # --- r03-green entries filling the rest of the window ---
         "token_budget_select": _q_token_budget_select,
         "sketch_distinct": _q_sketch_distinct,
@@ -3007,6 +3068,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(n_wet_docs, n_text_match, n_unmatched)
+        """,
+        # LEFT OUTER stream-stream replay: matched pairs are the batch
+        # interval join; null-buy rows are clicks whose 2h window
+        # closed before the final watermark min(max click, max buy)-1h
+        # (Spark's min multiple-watermark policy + state eviction).
+        "stream_stream_outer_join": """
+            WITH c AS (
+              SELECT user_id u, ts AS cts, event_id AS cid
+              FROM events WHERE event_type = 'click'
+            ), b AS (
+              SELECT user_id AS bu, ts AS bts, event_id AS bid
+              FROM events WHERE event_type = 'purchase'
+            ), wm AS (
+              SELECT least((SELECT max(cts) FROM c),
+                           (SELECT max(bts) FROM b))
+                     - INTERVAL 1 HOUR AS w
+            ), pairs AS (
+              SELECT c.u, c.cid, b.bid FROM c JOIN b
+              ON c.u = b.bu AND b.bts >= c.cts
+                 AND b.bts <= c.cts + INTERVAL 2 HOUR
+            ), expired AS (
+              SELECT c.u, c.cid FROM c, wm
+              WHERE c.cts + INTERVAL 2 HOUR < wm.w
+                AND NOT EXISTS (
+                  SELECT 1 FROM b WHERE b.bu = c.u
+                  AND b.bts >= c.cts
+                  AND b.bts <= c.cts + INTERVAL 2 HOUR)
+            ), uall AS (
+              SELECT u, cid, bid FROM pairs
+              UNION ALL
+              SELECT u, cid, NULL FROM expired
+            )
+            SELECT u AS user_id,
+                   count(bid) AS n_matched,
+                   CAST(sum(CASE WHEN bid IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_expired_unmatched,
+                   CAST(sum(cid) AS BIGINT) AS sum_click_id,
+                   CAST(coalesce(sum(bid), 0) AS BIGINT) AS sum_buy_id
+            FROM uall GROUP BY u
+        """,
+        # Custom-DataSource round-trip counts: 40 docs over 2 files =
+        # 2 InputPartitions.
+        "wet_datasource_scan": """
+            SELECT * FROM (VALUES
+              (CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(2 AS BIGINT))
+            ) AS t(n_ds_docs, n_text_match, n_partitions)
         """,
         "robots_parse_rules": """
             WITH hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents),

@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "bloom_prune_join",
     "hybrid_rrf_retrieval",
     "wet_ingest",
+    "wet_datasource_scan",
+    "stream_stream_outer_join",
     # stream_dedup_ingest excluded like quality_classifier: two full
     # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
     # not a query; its components (dedup_incremental, minhash bands,

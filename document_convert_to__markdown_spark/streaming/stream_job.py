@@ -374,6 +374,74 @@ def stream_stream_attribution(spark: SparkSession, events_path: str,
     )
 
 
+def stream_stream_attribution_outer(spark: SparkSession, events_path: str,
+                                    horizon: str = "2 hours",
+                                    delay: str = "1 hour") -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join — the abandonment
+    pattern (every click emits: either its in-horizon purchases, or a
+    null-buy row once the click's match window has provably closed).
+
+    This is the one stream-stream join form with genuinely different
+    state semantics from the inner join (`stream_stream_attribution`):
+    unmatched left rows are held in state and emitted with nulls only
+    when the global watermark — ``min(max click_ts, max buy_ts) -
+    delay`` under Spark's default min multiple-watermark policy —
+    passes ``click_ts + horizon``, i.e. when no future purchase could
+    still match.  Bounded state on an unbounded feed, AND a completeness
+    guarantee the inner join can't give: silence is reported, not
+    dropped.  At crawl scale the same shape reports fetched pages that
+    never got a parse result within the freshness horizon.
+
+    Drained with availableNow the emitted set is deterministic and
+    exactly SQL-expressible (Spark runs a final no-data micro-batch to
+    advance the watermark and flush expired state — verified by test):
+
+    - matched rows  = the batch interval join, unconditionally;
+    - null-buy rows = clicks with no in-horizon purchase AND
+      ``click_ts + horizon < final watermark``.
+
+    Clicks younger than that emit nothing in the drain (their window
+    is still open); the DuckDB oracle replays the same cut.  ``delay``
+    here is a real lateness bound, NOT the span-covering drain crutch
+    the inner join's oracle harness uses — the whole point is watching
+    state expire.  Aggregated per user after the drain.
+    """
+    schema = EVENTS_STREAM_SCHEMA
+    src = _as_stream_source(events_path)
+    clicks = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+                F.col("event_id").alias("click_id"))
+        .withWatermark("click_ts", delay)
+    )
+    buys = (
+        spark.readStream.schema(schema).parquet(src)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("b_user"),
+                F.col("ts").alias("buy_ts"),
+                F.col("event_id").alias("buy_id"))
+        .withWatermark("buy_ts", delay)
+    )
+    rows = drain_stream_agg(
+        clicks.join(
+            buys,
+            F.expr(f"c_user = b_user AND buy_ts >= click_ts "
+                   f"AND buy_ts <= click_ts + interval {horizon}"),
+            "leftOuter",
+        ),
+        "stream_stream_attr_outer", output_mode="append")
+    return (
+        rows.groupBy(F.col("c_user").alias("user_id"))
+        .agg(F.count("buy_id").alias("n_matched"),
+             F.sum(F.when(F.col("buy_id").isNull(), 1)
+                   .otherwise(0)).alias("n_expired_unmatched"),
+             F.sum("click_id").alias("sum_click_id"),
+             F.coalesce(F.sum("buy_id"), F.lit(0)).alias("sum_buy_id"))
+    )
+
+
 def run_stream_merge(spark: SparkSession, input_path: str, root: str,
                      checkpoint: str, key: str = "url",
                      schema: str = ("url string, warc_ts timestamp, "

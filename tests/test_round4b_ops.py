@@ -157,6 +157,50 @@ class TestRrfFuse:
             rrf_fuse([])
 
 
+class TestStreamStreamOuterJoin:
+    def test_three_emission_classes(self, spark, tmp_path):
+        """Matched click → pair row; unmatched click with a closed
+        window → null-buy row; unmatched click younger than the final
+        watermark → NOTHING (its window is still open)."""
+        from document_convert_to__markdown_spark.streaming.stream_job import (
+            stream_stream_attribution_outer,
+        )
+
+        rows = [
+            # user 1: click at 00:00, purchase at 01:00 → matched
+            (10, "2024-01-01 00:00:00", 1, "click", 1.0, None),
+            (11, "2024-01-01 01:00:00", 1, "purchase", 5.0, None),
+            # user 2: click at 00:00, no purchase; window closes 02:00,
+            # final wm = min(max click 23:00, max buy 22:00) - 1h =
+            # 21:00 > 02:00 → expired, null row emits
+            (20, "2024-01-01 00:00:00", 2, "click", 1.0, None),
+            # user 3: click at 20:30; window closes 22:30 > wm 21:00
+            # → still open, nothing emits
+            (30, "2024-01-01 20:30:00", 3, "click", 1.0, None),
+            # watermark anchors
+            (40, "2024-01-01 23:00:00", 4, "click", 1.0, None),
+            (41, "2024-01-01 22:00:00", 4, "purchase", 5.0, None),
+        ]
+        df = spark.createDataFrame(
+            [(e, __import__("datetime").datetime.fromisoformat(ts), u,
+              t, v, p) for (e, ts, u, t, v, p) in rows],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+        path = str(tmp_path / "events")
+        df.coalesce(1).write.parquet(path)
+
+        got = {r["user_id"]: (r["n_matched"], r["n_expired_unmatched"])
+               for r in stream_stream_attribution_outer(
+                   spark, path).collect()}
+        assert got[1] == (1, 0)       # matched
+        assert got[2] == (0, 1)       # expired unmatched
+        assert 3 not in got           # window still open: withheld
+        # anchor user 4: matched (buy 22:00 within click 23:00's
+        # window? no — buy precedes click, so click 40 is unmatched
+        # and its window [23:00, 01:00+1d] is open → withheld
+        assert 4 not in got
+
+
 class TestWetIngest:
     ROWS = [(f"https://ex{i}.org/page", f"text body {i} é中")
             for i in range(30)]
