@@ -2434,6 +2434,61 @@ def _q_wet_datasource_scan(spark, sf):
     )
 
 
+def _q_cdx_ingest(spark, sf):
+    """CDXJ capture-index ingest (sources/cdx.py — the third Common
+    Crawl artifact next to WARC/WET: the sorted per-capture index you
+    scan to plan the archive scan): 40 documents derive deterministic
+    capture lines (SURT key via functions/url.py:surt_key, 14-digit
+    timestamp, JSON blob with status/digest/length/offset/filename),
+    serialize to a gzip CDXJ fixture, read back through the
+    text→split(limit 3)→from_json relational parser, and aggregate per
+    status.  The oracle re-derives every field — including the
+    label-reversed SURT — straight from the documents table."""
+    import datetime as _dt
+    import tempfile
+
+    from document_convert_to__markdown_spark.functions.url import surt_key
+    from document_convert_to__markdown_spark.sources.cdx import (
+        read_cdx,
+        write_cdx,
+    )
+
+    n = 40
+    src = (_load(spark, sf, "documents")
+           .orderBy("doc_id").limit(n)
+           .select(
+               "doc_id", "n_chars",
+               F.concat(F.lit("https://docs"), F.col("doc_id") % 5,
+                        F.lit(".example/page/"),
+                        F.col("doc_id")).alias("url"),
+               F.md5("text").alias("digest")))
+    src = src.withColumn("surt", surt_key(F.col("url")))
+    t0 = _dt.datetime(2024, 1, 1)
+    caps = []
+    for r in src.collect():  # bounded: 40
+        ts14 = (t0 + _dt.timedelta(seconds=int(r["doc_id"])))\
+            .strftime("%Y%m%d%H%M%S")
+        caps.append((r["surt"], ts14, {
+            "url": r["url"], "mime": "text/html",
+            "status": "200" if r["doc_id"] % 7 else "404",
+            "digest": r["digest"], "length": str(r["n_chars"]),
+            "offset": str(int(r["doc_id"]) * 1000),
+            "filename": f"crawl-{int(r['doc_id']) % 3:02d}.warc.gz",
+        }))
+    base = tempfile.mkdtemp(prefix="doc2md_cdx_q_")
+    with open(f"{base}/part-0.cdx.gz", "wb") as fh:
+        write_cdx(caps, fh, compress=True)
+
+    cdx = read_cdx(spark, base)
+    return (cdx.groupBy("status")
+            .agg(F.count("*").alias("n_captures"),
+                 F.sum("length").alias("sum_length"),
+                 F.countDistinct("filename").alias("n_warc_files"),
+                 F.min("surt").alias("min_surt"),
+                 F.max("ts").alias("max_ts"))
+            .orderBy("status"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-4 head.  The driver scores exactly the FIRST 50
@@ -2472,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_ingest": _q_wet_ingest,                     # new round 4b
         "wet_datasource_scan": _q_wet_datasource_scan,   # new round 4b
         "stream_stream_outer_join": _q_stream_stream_outer_join,  # 4b
+        "cdx_ingest": _q_cdx_ingest,                     # new round 4b
         # --- r03-green entries filling the rest of the window ---
         "token_budget_select": _q_token_budget_select,
         "sketch_distinct": _q_sketch_distinct,
@@ -3068,6 +3124,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(n_wet_docs, n_text_match, n_unmatched)
+        """,
+        # CDXJ replay: every derived capture field — including the
+        # label-reversed SURT — recomputed from the documents table.
+        "cdx_ingest": """
+            WITH d AS (
+              SELECT doc_id, n_chars FROM documents
+              ORDER BY doc_id LIMIT 40
+            ), cap AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN doc_id % 7 <> 0 THEN '200'
+                          ELSE '404' END AS status,
+                     'example,docs' || CAST(doc_id % 5 AS VARCHAR)
+                       || ')/page/' || CAST(doc_id AS VARCHAR) AS surt,
+                     'crawl-' || lpad(CAST(doc_id % 3 AS VARCHAR), 2, '0')
+                       || '.warc.gz' AS filename,
+                     TIMESTAMP '2024-01-01 00:00:00'
+                       + to_seconds(doc_id) AS ts
+              FROM d
+            )
+            SELECT status, count(*) AS n_captures,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_length,
+                   count(DISTINCT filename) AS n_warc_files,
+                   min(surt) AS min_surt,
+                   max(ts) AS max_ts
+            FROM cap GROUP BY status ORDER BY status
         """,
         # LEFT OUTER stream-stream replay: matched pairs are the batch
         # interval join; null-buy rows are clicks whose 2h window

@@ -95,6 +95,7 @@ BENCH_QUERIES = [
     "wet_ingest",
     "wet_datasource_scan",
     "stream_stream_outer_join",
+    "cdx_ingest",
     # stream_dedup_ingest excluded like quality_classifier: two full
     # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
     # not a query; its components (dedup_incremental, minhash bands,

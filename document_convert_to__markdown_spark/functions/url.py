@@ -62,6 +62,29 @@ def url_path(url: Column) -> Column:
     return F.when(raw == "", F.lit("/")).otherwise(raw)
 
 
+def surt_key(url: Column) -> Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the primary
+    sort key of the Common Crawl / Internet Archive CDX index (public
+    spec: github.com/internetarchive/surt; IIPC CDX file format):
+    scheme and port dropped, host lowercased and label-reversed with
+    commas, then ``)`` and the path + sorted-significant query —
+    ``https://docs.example.com/a?x=1`` → ``com,example,docs)/a?x=1``.
+    Reversing the host makes lexicographic order group a domain's
+    subdomains together, which is what lets a sorted CDX answer
+    per-domain range scans — the same locality trick ``zorder_layout``
+    plays for two dimensions.  All Catalyst (split/reverse/concat); no
+    Python.  ``www`` stripping is deliberately NOT applied (that is a
+    canonicalizer policy — compose with ``canonicalize_url`` first if
+    wanted)."""
+    host = url_host(url)
+    rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    query = F.regexp_extract(url, _QUERY_RE, 1)
+    return F.concat(
+        rev, F.lit(")"), url_path(url),
+        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"),
+                                                          query)))
+
+
 def registered_domain(host: Column) -> Column:
     """Registrable domain from a host: last two labels, or three when
     the last two are a known second-level suffix (``a.b.co.uk`` →

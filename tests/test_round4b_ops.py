@@ -157,6 +157,117 @@ class TestRrfFuse:
             rrf_fuse([])
 
 
+class TestSurtKey:
+    CASES = [
+        ("https://docs.example.com/a?x=1", "com,example,docs)/a?x=1"),
+        ("http://Example.ORG:8080/P/q", "org,example)/P/q"),
+        ("https://example.com", "com,example)/"),
+        ("https://a.b.co.uk/x", "uk,co,b,a)/x"),
+    ]
+
+    def test_cases(self, spark):
+        from document_convert_to__markdown_spark.functions.url import (
+            surt_key,
+        )
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(u,) for u, _ in self.CASES],
+                                   "url string")
+        got = [r["s"] for r in
+               df.select(surt_key(F.col("url")).alias("s"))
+               .collect()]
+        assert got == [s for _, s in self.CASES]
+
+    def test_sorted_surts_group_domains(self, spark):
+        # The point of SURT: a domain's subdomains are contiguous in
+        # sorted order, so range scans answer per-domain queries.
+        from document_convert_to__markdown_spark.functions.url import (
+            surt_key,
+        )
+        from pyspark.sql import functions as F
+
+        urls = ["https://a.example.com/1", "https://z.other.net/2",
+                "https://b.example.com/3", "https://example.com/4"]
+        df = spark.createDataFrame([(u,) for u in urls], "url string")
+        surts = sorted(r["s"] for r in
+                       df.select(surt_key(F.col("url")).alias("s"))
+                       .collect())
+        example = [s for s in surts if s.startswith("com,example")]
+        i = surts.index(example[0])
+        assert surts[i:i + len(example)] == example  # contiguous block
+
+
+class TestCdxSource:
+    CAPS = [
+        ("com,ex)/a", "20240101000000",
+         {"url": "https://ex.com/a", "mime": "text/html",
+          "status": "200", "digest": "sha1:AA", "length": "100",
+          "offset": "0", "filename": "c-00.warc.gz"}),
+        ("com,ex)/b", "20240101000100",
+         {"url": "https://ex.com/b", "mime": "text/plain",
+          "status": "404", "digest": "sha1:BB", "length": "7",
+          "offset": "100", "filename": "c-01.warc.gz"}),
+    ]
+
+    def test_roundtrip_gz(self, spark, tmp_path):
+        import gzip as _g
+
+        from document_convert_to__markdown_spark.sources.cdx import (
+            read_cdx,
+            write_cdx,
+        )
+
+        with open(tmp_path / "i.cdx.gz", "wb") as fh:
+            assert write_cdx(self.CAPS, fh, compress=True) == 2
+        rows = {r["surt"]: r for r in
+                read_cdx(spark, str(tmp_path)).collect()}
+        a = rows["com,ex)/a"]
+        assert (a["url"], a["status"], a["length"], a["offset"]) == (
+            "https://ex.com/a", "200", 100, 0)
+        assert str(a["ts"]).startswith("2024-01-01 00:00:00")
+
+    def test_json_blob_with_spaces_survives_split(self, spark, tmp_path):
+        from document_convert_to__markdown_spark.sources.cdx import (
+            read_cdx,
+            write_cdx,
+        )
+
+        caps = [("com,sp)/x", "20240101000000",
+                 {"url": "https://sp.com/x", "mime": "text / html",
+                  "status": "200", "digest": "d d d", "length": "1",
+                  "offset": "2", "filename": "a b.warc.gz"})]
+        with open(tmp_path / "s.cdx", "wb") as fh:
+            write_cdx(caps, fh)
+        r = read_cdx(spark, str(tmp_path)).collect()[0]
+        assert r["mime"] == "text / html"
+        assert r["filename"] == "a b.warc.gz"
+
+    def test_malformed_line_yields_null_url_not_crash(self, spark,
+                                                      tmp_path):
+        (tmp_path / "bad.cdx").write_bytes(
+            b"com,ok)/a 20240101000000 {\"url\": \"https://ok/a\"}\n"
+            b"garbage-without-json\n")
+        from document_convert_to__markdown_spark.sources.cdx import (
+            read_cdx,
+        )
+
+        df = read_cdx(spark, str(tmp_path))
+        assert df.count() == 2          # no silent drops
+        assert df.filter("url is null").count() == 1
+        assert df.filter("url = 'https://ok/a'").count() == 1
+
+    def test_writer_sorts_by_surt(self, tmp_path):
+        from document_convert_to__markdown_spark.sources.cdx import (
+            write_cdx,
+        )
+
+        with open(tmp_path / "o.cdx", "wb") as fh:
+            write_cdx(list(reversed(self.CAPS)), fh)
+        lines = (tmp_path / "o.cdx").read_bytes().decode().splitlines()
+        assert [ln.split(" ", 1)[0] for ln in lines] == ["com,ex)/a",
+                                                         "com,ex)/b"]
+
+
 class TestStreamStreamOuterJoin:
     def test_three_emission_classes(self, spark, tmp_path):
         """Matched click → pair row; unmatched click with a closed
