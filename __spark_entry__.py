@@ -2489,6 +2489,73 @@ def _q_cdx_ingest(spark, sf):
             .orderBy("status"))
 
 
+def _q_cdx_selective_fetch(spark, sf):
+    """Index-driven point reads (sources/warc.py:fetch_warc_by_index +
+    write_warc_members — Common Crawl's per-record-gzip-member framing
+    and documented ranged-GET access pattern): 40 documents serialize
+    into two member-framed WARC archives; the real (offset, length)
+    manifest becomes a CDXJ index; the index is FILTERED (status 200)
+    and only the surviving captures are fetched by seek+read of one
+    gzip member each — the 404 records' bytes are never touched.
+    Fetched bodies are matched back to the source relation by url +
+    md5.  The oracle re-derives the fetch set size from the status
+    rule over the documents table."""
+    import datetime as _dt
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources.cdx import (
+        read_cdx,
+        write_cdx,
+    )
+    from document_convert_to__markdown_spark.sources.warc import (
+        fetch_warc_by_index,
+        write_warc_members,
+    )
+
+    n = 40
+    src = (_load(spark, sf, "documents")
+           .orderBy("doc_id").limit(n)
+           .select("doc_id", "text",
+                   F.concat(F.lit("https://docs.example/"),
+                            F.col("doc_id")).alias("url")))
+    rows = [(r["url"], r["text"].encode("utf-8"), int(r["doc_id"]))
+            for r in src.collect()]  # bounded: 40
+    base = tempfile.mkdtemp(prefix="doc2md_cdxfetch_q_")
+    t0 = _dt.datetime(2024, 1, 1)
+    caps = []
+    for shard, chunk in enumerate((rows[:25], rows[25:])):
+        fname = f"crawl-{shard:02d}.warc.gz"
+        with open(f"{base}/{fname}", "wb") as fh:
+            manifest = write_warc_members(
+                [(u, b) for (u, b, _d) in chunk], fh)
+        for (u, off, ln), (_u, _b, d) in zip(manifest, chunk):
+            ts14 = (t0 + _dt.timedelta(seconds=d)).strftime(
+                "%Y%m%d%H%M%S")
+            caps.append((f"example,docs)/{d}", ts14, {
+                "url": u, "mime": "text/html",
+                "status": "200" if d % 7 else "404",
+                "digest": "-", "length": str(ln),
+                "offset": str(off), "filename": fname,
+            }))
+    with open(f"{base}/index.cdx.gz", "wb") as fh:
+        write_cdx(caps, fh, compress=True)
+
+    index = read_cdx(spark, f"{base}/index.cdx.gz")
+    wanted = index.filter(F.col("status") == "200")
+    fetched = fetch_warc_by_index(spark, wanted, base) \
+        .select("url", F.md5(F.col("html").cast("string")).alias("md5"))
+    want = src.select("url", F.md5("text").alias("md5"))
+    joined = fetched.alias("g").join(want.alias("w"), "url")
+    return spark.createDataFrame(
+        [(
+            fetched.count(),
+            joined.filter("g.md5 <=> w.md5").count(),
+            fetched.join(want, "url", "left_anti").count(),
+        )],
+        "n_fetched bigint, n_md5_match bigint, n_unmatched bigint",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-4 head.  The driver scores exactly the FIRST 50
@@ -2528,6 +2595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_datasource_scan": _q_wet_datasource_scan,   # new round 4b
         "stream_stream_outer_join": _q_stream_stream_outer_join,  # 4b
         "cdx_ingest": _q_cdx_ingest,                     # new round 4b
+        "cdx_selective_fetch": _q_cdx_selective_fetch,   # new round 4b
         # --- r03-green entries filling the rest of the window ---
         "token_budget_select": _q_token_budget_select,
         "sketch_distinct": _q_sketch_distinct,
@@ -3124,6 +3192,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(n_wet_docs, n_text_match, n_unmatched)
+        """,
+        # Selective-fetch counts from the status rule: every first-40
+        # doc with doc_id % 7 <> 0 is fetched and md5-matches.
+        "cdx_selective_fetch": """
+            WITH d AS (
+              SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+            )
+            SELECT CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_fetched,
+                   CAST(sum(CASE WHEN doc_id % 7 <> 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_md5_match,
+                   CAST(0 AS BIGINT) AS n_unmatched
+            FROM d
         """,
         # CDXJ replay: every derived capture field — including the
         # label-reversed SURT — recomputed from the documents table.

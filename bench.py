@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "wet_datasource_scan",
     "stream_stream_outer_join",
     "cdx_ingest",
+    "cdx_selective_fetch",
     # stream_dedup_ingest excluded like quality_classifier: two full
     # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
     # not a query; its components (dedup_incremental, minhash bands,

@@ -268,6 +268,64 @@ class TestCdxSource:
                                                          "com,ex)/b"]
 
 
+class TestWarcSelectiveFetch:
+    ROWS = [(f"https://m{i}.org/p", f"member body {i}".encode())
+            for i in range(30)]
+
+    def _write(self, path):
+        from document_convert_to__markdown_spark.sources.warc import (
+            write_warc_members,
+        )
+
+        with open(path, "wb") as fh:
+            return write_warc_members(self.ROWS, fh)
+
+    def test_manifest_offsets_are_point_readable(self, tmp_path):
+        import gzip as _g
+
+        from document_convert_to__markdown_spark.sources.warc import (
+            http_response_body,
+            iter_records,
+        )
+
+        p = tmp_path / "m.warc.gz"
+        manifest = self._write(p)
+        assert len(manifest) == 30
+        data = p.read_bytes()
+        assert manifest[-1][1] + manifest[-1][2] == len(data)
+        for (url, off, ln), (want_url, want_body) in zip(manifest,
+                                                         self.ROWS):
+            rec = next(iter_records(data[off:off + ln]))
+            assert rec.target_uri == url == want_url
+            assert http_response_body(rec.payload) == want_body
+
+    def test_fetch_reads_only_requested_members(self, spark, tmp_path):
+        """Corrupt every member EXCEPT the three requested ones: a
+        point-reading fetch succeeds; any implementation that scans
+        the archive would hit garbage."""
+        p = tmp_path / "m.warc.gz"
+        manifest = self._write(p)
+        data = bytearray(p.read_bytes())
+        keep = {5, 17, 29}
+        for i, (_u, off, ln) in enumerate(manifest):
+            if i not in keep:
+                data[off:off + ln] = b"\x00" * ln
+        p.write_bytes(bytes(data))
+
+        from document_convert_to__markdown_spark.sources.warc import (
+            fetch_warc_by_index,
+        )
+
+        caps = spark.createDataFrame(
+            [("m.warc.gz", manifest[i][1], manifest[i][2])
+             for i in sorted(keep)],
+            "filename string, offset long, length long")
+        got = sorted((r["url"], bytes(r["html"])) for r in
+                     fetch_warc_by_index(spark, caps,
+                                         str(tmp_path)).collect())
+        assert got == sorted(self.ROWS[i] for i in sorted(keep))
+
+
 class TestStreamStreamOuterJoin:
     def test_three_emission_classes(self, spark, tmp_path):
         """Matched click → pair row; unmatched click with a closed
