@@ -2556,6 +2556,56 @@ def _q_cdx_selective_fetch(spark, sf):
     )
 
 
+def _q_charset_decode(spark, sf):
+    """WHATWG-ordered charset sniffing (extractors/charset.py +
+    operators/charset.py — real crawls are not UTF-8): 40 documents
+    re-encode four ways (UTF-8 BOM, UTF-16 BOM, meta-declared
+    iso-8859-1 → windows-1252 alias, unlabeled non-UTF-8 bytes →
+    cp1252 fallback), run through the Arrow-batched detect_and_decode
+    pass, and every decoded text is compared against its relationally
+    computed expectation.  The oracle replays the class rule; the
+    match counts are the proof the decode is lossless per class."""
+    from document_convert_to__markdown_spark.operators.charset import (
+        detect_and_decode,
+    )
+
+    n = 40
+    src = (_load(spark, sf, "documents")
+           .orderBy("doc_id").limit(n).select("doc_id", "text"))
+    rows = [(int(r["doc_id"]), r["text"]) for r in src.collect()]  # 40
+
+    def squash(s):
+        return s.encode("ascii", "replace").decode("ascii")
+
+    payloads, expected = [], []
+    for d, text in rows:
+        cls = d % 4
+        if cls == 0:
+            want = text
+            blob = b"\xef\xbb\xbf" + text.encode("utf-8")
+        elif cls == 1:
+            want = text
+            blob = text.encode("utf-16")        # BOM + LE
+        elif cls == 2:
+            want = '<meta charset="iso-8859-1">' + squash(text)
+            blob = want.encode("cp1252")
+        else:
+            want = squash(text) + "é"
+            blob = want.encode("cp1252")        # trailing 0xe9: not UTF-8
+        payloads.append((d, bytearray(blob)))
+        expected.append((d, want))
+
+    blobs = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    want_df = spark.createDataFrame(expected, "doc_id long, want string")
+    decoded = detect_and_decode(blobs, blob_col="payload")
+    return (decoded.join(want_df, "doc_id")
+            .groupBy("encoding", "enc_how")
+            .agg(F.count("*").alias("n"),
+                 F.sum((F.col("text") == F.col("want")).cast("long"))
+                 .alias("n_match"))
+            .orderBy("encoding", "enc_how"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-4 head.  The driver scores exactly the FIRST 50
@@ -2596,6 +2646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_stream_outer_join": _q_stream_stream_outer_join,  # 4b
         "cdx_ingest": _q_cdx_ingest,                     # new round 4b
         "cdx_selective_fetch": _q_cdx_selective_fetch,   # new round 4b
+        "charset_decode": _q_charset_decode,             # new round 4b
         # --- r03-green entries filling the rest of the window ---
         "token_budget_select": _q_token_budget_select,
         "sketch_distinct": _q_sketch_distinct,
@@ -3192,6 +3243,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(n_wet_docs, n_text_match, n_unmatched)
+        """,
+        # Charset-class replay: encoding/how per doc_id % 4; the match
+        # count equals the class count (lossless decode by
+        # construction, verified Spark-side against the relational
+        # expectation).
+        "charset_decode": """
+            WITH d AS (
+              SELECT doc_id FROM documents ORDER BY doc_id LIMIT 40
+            ), cls AS (
+              SELECT CASE CAST(doc_id % 4 AS INTEGER)
+                       WHEN 0 THEN 'utf-8-sig'
+                       WHEN 1 THEN 'utf-16-le'
+                       ELSE 'cp1252' END AS encoding,
+                     CASE CAST(doc_id % 4 AS INTEGER)
+                       WHEN 0 THEN 'bom'
+                       WHEN 1 THEN 'bom'
+                       WHEN 2 THEN 'meta'
+                       ELSE 'fallback' END AS enc_how
+              FROM d
+            )
+            SELECT encoding, enc_how, count(*) AS n,
+                   count(*) AS n_match
+            FROM cls GROUP BY encoding, enc_how
+            ORDER BY encoding, enc_how
         """,
         # Selective-fetch counts from the status rule: every first-40
         # doc with doc_id % 7 <> 0 is fetched and md5-matches.

@@ -88,6 +88,8 @@ def salted_join(facts: DataFrame, dims: DataFrame, on,
             f"across salt replicas; use inner/left/left_semi/left_anti")
     if n_salt < 1:
         raise ValueError("n_salt must be >= 1")
+    if _SALT in facts.columns or _SALT in dims.columns:
+        raise ValueError(f"input already has a {_SALT} column")
 
     # Deterministic per-row salt from the full fact row content: a hot
     # KEY spreads because its rows differ in payload; fully identical
