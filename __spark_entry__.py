@@ -2606,6 +2606,51 @@ def _q_charset_decode(spark, sf):
             .orderBy("encoding", "enc_how"))
 
 
+def _q_snapshot_schema_evolution(spark, sf):
+    """Additive schema evolution on the snapshot table (sources/
+    snapshot.py — each manifest carries its schema; `read` hands the
+    scan that version's explicit schema, so pre-evolution files
+    null-fill later columns with no mergeSchema footer reads, and
+    time travel presents each version's own column set): v1 commits
+    (doc_id, lang); v2 appends (doc_id, lang, quality) under
+    allow_evolution=True.  Dropping/re-typing is refused outright
+    (tests pin the refusals).  The oracle recomputes every count and
+    the exact dyadic quality sum from the documents table."""
+    import shutil
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    docs = _load(spark, sf, "documents")
+    root = tempfile.mkdtemp(prefix="doc2md_evolve_q_")
+    try:
+        snap.commit_append(
+            docs.filter("doc_id < 40").select("doc_id", "lang"), root)
+        snap.commit_append(
+            docs.filter("doc_id >= 40 and doc_id < 80")
+            .select("doc_id", "lang",
+                    (F.col("n_chars") * 0.25).alias("quality")),
+            root, allow_evolution=True)
+
+        cur = snap.read(spark, root)
+        v1 = snap.read(spark, root, version=1)
+        row = cur.agg(
+            F.count("*").alias("n_rows"),
+            F.count("quality").alias("n_quality"),
+            F.sum(F.col("quality").isNull().cast("long"))
+            .alias("n_null_quality"),
+            F.round(F.sum("quality"), 2).alias("sum_quality"),
+        ).collect()[0]
+        return spark.createDataFrame(
+            [(row["n_rows"], row["n_quality"], row["n_null_quality"],
+              float(row["sum_quality"]), len(v1.columns), v1.count())],
+            "n_rows bigint, n_quality bigint, n_null_quality bigint, "
+            "sum_quality double, v1_n_cols bigint, v1_rows bigint",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-4 head.  The driver scores exactly the FIRST 50
@@ -2647,6 +2692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_ingest": _q_cdx_ingest,                     # new round 4b
         "cdx_selective_fetch": _q_cdx_selective_fetch,   # new round 4b
         "charset_decode": _q_charset_decode,             # new round 4b
+        "snapshot_schema_evolution": _q_snapshot_schema_evolution,  # 4b
         # --- r03-green entries filling the rest of the window ---
         "token_budget_select": _q_token_budget_select,
         "sketch_distinct": _q_sketch_distinct,
@@ -3243,6 +3289,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(n_wet_docs, n_text_match, n_unmatched)
+        """,
+        # Evolution replay: 40 v1 rows (2 cols) + 40 v2 rows carrying
+        # quality = n_chars * 0.25 (dyadic, so the sum is exact in
+        # both engines).
+        "snapshot_schema_evolution": """
+            SELECT CAST(80 AS BIGINT) AS n_rows,
+                   CAST(40 AS BIGINT) AS n_quality,
+                   CAST(40 AS BIGINT) AS n_null_quality,
+                   round((SELECT sum(n_chars) * 0.25 FROM documents
+                          WHERE doc_id >= 40 AND doc_id < 80), 2)
+                     AS sum_quality,
+                   CAST(2 AS BIGINT) AS v1_n_cols,
+                   CAST(40 AS BIGINT) AS v1_rows
         """,
         # Charset-class replay: encoding/how per doc_id % 4; the match
         # count equals the class count (lossless decode by

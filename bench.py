@@ -98,6 +98,7 @@ BENCH_QUERIES = [
     "cdx_ingest",
     "cdx_selective_fetch",
     "charset_decode",
+    "snapshot_schema_evolution",
     # stream_dedup_ingest excluded like quality_classifier: two full
     # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
     # not a query; its components (dedup_incremental, minhash bands,

@@ -42,6 +42,9 @@ class Snapshot:
     op: str
     parent: int
     files: list
+    # Schema of the table AS OF this snapshot (StructType.jsonValue()).
+    # None on manifests written before schema tracking existed.
+    schema: dict | None = None
 
 
 def _snap_dir(root: str) -> str:
@@ -61,7 +64,7 @@ def load_snapshot(root: str, version: int) -> Snapshot:
     with open(os.path.join(_snap_dir(root), f"v{version:05d}.json")) as f:
         d = json.load(f)
     return Snapshot(version=version, op=d["op"], parent=d["parent"],
-                    files=d["files"])
+                    files=d["files"], schema=d.get("schema"))
 
 
 def versions(root: str) -> list:
@@ -94,7 +97,13 @@ def _commit(root: str, df: DataFrame, op: str,
         files = new_files
     else:
         files = load_snapshot(root, parent).files + new_files
-    manifest = {"op": op, "parent": parent, "files": files}
+    manifest = {"op": op, "parent": parent, "files": files,
+                # Table schema as of this snapshot: lets `read` hand
+                # the scan an explicit schema (older files null-fill
+                # columns added later — additive evolution without
+                # mergeSchema's per-file footer reads) and pins
+                # deterministic column order per version.
+                "schema": df.schema.jsonValue()}
 
     # Write-then-rename: the manifest and the current pointer both land
     # atomically; a crash before either leaves the table at `parent`.
@@ -110,8 +119,38 @@ def _commit(root: str, df: DataFrame, op: str,
     return Snapshot(version=version, op=op, parent=parent, files=files)
 
 
-def commit_append(df: DataFrame, root: str) -> Snapshot:
-    """Append-commit: new snapshot = parent files + this df's files."""
+def commit_append(df: DataFrame, root: str,
+                  allow_evolution: bool = False) -> Snapshot:
+    """Append-commit: new snapshot = parent files + this df's files.
+
+    Schema compatibility is gated Iceberg-style: dropping or
+    re-typing an existing column is ALWAYS refused (existing readers
+    would silently lose data); ADDING columns is additive evolution —
+    allowed with ``allow_evolution=True``, after which ``read`` of the
+    new version null-fills the column for pre-evolution files, while
+    time travel to an older version still presents that version's own
+    schema (each manifest carries its schema).
+    """
+    parent = current_version(root)
+    if parent > 0:
+        prev = load_snapshot(root, parent).schema
+        if prev is not None:
+            prev_f = {f["name"]: f["type"] for f in prev["fields"]}
+            new_f = {f["name"]: f["type"]
+                     for f in df.schema.jsonValue()["fields"]}
+            dropped = sorted(n for n in prev_f if n not in new_f)
+            retyped = sorted(n for n in prev_f
+                             if n in new_f and prev_f[n] != new_f[n])
+            if dropped or retyped:
+                raise ValueError(
+                    f"incompatible append schema: dropped={dropped} "
+                    f"retyped={retyped} — dropping/re-typing a column "
+                    f"breaks existing snapshot readers")
+            added = sorted(n for n in new_f if n not in prev_f)
+            if added and not allow_evolution:
+                raise ValueError(
+                    f"append adds columns {added}; pass "
+                    f"allow_evolution=True to evolve the table schema")
     return _commit(root, df, "append")
 
 
@@ -130,6 +169,18 @@ def read(spark: SparkSession, root: str, version: int | None = None
     if v == 0:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     snap = load_snapshot(root, v)
+    if snap.schema is not None:
+        # Explicit per-version schema: files written before an
+        # additive evolution null-fill the newer columns, without
+        # mergeSchema's per-file footer reads; column order is pinned
+        # per version.  Top-level fields read as nullable (a column
+        # absent from an old file IS null there).
+        from pyspark.sql.types import StructField, StructType
+
+        st = StructType.fromJson(snap.schema)
+        st = StructType([StructField(f.name, f.dataType, True, f.metadata)
+                         for f in st.fields])
+        return spark.read.schema(st).parquet(*snap.files)
     return spark.read.parquet(*snap.files)
 
 

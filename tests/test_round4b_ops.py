@@ -268,6 +268,66 @@ class TestCdxSource:
                                                          "com,ex)/b"]
 
 
+class TestSnapshotSchemaEvolution:
+    def _base(self, spark, tmp_path):
+        from document_convert_to__markdown_spark.sources import snapshot
+
+        root = str(tmp_path / "tbl")
+        snapshot.commit_append(
+            spark.createDataFrame([(1, "en"), (2, "de")],
+                                  "doc_id long, lang string"), root)
+        return snapshot, root
+
+    def test_additive_evolution_null_fills_old_files(self, spark,
+                                                     tmp_path):
+        snapshot, root = self._base(spark, tmp_path)
+        snapshot.commit_append(
+            spark.createDataFrame([(3, "fr", 0.5)],
+                                  "doc_id long, lang string, q double"),
+            root, allow_evolution=True)
+        cur = snapshot.read(spark, root)
+        assert cur.columns == ["doc_id", "lang", "q"]
+        got = {r["doc_id"]: r["q"] for r in cur.collect()}
+        assert got == {1: None, 2: None, 3: 0.5}
+
+    def test_time_travel_keeps_old_schema(self, spark, tmp_path):
+        snapshot, root = self._base(spark, tmp_path)
+        snapshot.commit_append(
+            spark.createDataFrame([(3, "fr", 0.5)],
+                                  "doc_id long, lang string, q double"),
+            root, allow_evolution=True)
+        v1 = snapshot.read(spark, root, version=1)
+        assert v1.columns == ["doc_id", "lang"]
+        assert v1.count() == 2
+
+    def test_added_column_requires_opt_in(self, spark, tmp_path):
+        snapshot, root = self._base(spark, tmp_path)
+        with pytest.raises(ValueError, match="allow_evolution"):
+            snapshot.commit_append(
+                spark.createDataFrame(
+                    [(3, "fr", 0.5)],
+                    "doc_id long, lang string, q double"), root)
+
+    def test_drop_and_retype_always_refused(self, spark, tmp_path):
+        snapshot, root = self._base(spark, tmp_path)
+        with pytest.raises(ValueError, match="dropped"):
+            snapshot.commit_append(
+                spark.createDataFrame([(3,)], "doc_id long"),
+                root, allow_evolution=True)
+        with pytest.raises(ValueError, match="retyped"):
+            snapshot.commit_append(
+                spark.createDataFrame([(3, 7)],
+                                      "doc_id long, lang long"),
+                root, allow_evolution=True)
+
+    def test_same_schema_append_unaffected(self, spark, tmp_path):
+        snapshot, root = self._base(spark, tmp_path)
+        snapshot.commit_append(
+            spark.createDataFrame([(3, "fr")],
+                                  "doc_id long, lang string"), root)
+        assert snapshot.read(spark, root).count() == 3
+
+
 class TestWarcSelectiveFetch:
     ROWS = [(f"https://m{i}.org/p", f"member body {i}".encode())
             for i in range(30)]
