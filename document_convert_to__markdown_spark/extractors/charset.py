@@ -37,10 +37,13 @@ _BOMS = [
     (b"\xfe\xff", "utf-16-be"),
 ]
 
-# <meta charset="..."> or charset=... inside a content attribute,
-# scanned over the latin-1 view of the first kilobyte.
+# <meta charset="..."> or <meta http-equiv=... content="..;
+# charset=..">, scanned over the latin-1 view of the first kilobyte.
+# The charset= must sit INSIDE a <meta ...> tag — a stray
+# "?charset=x" in body text or a link url must not hijack the decode.
 _META_RE = re.compile(
-    r"""charset\s*=\s*["']?\s*([A-Za-z0-9._:\-]+)""", re.IGNORECASE)
+    r"""<meta[^>]{0,200}?charset\s*=\s*["']?\s*([A-Za-z0-9._:\-]+)""",
+    re.IGNORECASE)
 _PRESCAN_BYTES = 1024
 
 # WHATWG label→encoding essentials (the registry's most common rows).

@@ -392,9 +392,14 @@ def stream_stream_attribution_outer(spark: SparkSession, events_path: str,
     dropped.  At crawl scale the same shape reports fetched pages that
     never got a parse result within the freshness horizon.
 
-    Drained with availableNow the emitted set is deterministic and
-    exactly SQL-expressible (Spark runs a final no-data micro-batch to
-    advance the watermark and flush expired state — verified by test):
+    Drained with availableNow over a single-file source (the
+    ``_as_stream_source`` contract here — one data batch, then the
+    final no-data micro-batch that advances the watermark and flushes
+    expired state) the emitted set is deterministic and exactly
+    SQL-expressible; a multi-file out-of-order source could evict a
+    click mid-run before a later file delivered its in-horizon
+    purchase, which is correct streaming semantics but not the batch
+    join the oracle replays:
 
     - matched rows  = the batch interval join, unconditionally;
     - null-buy rows = clicks with no in-horizon purchase AND

@@ -58,6 +58,13 @@ class TestSniffPure:
             text, enc, how = sniff_decode(blob)
             assert isinstance(text, str)
 
+    def test_charset_outside_meta_tag_is_ignored(self):
+        # A stray charset= in body text or a link url must not hijack
+        # the decode — only <meta ...charset=...> counts.
+        for blob in (b'see <a href="/x?charset=iso-8859-1">link</a>',
+                     b"the word charset=latin1 in prose"):
+            assert sniff_encoding(blob) == ("utf-8", "utf8")
+
     def test_unknown_label_falls_through(self):
         # An unrecognized charset label must not crash — fall through
         # to the utf-8 trial.
