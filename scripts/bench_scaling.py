@@ -336,6 +336,58 @@ crawl (duplicate rate a few percent, unique band hashes) the join is
 ~100x sparser.  The all-flagged / zero-novelty outputs match the
 closed-form expectation of the degenerate corpus exactly.
 
+## Soak: continuous dedup-ingest loop at 100k docs per batch
+
+`scripts/soak_ingest.py 100000` drives `run_stream_dedup_ingest` (the
+foreachBatch crawl-ingest loop: in-batch exact dedup → near-dup screen
+against the persistent MinHash band index → survivors appended to
+corpus + index) through two 100k-document crawl batches with embedded
+structure making every output count closed-form checkable — batch 2
+is 50% exact re-crawls of batch 1 and 50% novel documents:
+
+```json
+{{"metric": "stream_dedup_ingest_soak", "n_per_batch": 100000, "cores": 32, "batch1_sec": 15.0, "batch2_sec": 10.3, "rows_total": 200000, "n_flagged": 50000, "n_kept": 150000, "index_bands": 1200000, "checks": "pass"}}
+```
+
+All four checks exact: every batch-1 doc kept, exactly the 50,000
+re-crawls flagged, the index holds 8 bands per kept doc.  Batch 2 is
+*faster* than batch 1 despite screening against a 100k-doc index —
+per-batch work is O(batch), not O(corpus), as designed.
+
+Soak-caught bug (in the soak itself, a good negative control): the
+first version drew "novel" batch-2 texts from the same cyclic word
+generator at an offset that collapses mod its prime (11n ≡ 99 mod
+99991), making every "novel" doc a byte-identical (or 20/21-word)
+twin of a batch-1 doc — and the dedup screen **correctly flagged all
+100,009 of them**, failing the closed-form count and proving the
+near-dup path catches what it should.  The synthesizer now embeds the
+id as a word (injectivity) and draws novel docs from a second
+generator (band separation); the screen's behavior needed no change.
+
+## Soak: round-4b join hardening at 10^6 rows
+
+`scripts/soak_round4b.py 1000000` (local[32], broadcast joins disabled
+so the shuffles under test actually happen):
+
+```json
+{{"metric": "round4b_join_soak", "n_facts": 1000000, "cores": 32, "skew_plain_rows": 1000000, "skew_plain_checksum": 7032855420499604279, "skew_plain_sec": 4.9, "skew_salted_rows": 1000000, "skew_salted_checksum": 7032855420499604279, "skew_salted_sec": 3.7, "bloom_plain_rows": 10000, "bloom_plain_checksum": -946644047313680271, "bloom_plain_sec": 1.8, "bloom_kept_rows": 10030, "bloom_join_rows": 10000, "bloom_join_checksum": -946644047313680271, "bloom_sec": 5.2, "bloom_pruned_rows": 989970, "checks": "pass"}}
+```
+
+- **Salted join** under 50%-single-key skew: row-set checksum
+  identical to the plain join, 3.7s vs 4.9s — a 24% win even on one
+  machine, where "skew" only serializes threads; on a real cluster
+  the plain join's hot partition pins one executor while the rest of
+  the stage idles, and the gap scales with executor count.
+- **Bloom pruning** at 1% join selectivity: 989,970 of 10^6 fact rows
+  die scan-side (30 false positives out of 10,030 kept — fpp 0.3%,
+  matching the m=2^16/k=5/n=10^3 math), and the exact join result is
+  checksum-identical to the plain join.  Local wall-clock is HIGHER
+  than the plain join (5.2s vs 1.8s: the filter build is an extra
+  aggregation, and a single-box shuffle of 1M narrow rows is nearly
+  free) — the operator's currency is *shuffle bytes at cluster
+  scale*, where those 989,970 rows each cost network + spill, not
+  local seconds.  Use when selectivity is low and fact rows are wide.
+
 ## Round-4 soak re-run (xxhash64 band hashes)
 
 Full `soak_round3b.py` re-run at round-4 HEAD after widening
