@@ -30,6 +30,10 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--input-warc", default=None,
                         help="directory/glob of WARC archives "
                              "(.warc/.warc.gz, Common-Crawl shape)")
+    parser.add_argument("--input-wet", default=None,
+                        help="directory/glob of WET text archives "
+                             "(.wet/.wet.gz) — conversion records enter "
+                             "the pipeline as text/plain documents")
     parser.add_argument("--n-docs", type=int, default=None,
                         help="synthesize this many pages instead of reading a table")
     parser.add_argument("--seed", type=int, default=42)
@@ -71,9 +75,9 @@ def main(argv: list[str] | None = None) -> int:
     if not args.output:
         parser.error("--output is required")
     if not (args.input_table or args.n_docs or args.input_dir
-            or args.input_warc):
+            or args.input_warc or args.input_wet):
         parser.error("one of --input-table / --input-dir / --input-warc "
-                     "/ --n-docs is required")
+                     "/ --input-wet / --n-docs is required")
 
     from .pipeline.session import build_session
     from .pipeline.job import run_extraction_resumable
@@ -90,6 +94,20 @@ def main(argv: list[str] | None = None) -> int:
         elif args.input_warc:
             from .sources.warc import read_warc_pages
             pages = read_warc_pages(spark, args.input_warc)
+        elif args.input_wet:
+            from pyspark.sql import functions as F
+
+            from .sources.warc import read_wet_pages
+            wet = read_wet_pages(spark, args.input_wet)
+            # WET payloads are already-extracted plain text: they ride
+            # the pages relation as text/plain bodies (the sniffer
+            # routes them through the text extractor's markdown
+            # normalization + cleanup chain).
+            pages = wet.select(
+                "url", "warc_ts",
+                F.encode("text", "utf-8").alias("html"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"))
         else:
             from .sources import read_pages
             pages = read_pages(spark, args.input_table)
