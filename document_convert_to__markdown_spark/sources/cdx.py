@@ -55,7 +55,10 @@ def read_cdx(spark, path_glob: str) -> DataFrame:
     surface as null-url rows rather than killing the scan — filter on
     ``url is not null`` for the strict view (no silent drops: the row
     count is preserved)."""
-    lines = spark.read.text(path_glob)
+    return _parse_cdx_lines(spark.read.text(path_glob))
+
+
+def _parse_cdx_lines(lines: DataFrame) -> DataFrame:
     parts = F.split(F.col("value"), " ", 3)
     # F.get (not []): a short line must yield nulls, not an ANSI
     # array-index error that kills the whole scan.
@@ -79,6 +82,19 @@ def read_cdx(spark, path_glob: str) -> DataFrame:
             F.col("j.filename").alias("filename"),
         )
     )
+
+
+def read_cdx_stream(spark, path_glob: str,
+                    max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming twin of ``read_cdx``: each crawl publishes new index
+    files; they arrive as micro-batches (checkpointed exactly-once per
+    file), parsed by the same relational pipeline — the continuous
+    front half of an index-driven selective-fetch loop."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger",
+                               max_files_per_trigger)
+    return _parse_cdx_lines(reader.load(path_glob))
 
 
 def write_cdx(rows, fh: io.BufferedIOBase, compress: bool = False) -> int:

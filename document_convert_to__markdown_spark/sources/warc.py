@@ -491,6 +491,28 @@ def read_wet_pages(spark, path_glob: str):
     return files.mapInPandas(_explode_wet_blobs, schema=schema)
 
 
+def read_wet_pages_stream(spark, path_glob: str,
+                          max_files_per_trigger: Optional[int] = None):
+    """Streaming twin of ``read_wet_pages`` (same shape as
+    ``read_warc_pages_stream``): new WET segments arriving in the
+    directory become micro-batches, checkpoint-guaranteed
+    exactly-once per file."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("text", T.StringType()),
+    ])
+    reader = (spark.readStream.format("binaryFile")
+              .schema(BINARY_FILE_SCHEMA)
+              .option("pathGlobFilter", "*.wet*"))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path_glob).select("content")
+    return files.mapInPandas(_explode_wet_blobs, schema=schema)
+
+
 def write_wet(rows, fh: io.BufferedIOBase, compress: bool = False,
               warc_date: str = "2024-01-01T00:00:00Z") -> int:
     """Serialize (url, text) pairs as WET ``conversion`` records.

@@ -386,6 +386,53 @@ class TestWarcSelectiveFetch:
         assert got == sorted(self.ROWS[i] for i in sorted(keep))
 
 
+def _drain(df, name):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    assert q.awaitTermination(120)
+    return df.sparkSession.table(name)
+
+
+class TestStreamingSourceTwins:
+    def test_wet_stream_equals_batch(self, spark, tmp_path):
+        from document_convert_to__markdown_spark.sources.warc import (
+            read_wet_pages,
+            read_wet_pages_stream,
+            write_wet,
+        )
+
+        rows = [(f"https://s{i}.org/p", f"stream text {i}")
+                for i in range(15)]
+        with open(tmp_path / "a.wet.gz", "wb") as fh:
+            write_wet(rows, fh, compress=True)
+        got = _drain(read_wet_pages_stream(spark, str(tmp_path)),
+                     "wet_stream_t")
+        batch = read_wet_pages(spark, str(tmp_path))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, batch.collect()))
+
+    def test_cdx_stream_equals_batch(self, spark, tmp_path):
+        from document_convert_to__markdown_spark.sources.cdx import (
+            read_cdx,
+            read_cdx_stream,
+            write_cdx,
+        )
+
+        caps = [(f"com,s{i})/", "20240101000000",
+                 {"url": f"https://s{i}.com/", "mime": "text/html",
+                  "status": "200", "digest": "d", "length": str(i),
+                  "offset": "0", "filename": "c.warc.gz"})
+                for i in range(12)]
+        with open(tmp_path / "i.cdx.gz", "wb") as fh:
+            write_cdx(caps, fh, compress=True)
+        got = _drain(read_cdx_stream(spark, str(tmp_path)),
+                     "cdx_stream_t")
+        batch = read_cdx(spark, str(tmp_path))
+        assert sorted(map(tuple, got.collect())) == \
+            sorted(map(tuple, batch.collect()))
+        assert got.filter("length = 7").count() == 1
+
+
 class TestStreamStreamOuterJoin:
     def test_three_emission_classes(self, spark, tmp_path):
         """Matched click → pair row; unmatched click with a closed
