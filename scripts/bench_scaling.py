@@ -388,6 +388,27 @@ so the shuffles under test actually happen):
   scale*, where those 989,970 rows each cost network + spill, not
   local seconds.  Use when selectivity is low and fact rows are wide.
 
+## Soak: the whole incremental crawl loop, end to end
+
+`scripts/soak_crawl_loop.py 2000` runs the engine's flagship 100 TB
+shape whole — CDX index → anti-join against the snapshot table →
+point-fetch ONLY the delta out of member-framed WARC (seek+read of
+single gzip members) → extract → MERGE — over two crawl segments
+where segment 2 is half re-crawls:
+
+```json
+{{"metric": "crawl_loop_soak", "n_per_segment": 2000, "cores": 32, "seg1_fetched": 2000, "seg1_sec": 15.0, "seg2_fetched": 1000, "seg2_sec": 7.4, "table_rows": 3000, "n_ok": 2993, "n_skipped": 7, "n_failed": 0, "n_sha_match": 3000, "checks": "pass"}}
+```
+
+Segment 2 fetches exactly its 1,000 new captures — the 1,000
+re-crawled urls are eliminated index-side (~100 bytes/row) and their
+archive members are never read; every one of the 3,000 table rows'
+markdown hashes equals a direct batch extraction of the same corpus
+(byte parity through the whole loop), with the corpus's 7 deliberate
+empty/unsupported documents surfacing as skipped_* status rows and
+zero failures.  At 100 TB this is the difference between re-reading
+the crawl and reading ~the index.
+
 ## Round-4 soak re-run (xxhash64 band hashes)
 
 Full `soak_round3b.py` re-run at round-4 HEAD after widening
