@@ -25,6 +25,12 @@ from .similarity import (  # noqa: F401
     neardup_pairs_cosine,
     train_ivf_centroids,
 )
+from .charset import detect_and_decode  # noqa: F401
+from .joins import (  # noqa: F401
+    bloom_prune_join,
+    salted_join,
+)
+from .retrieval import bm25_topk, rrf_fuse  # noqa: F401
 from .text import (  # noqa: F401
     cleanup_chain,
     fingerprint,
