@@ -2651,6 +2651,57 @@ def _q_snapshot_schema_evolution(spark, sf):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _q_sitemap_discovery(spark, sf):
+    """Sitemap-based crawl seeding (operators/robots.py:
+    sitemap_directives + extract_sitemap_urls — the discovery channel
+    parse_robots_txt deliberately skips because the directive is not
+    group-scoped): per-host robots bodies carry three absolute
+    Sitemap directives (mixed key case, trailing comment, trailing
+    whitespace) plus a relative one that must drop; per-host sitemap
+    XML carries h%3+2 <loc> page urls with internal whitespace plus a
+    relative loc that must drop.  Both relations are synthesized
+    relationally from the documents table; the oracle replays the
+    closed-form counts per host."""
+    from document_convert_to__markdown_spark.operators.robots import (
+        extract_sitemap_urls,
+        sitemap_directives,
+    )
+
+    docs = _load(spark, sf, "documents")
+    hosts = docs.select((F.col("doc_id") % 7).alias("h")).distinct()
+    nl = "\n"
+    site = F.concat(F.lit("https://host"), F.col("h"), F.lit(".site"))
+    robots = hosts.select(
+        F.concat(F.lit("host"), F.col("h"), F.lit(".site")).alias("host"),
+        F.concat(
+            F.lit("# seeds" + nl + "User-agent: *" + nl
+                  + "Disallow: /tmp" + nl + "Sitemap: "),
+            site, F.lit("/sitemap.xml" + nl + "sitemap: "),
+            site, F.lit("/sitemap2.xml  " + nl
+                        + "Sitemap: /relative.xml" + nl
+                        + "Sitemap: https://cdn.example/shared.xml"
+                        + " # mirror"),
+        ).alias("robots_txt"))
+    xml = hosts.select(
+        F.concat(F.lit("host"), F.col("h"), F.lit(".site")).alias("host"),
+        F.concat(
+            F.lit("<urlset>"),
+            F.array_join(F.transform(
+                F.sequence(F.lit(1), F.col("h") % 3 + 2),
+                lambda i: F.concat(F.lit("<url><loc> "), site,
+                                   F.lit("/p/"), i,
+                                   F.lit(" </loc></url>"))), ""),
+            F.lit("<loc>/rel</loc></urlset>"),
+        ).alias("xml"))
+
+    d = (sitemap_directives(robots)
+         .groupBy("host").agg(F.count("*").alias("n_sitemaps")))
+    u = (extract_sitemap_urls(xml)
+         .groupBy("host").agg(F.count("*").alias("n_urls"),
+                              F.min("url").alias("min_url")))
+    return d.join(u, "host").orderBy("host")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # --- Round-4 head.  The driver scores exactly the FIRST 50
@@ -2693,6 +2744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_selective_fetch": _q_cdx_selective_fetch,   # new round 4b
         "charset_decode": _q_charset_decode,             # new round 4b
         "snapshot_schema_evolution": _q_snapshot_schema_evolution,  # 4b
+        "sitemap_discovery": _q_sitemap_discovery,       # new round 4b
         # --- r03-green entries filling the rest of the window ---
         "token_budget_select": _q_token_budget_select,
         "sketch_distinct": _q_sketch_distinct,
@@ -3289,6 +3341,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
               (CAST(40 AS BIGINT), CAST(40 AS BIGINT), CAST(0 AS BIGINT))
             ) AS t(n_wet_docs, n_text_match, n_unmatched)
+        """,
+        # Sitemap replay: 3 absolute directives per host (the relative
+        # one drops), h%3+2 page urls per host (the relative loc
+        # drops), min url is page 1.
+        "sitemap_discovery": """
+            WITH hosts AS (SELECT DISTINCT doc_id % 7 AS h FROM documents)
+            SELECT 'host' || h || '.site' AS host,
+                   CAST(3 AS BIGINT) AS n_sitemaps,
+                   CAST(h % 3 + 2 AS BIGINT) AS n_urls,
+                   'https://host' || h || '.site/p/1' AS min_url
+            FROM hosts ORDER BY host
         """,
         # Evolution replay: 40 v1 rows (2 cols) + 40 v2 rows carrying
         # quality = n_chars * 0.25 (dyadic, so the sum is exact in

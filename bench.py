@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "cdx_selective_fetch",
     "charset_decode",
     "snapshot_schema_evolution",
+    "sitemap_discovery",
     # stream_dedup_ingest excluded like quality_classifier: two full
     # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
     # not a query; its components (dedup_incremental, minhash bands,

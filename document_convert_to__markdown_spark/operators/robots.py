@@ -172,6 +172,58 @@ def parse_robots_txt(robots: DataFrame, agent: str = "*",
     )
 
 
+def sitemap_directives(robots: DataFrame, host_col: str = "host",
+                       text_col: str = "robots_txt") -> DataFrame:
+    """``Sitemap:`` directives out of raw robots.txt bodies →
+    ``(host, sitemap_url)`` — the crawl-seed discovery channel
+    ``parse_robots_txt`` deliberately skips (the directive is not
+    group-scoped: per the sitemaps.org protocol and RFC 9309's
+    extensibility rule it can appear anywhere in the file and applies
+    to all agents, so rule-group machinery must NOT see it).
+
+    One narrow pass: explode lines, comment-strip, case-insensitive
+    key match, project the absolute url.  Relative values are dropped
+    (the protocol requires absolute urls).
+    """
+    line = F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    return (
+        robots
+        .select(F.col(host_col).alias("host"), line)
+        .select("host",
+                F.regexp_extract(F.regexp_replace("line", "#.*", ""),
+                                 r"(?i)^\s*sitemap\s*:\s*(\S+)\s*$", 1)
+                .alias("sitemap_url"))
+        .filter(F.col("sitemap_url").rlike("(?i)^https?://"))
+    )
+
+
+def extract_sitemap_urls(sitemaps: DataFrame, host_col: str = "host",
+                         xml_col: str = "xml") -> DataFrame:
+    """Sitemap XML bodies → ``(host, url, is_index)`` — the seed urls
+    a frontier starts from (compose with :func:`apply_robots` to
+    filter and :func:`frontier_schedule` to order).
+
+    Per the sitemaps.org protocol, both document kinds carry their
+    entries in ``<loc>`` elements: ``<urlset>`` lists page urls,
+    ``<sitemapindex>`` lists more sitemaps (``is_index`` lets the
+    caller loop: fetch the children, feed them back in).  Extraction
+    is one relational ``regexp_extract_all`` + ``explode`` — a
+    full XML parse buys nothing here because ``<loc>`` may not nest.
+    A 50k-url sitemap is ~5 MB of XML: one row, one task, bounded.
+    """
+    locs = F.regexp_extract_all(
+        F.col(xml_col), F.lit(r"<loc>\s*([^<]*?)\s*</loc>"), F.lit(1))
+    return (
+        sitemaps
+        .select(F.col(host_col).alias("host"),
+                F.col(xml_col).rlike("(?i)<sitemapindex")
+                .alias("is_index"),
+                F.explode(locs).alias("url"))
+        .filter(F.col("url").rlike("(?i)^https?://"))
+        .select("host", "url", "is_index")
+    )
+
+
 def frontier_schedule(urls: DataFrame, host_col: str = "host",
                       priority_col: str = "priority",
                       delay_sec: int = 5,

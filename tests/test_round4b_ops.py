@@ -386,6 +386,49 @@ class TestWarcSelectiveFetch:
         assert got == sorted(self.ROWS[i] for i in sorted(keep))
 
 
+class TestSitemapDiscovery:
+    def test_directive_parsing(self, spark):
+        from document_convert_to__markdown_spark.operators.robots import (
+            sitemap_directives,
+        )
+
+        body = ("User-agent: *\nDisallow: /x\n"
+                "Sitemap: https://a.com/s.xml\n"
+                "SITEMAP: https://a.com/s2.xml   \n"
+                "sitemap: https://a.com/s3.xml # mirror\n"
+                "Sitemap: /relative.xml\n"       # dropped: not absolute
+                "# Sitemap: https://a.com/commented.xml\n"
+                "Sitemapx: https://a.com/notakey.xml\n")
+        df = spark.createDataFrame([("a.com", body)],
+                                   "host string, robots_txt string")
+        got = sorted(r["sitemap_url"] for r in
+                     sitemap_directives(df).collect())
+        assert got == ["https://a.com/s.xml", "https://a.com/s2.xml",
+                       "https://a.com/s3.xml"]
+
+    def test_loc_extraction_and_index_flag(self, spark):
+        from document_convert_to__markdown_spark.operators.robots import (
+            extract_sitemap_urls,
+        )
+
+        urlset = ("<urlset><url><loc> https://a.com/1 </loc></url>"
+                  "<url><loc>https://a.com/2</loc></url>"
+                  "<loc>/relative</loc></urlset>")
+        index = ("<sitemapindex><sitemap>"
+                 "<loc>https://a.com/child1.xml</loc></sitemap>"
+                 "<sitemap><loc>https://a.com/child2.xml</loc>"
+                 "</sitemap></sitemapindex>")
+        df = spark.createDataFrame(
+            [("a.com", urlset), ("a.com", index)],
+            "host string, xml string")
+        rows = extract_sitemap_urls(df).collect()
+        pages = sorted(r["url"] for r in rows if not r["is_index"])
+        children = sorted(r["url"] for r in rows if r["is_index"])
+        assert pages == ["https://a.com/1", "https://a.com/2"]
+        assert children == ["https://a.com/child1.xml",
+                            "https://a.com/child2.xml"]
+
+
 def _drain(df, name):
     q = (df.writeStream.format("memory").queryName(name)
          .outputMode("append").trigger(availableNow=True).start())
