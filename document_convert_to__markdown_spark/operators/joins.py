@@ -53,6 +53,11 @@ Two named operators a 100 TB crawl pipeline reaches for when a plain
     (1 - e^(-k·n/m))^k; the defaults (m=2^16, k=5) hold fpp < 1% up
     to n ≈ 6,500 and degrade gracefully (the join stays correct, the
     pruning just gets weaker).  Size ``m_bits ≈ 10×n`` for ~1% fpp.
+    Applicability bound: the bitmap rides the plan as a literal, so
+    ~2^24 bits (2 MiB, ~10^6-10^7 keys at useful fpp) is the practical
+    ceiling — past that the filter stops fitting a plan and the plain
+    shuffle join (or engine-level runtime filtering) is the right
+    tool; this operator's lane is the small-but-unbroadcastable dim.
 
 Scale bounds: ``salted_join`` adds zero driver work and multiplies the
 dim-side exchange by ``n_salt`` (pick 8-32; the dim side is the small
