@@ -388,6 +388,12 @@ so the shuffles under test actually happen):
   scale*, where those 989,970 rows each cost network + spill, not
   local seconds.  Use when selectivity is low and fact rows are wide.
 
+- **Charset sniffing** (`detect_and_decode`, screen 3 of the same
+  soak) over 10^6 raw blobs in three encoding classes: exact
+  per-class counts (333,334 / 333,333 / 333,333) and **227k docs/s**
+  through the Arrow batch path (`"charset_sec": 4.4` at local[32]) —
+  decode keeps pace with every downstream curation operator.
+
 ## Soak: the whole incremental crawl loop, end to end
 
 `scripts/soak_crawl_loop.py 2000` runs the engine's flagship 100 TB

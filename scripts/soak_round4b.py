@@ -1,7 +1,7 @@
-"""Soak the round-4b join-hardening operators at 10^6 rows.
+"""Soak the round-4b operators at 10^6 rows.
 
-Two screens, each with closed-form output checks and a plain-join
-control timing:
+Three screens, each with closed-form output checks (the join screens
+also carry a plain-join control timing):
 
 1. ``salted_join`` on a pathologically skewed fact table (one hot key
    carries 50% of 10^6 rows) against a 10^4-row dim relation, with
@@ -12,6 +12,11 @@ control timing:
 2. ``bloom_prune_join`` on 10^6 facts where only ~1% match a 10^3-row
    dim: checks equality with the plain join, and reports the pruned
    row count (the shuffle the filter saved).
+3. ``detect_and_decode`` (WHATWG charset sniffing) over 10^6 raw
+   blobs in three deterministic encoding classes (UTF-8 BOM / plain
+   UTF-8 / cp1252-fallback bytes): per-class counts are exact thirds,
+   and throughput is reported (the Arrow batch path must stay in the
+   millions-of-docs-per-minute regime).
 
 Usage: python scripts/soak_round4b.py [n_facts]   (default 1000000)
 Prints one JSON line.  Run serialized (no concurrent Spark jobs).
@@ -113,6 +118,33 @@ def main() -> None:
     assert results["bloom_join_checksum"] == results["bloom_plain_checksum"]
     assert results["bloom_kept_rows"] >= n // 100
     assert results["bloom_kept_rows"] < n // 10, "pruning too weak"
+
+    # --- screen 3: charset sniffing over 10^6 raw blobs ---------------
+    from document_convert_to__markdown_spark.operators.charset import (
+        detect_and_decode,
+    )
+
+    body = F.encode(F.concat(F.lit("document body text number "),
+                             F.col("id").cast("string")), "utf-8")
+    blobs = spark.range(0, n).select(
+        F.col("id"),
+        F.when(F.col("id") % 3 == 0,
+               F.concat(F.lit(b"\xef\xbb\xbf"), body))
+        .when(F.col("id") % 3 == 1, body)
+        .otherwise(F.concat(body, F.lit(b" caf\xe9"))).alias("payload"))
+
+    t0 = time.time()
+    decoded = detect_and_decode(blobs, blob_col="payload")
+    by_class = {(r["encoding"], r["enc_how"]): r["n"] for r in
+                decoded.groupBy("encoding", "enc_how")
+                .agg(F.count("*").alias("n")).collect()}
+    results["charset_sec"] = round(time.time() - t0, 1)
+    results["charset_docs_per_sec"] = int(n / max(0.001,
+                                                  results["charset_sec"]))
+    assert by_class[("utf-8-sig", "bom")] == len(range(0, n, 3)), by_class
+    assert by_class[("utf-8", "utf8")] == len(range(1, n, 3)), by_class
+    assert by_class[("cp1252", "fallback")] == len(range(2, n, 3)), \
+        by_class
     results["checks"] = "pass"
 
     print(json.dumps({
