@@ -72,6 +72,37 @@ class TestSniffPure:
             "utf-8", "utf8")
 
 
+class TestSniffFuzz:
+    def test_arbitrary_bytes_never_raise(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=300, deadline=None)
+        @given(st.binary(max_size=2048))
+        def check(blob):
+            text, enc, how = sniff_decode(blob)
+            assert isinstance(text, str)
+            assert how in ("bom", "meta", "utf8", "fallback")
+
+        check()
+
+    def test_wet_parser_never_raises_on_garbage(self):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from document_convert_to__markdown_spark.sources.warc import (
+            texts_from_wet,
+        )
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.binary(max_size=4096))
+        def check(blob):
+            for url, ts, text in texts_from_wet(blob):
+                assert isinstance(text, str)
+
+        check()
+
+
 class TestDetectAndDecodeSpark:
     def test_schema_counts_and_nulls(self, spark):
         from document_convert_to__markdown_spark.operators.charset import (
