@@ -78,11 +78,15 @@ def surt_key(url: Column) -> Column:
     wanted)."""
     host = url_host(url)
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    # Query params sort (the SURT/CDX canonical form): two captures of
+    # the same resource differing only in param order must get the
+    # same sort key, or sorted-index range lookups miss.
     query = F.regexp_extract(url, _QUERY_RE, 1)
+    sorted_q = F.array_join(F.array_sort(F.split(query, "&")), "&")
     return F.concat(
         rev, F.lit(")"), url_path(url),
-        F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"),
-                                                          query)))
+        F.when(query == "", F.lit(""))
+        .otherwise(F.concat(F.lit("?"), sorted_q)))
 
 
 def registered_domain(host: Column) -> Column:

@@ -24,8 +24,21 @@ def detect_and_decode(df: DataFrame, blob_col: str = "html",
     """(keep_cols..., text, encoding, enc_how) — one decoded row per
     input row, never fewer (undecodable bytes are replaced, null blobs
     yield null text): the no-silent-drops invariant."""
-    keep = keep_cols if keep_cols is not None else [
-        c for c in df.columns if c != blob_col]
+    out_names = ("text", "encoding", "enc_how")
+    if keep_cols is not None:
+        clash = sorted(set(keep_cols) & set(out_names))
+        if clash:
+            raise ValueError(f"keep_cols {clash} collide with the "
+                             f"decode output columns {out_names}")
+        keep = keep_cols
+    else:
+        # The standard pages relation already carries oracle 'text' /
+        # 'lang' columns; the decode REPLACES text, so colliding input
+        # columns drop from the default carry-through instead of
+        # producing a duplicate-name schema (which crashes the Arrow
+        # kernel with RESULT_COLUMN_SCHEMA_MISMATCH).
+        keep = [c for c in df.columns
+                if c != blob_col and c not in out_names]
     in_fields = [df.schema[c] for c in keep]
     out_schema = T.StructType(in_fields + [
         T.StructField("text", T.StringType()),

@@ -56,18 +56,26 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
     (the 10^8-host production shape — at that scale an unconditional
     broadcast is a job-killer, not a slowdown: it exceeds
     ``spark.sql.autoBroadcastJoinThreshold`` hard limits and the driver
-    heap).  The default ``None`` probes the rules relation with a
-    bounded ``limit(max_broadcast_rows + 1).count()`` — never a full
-    scan of a huge rules table — and broadcasts only under the cap.
-    Same auto-knob contract as ``dedup.remove_duplicate_paragraphs``.
+    heap).  The default ``None`` materializes the rules relation once
+    (``localCheckpoint``) and probes its size with a bounded
+    ``limit(max_broadcast_rows + 1).count()`` over the materialized
+    data — the probe and the join share ONE computation of the rules
+    lineage (a bare ``limit().count()`` on an unmaterialized relation
+    whose lineage ends in a window/aggregation, as
+    ``parse_robots_txt`` output does, would re-execute the whole
+    pipeline for the probe and again for the join).  At known-huge
+    scale pass ``False`` explicitly and skip both the probe and the
+    checkpoint.  Same auto-knob contract as
+    ``dedup.remove_duplicate_paragraphs``.
     """
     host = url_host(F.col(url_col)).alias("_host")
     path = url_path(F.col(url_col)).alias("_path")
     keyed = urls.select("*", host, path)
     r = rules.select(F.col("host").alias("_rhost"), "prefix", "allow")
     if broadcast_rules is None:
+        r = r.localCheckpoint(eager=True)
         broadcast_rules = (
-            rules.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
+            r.limit(max_broadcast_rows + 1).count() <= max_broadcast_rows
         )
     if broadcast_rules:
         r = broadcast(r)

@@ -208,7 +208,8 @@ def compact(spark: SparkSession, root: str,
     small = [f for f, s in sizes.items() if s < small_file_bytes]
     if len(small) < 2:
         return None
-    big = [f for f in snap.files if f not in set(small)]
+    small_set = set(small)
+    big = [f for f in snap.files if f not in small_set]
     total = sum(sizes[f] for f in small)
     n_out = max(1, -(-total // target_file_bytes))
     compacted = spark.read.parquet(*small).repartition(n_out)
@@ -352,8 +353,15 @@ def read_pruned(spark: SparkSession, root: str, col: str, lo, hi,
         rng = stats.get(f, {}).get(col)
         if not rng or rng[0] is None or rng[1] is None:
             return True
-        mn, mx = type(lo)(rng[0]), type(hi)(rng[1])
-        return not (mx < lo or mn > hi)
+        if isinstance(lo, (int, float)) and not isinstance(lo, bool):
+            mn, mx = type(lo)(rng[0]), type(hi)(rng[1])
+            return not (mx < lo or mn > hi)
+        # Non-numeric stats (timestamps, dates, strings) are json-
+        # serialized via str() at commit time; their ISO / lexical
+        # string forms order consistently, so compare in string space
+        # rather than crashing on type(lo)(str) reconstruction.
+        s_lo, s_hi, mn, mx = str(lo), str(hi), str(rng[0]), str(rng[1])
+        return not (mx < s_lo or mn > s_hi)
 
     files = [f for f in snap.files if overlaps(f)]
     if not files:
@@ -411,8 +419,10 @@ def delete_keys(spark: SparkSession, root: str, keys: DataFrame,
     victims = spark.read.parquet(*affected)
     n_before = victims.count()
     survivors = victims.join(del_keys, key, "left_anti")
-    untouched = [f for f in snap.files if f not in set(affected)]
+    affected_set = set(affected)
+    untouched = [f for f in snap.files if f not in affected_set]
     new_snap = _commit(root, survivors, "delete", base_files=untouched)
-    rewritten = [f for f in new_snap.files if f not in set(untouched)]
+    untouched_set = set(untouched)
+    rewritten = [f for f in new_snap.files if f not in untouched_set]
     n_surv = (spark.read.parquet(*rewritten).count() if rewritten else 0)
     return new_snap, n_before - n_surv, len(affected)

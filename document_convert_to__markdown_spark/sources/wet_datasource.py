@@ -13,10 +13,13 @@ idiomatic front door to the same records:
   a 100 TB crawl is ~100k files → ~100k partitions, each read by one
   task, no shuffle).  The file list is enumerated driver-side at plan
   time, so Spark sizes the scan before launching it.
-- **Streaming rows**: ``read`` yields tuples record-by-record while
-  ``iter_records`` inflates the archive in ~1 MB chunks, so peak
-  memory per task is O(one record), independent of archive size —
-  the same bound as the ``mapInPandas`` path.
+- **Streaming rows**: ``read`` holds the COMPRESSED archive in memory
+  (one ``fh.read()`` — ~150 MB for a Common Crawl WET) and yields
+  tuples record-by-record while ``iter_records`` inflates it in
+  ~1 MB chunks, so peak per task is O(compressed archive) + O(one
+  inflated record) — the raw multi-GB text never materializes.  This
+  is the same bound as the ``binaryFile`` + ``mapInPandas`` path
+  (binaryFile also ships the whole compressed blob as one row).
 
 When to use which: ``read_wet_pages`` (binaryFile + mapInPandas) ships
 each file blob through the JVM scan into one Arrow batch stream —

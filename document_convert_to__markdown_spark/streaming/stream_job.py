@@ -570,10 +570,16 @@ def run_stream_dedup_ingest(spark: SparkSession, input_path: str,
     from ..sources import snapshot as snap
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        # exact in-batch dedup, keep-first by doc_id — flag, don't drop
-        keepers = (batch_df.select(F.md5("text").alias("_h"), "doc_id")
+        # exact in-batch dedup, keep-first by doc_id — flag, don't
+        # drop.  Hash coalesce(text, ''): md5(NULL) is NULL and an
+        # equi-join never matches NULL keys, so a null-text arrival
+        # would otherwise vanish entirely (violating the no-silent-
+        # drops invariant); folding null into the empty-text group
+        # keeps every row and dedups empty content consistently.
+        exact_h = F.md5(F.coalesce(F.col("text"), F.lit("")))
+        keepers = (batch_df.select(exact_h.alias("_h"), "doc_id")
                    .groupBy("_h").agg(F.min("doc_id").alias("_keeper")))
-        flagged = (batch_df.withColumn("_h", F.md5("text"))
+        flagged = (batch_df.withColumn("_h", exact_h)
                    .join(keepers, "_h").persist())
         batch_dups = flagged.filter(
             F.col("doc_id") != F.col("_keeper")).select(

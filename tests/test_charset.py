@@ -128,3 +128,35 @@ class TestDetectAndDecodeSpark:
         assert got[5]["text"] is None and got[5]["encoding"] is None
         assert {got[i]["enc_how"] for i in (1, 2, 3, 4)} == {
             "bom", "meta", "fallback"}
+
+    def test_pages_relation_text_column_is_replaced_not_duplicated(
+            self, spark):
+        # Review finding: the standard pages relation already carries
+        # 'text'; the default keep list must drop colliding inputs
+        # instead of producing a duplicate-name schema that crashes
+        # the Arrow kernel.
+        from document_convert_to__markdown_spark.operators.charset import (
+            detect_and_decode,
+        )
+
+        pages = spark.createDataFrame(
+            [("https://a/", bytearray(b"\xef\xbb\xbfbody"),
+              "stale oracle text", "en")],
+            "url string, html binary, text string, lang string")
+        out = detect_and_decode(pages, blob_col="html")
+        assert out.columns == ["url", "lang", "text", "encoding",
+                               "enc_how"]
+        row = out.collect()[0]
+        assert row["text"] == "body"          # decoded, not the stale col
+        assert row["lang"] == "en"
+
+    def test_explicit_keep_cols_collision_raises(self, spark):
+        from document_convert_to__markdown_spark.operators.charset import (
+            detect_and_decode,
+        )
+
+        df = spark.createDataFrame([("x", bytearray(b"y"))],
+                                   "text string, payload binary")
+        with pytest.raises(ValueError, match="collide"):
+            detect_and_decode(df, blob_col="payload",
+                              keep_cols=["text"])

@@ -331,6 +331,30 @@ def test_read_pruned_skips_files_and_matches_full_scan(spark, tmp_path):
     assert df0.columns == ["doc_id", "text"]
 
 
+def test_read_pruned_timestamp_column(spark, tmp_path):
+    """Review finding: timestamp stats json-serialize via str(), and
+    type(lo)(rng[0]) crashed reconstructing a datetime from that
+    string — pruning on a timestamp column must skip files and match
+    the full scan instead."""
+    import datetime as dt
+
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    root = str(tmp_path / "ts_table")
+    base = dt.datetime(2024, 1, 1)
+    docs = spark.range(0, 960).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(base) + F.make_interval(hours=F.col("id"))).alias("ts"))
+    snap.commit_with_stats(docs.repartitionByRange(8, "ts"), root,
+                           stats_cols=["ts"])
+    lo, hi = base + dt.timedelta(hours=100), base + dt.timedelta(hours=149)
+    df, n_scanned, n_total = snap.read_pruned(spark, root, "ts", lo, hi)
+    assert n_total == 8 and 0 < n_scanned < n_total
+    assert df.count() == 50
+    assert sorted(r["doc_id"] for r in df.collect()) == \
+        list(range(100, 150))
+
+
 def test_read_pruned_without_stats_is_correct_conservative(spark, tmp_path):
     from document_convert_to__markdown_spark.sources import snapshot as snap
 
@@ -503,6 +527,32 @@ def test_stream_dedup_ingest_full_loop(spark, tmp_path):
                             schema=sch)
     assert snap.current_version(corpus) == vc
     assert snap.current_version(index) == vi
+
+
+def test_stream_dedup_ingest_null_text_is_not_dropped(spark, tmp_path):
+    """Review finding: md5(NULL) is NULL and an equi-join never
+    matches NULL keys, so null-text arrivals used to vanish.  They
+    must land in the corpus (null folds into the empty-text dedup
+    group, keep-first flags the rest)."""
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+    from document_convert_to__markdown_spark.streaming.stream_job import (
+        run_stream_dedup_ingest,
+    )
+    arrivals = str(tmp_path / "arrivals")
+    corpus = str(tmp_path / "corpus")
+    sch = "doc_id long, text string"
+    spark.createDataFrame(
+        [(1, "real document text"), (2, None), (3, ""), (4, None)],
+        sch).coalesce(1).write.mode("append").parquet(arrivals)
+    run_stream_dedup_ingest(spark, arrivals, corpus,
+                            str(tmp_path / "index"),
+                            str(tmp_path / "ckpt"), schema=sch)
+    got = {r["doc_id"]: r for r in snap.read(spark, corpus).collect()}
+    assert set(got) == {1, 2, 3, 4}          # no silent drops
+    assert not got[1]["is_dup"]
+    assert not got[2]["is_dup"]              # first empty-content doc
+    assert got[3]["is_dup"] and got[3]["dup_of"] == 2
+    assert got[4]["is_dup"] and got[4]["dup_of"] == 2
 
 
 # ------------------------------------ approx_top_k heavy hitters

@@ -163,6 +163,10 @@ class TestSurtKey:
         ("http://Example.ORG:8080/P/q", "org,example)/P/q"),
         ("https://example.com", "com,example)/"),
         ("https://a.b.co.uk/x", "uk,co,b,a)/x"),
+        # param order must not change the key (review finding: the
+        # SURT canonical form sorts query params)
+        ("https://example.com/a?b=2&a=1", "com,example)/a?a=1&b=2"),
+        ("https://example.com/a?a=1&b=2", "com,example)/a?a=1&b=2"),
     ]
 
     def test_cases(self, spark):
