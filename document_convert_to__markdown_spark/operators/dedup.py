@@ -603,7 +603,8 @@ def remove_duplicate_spans(documents: DataFrame,
 
 
 def incremental_dedup(arrivals: DataFrame, corpus_bands: DataFrame,
-                      min_band_hits: int = 2) -> DataFrame:
+                      min_band_hits: int = 2,
+                      arrival_bands: DataFrame | None = None) -> DataFrame:
     """Incremental near-dup screening: flag ARRIVING documents that
     LSH-collide with the already-curated corpus, without touching the
     corpus text.  Same ``(doc_id, text)`` contract as every dedup
@@ -642,8 +643,16 @@ def incremental_dedup(arrivals: DataFrame, corpus_bands: DataFrame,
     ``n_corpus_hits`` (distinct corpus docs at ≥ min_band_hits bands)
     and ``dup_of`` (min such corpus id; null when none) — audit
     columns, no silent drops; callers filter and append.
+
+    ``arrival_bands``: precomputed ``minhash_bands(arrivals)`` — pass
+    it when the caller ALSO needs the band rows (the dedup-ingest loop
+    appends survivors' bands to the index), so the Arrow signature
+    pass over the batch text — the dominant per-batch cost — runs
+    once, not twice (review finding).
     """
-    new_bands = minhash_bands(arrivals).withColumnRenamed("doc_id", "_new")
+    if arrival_bands is None:
+        arrival_bands = minhash_bands(arrivals)
+    new_bands = arrival_bands.withColumnRenamed("doc_id", "_new")
     idx = (corpus_bands.select(F.col("doc_id").alias("_corpus"),
                                "band", "band_hash"))
     hits = (

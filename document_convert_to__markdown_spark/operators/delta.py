@@ -43,11 +43,22 @@ def snapshot_delta(old: DataFrame, new: DataFrame, key: str = "doc_id",
 
     md5 at 10^12 rows: collision odds ~10^-14 — the standard
     content-equality proxy (same choice as ``dedup_exact``).
+
+    ``content`` may be one column name or a list — a multi-column
+    compare hashes each column separately (null-distinct sentinel)
+    and then the combination, so a change in ANY listed column is
+    'changed' (review finding: single-column compare made the
+    changelog blind to other payload columns).
     """
-    o = old.select(F.col(key).alias("_ko"),
-                   F.md5(F.col(content).cast("string")).alias("_ho"))
-    n = new.select(F.col(key).alias("_kn"),
-                   F.md5(F.col(content).cast("string")).alias("_hn"))
+    cols = [content] if isinstance(content, str) else list(content)
+
+    def h(df):
+        per_col = [F.coalesce(F.md5(F.col(c).cast("string")),
+                              F.lit("\x00null")) for c in cols]
+        return F.md5(F.concat_ws("\x01", *per_col))
+
+    o = old.select(F.col(key).alias("_ko"), h(old).alias("_ho"))
+    n = new.select(F.col(key).alias("_kn"), h(new).alias("_hn"))
     joined = o.join(n, o["_ko"] == n["_kn"], "full_outer")
     return joined.select(
         F.coalesce("_kn", "_ko").alias(key),
@@ -64,7 +75,7 @@ def snapshot_delta(old: DataFrame, new: DataFrame, key: str = "doc_id",
 
 def snapshot_changelog(spark, root: str, from_version: int,
                        to_version: int, key: str = "url",
-                       content: str = "text") -> DataFrame:
+                       content=None) -> DataFrame:
     """CDC read over the snapshot table: the row-level changelog
     between two committed versions — Iceberg's
     ``table_changes``/``create_changelog_view`` shape on the sandbox
@@ -83,11 +94,19 @@ def snapshot_changelog(spark, root: str, from_version: int,
     Returns ``(key, _change_type in insert|update_postimage|delete,
     <payload columns of the table>)`` — unchanged rows are NOT emitted
     (the point of CDC).
+
+    ``content=None`` (default) compares ALL payload columns — full-row
+    CDC, the Iceberg ``table_changes`` semantics: a change in any
+    column emits an update (review finding: the earlier text-only
+    default made a lang-only correction invisible to replicas).  Pass
+    a column name or list to narrow the compare deliberately.
     """
     from ..sources import snapshot as snap
 
     old = snap.read(spark, root, version=from_version)
     new = snap.read(spark, root, version=to_version)
+    if content is None:
+        content = [c for c in new.columns if c != key]
     d = snapshot_delta(old, new, key=key, content=content)
     changed = d.filter(F.col("status") != "unchanged").select(
         key,

@@ -48,9 +48,15 @@ def topk_terms_sketch(documents: DataFrame, k: int = 5,
 
     The final selection re-ranks the estimate with the repo-wide
     deterministic tiebreak (count DESC, term ASC) so Spark and the
-    DuckDB oracle cut identical rows; the estimate is asked for more
-    items than ``k`` so a tie straddling position k is resolved by the
-    re-rank, not by sketch internals.
+    DuckDB oracle cut identical rows; the estimate is asked for 4·k
+    items so a tie straddling position k is resolved by the re-rank,
+    not by sketch internals.  Contract boundary: if MORE than 4·k
+    terms share the rank-k boundary count (degenerate groups where
+    most terms tie at count 1-2), the sketch surfaces an arbitrary
+    4·k of them and the ASC tiebreak picks among those — approximate
+    at the tie frontier, like every bounded-memory heavy-hitter
+    sketch.  Raise ``k``'s over-fetch (or use the exact
+    ``top_terms_per_lang`` relational twin) when boundary ties matter.
 
     Returns ``(group_col, term, term_count, rank)`` — exact counts
     whenever per-shard distinct terms ≤ ``max_items``.

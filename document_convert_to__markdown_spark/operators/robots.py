@@ -137,7 +137,11 @@ def parse_robots_txt(robots: DataFrame, agent: str = "*",
 
     lines = robots.select(
         F.col(host_col).alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "raw"),
+        # \r?\n: real-world robots.txt often arrives CRLF; splitting on
+        # bare \n would leave '\r' glued to agent tokens and prefixes,
+        # silently failing every match (review finding).
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("pos",
+                                                              "raw"),
     ).select(
         "host", "pos",
         F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
@@ -193,7 +197,7 @@ def sitemap_directives(robots: DataFrame, host_col: str = "host",
     key match, project the absolute url.  Relative values are dropped
     (the protocol requires absolute urls).
     """
-    line = F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    line = F.explode(F.split(F.col(text_col), "\r?\n")).alias("line")
     return (
         robots
         .select(F.col(host_col).alias("host"), line)

@@ -472,13 +472,21 @@ def semdedup(embeddings: DataFrame, threshold: float = 0.9,
         # Centroids travel by closure capture (tiny: k x dim doubles).
         cents = np.asarray(centroids, dtype=np.float64)
 
+        # |x - c|^2 = |x|^2 + |c|^2 - 2 x·c, and |x|^2 == 1 after
+        # normalization (constant per row → argmin-invariant), so the
+        # assignment needs only a (batch, k) matmul.  The naive
+        # broadcast difference ((B,1,dim) - (1,k,dim)) allocates
+        # B·k·dim floats — ~5 GB per 10k-row batch at the operator's
+        # own k≈n/1000 target (review finding).
+        c_sq = (cents ** 2).sum(axis=1)
+
         @pandas_udf(IntegerType())
         def _assign_trained(embs: pd.Series) -> pd.Series:
             mat = np.vstack(embs.to_numpy()).astype(np.float64)
             norms = np.linalg.norm(mat, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             mat = mat / norms
-            d2 = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            d2 = c_sq[None, :] - 2.0 * (mat @ cents.T)
             return pd.Series(d2.argmin(axis=1).astype(np.int32))
 
         assign = _assign_trained("embedding")

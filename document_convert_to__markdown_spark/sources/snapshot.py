@@ -298,14 +298,30 @@ def commit_with_stats(df: DataFrame, root: str, stats_cols: list,
     value range; stats over randomly-distributed files are wide and
     prune nothing — clustering is what turns stats into skipped IO.
 
-    The stats pass is one extra aggregation over the just-written
-    files, grouped on ``_metadata.file_path`` — it reads only the
-    stats columns (column-pruned), never payloads.
+    The stats pass is one extra aggregation over the JUST-WRITTEN
+    files only, grouped on ``_metadata.file_path`` — it reads only the
+    stats columns (column-pruned), never payloads.  On ``append`` the
+    parent version's sidecar is carried forward and merged, so each
+    append's stats work is O(batch), never O(table) (review finding:
+    scanning ``snap.files`` wholesale made the Nth append rescan all
+    N commits).
     """
     if op == "overwrite":
         snap = commit_overwrite(df, root)
+        prior: dict = {}
+        new_files = snap.files
     elif op == "append":
         snap = commit_append(df, root)
+        parent_sidecar = os.path.join(
+            _snap_dir(root), f"v{snap.parent:05d}.stats.json")
+        try:
+            with open(parent_sidecar) as f:
+                prior = json.load(f)
+        except FileNotFoundError:
+            prior = {}
+        prior_set = set(load_snapshot(root, snap.parent).files) \
+            if snap.parent > 0 else set()
+        new_files = [f for f in snap.files if f not in prior_set]
     else:
         raise ValueError(f"unsupported op {op!r}")
     spark = df.sparkSession
@@ -313,10 +329,12 @@ def commit_with_stats(df: DataFrame, root: str, stats_cols: list,
     aggs = []
     for c in stats_cols:
         aggs += [F.min(c).alias(f"_min_{c}"), F.max(c).alias(f"_max_{c}")]
-    rows = (spark.read.parquet(*snap.files)
-            .groupBy(norm.alias("_f")).agg(*aggs).collect())
-    stats = {r["_f"]: {c: [r[f"_min_{c}"], r[f"_max_{c}"]]
-                       for c in stats_cols} for r in rows}
+    rows = (spark.read.parquet(*new_files)
+            .groupBy(norm.alias("_f")).agg(*aggs).collect()) \
+        if new_files else []
+    stats = dict(prior)
+    stats.update({r["_f"]: {c: [r[f"_min_{c}"], r[f"_max_{c}"]]
+                            for c in stats_cols} for r in rows})
     path = os.path.join(_snap_dir(root), f"v{snap.version:05d}.stats.json")
     fd, tmp = tempfile.mkstemp(dir=_snap_dir(root), suffix=".tmp")
     with os.fdopen(fd, "w") as f:

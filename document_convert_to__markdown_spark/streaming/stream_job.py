@@ -589,10 +589,16 @@ def run_stream_dedup_ingest(spark: SparkSession, input_path: str,
             F.col("_keeper").alias("dup_of"))
         uniq = (flagged.filter(F.col("doc_id") == F.col("_keeper"))
                 .select(*batch_df.columns))
+        # ONE Arrow signature pass per batch: these bands feed both
+        # the index screen and the survivor index append below
+        # (review finding: recomputing minhash for the append doubled
+        # the dominant per-batch cost).
+        uniq_bands = minhash_bands(uniq).persist()
         if snap.current_version(index_root) > 0:
             idx = snap.read(batch_df.sparkSession, index_root)
             screened = incremental_dedup(
-                uniq, idx, min_band_hits=min_band_hits) \
+                uniq, idx, min_band_hits=min_band_hits,
+                arrival_bands=uniq_bands) \
                 .withColumnRenamed("is_dup_of_corpus", "is_dup")
         else:
             screened = uniq.select(
@@ -610,12 +616,14 @@ def run_stream_dedup_ingest(spark: SparkSession, input_path: str,
             snap.commit_overwrite(screened, corpus_root)
         else:
             snap.commit_append(screened, corpus_root)
-        new_bands = minhash_bands(survivors)
+        new_bands = uniq_bands.join(
+            survivors.select("doc_id"), "doc_id", "left_semi")
         if snap.current_version(index_root) == 0:
             snap.commit_overwrite(new_bands, index_root)
         else:
             snap.commit_append(new_bands, index_root)
         screened.unpersist()
+        uniq_bands.unpersist()
         flagged.unpersist()
 
     q = (

@@ -105,6 +105,24 @@ def test_parse_robots_txt_grammar(spark):
     assert evil == {("/", False)}
 
 
+def test_parse_robots_txt_crlf_bodies(spark):
+    """Review finding: CRLF robots.txt left '\\r' glued to agent
+    tokens and prefixes (trim strips spaces only), so no group ever
+    matched and everything default-allowed."""
+    from document_convert_to__markdown_spark.operators.robots import (
+        parse_robots_txt,
+        sitemap_directives,
+    )
+    body = ROBOTS_BODY.replace("\n", "\r\n")
+    robots = spark.createDataFrame([("a.com", body)],
+                                   "host string, robots_txt string")
+    got = {(r["prefix"], r["allow"])
+           for r in parse_robots_txt(robots).collect()}
+    assert got == {("/private", False), ("/private/pub", True)}
+    maps = [r["sitemap_url"] for r in sitemap_directives(robots).collect()]
+    assert maps == ["https://a.com/map.xml"]
+
+
 def test_parse_robots_then_apply(spark):
     from document_convert_to__markdown_spark.operators.robots import (
         apply_robots, parse_robots_txt,
@@ -415,6 +433,55 @@ def test_snapshot_changelog_cdc_semantics(spark, tmp_path):
             and got[2]["text"] == "B2")
     # delete is a key-only tombstone: payload columns null
     assert got[3]["_change_type"] == "delete" and got[3]["text"] is None
+
+
+def test_snapshot_changelog_sees_non_text_column_changes(spark,
+                                                         tmp_path):
+    """Review finding: the old text-only compare made a lang-only
+    correction invisible to changelog subscribers; the default is now
+    full-row CDC."""
+    from document_convert_to__markdown_spark.operators.delta import (
+        snapshot_changelog,
+    )
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    root = str(tmp_path / "table")
+    sch = "doc_id long, text string, lang string"
+    snap.commit_overwrite(spark.createDataFrame(
+        [(1, "same text", "en"), (2, "other", "en")], sch), root)
+    snap.commit_overwrite(spark.createDataFrame(
+        [(1, "same text", "de"), (2, "other", "en")], sch), root)
+    got = {r["doc_id"]: r for r in
+           snapshot_changelog(spark, root, 1, 2, key="doc_id").collect()}
+    assert set(got) == {1}
+    assert got[1]["_change_type"] == "update_postimage"
+    assert got[1]["lang"] == "de"
+    # the narrow compare is still available explicitly
+    narrow = snapshot_changelog(spark, root, 1, 2, key="doc_id",
+                                content="text")
+    assert narrow.count() == 0
+
+
+def test_commit_with_stats_append_is_incremental(spark, tmp_path):
+    """Review finding: append used to rescan every file in the table
+    for stats; it must aggregate only the new files and carry the
+    parent sidecar forward — while read_pruned keeps pruning across
+    both commits."""
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    root = str(tmp_path / "table")
+    a = spark.range(0, 500).select(F.col("id").alias("doc_id"))
+    b = spark.range(500, 1000).select(F.col("id").alias("doc_id"))
+    snap.commit_with_stats(a.repartitionByRange(5, "doc_id"), root,
+                           stats_cols=["doc_id"], op="overwrite")
+    snap.commit_with_stats(b.repartitionByRange(5, "doc_id"), root,
+                           stats_cols=["doc_id"], op="append")
+    df, n_scanned, n_total = snap.read_pruned(spark, root, "doc_id",
+                                              0, 99)
+    assert n_total == 10 and 0 < n_scanned < 5   # v1 files prune too
+    assert sorted(r["doc_id"] for r in df.collect()) == list(range(100))
+    df2, n2, _ = snap.read_pruned(spark, root, "doc_id", 900, 999)
+    assert 0 < n2 < 5                            # v2 files prune too
 
 
 def test_snapshot_changelog_identity_is_empty(spark, tmp_path):
