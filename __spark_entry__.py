@@ -1059,6 +1059,7 @@ def _q_stream_sessionize_stateful(spark, sf):
     per-user session state carried across micro-batches.  Drained
     availableNow over the full table, the running totals equal batch
     window-function sessionization — same oracle as sessionize_events."""
+    import shutil
     import tempfile
 
     from document_convert_to__markdown_spark.streaming import (
@@ -1066,9 +1067,15 @@ def _q_stream_sessionize_stateful(spark, sf):
     )
 
     base = tempfile.mkdtemp(prefix="doc2md_state_q_")
-    sessions = run_stream_sessionize(spark, f"{sf}/events.parquet",
-                                     f"{base}/chk", f"{base}/out")
-    return sessions.filter("user_id < 50")
+    try:
+        sessions = run_stream_sessionize(spark, f"{sf}/events.parquet",
+                                         f"{base}/chk", f"{base}/out")
+        out = sessions.filter("user_id < 50")
+        # Materialize before the checkpoint/output dirs are removed
+        # (round-5 advice: fixture temp dirs leaked on every run).
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _q_stream_window_events(spark, sf):
@@ -1083,6 +1090,7 @@ def _q_stream_window_events(spark, sf):
 def _q_stream_extract_parity(spark, sf):
     """Streaming extraction (file source + checkpoint) vs the batch plan
     on the same synthetic corpus: counts must line up url-for-url."""
+    import shutil
     import tempfile
 
     from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
@@ -1090,26 +1098,30 @@ def _q_stream_extract_parity(spark, sf):
     from document_convert_to__markdown_spark.streaming import run_stream_extraction
 
     base = tempfile.mkdtemp(prefix="doc2md_stream_q_")
-    inp, out, chk = f"{base}/in", f"{base}/out", f"{base}/chk"
-    synth_pages_df(spark, 120, partitions=4).write.mode("overwrite").parquet(inp)
-    q = run_stream_extraction(spark, inp, out, chk)
-    if not q.awaitTermination(120):
-        q.stop()
-        raise TimeoutError("stream_extract_parity drain exceeded 120s; "
-                           "parity counts would be partial")
+    try:
+        inp, out, chk = f"{base}/in", f"{base}/out", f"{base}/chk"
+        synth_pages_df(spark, 120, partitions=4) \
+            .write.mode("overwrite").parquet(inp)
+        q = run_stream_extraction(spark, inp, out, chk)
+        if not q.awaitTermination(120):
+            q.stop()
+            raise TimeoutError("stream_extract_parity drain exceeded "
+                               "120s; parity counts would be partial")
 
-    streamed = spark.read.parquet(out).select("url", "md_sha256")
-    batch = run_extraction(spark.read.parquet(inp), partitions=4) \
-        .results.select("url", "md_sha256")
-    joined = streamed.alias("s").join(batch.alias("b"), "url")
-    return spark.createDataFrame(
-        [(
-            streamed.count(),
-            joined.filter("s.md_sha256 <=> b.md_sha256").count(),
-            streamed.join(batch, "url", "left_anti").count(),
-        )],
-        "n_streamed bigint, n_hash_match bigint, n_unmatched bigint",
-    )
+        streamed = spark.read.parquet(out).select("url", "md_sha256")
+        batch = run_extraction(spark.read.parquet(inp), partitions=4) \
+            .results.select("url", "md_sha256")
+        joined = streamed.alias("s").join(batch.alias("b"), "url")
+        return spark.createDataFrame(
+            [(
+                streamed.count(),
+                joined.filter("s.md_sha256 <=> b.md_sha256").count(),
+                streamed.join(batch, "url", "left_anti").count(),
+            )],
+            "n_streamed bigint, n_hash_match bigint, n_unmatched bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _q_warc_ingest(spark, sf):
@@ -1117,6 +1129,7 @@ def _q_warc_ingest(spark, sf):
     per the CC contract), explode records to pages via the binaryFile +
     mapInPandas source, extract, and prove byte-parity with the same
     corpus fed straight from the synthesizer (sources/warc.py)."""
+    import shutil
     import tempfile
 
     from document_convert_to__markdown_spark.data.synth import synth_page
@@ -1128,25 +1141,29 @@ def _q_warc_ingest(spark, sf):
     )
 
     base = tempfile.mkdtemp(prefix="doc2md_warc_q_")
-    n = 80
-    rows = [(synth_page(i).url, synth_page(i).html) for i in range(n)]
-    with open(f"{base}/part-0.warc.gz", "wb") as fh:
-        write_warc(rows, fh, compress=True)
+    try:
+        n = 80
+        rows = [(synth_page(i).url, synth_page(i).html)
+                for i in range(n)]
+        with open(f"{base}/part-0.warc.gz", "wb") as fh:
+            write_warc(rows, fh, compress=True)
 
-    pages = read_warc_pages(spark, base)
-    got = run_extraction(pages, partitions=4).results \
-        .select("url", "status", "md_sha256")
-    want = run_extraction(synth_pages_df(spark, n), partitions=4) \
-        .results.select("url", "md_sha256")
-    joined = got.alias("g").join(want.alias("w"), "url")
-    return spark.createDataFrame(
-        [(
-            got.count(),
-            joined.filter("g.md_sha256 <=> w.md_sha256").count(),
-            got.join(want, "url", "left_anti").count(),
-        )],
-        "n_warc_docs bigint, n_hash_match bigint, n_unmatched bigint",
-    )
+        pages = read_warc_pages(spark, base)
+        got = run_extraction(pages, partitions=4).results \
+            .select("url", "status", "md_sha256")
+        want = run_extraction(synth_pages_df(spark, n), partitions=4) \
+            .results.select("url", "md_sha256")
+        joined = got.alias("g").join(want.alias("w"), "url")
+        return spark.createDataFrame(
+            [(
+                got.count(),
+                joined.filter("g.md_sha256 <=> w.md_sha256").count(),
+                got.join(want, "url", "left_anti").count(),
+            )],
+            "n_warc_docs bigint, n_hash_match bigint, n_unmatched bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _q_multimodal_resize(spark, sf):
@@ -1808,7 +1825,11 @@ _ROBOTS_RULES = [
     (f"host{h}.site", pfx, allow)
     for h in range(7)
     for pfx, allow in [("/", h % 2 == 0), ("/sec2", True),
-                       ("/sec3", False)]
+                       ("/sec3", False),
+                       # RFC 9309 §2.2.3 wildcards (round 5): '*' spans
+                       # any character run; a trailing '$' anchors.
+                       ("/sec1/page1*", False),
+                       ("/sec0/page*0$", False)]
 ]
 
 
@@ -1885,14 +1906,20 @@ def _q_robots_parse_rules(spark, sf):
     rule) and parsed to the (host, prefix, allow) rules relation —
     the front half of the robots stack whose back half is
     ``robots_filter``.  One narrow pass, window keyed on host.
-    Exactly SQL-expressible — the oracle replays the grammar."""
+    Round 5: the parse runs as agent ``newbot`` — even hosts carry an
+    exact ``newbot`` group (which must WIN over the star group), odd
+    hosts have only the ``*`` group (which must apply as the RFC 9309
+    §2.2.1 fallback — previously a named agent got default-allow from
+    a star-only file).  Exactly SQL-expressible — the oracle replays
+    the grammar including the exact-beats-star resolution."""
     from document_convert_to__markdown_spark.operators.robots import (
         parse_robots_txt,
     )
 
     docs = _load(spark, sf, "documents")
     nl = "\n"
-    h = (F.col("doc_id") % 7).cast("string")
+    hmod = F.col("doc_id") % 7
+    h = hmod.cast("string")
     sec = (F.col("doc_id") % 7 % 5).cast("string")
     body = F.concat(
         F.lit("Disallow: /orphan" + nl),
@@ -1905,12 +1932,16 @@ def _q_robots_parse_rules(spark, sf):
         F.lit("Disallow: /sec"), sec, F.lit("   # keep out" + nl),
         F.lit("Allow: /sec"), sec, F.lit("/pub" + nl),
         F.lit("Disallow:" + nl),
-        F.lit("Crawl-delay: 10"),
+        F.lit("Crawl-delay: 10" + nl),
+        F.when(hmod % 2 == 0,
+               F.lit(nl + "User-agent: newbot" + nl
+                     + "Disallow: /private" + nl
+                     + "Allow: /private/ok" + nl)).otherwise(F.lit("")),
     )
     robots = (docs.select(F.concat(F.lit("host"), h, F.lit(".site"))
                           .alias("host"), body.alias("robots_txt"))
               .dropDuplicates(["host"]))
-    return parse_robots_txt(robots)
+    return parse_robots_txt(robots, agent="newbot")
 
 
 def _q_stream_merge_upsert(spark, sf):
@@ -2361,6 +2392,7 @@ def _q_wet_ingest(spark, sf):
     WARC), read back through the binaryFile + mapInPandas source, and
     text round-trip is proven by an equality join against the source
     relation.  Same one-file-one-task scale shape as warc_ingest."""
+    import shutil
     import tempfile
 
     from document_convert_to__markdown_spark.sources.warc import (
@@ -2376,19 +2408,24 @@ def _q_wet_ingest(spark, sf):
                    "text"))
     rows = [(r["url"], r["text"]) for r in src.collect()]  # bounded: 40
     base = tempfile.mkdtemp(prefix="doc2md_wet_q_")
-    with open(f"{base}/part-0.wet.gz", "wb") as fh:
-        write_wet(rows, fh, compress=True)
+    try:
+        with open(f"{base}/part-0.wet.gz", "wb") as fh:
+            write_wet(rows, fh, compress=True)
 
-    got = read_wet_pages(spark, base).select("url", "text")
-    joined = got.alias("g").join(src.alias("w"), "url")
-    return spark.createDataFrame(
-        [(
-            got.count(),
-            joined.filter("g.text <=> w.text").count(),
-            got.join(src, "url", "left_anti").count(),
-        )],
-        "n_wet_docs bigint, n_text_match bigint, n_unmatched bigint",
-    )
+        got = read_wet_pages(spark, base).select("url", "text")
+        joined = got.alias("g").join(src.alias("w"), "url")
+        # Counts are computed eagerly, so the returned frame no longer
+        # references the fixture files (round-5 advice: temp-dir leak).
+        return spark.createDataFrame(
+            [(
+                got.count(),
+                joined.filter("g.text <=> w.text").count(),
+                got.join(src, "url", "left_anti").count(),
+            )],
+            "n_wet_docs bigint, n_text_match bigint, n_unmatched bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _q_wet_datasource_scan(spark, sf):
@@ -2401,6 +2438,7 @@ def _q_wet_datasource_scan(spark, sf):
     is proven by an equality join against the source relation, and
     the mapInPandas twin is pinned row-identical in
     tests/test_wet_datasource.py."""
+    import shutil
     import tempfile
 
     from document_convert_to__markdown_spark.sources.warc import write_wet
@@ -2416,22 +2454,25 @@ def _q_wet_datasource_scan(spark, sf):
                    "text"))
     rows = [(r["url"], r["text"]) for r in src.collect()]  # bounded: 40
     base = tempfile.mkdtemp(prefix="doc2md_wetds_q_")
-    with open(f"{base}/part-0.wet.gz", "wb") as fh:
-        write_wet(rows[:25], fh, compress=True)
-    with open(f"{base}/part-1.wet.gz", "wb") as fh:
-        write_wet(rows[25:], fh, compress=True)
+    try:
+        with open(f"{base}/part-0.wet.gz", "wb") as fh:
+            write_wet(rows[:25], fh, compress=True)
+        with open(f"{base}/part-1.wet.gz", "wb") as fh:
+            write_wet(rows[25:], fh, compress=True)
 
-    register(spark)
-    got = spark.read.format("wet").load(base).select("url", "text")
-    joined = got.alias("g").join(src.alias("w"), "url")
-    return spark.createDataFrame(
-        [(
-            got.count(),
-            joined.filter("g.text <=> w.text").count(),
-            got.rdd.getNumPartitions(),
-        )],
-        "n_ds_docs bigint, n_text_match bigint, n_partitions bigint",
-    )
+        register(spark)
+        got = spark.read.format("wet").load(base).select("url", "text")
+        joined = got.alias("g").join(src.alias("w"), "url")
+        return spark.createDataFrame(
+            [(
+                got.count(),
+                joined.filter("g.text <=> w.text").count(),
+                got.rdd.getNumPartitions(),
+            )],
+            "n_ds_docs bigint, n_text_match bigint, n_partitions bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _q_cdx_ingest(spark, sf):
@@ -2445,6 +2486,7 @@ def _q_cdx_ingest(spark, sf):
     status.  The oracle re-derives every field — including the
     label-reversed SURT — straight from the documents table."""
     import datetime as _dt
+    import shutil
     import tempfile
 
     from document_convert_to__markdown_spark.functions.url import surt_key
@@ -2476,17 +2518,26 @@ def _q_cdx_ingest(spark, sf):
             "filename": f"crawl-{int(r['doc_id']) % 3:02d}.warc.gz",
         }))
     base = tempfile.mkdtemp(prefix="doc2md_cdx_q_")
-    with open(f"{base}/part-0.cdx.gz", "wb") as fh:
-        write_cdx(caps, fh, compress=True)
+    try:
+        with open(f"{base}/part-0.cdx.gz", "wb") as fh:
+            write_cdx(caps, fh, compress=True)
 
-    cdx = read_cdx(spark, base)
-    return (cdx.groupBy("status")
-            .agg(F.count("*").alias("n_captures"),
-                 F.sum("length").alias("sum_length"),
-                 F.countDistinct("filename").alias("n_warc_files"),
-                 F.min("surt").alias("min_surt"),
-                 F.max("ts").alias("max_ts"))
-            .orderBy("status"))
+        cdx = read_cdx(spark, base)
+        out = (cdx.groupBy("status")
+               .agg(F.count("*").alias("n_captures"),
+                    F.sum("length").alias("sum_length"),
+                    F.countDistinct("filename").alias("n_warc_files"),
+                    F.min("surt").alias("min_surt"),
+                    F.max("ts").alias("max_ts"))
+               .orderBy("status"))
+        # Materialize before the fixture dir is removed (round-5
+        # advice: the lazy frame referenced the deleted files).
+        rows = out.collect()
+        return spark.createDataFrame(
+            rows, "status string, n_captures long, sum_length long, "
+                  "n_warc_files long, min_surt string, max_ts timestamp")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _q_cdx_selective_fetch(spark, sf):
@@ -2501,6 +2552,7 @@ def _q_cdx_selective_fetch(spark, sf):
     md5.  The oracle re-derives the fetch set size from the status
     rule over the documents table."""
     import datetime as _dt
+    import shutil
     import tempfile
 
     from document_convert_to__markdown_spark.sources.cdx import (
@@ -2521,39 +2573,43 @@ def _q_cdx_selective_fetch(spark, sf):
     rows = [(r["url"], r["text"].encode("utf-8"), int(r["doc_id"]))
             for r in src.collect()]  # bounded: 40
     base = tempfile.mkdtemp(prefix="doc2md_cdxfetch_q_")
-    t0 = _dt.datetime(2024, 1, 1)
-    caps = []
-    for shard, chunk in enumerate((rows[:25], rows[25:])):
-        fname = f"crawl-{shard:02d}.warc.gz"
-        with open(f"{base}/{fname}", "wb") as fh:
-            manifest = write_warc_members(
-                [(u, b) for (u, b, _d) in chunk], fh)
-        for (u, off, ln), (_u, _b, d) in zip(manifest, chunk):
-            ts14 = (t0 + _dt.timedelta(seconds=d)).strftime(
-                "%Y%m%d%H%M%S")
-            caps.append((f"example,docs)/{d}", ts14, {
-                "url": u, "mime": "text/html",
-                "status": "200" if d % 7 else "404",
-                "digest": "-", "length": str(ln),
-                "offset": str(off), "filename": fname,
-            }))
-    with open(f"{base}/index.cdx.gz", "wb") as fh:
-        write_cdx(caps, fh, compress=True)
+    try:
+        t0 = _dt.datetime(2024, 1, 1)
+        caps = []
+        for shard, chunk in enumerate((rows[:25], rows[25:])):
+            fname = f"crawl-{shard:02d}.warc.gz"
+            with open(f"{base}/{fname}", "wb") as fh:
+                manifest = write_warc_members(
+                    [(u, b) for (u, b, _d) in chunk], fh)
+            for (u, off, ln), (_u, _b, d) in zip(manifest, chunk):
+                ts14 = (t0 + _dt.timedelta(seconds=d)).strftime(
+                    "%Y%m%d%H%M%S")
+                caps.append((f"example,docs)/{d}", ts14, {
+                    "url": u, "mime": "text/html",
+                    "status": "200" if d % 7 else "404",
+                    "digest": "-", "length": str(ln),
+                    "offset": str(off), "filename": fname,
+                }))
+        with open(f"{base}/index.cdx.gz", "wb") as fh:
+            write_cdx(caps, fh, compress=True)
 
-    index = read_cdx(spark, f"{base}/index.cdx.gz")
-    wanted = index.filter(F.col("status") == "200")
-    fetched = fetch_warc_by_index(spark, wanted, base) \
-        .select("url", F.md5(F.col("html").cast("string")).alias("md5"))
-    want = src.select("url", F.md5("text").alias("md5"))
-    joined = fetched.alias("g").join(want.alias("w"), "url")
-    return spark.createDataFrame(
-        [(
-            fetched.count(),
-            joined.filter("g.md5 <=> w.md5").count(),
-            fetched.join(want, "url", "left_anti").count(),
-        )],
-        "n_fetched bigint, n_md5_match bigint, n_unmatched bigint",
-    )
+        index = read_cdx(spark, f"{base}/index.cdx.gz")
+        wanted = index.filter(F.col("status") == "200")
+        fetched = fetch_warc_by_index(spark, wanted, base) \
+            .select("url",
+                    F.md5(F.col("html").cast("string")).alias("md5"))
+        want = src.select("url", F.md5("text").alias("md5"))
+        joined = fetched.alias("g").join(want.alias("w"), "url")
+        return spark.createDataFrame(
+            [(
+                fetched.count(),
+                joined.filter("g.md5 <=> w.md5").count(),
+                fetched.join(want, "url", "left_anti").count(),
+            )],
+            "n_fetched bigint, n_md5_match bigint, n_unmatched bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 def _q_charset_decode(spark, sf):
@@ -3489,7 +3545,12 @@ def oracle_sql() -> dict[str, str]:
                        || chr(10) ||
                      'Allow: /sec' || (h % 5) || '/pub' || chr(10) ||
                      'Disallow:' || chr(10) ||
-                     'Crawl-delay: 10' AS txt
+                     'Crawl-delay: 10' || chr(10) ||
+                     CASE WHEN h % 2 = 0 THEN
+                       chr(10) || 'User-agent: newbot' || chr(10) ||
+                       'Disallow: /private' || chr(10) ||
+                       'Allow: /private/ok' || chr(10)
+                     ELSE '' END AS txt
               FROM hosts),
             ls AS (SELECT host, string_split(txt, chr(10)) AS l
                    FROM bodies),
@@ -3515,12 +3576,22 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, sum(CASE WHEN starts THEN 1 ELSE 0 END)
                           OVER (PARTITION BY host ORDER BY pos) AS grp
               FROM flagged),
-            matching AS (
-              SELECT host AS mhost, grp AS mgrp FROM grouped
+            agent_groups AS (
+              SELECT host, grp,
+                     max(CASE WHEN lower(val) = 'newbot' THEN 1 ELSE 0
+                         END) = 1 AS ex,
+                     max(CASE WHEN val = '*' THEN 1 ELSE 0 END) = 1
+                       AS st
+              FROM grouped
               WHERE is_agent AND grp > 0
-              GROUP BY host, grp
-              HAVING max(CASE WHEN lower(val) = '*' THEN 1 ELSE 0 END)
-                       = 1)
+              GROUP BY host, grp),
+            resolved AS (
+              SELECT *, max(CASE WHEN ex THEN 1 ELSE 0 END)
+                          OVER (PARTITION BY host) = 1 AS has_ex
+              FROM agent_groups),
+            matching AS (
+              SELECT host AS mhost, grp AS mgrp FROM resolved
+              WHERE ex OR (NOT has_ex AND st))
             SELECT DISTINCT g.host, g.val AS prefix,
                             (g.key = 'allow') AS allow
             FROM grouped g
@@ -3535,8 +3606,23 @@ def oracle_sql() -> dict[str, str]:
                        || '.site/sec' || CAST(doc_id % 5 AS VARCHAR)
                        || '/page' || CAST(doc_id AS VARCHAR) AS url
               FROM documents
-            ), rules(host, prefix, allow) AS (
+            ), rules0(host, prefix, allow) AS (
               VALUES {rules_values}
+            ), rules1 AS (
+              SELECT host, prefix, allow,
+                     (prefix LIKE '%$') AS anch,
+                     CASE WHEN prefix LIKE '%$'
+                          THEN substr(prefix, 1, length(prefix) - 1)
+                          ELSE prefix END AS body
+              FROM rules0
+            ), rules AS (
+              SELECT host, prefix, allow,
+                     (NOT anch AND body NOT LIKE '%*%') AS plain,
+                     '^' || replace(regexp_replace(body,
+                         '([.^$+?(){{}}\\[\\]\\\\|])', '\\\\\\1', 'g'),
+                         '*', '.*')
+                         || CASE WHEN anch THEN '$' ELSE '' END AS rx
+              FROM rules1
             ), keyed AS (
               SELECT doc_id, url,
                      lower(regexp_replace(regexp_extract(url,
@@ -3552,7 +3638,9 @@ def oracle_sql() -> dict[str, str]:
             ), m AS (
               SELECT k.doc_id, k.url, r.prefix, r.allow
               FROM keyed k LEFT JOIN rules r
-                ON k.h = r.host AND starts_with(k.p, r.prefix)
+                ON k.h = r.host AND
+                   (CASE WHEN r.plain THEN starts_with(k.p, r.prefix)
+                         ELSE regexp_matches(k.p, r.rx) END)
             ), best AS (
               SELECT *, row_number() OVER (
                 PARTITION BY url

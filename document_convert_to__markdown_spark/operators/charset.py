@@ -30,6 +30,13 @@ def detect_and_decode(df: DataFrame, blob_col: str = "html",
         if clash:
             raise ValueError(f"keep_cols {clash} collide with the "
                              f"decode output columns {out_names}")
+        if blob_col in keep_cols:
+            # Would duplicate the blob column in the input select,
+            # making pdf[blob_col] a DataFrame and crashing the kernel
+            # (round-5 advice).
+            raise ValueError(f"keep_cols must not contain the blob "
+                             f"column {blob_col!r}; it is consumed by "
+                             f"the decode and not carried through")
         keep = keep_cols
     else:
         # The standard pages relation already carries oracle 'text' /

@@ -100,6 +100,13 @@ def snapshot_changelog(spark, root: str, from_version: int,
     column emits an update (review finding: the earlier text-only
     default made a lang-only correction invisible to replicas).  Pass
     a column name or list to narrow the compare deliberately.
+
+    Additive schema evolution between the two versions is handled the
+    way the evolved table reads: a column added after ``from_version``
+    is null on every old row (round-5 advice — selecting it on the old
+    snapshot raised AnalysisException), so a key whose new value in
+    that column is non-null emits ``update_postimage`` and all-null
+    new values stay ``unchanged``.
     """
     from ..sources import snapshot as snap
 
@@ -107,6 +114,14 @@ def snapshot_changelog(spark, root: str, from_version: int,
     new = snap.read(spark, root, version=to_version)
     if content is None:
         content = [c for c in new.columns if c != key]
+    else:
+        content = [content] if isinstance(content, str) else list(content)
+    new_types = dict(new.dtypes)
+    evolved = [c for c in content if c not in old.columns]
+    if evolved:
+        old = old.select(
+            "*", *[F.lit(None).cast(new_types[c]).alias(c)
+                   for c in evolved])
     d = snapshot_delta(old, new, key=key, content=content)
     changed = d.filter(F.col("status") != "unchanged").select(
         key,

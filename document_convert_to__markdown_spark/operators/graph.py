@@ -170,7 +170,12 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30,
             small.join(e, ["hi", "lo"], "left_anti").limit(1).count()
             + e.join(small, ["hi", "lo"], "left_anti").limit(1).count()
         )
-        e = small
+        # Release the previous round's checkpoint now that the new one
+        # is materialized and the fixpoint probes above have read it —
+        # otherwise up to max_iter cached edge RDDs pile up in executor
+        # storage on large dup graphs (round-5 advice).
+        prev, e = e, small
+        prev.unpersist()
         if changed == 0:
             converged = True
             break
@@ -193,6 +198,7 @@ def connected_components_star(edges: DataFrame, max_iter: int = 30,
     )
     labels = labels.localCheckpoint(eager=True)
     all_nodes.unpersist()
+    e.unpersist()  # terminal edge checkpoint no longer needed
     return labels
 
 

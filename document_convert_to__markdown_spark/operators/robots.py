@@ -46,6 +46,19 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
     ``matched_allow`` — every input row appears exactly once (audit,
     not silent drop; callers filter on ``allowed``).
 
+    RFC 9309 §2.2.3 path wildcards are honored (round-5 advice — they
+    were previously treated as literal prefix bytes, so every wildcard
+    Disallow silently matched nothing): ``*`` in a rule value matches
+    any character run and a *trailing* ``$`` anchors the rule to the
+    end of the path (a ``$`` anywhere else is a literal octet, per the
+    RFC's ABNF).  The translation to a regex happens once on the small
+    rules side; plain rules (no ``*``, no trailing ``$`` — the
+    overwhelming majority in real crawl corpora) keep the cheap
+    ``startswith`` fast path.  Precedence stays rule-value length
+    (§2.2.2 "longest match ... based on the number of octets in the
+    rule"), which counts wildcard octets too — the RFC measures the
+    rule text, not the matched span.
+
     ``url_col`` must be unique (it is the crawl identity key — run
     exact dedup upstream): the per-url top-1 window would collapse
     duplicate url rows.
@@ -71,7 +84,18 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
     host = url_host(F.col(url_col)).alias("_host")
     path = url_path(F.col(url_col)).alias("_path")
     keyed = urls.select("*", host, path)
-    r = rules.select(F.col("host").alias("_rhost"), "prefix", "allow")
+    # Wildcard translation, computed once per rule on the small side:
+    # a trailing '$' anchors; every regex metacharacter in the body is
+    # escaped EXCEPT '*', which becomes '.*'.
+    anch = F.col("prefix").endswith("$")
+    body = F.when(anch, F.expr("substring(prefix, 1, length(prefix) - 1)")
+                  ).otherwise(F.col("prefix"))
+    esc = F.regexp_replace(body, r"([.\^\$+?(){}\[\]\\|])", r"\\$1")
+    rx = F.concat(F.lit("^"), F.regexp_replace(esc, r"\*", ".*"),
+                  F.when(anch, F.lit("$")).otherwise(F.lit("")))
+    plain = ~anch & ~F.col("prefix").contains("*")
+    r = rules.select(F.col("host").alias("_rhost"), "prefix", "allow",
+                     plain.alias("_plain"), rx.alias("_rx"))
     if broadcast_rules is None:
         r = r.localCheckpoint(eager=True)
         broadcast_rules = (
@@ -82,7 +106,10 @@ def apply_robots(urls: DataFrame, rules: DataFrame,
     matched = (
         keyed.join(r,
                    (F.col("_host") == F.col("_rhost"))
-                   & F.col("_path").startswith(F.col("prefix")),
+                   & F.when(F.col("_plain"),
+                            F.col("_path").startswith(F.col("prefix")))
+                      .otherwise(F.regexp_like(F.col("_path"),
+                                               F.col("_rx"))),
                    "left")
     )
     # explicit nulls-last: Spark's .desc() implies it, DuckDB's default
@@ -116,10 +143,15 @@ def parse_robots_txt(robots: DataFrame, agent: str = "*",
     group (RFC 9309: a start-of-group line may repeat); ``Allow`` /
     ``Disallow`` lines attach to the current group; a group applies
     when any of its agent tokens equals ``agent`` (case-insensitive
-    exact product-token match — the '*' group for a generic crawler);
-    an empty ``Disallow:`` value means "nothing disallowed" and emits
-    no rule (RFC 9309 §2.2.2).  Unknown keys (Crawl-delay, Sitemap)
-    are ignored, per the RFC's extensibility rule.
+    exact product-token match), and — per RFC 9309 §2.2.1 (round-5
+    advice: previously a named agent got default-allow from a
+    star-only file) — when NO group on a host names the agent
+    exactly, that host's ``*`` groups apply instead; an empty
+    ``Disallow:`` value means "nothing disallowed" and emits no rule
+    (RFC 9309 §2.2.2).  Unknown keys (Crawl-delay, Sitemap) are
+    ignored, per the RFC's extensibility rule.  Rule values may carry
+    the §2.2.3 ``*`` / trailing-``$`` wildcards — they pass through
+    verbatim and :func:`apply_robots` interprets them.
 
     Relational shape — one pass, no Python: ``posexplode`` the lines,
     assign group ids with a window over (host, line-order) — a group
@@ -164,12 +196,22 @@ def parse_robots_txt(robots: DataFrame, agent: str = "*",
                     F.sum(F.col("_starts_group").cast("int")).over(w))
         .filter(F.col("grp") > 0)   # rules before any User-agent: ignored
     )
-    matching = (
+    # §2.2.1 fallback: exact-token groups win; hosts with no exact
+    # match fall back to their '*' groups.  One extra host-keyed window
+    # over the tiny (host, grp) relation — no new exchange key.
+    agent_groups = (
         grouped.filter(F.col("_is_agent"))
         .groupBy("host", "grp")
         .agg(F.max((F.lower("val") == agent.lower()).cast("boolean"))
-             .alias("_match"))
-        .filter("_match")
+             .alias("_exact"),
+             F.max((F.col("val") == "*").cast("boolean")).alias("_star"))
+    )
+    wh = Window.partitionBy("host")
+    matching = (
+        agent_groups
+        .withColumn("_has_exact", F.max("_exact").over(wh))
+        .filter(F.col("_exact")
+                | (~F.col("_has_exact") & F.col("_star")))
     )
     return (
         grouped.filter(F.col("key").isin("allow", "disallow"))

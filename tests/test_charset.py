@@ -160,3 +160,17 @@ class TestDetectAndDecodeSpark:
         with pytest.raises(ValueError, match="collide"):
             detect_and_decode(df, blob_col="payload",
                               keep_cols=["text"])
+
+    def test_keep_cols_containing_blob_col_raises(self, spark):
+        """Round-5 advice: keep_cols with the blob column produced a
+        duplicate column in the select, making pdf[blob_col] a frame
+        and crashing the kernel — refused up front now."""
+        from document_convert_to__markdown_spark.operators.charset import (
+            detect_and_decode,
+        )
+
+        df = spark.createDataFrame([(1, bytearray(b"y"))],
+                                   "doc_id long, payload binary")
+        with pytest.raises(ValueError, match="blob"):
+            detect_and_decode(df, blob_col="payload",
+                              keep_cols=["doc_id", "payload"])

@@ -55,6 +55,72 @@ def test_robots_every_row_accounted(spark):
     assert out.filter("allowed").count() == 0  # '/' disallow catches all
 
 
+def test_robots_wildcard_star_and_dollar(spark):
+    """RFC 9309 §2.2.3: '*' spans any run, a trailing '$' anchors —
+    previously both were treated as literal prefix bytes and wildcard
+    Disallows matched nothing (round-5 advice, medium)."""
+    rules = spark.createDataFrame(
+        [("w.com", "/a/*/c", False),     # '*' spans a segment
+         ("w.com", "/img*.png$", False),  # both wildcards
+         ("w.com", "/d$", False),        # anchored exact path
+         ("w.com", "/lit$x", False)],    # inner '$' is a literal octet
+        "host string, prefix string, allow boolean")
+    urls = spark.createDataFrame(
+        [(f"https://w.com{p}",)
+         for p in ["/a/b/c", "/a/xyz/c/d", "/a/c",
+                   "/img123.png", "/img.png.txt",
+                   "/d", "/dd", "/lit$xq"]], "url string")
+    got = {r["url"].removeprefix("https://w.com"): r["allowed"]
+           for r in apply_robots(urls, rules).collect()}
+    assert got["/a/b/c"] is False
+    assert got["/a/xyz/c/d"] is False     # prefix match past the rule
+    assert got["/a/c"] is True            # '^/a/.*/c' needs '/a/'+'/c'
+    assert got["/img123.png"] is False
+    assert got["/img.png.txt"] is True    # '$' anchored: no match
+    assert got["/d"] is False
+    assert got["/dd"] is True             # anchored rule can't prefix-match
+    assert got["/lit$xq"] is False        # inner '$' literal, prefix match
+
+
+def test_robots_wildcard_star_matches_empty(spark):
+    # '*' matches the empty run too ('.*' semantics).
+    rules = spark.createDataFrame([("w.com", "/p*q", False)],
+                                  "host string, prefix string, allow boolean")
+    urls = spark.createDataFrame(
+        [("https://w.com/pq",), ("https://w.com/pXYq",)], "url string")
+    got = {r["url"]: r["allowed"]
+           for r in apply_robots(urls, rules).collect()}
+    assert got["https://w.com/pq"] is False
+    assert got["https://w.com/pXYq"] is False
+
+
+def test_parse_robots_star_group_fallback(spark):
+    """RFC 9309 §2.2.1: a named agent with no exactly-matching group
+    falls back to the '*' group; an exact group shuts the '*' group
+    out entirely (round-5 advice, medium)."""
+    from document_convert_to__markdown_spark.operators.robots import (
+        parse_robots_txt,
+    )
+
+    body_star_only = ("User-agent: *\nDisallow: /all\n")
+    body_both = ("User-agent: *\nDisallow: /all\n\n"
+                 "User-agent: archiver\nDisallow: /mine\n")
+    robots = spark.createDataFrame(
+        [("s.com", body_star_only), ("b.com", body_both)],
+        "host string, robots_txt string")
+
+    got = {(r["host"], r["prefix"], r["allow"])
+           for r in parse_robots_txt(robots, agent="archiver").collect()}
+    # s.com: no 'archiver' group -> '*' fallback applies.
+    # b.com: exact 'archiver' group wins; its '*' rules must NOT leak in.
+    assert got == {("s.com", "/all", False), ("b.com", "/mine", False)}
+
+    # A generic '*' crawler still matches '*' groups on both hosts.
+    got_star = {(r["host"], r["prefix"])
+                for r in parse_robots_txt(robots, agent="*").collect()}
+    assert got_star == {("s.com", "/all"), ("b.com", "/all")}
+
+
 def test_robots_rules_side_broadcasts(spark):
     urls = spark.createDataFrame([("https://a.com/p",)], "url string")
     plan = (apply_robots(urls, _rules(spark))

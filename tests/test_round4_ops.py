@@ -462,6 +462,42 @@ def test_snapshot_changelog_sees_non_text_column_changes(spark,
     assert narrow.count() == 0
 
 
+def test_snapshot_changelog_across_schema_evolution(spark, tmp_path):
+    """Round-5 advice: the default full-row compare raised
+    AnalysisException when from_version predates an additive schema
+    evolution.  An added column reads as null on old rows, so a
+    non-null new value is an update and an all-null one is unchanged."""
+    from document_convert_to__markdown_spark.operators.delta import (
+        snapshot_changelog,
+    )
+    from document_convert_to__markdown_spark.sources import snapshot as snap
+
+    root = str(tmp_path / "table")
+    snap.commit_append(spark.createDataFrame(
+        [(1, "a"), (2, "b")], "doc_id long, text string"), root)
+    snap.commit_append(spark.createDataFrame(
+        [(3, "c", 0.9)], "doc_id long, text string, quality double"),
+        root, allow_evolution=True)
+
+    got = {r["doc_id"]: r for r in
+           snapshot_changelog(spark, root, 1, 2, key="doc_id").collect()}
+    # 1 and 2 carry null quality in v2 — unchanged; 3 is the insert.
+    assert set(got) == {3}
+    assert got[3]["_change_type"] == "insert"
+    assert got[3]["quality"] == 0.9
+
+    # A backfilled value in the evolved column IS a change.
+    snap.delete_keys(
+        spark, root,
+        spark.createDataFrame([(2,)], "doc_id long"), key="doc_id")
+    snap.commit_append(spark.createDataFrame(
+        [(2, "b", 0.5)], "doc_id long, text string, quality double"),
+        root, allow_evolution=True)
+    got2 = {r["doc_id"]: r["_change_type"] for r in
+            snapshot_changelog(spark, root, 2, 4, key="doc_id").collect()}
+    assert got2 == {2: "update_postimage"}
+
+
 def test_commit_with_stats_append_is_incremental(spark, tmp_path):
     """Review finding: append used to rescan every file in the table
     for stats; it must aggregate only the new files and carry the
