@@ -100,10 +100,24 @@ BENCH_QUERIES = [
     "charset_decode",
     "snapshot_schema_evolution",
     "sitemap_discovery",
-    # stream_dedup_ingest excluded like quality_classifier: two full
-    # streaming drains + 4 snapshot commits (~44s at sf0.1) is a soak,
-    # not a query; its components (dedup_incremental, minhash bands,
-    # snapshot commits) are each benched above.
+    # round-5: the previously-unbenched heavies (VERDICT r4 item 5 — a
+    # regression in them was invisible round-over-round), including the
+    # four availableNow streaming drains and the training loop.
+    "quality_classifier",
+    "snapshot_merge",
+    "zorder_layout",
+    "sketch_union_hll",
+    "variant_semistructured",
+    "ann_truncated_recall",
+    "temperature_resample",
+    "stream_window_events",
+    "stream_dedup_users",
+    "stream_dedup_watermarked",
+    "stream_sessionize_stateful",
+    # stream_dedup_ingest excluded: two full streaming drains + 4
+    # snapshot commits (~44s at sf0.1) is a soak, not a query; its
+    # components (dedup_incremental, minhash bands, snapshot commits)
+    # are each benched above.
 ]
 
 
@@ -134,29 +148,28 @@ def main() -> int:
             .write.mode("overwrite").parquet(corpus_path)
     pages = spark.read.parquet(corpus_path)
 
-    # Best-of over interleaved rounds (VERDICT r2 #9): the sandbox VM
-    # has 10-40% noisy-neighbor windows, and a single pass let that
-    # drift masquerade as round-over-round regressions.  Interleaving
-    # whole rounds (not per-query repeats) means a noise window hits
-    # every query a little instead of one query fully; best-of keeps
-    # the cleanest sample per query.  Round 1 also doubles as JIT
-    # warm-up for round 2.
-    rounds = int(os.environ.get("BENCH_ROUNDS", "2"))
+    # Best-of over interleaved rounds (VERDICT r2 #9, hardened r5 #3):
+    # the sandbox VM has 10-40% noisy-neighbor windows, and a single
+    # pass let that drift masquerade as round-over-round regressions
+    # (the r03→r04 headline swung 2,997→1,954 docs/s with zero code
+    # change on the path).  The extraction measurement is now INSIDE
+    # the round loop — one sample per round, interleaved with the
+    # query sweep so a noise window can't sit on all extraction
+    # samples — and every per-round value plus the spread is emitted
+    # so a real regression is distinguishable from a noisy window.
+    # Round 1 also doubles as JIT warm-up.
+    rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
 
-    extract_secs = []
+    queries = entrymod.queries()
+    extract_secs: list[float] = []
+    q_times: dict[str, float] = {}
     n_done = 0
     for _ in range(rounds):
         t0 = time.time()
         plan = run_extraction(pages, partitions=cpus)
         n_done = plan.results.filter("status is not null").count()
-        extract_secs.append(time.time() - t0)
-    extract_sec = min(extract_secs)
-    docs_per_sec = round(n_done / extract_sec, 2)
+        extract_secs.append(round(time.time() - t0, 3))
 
-    # --- per-query timings ------------------------------------------------
-    queries = entrymod.queries()
-    q_times: dict[str, float] = {}
-    for _ in range(rounds):
         for name in BENCH_QUERIES:
             fn = queries[name]
             t0 = time.time()
@@ -165,6 +178,8 @@ def main() -> int:
             took = round(time.time() - t0, 3)
             if name not in q_times or took < q_times[name]:
                 q_times[name] = took
+    extract_sec = min(extract_secs)
+    docs_per_sec = round(n_done / extract_sec, 2)
 
     total_sec = round(time.time() - t_all0, 2)
     print(json.dumps({
@@ -174,6 +189,10 @@ def main() -> int:
         "docs_per_sec": docs_per_sec,
         "extract_docs": n_done,
         "extract_sec": round(extract_sec, 2),
+        "extract_secs_all_rounds": extract_secs,
+        # spread = slowest/fastest round; >1.3 means a noisy window hit
+        # the run and the best-of is the trustworthy sample.
+        "extract_spread": round(max(extract_secs) / min(extract_secs), 2),
         "cores": cpus,
         "rounds": rounds,
         "queries": q_times,

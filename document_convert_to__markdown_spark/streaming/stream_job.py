@@ -204,7 +204,8 @@ def stream_dedup_user_counts(spark: SparkSession, events_path: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count("*").alias("n_distinct_users"))
     )
-    return drain_stream_agg(agg, "stream_dedup_users")
+    return drain_stream_agg(agg, "stream_dedup_users",
+                            state_partitions=8)
 
 
 def stream_dedup_within_watermark(
@@ -253,7 +254,7 @@ def stream_dedup_users_watermarked(spark: SparkSession, events_path: str,
         events.select("event_type", "user_id", "ts"),
         keys=["event_type", "user_id"], ts_col="ts", delay=delay)
     rows = drain_stream_agg(deduped, "stream_dedup_users_wm",
-                            output_mode="append")
+                            output_mode="append", state_partitions=8)
     return (
         rows.groupBy("event_type")
         .agg(F.count("*").alias("n_distinct_users"))
@@ -261,7 +262,8 @@ def stream_dedup_users_watermarked(spark: SparkSession, events_path: str,
 
 
 def drain_stream_agg(agg: DataFrame, name: str,
-                     output_mode: str = "complete") -> DataFrame:
+                     output_mode: str = "complete",
+                     state_partitions: int | None = None) -> DataFrame:
     """Run a streaming query to completion (availableNow) into a memory
     sink and return the result as a batch DataFrame.
 
@@ -270,12 +272,31 @@ def drain_stream_agg(agg: DataFrame, name: str,
     oracle-comparable — the harness path that lets streaming operators
     face the same DuckDB check as batch ones.  ``output_mode="append"``
     is the row-stream form (e.g. watermarked dedup output).
+
+    ``state_partitions`` sizes the stateful-operator shuffle for THIS
+    query: ``spark.sql.shuffle.partitions`` is captured at query start
+    and frozen into the checkpoint, so a short availableNow drain over
+    a session-default 64 partitions pays 64 × (n state stores) ×
+    (n micro-batches) store init/commit rounds of pure fixed cost —
+    the round-4 bench showed a stream-stream outer join spending ~20 s
+    on ~10⁴ events exactly this way.  A continuous production query
+    sizes this to its steady-state throughput instead; results are
+    partition-count independent either way.  The session value is
+    restored after start (it is only read at plan time).
     """
     spark = agg.sparkSession
-    q = (
-        agg.writeStream.format("memory").queryName(name)
-        .outputMode(output_mode).trigger(availableNow=True).start()
-    )
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            agg.writeStream.format("memory").queryName(name)
+            .outputMode(output_mode).trigger(availableNow=True).start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, saved)
     # Bounded wait: availableNow drains in seconds at test scale; if the
     # source stalls, fail loudly — a stopped-short drain would surface
     # truncated aggregates as if they were complete (review r2).
@@ -309,7 +330,8 @@ def stream_events_daily(spark: SparkSession, events_path: str) -> DataFrame:
             "event_type", "n_events", "total_value",
         )
     )
-    return drain_stream_agg(agg, "stream_events_daily")
+    return drain_stream_agg(agg, "stream_events_daily",
+                            state_partitions=8)
 
 
 def stream_stream_attribution(spark: SparkSession, events_path: str,
@@ -365,7 +387,7 @@ def stream_stream_attribution(spark: SparkSession, events_path: str,
         "inner",
     )
     rows = drain_stream_agg(pairs, "stream_stream_attr",
-                            output_mode="append")
+                            output_mode="append", state_partitions=8)
     return (
         rows.groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count("*").alias("n_pairs"),
@@ -429,6 +451,10 @@ def stream_stream_attribution_outer(spark: SparkSession, events_path: str,
                 F.col("event_id").alias("buy_id"))
         .withWatermark("buy_ts", delay)
     )
+    # state_partitions=8: a one-batch drain over the session default
+    # (64) spends ~20 s of pure state-store init/commit fixed cost on
+    # ~10⁴ events (round-4 bench outlier); 8 keeps all 4 join state
+    # stores × partitions × micro-batches proportionate to the drain.
     rows = drain_stream_agg(
         clicks.join(
             buys,
@@ -436,7 +462,8 @@ def stream_stream_attribution_outer(spark: SparkSession, events_path: str,
                    f"AND buy_ts <= click_ts + interval {horizon}"),
             "leftOuter",
         ),
-        "stream_stream_attr_outer", output_mode="append")
+        "stream_stream_attr_outer", output_mode="append",
+        state_partitions=8)
     return (
         rows.groupBy(F.col("c_user").alias("user_id"))
         .agg(F.count("buy_id").alias("n_matched"),
