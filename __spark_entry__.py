@@ -1167,21 +1167,35 @@ def _q_warc_ingest(spark, sf):
 
 
 def _q_multimodal_resize(spark, sf):
-    """Resize plumbing (stubbed decode): every image row yields one
-    fixed-shape resized row."""
+    """Resize over REAL decoded PNG pixels (round 5: extractors/
+    png_codec.py is a from-scratch ISO 15948 decoder — stdlib zlib +
+    numpy — so the dominant lossless web format resizes actual image
+    data; non-PNG blobs keep the labeled stub path).  Fixture: 150
+    deterministic grayscale PNGs (varying size/shade) + 50 synthetic
+    page blobs that exercise the stub branch; per-mode pixel checksums
+    pin the decode itself, not just row shapes."""
+    from document_convert_to__markdown_spark.data.synth import make_png
     from document_convert_to__markdown_spark.operators.multimodal import (
         media_resize,
     )
     from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
 
-    pages = synth_pages_df(spark, 200, giant_every=0)
+    png_rows = [(f"https://img.example/{i}.png",
+                 bytearray(make_png(4 + i % 13, 3 + i % 11, (i * 37) % 256)))
+                for i in range(150)]
+    pngs = spark.createDataFrame(png_rows, "url string, html binary")
+    pages = synth_pages_df(spark, 50, giant_every=0) \
+        .select("url", "html").unionByName(pngs)
     resized = media_resize(pages, width=8, height=8,
                            url_col="url", blob_col="html")
-    return resized.agg(
-        F.count("*").alias("n"),
-        F.sum(F.length("data")).alias("total_resized_bytes"),
-        F.countDistinct("width", "height").alias("n_shapes"),
-    )
+    return (resized.groupBy("mode")
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.length("data")).alias("total_resized_bytes"),
+                 # order-insensitive exact-bytes checksum: a wrong
+                 # filter reversal or channel order changes some row's
+                 # crc32 and the sum mismatches the pinned oracle
+                 F.sum(F.crc32("data")).alias("pixels_crc_sum"))
+            .orderBy("mode"))
 
 
 def _q_multimodal_frame_sample(spark, sf):

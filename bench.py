@@ -190,9 +190,14 @@ def main() -> int:
         "extract_docs": n_done,
         "extract_sec": round(extract_sec, 2),
         "extract_secs_all_rounds": extract_secs,
-        # spread = slowest/fastest round; >1.3 means a noisy window hit
-        # the run and the best-of is the trustworthy sample.
+        # spread = slowest/fastest round (round 1 is structurally cold:
+        # JIT + code shipping, typically 3-7x); warm spread excludes it
+        # — >1.3 there means a noisy window hit the run and the best-of
+        # is the trustworthy sample.
         "extract_spread": round(max(extract_secs) / min(extract_secs), 2),
+        "extract_spread_warm": (
+            round(max(extract_secs[1:]) / min(extract_secs[1:]), 2)
+            if len(extract_secs) > 2 else None),
         "cores": cpus,
         "rounds": rounds,
         "queries": q_times,

@@ -65,7 +65,72 @@ def test_media_resize_shape(spark, media_pages):
     rows = out.collect()
     assert len(rows) == 60                      # one row per input row
     assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
-    assert all(len(r["data"]) == 64 for r in rows)  # 8x8 uint8
+    # html blobs take the stub branch: 1 channel -> 64 bytes
+    assert all(r["mode"] == "stub" and len(r["data"]) == 64
+               for r in rows)
+
+
+def test_media_resize_real_png_pixels(spark):
+    """Round 5: PNGs resize REAL decoded pixels (png_codec), checked
+    against exact known values — not just shapes."""
+    import numpy as np
+
+    from document_convert_to__markdown_spark.data.synth import make_png
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+
+    # 8x8 grayscale resized to 8x8 == identity: pixel (y,x) is
+    # (shade + x + y) % 256 by make_png's construction.
+    gray = make_png(8, 8, 100)
+    # 4x4 RGB gradient resized to 2x2 nearest-neighbor picks the
+    # corner pixels (linspace(0, 3, 2) -> rows/cols 0 and 3).
+    rgb_px = (np.arange(4 * 4 * 3).reshape(4, 4, 3) * 5 % 256
+              ).astype(np.uint8)
+    rgb = encode_png(rgb_px)
+    df = spark.createDataFrame(
+        [("g", bytearray(gray)), ("c", bytearray(rgb))],
+        "url string, html binary")
+    got = {r["url"]: r for r in
+           media_resize(df, width=8, height=8, url_col="url",
+                        blob_col="html").collect()
+           if r["url"] == "g"}
+    want_gray = bytes((100 + x + y) % 256
+                      for y in range(8) for x in range(8))
+    assert got["g"]["mode"] == "L"
+    assert bytes(got["g"]["data"]) == want_gray
+
+    got2 = {r["url"]: r for r in
+            media_resize(df, width=2, height=2, url_col="url",
+                         blob_col="html").collect()}
+    assert got2["c"]["mode"] == "RGB"
+    corners = rgb_px[np.ix_([0, 3], [0, 3])]
+    assert bytes(got2["c"]["data"]) == corners.tobytes()
+    # grayscale at 2x2: corners of the 8x8 grid
+    want_g2 = bytes((100 + x + y) % 256 for y in (0, 7) for x in (0, 7))
+    assert bytes(got2["g"]["data"]) == want_g2
+
+
+def test_media_features_real_png(spark):
+    import numpy as np
+
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_features,
+    )
+
+    px = (np.arange(6 * 5 * 3).reshape(6, 5, 3) * 7 % 256).astype(np.uint8)
+    df = spark.createDataFrame([("p", bytearray(encode_png(px)))],
+                               "url string, html binary")
+    row = media_features(df, url_col="url", blob_col="html",
+                         dim=5).collect()[0]
+    want = px.astype(np.float32).mean(axis=(0, 2))
+    assert np.allclose(row["feature"], want, atol=1e-4)
 
 
 def test_video_frame_sample_one_to_many(spark, media_pages):
