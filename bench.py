@@ -114,6 +114,8 @@ BENCH_QUERIES = [
     "stream_dedup_users",
     "stream_dedup_watermarked",
     "stream_sessionize_stateful",
+    # round-5 perceptual-hash image near-dup (real PNG decode)
+    "image_dhash_neardup",
     # stream_dedup_ingest excluded: two full streaming drains + 4
     # snapshot commits (~44s at sf0.1) is a soak, not a query; its
     # components (dedup_incremental, minhash bands, snapshot commits)

@@ -172,6 +172,104 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
     return df.select(url_col, blob_col).mapInPandas(sample, FRAME_SCHEMA)
 
 
+DHASH_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("mode", StringType(), False),
+    StructField("dhash", LongType(), False),
+])
+
+
+def image_dhash(df: DataFrame, url_col: str = "url",
+                blob_col: str = "data") -> DataFrame:
+    """Binary image column → 64-bit difference hash (dHash).
+
+    The standard perceptual fingerprint for image near-dup at corpus
+    scale (Krawetz's dHash: gray → 9×8 downsample → horizontal
+    gradient sign bits).  Properties that matter for a training-data
+    pipeline: invariant to uniform brightness/contrast shifts and
+    re-encoding, and locally sensitive — small edits flip few bits, so
+    near-duplicates sit at small Hamming distance.
+
+    PNG payloads hash REAL decoded pixels (png_codec); other formats
+    hash the deterministic stub grid (``mode`` records which).  One
+    Arrow-batched ``mapInPandas`` pass, no shuffle; the hash is a
+    signed BIGINT so it shuffles/joins JVM-side downstream.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, modes, hashes = [], [], []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                px, mode = _decode_image(payload)
+                gray = px.astype(np.float32).mean(axis=2)
+                ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
+                xs = np.linspace(0, gray.shape[1] - 1, 9).astype(int)
+                g = gray[np.ix_(ys, xs)]
+                bits = (g[:, 1:] > g[:, :-1]).reshape(-1)   # 8x8 = 64
+                h = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                if h >= 1 << 63:                # two's-complement BIGINT
+                    h -= 1 << 64
+                urls.append(url)
+                modes.append(mode)
+                hashes.append(h)
+            yield pd.DataFrame({"url": urls, "mode": modes,
+                                "dhash": hashes})
+
+    return df.select(url_col, blob_col).mapInPandas(kernel, DHASH_SCHEMA)
+
+
+def image_neardup_pairs(hashes: DataFrame, id_col: str = "url",
+                        hash_col: str = "dhash",
+                        max_hamming: int = 3,
+                        n_bands: int = 4) -> DataFrame:
+    """Hamming-near pairs over 64-bit perceptual hashes, banded — the
+    multimodal member of the dedup family (same shape as MinHash LSH:
+    bucket-join candidates, then verify; never an all-pairs join).
+
+    Pigeonhole recall guarantee: two hashes within Hamming distance
+    ``max_hamming ≤ n_bands - 1`` must agree exactly on at least one of
+    the ``n_bands`` disjoint bit bands, so the band-bucket self-join
+    surfaces EVERY true pair; the verify step then computes the exact
+    distance (``bit_count(a XOR b)``, JVM-side) and keeps
+    ``<= max_hamming``.  At 10^9 images the join is keyed on 16-bit
+    band values × band index — bounded buckets, shuffle carries only
+    (id, hash).
+
+    Returns ``(id_a, id_b, hamming)`` with ``id_a < id_b``, exact
+    distances, each pair once.
+    """
+    if max_hamming > n_bands - 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the pigeonhole recall "
+            f"guarantee for n_bands={n_bands}; raise n_bands (bands of "
+            f"64/n_bands bits) or lower the threshold")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
+    bands = F.explode(F.array(*[
+        F.struct(F.lit(i).alias("band_id"),
+                 (F.shiftrightunsigned(F.col(hash_col), i * width)
+                  .bitwiseAND(F.lit(mask))).alias("band_val"))
+        for i in range(n_bands)
+    ])).alias("b")
+    keyed = (hashes.select(F.col(id_col).alias("_id"),
+                           F.col(hash_col).alias("_h"), bands)
+             .select("_id", "_h", "b.band_id", "b.band_val"))
+    a = keyed.select(F.col("_id").alias("id_a"),
+                     F.col("_h").alias("_ha"), "band_id", "band_val")
+    b = keyed.select(F.col("_id").alias("id_b"),
+                     F.col("_h").alias("_hb"), "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", "_ha", "_hb")
+            .distinct())                      # pair may share >1 band
+    return (cand
+            .withColumn("hamming",
+                        F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
 def media_features(df: DataFrame, url_col: str = "url",
                    blob_col: str = "data", dim: int = 16) -> DataFrame:
     """Binary column → fixed-dim feature vector (real pixels for PNG,

@@ -58,6 +58,9 @@ PINNABLE = [
     # two sequential availableNow drains fix the batch boundary, so
     # the corpus/index audit is deterministic.
     "stream_dedup_ingest",
+    # round-5: perceptual-hash image near-dup — pixel decode (real
+    # PNG) isn't SQL; the fixture and dHash are fully deterministic.
+    "image_dhash_neardup",
 ]
 
 _SQL_TYPES = {

@@ -21,6 +21,15 @@ table holds 3n/2 rows, all ``status='ok'``, and the markdown hashes
 equal a direct batch extraction of the same corpus (byte parity
 through the loop).
 
+Round 5 adds an INJECTED MID-LOOP KILL (VERDICT r4 item 8): after
+segment 2 lands, the table is rewound to the state a SIGKILL during
+segment 2's merge commit leaves behind — data files and manifest
+written, ``_current`` never bumped, plus committer scratch debris —
+and the loop re-runs the segment.  The recovery run must re-fetch
+exactly the crashed half (anti-join sees only segment 1 committed),
+converge the table back to 3n/2 rows with zero duplicate urls, and
+leave no crash debris visible to readers.
+
 Usage: python scripts/soak_crawl_loop.py [n_per_segment]  (default 2000)
 Prints one JSON line.  Run serialized (no concurrent Spark jobs).
 """
@@ -157,6 +166,43 @@ def main() -> None:
             == results["table_rows"], results
         assert results["n_failed"] == 0, results
         assert results["n_sha_match"] == results["table_rows"], results
+
+        # --- injected mid-loop kill (round 5) -------------------------
+        # Rewind to the exact state a SIGKILL inside segment 2's merge
+        # commit leaves: the commit's data dir and manifest are on disk
+        # but _current still points at the segment-1 version (the
+        # pointer rename is the atomic step), plus FileOutputCommitter
+        # scratch debris under the next commit dir.
+        v_crash = snap.current_version(table)
+        with open(f"{table}/_current", "w") as fh:
+            fh.write(str(v_crash - 1))
+        debris = f"{table}/data/c{v_crash:05d}/_temporary/0/task_dead"
+        os.makedirs(debris, exist_ok=True)
+        with open(f"{debris}/part-zombie.parquet", "wb") as fh:
+            fh.write(b"\x00" * 16)
+
+        rows_seen_crashed = snap.read(spark, table).count()
+        results["kill_rows_visible_after_crash"] = rows_seen_crashed
+
+        r3 = ingest_segment(seg2)   # the recovery re-run of the loop
+        results["kill_refetched"] = r3["fetched"]
+        results["kill_recover_sec"] = r3["sec"]
+        final2 = snap.read(spark, table)
+        results["kill_rows"] = final2.count()
+        results["kill_distinct_urls"] = \
+            final2.select("url").distinct().count()
+        joined2 = final2.join(direct, "url")
+        results["kill_sha_match"] = joined2.filter(
+            "md_sha256 <=> want_sha").count()
+
+        # crash leaves the parent version readable, nothing partial
+        assert rows_seen_crashed == n, results
+        # recovery re-fetches exactly the crashed half, nothing more
+        assert results["kill_refetched"] == n // 2, results
+        # converged: no duplicate urls, byte parity holds
+        assert results["kill_rows"] == n + n // 2, results
+        assert results["kill_distinct_urls"] == n + n // 2, results
+        assert results["kill_sha_match"] == results["kill_rows"], results
         results["checks"] = "pass"
     finally:
         shutil.rmtree(work, ignore_errors=True)

@@ -114,6 +114,91 @@ def test_media_resize_real_png_pixels(spark):
     assert bytes(got2["g"]["data"]) == want_g2
 
 
+def _ref_dhash(px2d):
+    """Pure-numpy reference dHash over a gray 2D array."""
+    import numpy as np
+
+    ys = np.linspace(0, px2d.shape[0] - 1, 8).astype(int)
+    xs = np.linspace(0, px2d.shape[1] - 1, 9).astype(int)
+    g = px2d.astype(np.float32)[np.ix_(ys, xs)]
+    bits = (g[:, 1:] > g[:, :-1]).reshape(-1)
+    return int.from_bytes(np.packbits(bits).tobytes(), "big")
+
+
+def test_image_dhash_matches_reference_and_brightness_invariant(spark):
+    import numpy as np
+
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    base = np.array([[(x * x * 3 + y * y * 5 + x * y) % 240
+                      for x in range(9)] for y in range(8)], np.uint8)
+    rows = [("base", bytearray(encode_png(base))),
+            ("bright", bytearray(encode_png(base + 10)))]
+    got = {r["url"]: (r["dhash"], r["mode"])
+           for r in image_dhash(spark.createDataFrame(
+               rows, "url string, data binary")).collect()}
+    want = _ref_dhash(base)
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got["base"] == (want, "L")
+    assert got["bright"][0] == got["base"][0]   # brightness-invariant
+
+
+def test_image_neardup_banded_equals_bruteforce(spark):
+    """The banded candidate join + bit_count verify must find EXACTLY
+    the pairs a brute-force all-pairs Hamming scan finds (pigeonhole
+    recall guarantee for max_hamming <= n_bands - 1)."""
+    import itertools
+
+    import numpy as np
+
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        image_dhash, image_neardup_pairs,
+    )
+
+    imgs = {}
+    for s in range(12):
+        base = np.array(
+            [[(s * 37 + x * x * (s % 5 + 2) + y * y * (s % 7 + 3)) % 240
+              for x in range(9)] for y in range(8)], np.uint8)
+        imgs[f"s{s}a"] = base
+        edit = base.copy()
+        edit[3, 4] = (int(edit[3, 4]) + 120) % 240
+        imgs[f"s{s}c"] = edit
+    rows = [(k, bytearray(encode_png(v))) for k, v in imgs.items()]
+    df = spark.createDataFrame(rows, "url string, data binary")
+    hashes = image_dhash(df)
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in image_neardup_pairs(hashes, max_hamming=3,
+                                        n_bands=4).collect()}
+
+    ref = {k: _ref_dhash(v) for k, v in imgs.items()}
+    want = {}
+    for a, b in itertools.combinations(sorted(ref), 2):
+        d = bin(ref[a] ^ ref[b]).count("1")
+        if d <= 3:
+            want[(a, b)] = d
+    assert got == want and len(want) >= 12  # every one-pixel edit pair
+
+
+def test_image_neardup_threshold_guard(spark):
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        image_neardup_pairs,
+    )
+
+    df = spark.createDataFrame([("a", 0)], "url string, dhash long")
+    with pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup_pairs(df, max_hamming=4, n_bands=4)
+
+
 def test_media_features_real_png(spark):
     import numpy as np
 
