@@ -114,8 +114,11 @@ BENCH_QUERIES = [
     "stream_dedup_users",
     "stream_dedup_watermarked",
     "stream_sessionize_stateful",
-    # round-5 perceptual-hash image near-dup (real PNG decode)
+    # round-5 multimodal: perceptual-hash image near-dup (real PNG
+    # decode), GIF-vs-PNG codec parity, spectral audio fingerprint
     "image_dhash_neardup",
+    "multimodal_gif_decode",
+    "audio_spectral_hash",
     # stream_dedup_ingest excluded: two full streaming drains + 4
     # snapshot commits (~44s at sf0.1) is a soak, not a query; its
     # components (dedup_incremental, minhash bands, snapshot commits)

@@ -7,9 +7,16 @@ Decode status by format (round 5 — VERDICT r4 item 4):
   8-bit gray/RGB/RGBA/palette, all five scanline filters), so
   ``media_resize``/``media_features`` operate on actual image data for
   the dominant lossless web format.
-- **JPEG/GIF/other: deterministic stub.**  DCT and LZW entropy coders
-  need image libs the container doesn't have (installs off-limits), so
-  those payloads keep the clearly-marked fake decode.  Everything
+- **GIF: REAL pixels.**  ``extractors/gif_codec.py`` implements the
+  GIF87a/89a container and its variable-width LZW coder from scratch
+  (interlace, local color tables, GCE transparency; animated GIFs
+  decode their first frame).
+- **WAV: REAL samples.**  PCM 8/16-bit mono/stereo decode via the
+  RIFF walk in ``extractors/audio_extractor.py`` feeds
+  ``audio_spectral_hash`` actual audio.
+- **JPEG/other: deterministic stub.**  JPEG's DCT entropy pipeline
+  needs image libs the container doesn't have (installs off-limits),
+  so those payloads keep the clearly-marked fake decode.  Everything
   Spark-side — schemas, Arrow batch shapes, ``mapInPandas``
   signatures, partitioning — is real either way; swapping the stub for
   PIL/ffmpeg changes one function body, not the plan.
@@ -71,7 +78,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
 
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB: deterministic fake decode (no JPEG/GIF libs in this
+    """STUB: deterministic fake decode (no JPEG libs in this
     container).
 
     Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
@@ -85,22 +92,26 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """payload → ``((h, w, c) uint8-ish array, mode)``.
 
-    PNGs decode for real (``png_codec``); anything else — or a PNG
-    outside the implemented subset (interlaced/16-bit) — falls back to
-    the deterministic stub with ``mode="stub"`` so callers and audits
+    PNGs and GIFs decode for real (``png_codec`` / ``gif_codec``);
+    anything else — or a file outside the implemented subset
+    (16-bit/Adam7 PNG, truncated LZW) — falls back to the
+    deterministic stub with ``mode="stub"`` so callers and audits
     can tell real pixels from fakes.  Never raises on garbage: the
     pipeline contract is one output row per input row.
     """
+    from ..extractors.gif_codec import GIF_SIGS, decode_gif
     from ..extractors.png_codec import PNG_SIG, decode_png
 
-    if payload.startswith(PNG_SIG):
-        try:
+    try:
+        if payload.startswith(PNG_SIG):
             px, mode = decode_png(payload)
             if px.ndim == 2:
                 px = px[:, :, None]
             return px, mode
-        except ValueError:  # UnsupportedPNG subclasses ValueError
-            pass
+        if payload[:6] in GIF_SIGS:
+            return decode_gif(payload)          # always (h, w, c)
+    except ValueError:  # UnsupportedPNG/GifLzwError subclass ValueError
+        pass
     return _decode_image_stub(payload)[:, :, None], "stub"
 
 
@@ -268,6 +279,83 @@ def image_neardup_pairs(hashes: DataFrame, id_col: str = "url",
                         F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))))
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
+
+
+AUDIO_HASH_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("mode", StringType(), False),
+    StructField("ahash", LongType(), False),
+])
+
+_AHASH_N_FFT = 16384                 # fixed analysis window (samples)
+
+
+def _spectral_band_edges() -> np.ndarray:
+    """66 strictly-increasing rfft-bin edges, log-spaced over bins
+    [8, 8192) — 65 bands → 64 adjacent-band comparison bits."""
+    lo, hi, n = 8.0, 8192.0, 66
+    r = (hi / lo) ** (1.0 / (n - 1))
+    edges = [int(lo)]
+    v = lo
+    for _ in range(n - 1):
+        v *= r
+        edges.append(max(edges[-1] + 1, int(round(v))))
+    return np.array(edges, dtype=np.int64)
+
+
+_BAND_EDGES = _spectral_band_edges()
+
+
+def audio_spectral_hash(df: DataFrame, url_col: str = "url",
+                        blob_col: str = "data") -> DataFrame:
+    """Binary audio column → 64-bit spectral fingerprint.
+
+    The audio member of the perceptual-hash dedup family (the
+    band-energy-comparison idea of Haitsma & Kalker's robust audio
+    fingerprint, reduced to one 64-bit code per clip the way dHash
+    reduces images): window the first ``16384`` samples, power
+    spectrum via rFFT, 65 log-spaced frequency bands, and each bit is
+    the sign of an adjacent-band energy difference.  Uniform gain
+    scales every band energy equally, so the hash is volume-invariant
+    by construction; small edits (an added tone, a clipped note)
+    perturb few bands, so near-duplicates sit at small Hamming
+    distance and feed the same banded ``image_neardup_pairs`` join.
+
+    PCM WAV payloads hash REAL decoded samples (``wav_codec``); other
+    formats hash a deterministic byte-derived stub signal (``mode``
+    records which).  One Arrow-batched ``mapInPandas`` pass.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extractors.wav_codec import decode_wav
+
+        for pdf in batches:
+            urls, modes, hashes = [], [], []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                try:
+                    x, _rate = decode_wav(payload)
+                    mode = "pcm"
+                except ValueError:   # UnsupportedWav subclasses ValueError
+                    raw = np.frombuffer(
+                        payload[:4096].ljust(4096, b"\0"), dtype=np.uint8)
+                    x = (raw.astype(np.float32) - 128.0) / 128.0
+                    mode = "stub"
+                if x.size < _AHASH_N_FFT:
+                    x = np.pad(x, (0, _AHASH_N_FFT - x.size))
+                spec = np.abs(np.fft.rfft(x[:_AHASH_N_FFT])) ** 2
+                energies = np.add.reduceat(spec, _BAND_EDGES)[:-1]
+                bits = energies[1:] > energies[:-1]           # 64 bits
+                h = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                if h >= 1 << 63:                # two's-complement BIGINT
+                    h -= 1 << 64
+                urls.append(url)
+                modes.append(mode)
+                hashes.append(h)
+            yield pd.DataFrame({"url": urls, "mode": modes,
+                                "ahash": hashes})
+
+    return df.select(url_col, blob_col).mapInPandas(kernel, AUDIO_HASH_SCHEMA)
 
 
 def media_features(df: DataFrame, url_col: str = "url",

@@ -61,6 +61,10 @@ PINNABLE = [
     # round-5: perceptual-hash image near-dup — pixel decode (real
     # PNG) isn't SQL; the fixture and dHash are fully deterministic.
     "image_dhash_neardup",
+    # round-5: GIF-vs-PNG pixel parity through the two from-scratch
+    # codecs, and the FFT spectral audio fingerprint — neither is SQL.
+    "multimodal_gif_decode",
+    "audio_spectral_hash",
 ]
 
 _SQL_TYPES = {

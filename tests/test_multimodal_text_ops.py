@@ -317,3 +317,140 @@ def test_lm_buckets_scalable_tracks_exact_ntile(spark):
         nxt = rng.get((lang, b + 1))
         if nxt:
             assert hi <= nxt[0], (lang, b, hi, nxt)
+
+
+def test_media_resize_real_gif_pixels(spark):
+    """GIF payloads resize REAL decoded pixels (gif_codec), byte-equal
+    to the same pixels pushed through the PNG path."""
+    import numpy as np
+
+    from document_convert_to__markdown_spark.extractors.gif_codec import (
+        encode_gif,
+    )
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+
+    pal = np.random.RandomState(31).randint(0, 256, (6, 3)).astype(np.uint8)
+    idx = np.random.RandomState(32).randint(0, 6, (11, 13)).astype(np.uint8)
+    rows = [("g", bytearray(encode_gif(idx, pal))),
+            ("p", bytearray(encode_png(pal[idx])))]
+    df = spark.createDataFrame(rows, "url string, data binary")
+    got = {r["url"]: r for r in media_resize(df, width=5, height=4).collect()}
+    assert got["g"]["mode"] == "RGB" == got["p"]["mode"]
+    assert bytes(got["g"]["data"]) == bytes(got["p"]["data"])
+    # and against a direct numpy nearest-neighbor reference
+    ys = np.linspace(0, 10, 4).astype(int)
+    xs = np.linspace(0, 12, 5).astype(int)
+    assert bytes(got["g"]["data"]) == pal[idx][np.ix_(ys, xs)].tobytes()
+
+
+def test_wav_codec_roundtrip_and_refusals():
+    import numpy as np
+    import pytest
+
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        UnsupportedWav, decode_wav, encode_wav,
+    )
+
+    t = np.arange(4096) / 16000.0
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1200 * t)).astype(np.float32)
+    y, rate = decode_wav(encode_wav(x, 16000))
+    assert rate == 16000 and y.shape == x.shape
+    assert np.abs(y - x).max() < 2 / 32768          # one quantization step
+
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVE")                 # no fmt/data
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio")
+    # IEEE-float WAV (format tag 3) refused, not silently mis-decoded
+    import struct
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)
+    bad = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+    with pytest.raises(UnsupportedWav):
+        decode_wav(bad)
+
+
+def test_wav_stereo_downmix_and_8bit():
+    import struct
+
+    import numpy as np
+
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        decode_wav,
+    )
+
+    # hand-built stereo 16-bit: L=[1000, -2000], R=[3000, 4000]
+    pcm = np.array([1000, 3000, -2000, 4000], dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+           + b"fmt " + struct.pack("<I", 16) + fmt
+           + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    y, rate = decode_wav(wav)
+    assert rate == 8000
+    np.testing.assert_allclose(y, [2000 / 32768, 1000 / 32768], atol=1e-6)
+
+    # 8-bit unsigned mono: 128 is silence, 255 ~ +1, 0 ~ -1
+    data8 = bytes([128, 255, 0])
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (b"RIFF" + struct.pack("<I", 36 + 3) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + fmt8
+            + b"data" + struct.pack("<I", 3) + data8)
+    y8, _ = decode_wav(wav8)
+    np.testing.assert_allclose(y8, [0.0, 127 / 128, -1.0], atol=1e-6)
+
+
+def test_audio_spectral_hash_volume_invariant_and_modes(spark):
+    import numpy as np
+
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        encode_wav,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        _BAND_EDGES, audio_spectral_hash,
+    )
+
+    centers = (_BAND_EDGES[:-1] + _BAND_EDGES[1:]) // 2
+    rng = np.random.RandomState(77)
+    amps = 0.97 ** rng.permutation(65).astype(np.float64)
+    coef = np.zeros(8193, dtype=complex)
+    coef[centers] = amps * np.exp(1j * rng.uniform(0, 2 * np.pi, 65))
+    x = np.fft.irfft(coef, 16384)
+    x = 0.9 * x / np.abs(x).max()
+
+    rows = [("full", bytearray(encode_wav(x, 16000))),
+            ("quiet", bytearray(encode_wav(0.3 * x, 16000))),
+            ("notaudio", bytearray(b"GIF89a irrelevant payload"))]
+    got = {r["url"]: r for r in audio_spectral_hash(
+        spark.createDataFrame(rows, "url string, data binary")).collect()}
+    assert got["full"]["mode"] == "pcm" == got["quiet"]["mode"]
+    assert got["notaudio"]["mode"] == "stub"
+    assert got["full"]["ahash"] == got["quiet"]["ahash"]   # volume-invariant
+
+    # cross-check the hash against a direct numpy replay
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    energies = np.add.reduceat(spec, _BAND_EDGES)[:-1]
+    bits = energies[1:] > energies[:-1]
+    want = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    if want >= 1 << 63:
+        want -= 1 << 64
+    assert got["full"]["ahash"] == want
+
+
+def test_spectral_band_edges_are_strictly_increasing():
+    import numpy as np
+
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        _BAND_EDGES,
+    )
+
+    assert len(_BAND_EDGES) == 66
+    assert (_BAND_EDGES[1:] > _BAND_EDGES[:-1]).all()
+    assert _BAND_EDGES[0] == 8 and _BAND_EDGES[-1] <= 8192
+    assert isinstance(_BAND_EDGES, np.ndarray)
