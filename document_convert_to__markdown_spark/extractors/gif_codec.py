@@ -246,6 +246,8 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, str]:
             raise ValueError(f"bad GIF block 0x{block:02x}")
 
         # image descriptor — decode this (first) frame and return
+        if pos + 9 > n:
+            raise ValueError("truncated GIF image descriptor")
         left, top, fw, fh, fpacked = struct.unpack(
             "<HHHHB", payload[pos:pos + 9])
         pos += 9
@@ -263,6 +265,8 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, str]:
         if fw == 0 or fh == 0 or left + fw > width or top + fh > height:
             raise ValueError("GIF frame outside logical screen")
 
+        if pos >= n:
+            raise ValueError("truncated GIF before LZW data")
         min_code = payload[pos]
         pos += 1
         lzw, pos = _read_subblocks(payload, pos)
@@ -281,8 +285,11 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, str]:
             alpha_frame = np.where(grid == transparent, 0, 255)
         rgb_frame = table[grid]
 
-        bg = table[bg_idx] if bg_idx < len(table) else np.zeros(
-            3, dtype=np.uint8)
+        # background color resolves against the GLOBAL table (spec
+        # §18: the LSD's background index refers to the GCT), never
+        # the frame's local table
+        bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) \
+            else np.zeros(3, dtype=np.uint8)
         canvas = np.broadcast_to(
             bg, (height, width, 3)).copy()
         canvas[top:top + fh, left:left + fw] = rgb_frame

@@ -12,7 +12,7 @@ Decode status by format (round 5 — VERDICT r4 item 4):
   (interlace, local color tables, GCE transparency; animated GIFs
   decode their first frame).
 - **WAV: REAL samples.**  PCM 8/16-bit mono/stereo decode via the
-  RIFF walk in ``extractors/audio_extractor.py`` feeds
+  RIFF walk in ``extractors/wav_codec.py`` feeds
   ``audio_spectral_hash`` actual audio.
 - **JPEG/other: deterministic stub.**  JPEG's DCT entropy pipeline
   needs image libs the container doesn't have (installs off-limits),
@@ -190,6 +190,12 @@ DHASH_SCHEMA = StructType([
 ])
 
 
+def _pack_bits_to_bigint(bits: np.ndarray) -> int:
+    """64 bools → signed 64-bit int (two's complement, Spark BIGINT)."""
+    h = int.from_bytes(np.packbits(bits).tobytes(), "big")
+    return h - (1 << 64) if h >= 1 << 63 else h
+
+
 def image_dhash(df: DataFrame, url_col: str = "url",
                 blob_col: str = "data") -> DataFrame:
     """Binary image column → 64-bit difference hash (dHash).
@@ -218,12 +224,9 @@ def image_dhash(df: DataFrame, url_col: str = "url",
                 xs = np.linspace(0, gray.shape[1] - 1, 9).astype(int)
                 g = gray[np.ix_(ys, xs)]
                 bits = (g[:, 1:] > g[:, :-1]).reshape(-1)   # 8x8 = 64
-                h = int.from_bytes(np.packbits(bits).tobytes(), "big")
-                if h >= 1 << 63:                # two's-complement BIGINT
-                    h -= 1 << 64
                 urls.append(url)
                 modes.append(mode)
-                hashes.append(h)
+                hashes.append(_pack_bits_to_bigint(bits))
             yield pd.DataFrame({"url": urls, "mode": modes,
                                 "dhash": hashes})
 
@@ -346,12 +349,9 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
                 spec = np.abs(np.fft.rfft(x[:_AHASH_N_FFT])) ** 2
                 energies = np.add.reduceat(spec, _BAND_EDGES)[:-1]
                 bits = energies[1:] > energies[:-1]           # 64 bits
-                h = int.from_bytes(np.packbits(bits).tobytes(), "big")
-                if h >= 1 << 63:                # two's-complement BIGINT
-                    h -= 1 << 64
                 urls.append(url)
                 modes.append(mode)
-                hashes.append(h)
+                hashes.append(_pack_bits_to_bigint(bits))
             yield pd.DataFrame({"url": urls, "mode": modes,
                                 "ahash": hashes})
 

@@ -140,3 +140,46 @@ def test_gif_refusals():
         encode_gif(np.full((2, 2), 9, np.uint8), pal)  # index > palette
     with pytest.raises(ValueError):
         encode_gif(idx, np.zeros((300, 3), np.uint8))  # palette too big
+
+
+def test_gif_every_truncation_raises_valueerror():
+    """_decode_image's stub fallback catches ValueError ONLY; a GIF
+    truncated at ANY byte offset must therefore raise ValueError (not
+    struct.error/IndexError) or decode cleanly — else one garbage
+    crawl row kills the whole Spark task."""
+    pal = _pal(6)
+    idx = np.random.RandomState(9).randint(0, 6, (5, 7)).astype(np.uint8)
+    good = encode_gif(idx, pal, transparent=1)
+    for cut in range(len(good)):
+        try:
+            decode_gif(good[:cut])
+        except ValueError:
+            pass                                # the contract
+    # and the operators' fallback really does swallow it
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        _decode_image,
+    )
+    for cut in (7, 14, 30, 35, len(good) - 2):
+        px, mode = _decode_image(good[:cut])
+        assert mode == "stub" and px.ndim == 3
+
+
+def test_gif_background_uses_global_table():
+    """Spec: the LSD's background index refers to the GLOBAL color
+    table, even when the frame carries a local one."""
+    gct = np.array([[0, 255, 0], [1, 2, 3]], np.uint8)       # bg = green
+    lct = np.array([[255, 0, 0], [0, 0, 255]], np.uint8)
+    frame = np.array([[0, 1]], np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 4, 3, 0x80 | 0, 0, 0)       # 2-entry GCT
+    out += gct.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 1, 1, 2, 1, 0x80 | 0)  # LCT frame
+    out += lct.tobytes()
+    # splice LZW body from a full-frame encoding with the same indices
+    donor = encode_gif(frame, lct)
+    body_at = 6 + 7 + 6 + 10                    # hdr + lsd + gct(2) + desc
+    out += donor[body_at:]
+    px, mode = decode_gif(bytes(out))
+    assert mode == "RGB"
+    assert (px[0, 0] == gct[0]).all()           # canvas = GLOBAL bg
+    assert (px[1, 1] == lct[0]).all() and (px[1, 2] == lct[1]).all()
