@@ -1,0 +1,158 @@
+"""Round-5 soak: perceptual-hash near-dup at 10^5-10^6 row scale.
+
+Proves the multimodal dedup path holds its shape beyond the 90-row
+contract fixtures — REAL codec decodes (png_codec / wav_codec) inside
+the Arrow kernels, the banded Hamming self-join, and closed-form
+output checks:
+
+- images: ``n_scenes`` distinct seeded 8×9 grayscale grids, each
+  rendered twice (base PNG, +10 brightness PNG — dHash-invariant).
+  Pairs found must be EXACTLY n_scenes, all at Hamming 0: every
+  within-scene pair recalled, and random 64-bit codes put the expected
+  cross-scene collision count at ~C(n,2)·4.4e4/2^64 (≪ 1 even at
+  10^6 rows), so any extra pair is a real defect.
+- audio: ``n_scenes/10`` clips built in the frequency domain (65
+  decisive log-band energies), each rendered twice (full gain, 0.45×).
+  Same exact-count/zero-distance check through the same banded join.
+
+Synthesis happens executor-side in ``mapInPandas`` (the driver ships
+only a range), so the soak also measures distributed encode+decode
+throughput: PNG scanline filters and WAV PCM quantization run once per
+row on the way in, the codec decodes run once per row inside the hash
+kernels.
+
+Usage: python scripts/soak_round5_multimodal.py [n_scenes]  (default
+100000 → 200k images + 20k clips).  Prints one JSON line.  Run
+serialized (no concurrent Spark jobs).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+
+def main() -> None:
+    n_scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        audio_spectral_hash, image_dhash, image_neardup_pairs,
+    )
+
+    spark = (SparkSession.builder.master("local[32]")
+             .config("spark.sql.shuffle.partitions", "64")
+             .config("spark.driver.memory", "48g")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict = {"metric": "multimodal_neardup_soak",
+                     "n_scenes": n_scenes, "cores": 32}
+
+    # --- images: 2 PNG renditions per scene, executor-side synth ----
+    from pyspark.sql.types import (BinaryType, StringType, StructField,
+                                   StructType)
+
+    IMG_SCHEMA = StructType([StructField("url", StringType(), False),
+                             StructField("data", BinaryType(), False)])
+
+    def gen_images(batches):
+        import numpy as np
+        import pandas as pd
+
+        from document_convert_to__markdown_spark.extractors.png_codec \
+            import encode_png
+
+        for pdf in batches:
+            urls, blobs = [], []
+            for s in pdf["id"]:
+                base = np.random.RandomState(int(s)) \
+                    .randint(0, 240, (8, 9)).astype(np.uint8)
+                urls.append(f"s{int(s):07d}/a")
+                blobs.append(encode_png(base))
+                urls.append(f"s{int(s):07d}/b")
+                blobs.append(encode_png(base + 10))
+            yield pd.DataFrame({"url": urls, "data": blobs})
+
+    imgs = spark.range(n_scenes).repartition(64) \
+        .mapInPandas(gen_images, IMG_SCHEMA)
+
+    t0 = time.time()
+    hashes = image_dhash(imgs).localCheckpoint()   # materialize hash stage
+    n_imgs = hashes.count()
+    t_hash = time.time() - t0
+    results["n_images"] = n_imgs
+    results["img_hash_sec"] = round(t_hash, 1)
+    results["img_hash_docs_per_sec"] = round(n_imgs / t_hash)
+
+    t0 = time.time()
+    pairs = image_neardup_pairs(hashes, max_hamming=3, n_bands=4) \
+        .localCheckpoint()
+    n_pairs = pairs.count()
+    results["img_pairs"] = n_pairs
+    results["img_join_sec"] = round(time.time() - t0, 1)
+    results["img_pairs_h0"] = pairs.filter("hamming = 0").count()
+    same = pairs.filter(F.substring("id_a", 1, 8)
+                        == F.substring("id_b", 1, 8)).count()
+    assert n_imgs == 2 * n_scenes, results
+    assert n_pairs == n_scenes == same == results["img_pairs_h0"], results
+
+    # --- audio: 2 WAV renditions per scene ---------------------------
+    n_clips = max(n_scenes // 10, 100)
+
+    def gen_clips(batches):
+        import numpy as np
+        import pandas as pd
+
+        from document_convert_to__markdown_spark.extractors.wav_codec \
+            import encode_wav
+        from document_convert_to__markdown_spark.operators.multimodal \
+            import _BAND_EDGES
+
+        centers = (_BAND_EDGES[:-1] + _BAND_EDGES[1:]) // 2
+        for pdf in batches:
+            urls, blobs = [], []
+            for s in pdf["id"]:
+                rng = np.random.RandomState(int(s))
+                amps = 0.97 ** rng.permutation(65).astype(np.float64)
+                coef = np.zeros(8193, dtype=complex)
+                coef[centers] = amps * np.exp(
+                    1j * rng.uniform(0, 2 * np.pi, 65))
+                x = np.fft.irfft(coef, 16384)
+                x = 0.9 * x / np.abs(x).max()
+                urls.append(f"c{int(s):07d}/a")
+                blobs.append(encode_wav(x, 16000))
+                urls.append(f"c{int(s):07d}/b")
+                blobs.append(encode_wav(0.45 * x, 16000))
+            yield pd.DataFrame({"url": urls, "data": blobs})
+
+    clips = spark.range(n_clips).repartition(64) \
+        .mapInPandas(gen_clips, IMG_SCHEMA)
+
+    t0 = time.time()
+    ahashes = audio_spectral_hash(clips).localCheckpoint()
+    n_audio = ahashes.count()
+    t_ahash = time.time() - t0
+    results["n_clips"] = n_audio
+    results["audio_hash_sec"] = round(t_ahash, 1)
+    results["audio_hash_clips_per_sec"] = round(n_audio / t_ahash)
+    results["audio_pcm_rows"] = ahashes.filter("mode = 'pcm'").count()
+
+    apairs = image_neardup_pairs(ahashes, hash_col="ahash",
+                                 max_hamming=3, n_bands=4)
+    n_apairs = apairs.count()
+    results["audio_pairs"] = n_apairs
+    results["audio_pairs_h0"] = apairs.filter("hamming = 0").count()
+    assert n_audio == 2 * n_clips == results["audio_pcm_rows"], results
+    assert n_apairs == n_clips == results["audio_pairs_h0"], results
+
+    results["checks"] = "pass"
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
