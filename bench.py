@@ -29,6 +29,16 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_topk",
     "tpch_q5_region_revenue",
+    # round-5: the TPC-H tail (VERDICT r4 "what's missing" #4 — a
+    # regression here was invisible round-over-round)
+    "tpch_q4_order_priority",
+    "tpch_q6_revenue_delta",
+    "tpch_q13_custdist",
+    "tpch_q14_promo",
+    # round-5: dedup/ANN variants previously unbenched
+    "dedup_simhash",
+    "neardup_pipeline",
+    "ann_lsh_topk",
     "window_topk_docs",
     "sessionize_events",
     "dedup_exact",
