@@ -96,66 +96,10 @@ def pair_report(lo: dict, hi: dict) -> dict:
     }
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--docs", type=int, default=8000)
-    ap.add_argument("--size-scale", type=float, default=8.0)
-    ap.add_argument("--passes", type=int, default=1)
-    ap.add_argument("--rounds", type=int, default=2)
-    ap.add_argument("--skip-secondary", action="store_true")
-    args = ap.parse_args()
-
-    corpus = f"/tmp/doc2md_scale_pages_{args.docs}_x{int(args.size_scale)}_s42"
-    if not os.path.exists(f"{corpus}/_SUCCESS"):
-        # Materialize once (parallelism-independent input layout: enough
-        # files that every level reads evenly).
-        sys.path.insert(0, REPO)
-        from document_convert_to__markdown_spark.pipeline.corpus import (
-            synth_pages_df,
-        )
-        from document_convert_to__markdown_spark.pipeline.session import (
-            build_session,
-        )
-        spark = build_session("synth", master="local[32]")
-        spark.sparkContext.setLogLevel("ERROR")
-        synth_pages_df(spark, args.docs, partitions=96,
-                       size_scale=args.size_scale).write.mode(
-            "overwrite").parquet(corpus)
-        spark.stop()
-
-    t0 = time.time()
-    levels = [1, 4] if args.skip_secondary else [1, 4, 8, 32]
-    # Interleaved rounds: the sandbox VM has noisy-neighbor windows that
-    # can slow a whole multi-minute level run; alternating levels and
-    # keeping each level's best round de-correlates that interference
-    # from the level comparison.
-    best: dict[int, dict] = {}
-    rounds: dict[int, list] = {c: [] for c in levels}
-    for _ in range(args.rounds):
-        for cores in levels:
-            r = run_level(cores, corpus, args.passes)
-            rounds[cores].append(r["sec"])
-            if cores not in best or r["sec"] < best[cores]["sec"]:
-                best[cores] = r
-    primary = pair_report(best[1], best[4])
-    secondary = pair_report(best[8], best[32]) if not args.skip_secondary \
-        else None
-
-    report = {
-        "metric": "scaling_efficiency_4N_vs_N",
-        "value": primary["efficiency"],
-        "unit": "ratio",
-        "primary_pair": primary,
-        "secondary_pair": secondary,
-        "target": ">=0.8",
-        "pass": primary["efficiency"] >= 0.8,
-        "corpus_docs": args.docs,
-        "size_scale": args.size_scale,
-        "all_round_secs": {str(c): v for c, v in rounds.items()},
-        "wall_sec": round(time.time() - t0, 1),
-    }
-    print(json.dumps(report))
-
+def render_markdown(report: dict, rounds: int) -> str:
+    """Render BENCH.md from a scaling report (see --report-json)."""
+    primary = report["primary_pair"]
+    secondary = report["secondary_pair"]
     sec_rows = ""
     if secondary:
         s8 = secondary["levels"]["8"]
@@ -202,11 +146,11 @@ must hold **scaling efficiency >= 0.8 between N and 4N executors**. No
 real cluster exists in this sandbox, so per the task protocol the same
 job ran on the same materialized input at two parallelism levels, each
 in a fresh JVM (500-doc warm-up slice, then timed full passes; levels
-run in {args.rounds} interleaved rounds and each level keeps its best —
+run in {rounds} interleaved rounds and each level keeps its best —
 steady-state throughput with noisy-neighbor windows de-correlated).
 
-- Input: {args.docs} deterministic synthetic Common-Crawl-style pages
-  (`corpus.synth_pages_df`, seed 42, size_scale={args.size_scale}: ~25KB median
+- Input: {report['corpus_docs']} deterministic synthetic Common-Crawl-style pages
+  (`corpus.synth_pages_df`, seed 42, size_scale={report['size_scale']}: ~25KB median
   mixed HTML/PDF/DOCX/XLSX/image with long-tail sizes incl. multi-MB
   giant docs), materialized to parquet once, reused by every level.
 - Job: `run_extraction` — 100MB size gate -> giant-doc routing ->
@@ -230,6 +174,41 @@ routed to their own round-robin branch so no task inherits two of them
 (compute-skew control AQE cannot provide).  Reference single-thread
 baseline is ~2.5-3.3 docs/s (`BASELINE.md`); every level above clears
 it by orders of magnitude per core.
+
+## Round-5: streaming availableNow drain cost, decomposed and fixed
+
+`stream_stream_outer_join` benched **27.5 s** at sf0.1 in round 4 —
+5.8× the next-slowest query for ~10⁴ events (VERDICT r4 "weak-perf").
+Decomposition: Structured Streaming freezes the session's
+`spark.sql.shuffle.partitions` (64) into the checkpoint at query
+start, and every stateful operator instantiates one HDFS-backed state
+store per partition per micro-batch.  The outer-join drain runs 4
+stateful operators × 64 partitions × 3 micro-batches (two data + the
+final no-data watermark flush) ≈ **768 state-store init/commit cycles
+of pure fixed cost** — per-row work is negligible at this scale.  A
+continuous production stream amortizes store init across hours (the
+design was never wrong at scale), but the drain harness paid it every
+run.
+
+Fix (`streaming/stream_job.py:drain_stream_agg(state_partitions=8)`):
+the drain sets the state partition count at checkpoint creation —
+**27.5 s → 3.8 s** in the round-5 full-bench best-of (11.7 s cold,
+~3.4 s warm in isolation); output rows byte-identical, and a test
+pins that results are partition-count independent.  All five stateful
+drains (window/dedup ×2/sessionize/outer-join) now size state to the
+drain; the production entry points keep the session default, where 64
+partitions is the right answer for real state volumes.
+
+## Round-5 full-bench note (interleaved best-of in effect)
+
+The headline extraction metric now runs inside the 3-round
+interleaved loop (VERDICT r4 item 3): round-5 local[32] sf0.1 run —
+per-round extract secs **[9.92 (cold: JIT + code ship), 1.59, 2.81]**,
+best-of **5,022 docs/s**, `extract_spread_warm` 1.77.  The r03→r04
+headline swing (2,997 → 1,954 docs/s on zero code change) is exactly
+the noise band the warm spread now makes visible in every BENCH_r*
+JSON; the best-of is the trustworthy sample and the all-round values
+travel with it.
 
 ## Soak: 200k docs / 1.3GB through the full resumable pipeline
 
@@ -405,7 +384,7 @@ single gzip members) → extract → MERGE — over two crawl segments
 where segment 2 is half re-crawls:
 
 ```json
-{{"metric": "crawl_loop_soak", "n_per_segment": 2000, "cores": 32, "seg1_fetched": 2000, "seg1_sec": 15.0, "seg2_fetched": 1000, "seg2_sec": 7.4, "table_rows": 3000, "n_ok": 2993, "n_skipped": 7, "n_failed": 0, "n_sha_match": 3000, "checks": "pass"}}
+{{"metric": "crawl_loop_soak", "n_per_segment": 2000, "cores": 32, "seg1_fetched": 2000, "seg1_sec": 18.7, "seg2_fetched": 1000, "seg2_sec": 19.7, "table_rows": 3000, "n_ok": 2993, "n_skipped": 7, "n_failed": 0, "n_sha_match": 3000, "kill_rows_visible_after_crash": 2000, "kill_refetched": 1000, "kill_recover_sec": 11.0, "kill_rows": 3000, "kill_distinct_urls": 3000, "kill_sha_match": 3000, "checks": "pass"}}
 ```
 
 Segment 2 fetches exactly its 1,000 new captures — the 1,000
@@ -416,6 +395,46 @@ markdown hashes equals a direct batch extraction of the same corpus
 empty/unsupported documents surfacing as skipped_* status rows and
 zero failures.  At 100 TB this is the difference between re-reading
 the crawl and reading ~the index.
+
+**Injected mid-loop kill (round 5, after the resume crash-window
+fix):** the soak then rewinds the table to the exact state a SIGKILL
+inside segment 2's merge commit leaves — data files and manifest
+written, `_current` never bumped (the pointer rename is the atomic
+step), plus FileOutputCommitter `_temporary` scratch debris under the
+half-committed version dir — and re-runs the segment.  Row accounting
+holds at 100%: readers at the crashed state see exactly the parent
+version (`kill_rows_visible_after_crash`: 2,000 — nothing partial);
+the recovery's index anti-join re-fetches exactly the crashed half
+(`kill_refetched`: 1,000, never the whole segment); and the table
+converges back to 3,000 rows with 3,000 distinct urls (zero silent
+duplicates) and 3,000/3,000 markdown-hash matches (byte parity holds
+through the crash).  This is the end-to-end proof of the engine's
+no-silent-duplicates invariant through a kill, complementing the
+unit-level crash matrix in `tests/test_snapshot_kill.py` and the
+parquet-path regression test in `tests/test_kill_resume.py`.
+
+## Soak: perceptual-hash near-dup over real codec decodes (round 5)
+
+`scripts/soak_round5_multimodal.py 100000` runs the multimodal dedup
+path at 10^5-scene scale — executor-side synthesis, REAL from-scratch
+codec decodes (png_codec / wav_codec) inside the Arrow hash kernels,
+the banded Hamming self-join, closed-form output checks:
+
+```json
+{{"metric": "multimodal_neardup_soak", "n_scenes": 100000, "cores": 32, "n_images": 200000, "img_hash_sec": 10.3, "img_hash_docs_per_sec": 19382, "img_pairs": 100000, "img_join_sec": 5.0, "img_pairs_h0": 100000, "n_clips": 20000, "audio_hash_sec": 13.1, "audio_hash_clips_per_sec": 1526, "audio_pcm_rows": 20000, "audio_pairs": 10000, "audio_pairs_h0": 10000, "checks": "pass"}}
+```
+
+200,000 PNGs (two brightness renditions per scene) hash at **19.4k
+imgs/s** including PNG encode+decode; the 4-band join returns exactly
+100,000 pairs, every one the within-scene brightness pair at Hamming
+0 — zero cross-scene false pairs, matching the birthday-bound
+expectation (~C(2·10^5, 2)·4.4·10^4/2^64 ≈ 5·10^-5 expected random
+pairs at distance ≤ 3, i.e. none).  20,000 PCM WAV clips (full +
+0.45× gain) hash at **1.5k clips/s** through the RIFF decode + 16384-
+point rFFT, all rows on the real `pcm` path, and the same join
+returns exactly the 10,000 volume pairs at distance 0 — the volume-
+invariance proof at four orders of magnitude above the contract
+fixture.
 
 ## Round-4 soak re-run (xxhash64 band hashes)
 
@@ -475,8 +494,82 @@ rewrites this file; the soak numbers above are from one-off runs of the
 {json.dumps(report)}
 ```
 """
+    return md
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", type=int, default=8000)
+    ap.add_argument("--size-scale", type=float, default=8.0)
+    ap.add_argument("--passes", type=int, default=1)
+    ap.add_argument("--rounds", type=int, default=2)
+    ap.add_argument("--skip-secondary", action="store_true")
+    ap.add_argument("--report-json", default=None,
+                    help="skip the benchmark; re-render BENCH.md from a "
+                         "saved report JSON (one line, as printed)")
+    args = ap.parse_args()
+
+    if args.report_json:
+        with open(args.report_json) as fh:
+            report = json.loads(fh.read().strip().splitlines()[-1])
+        with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+            f.write(render_markdown(report, args.rounds))
+        print(json.dumps(report))
+        return 0
+
+    corpus = f"/tmp/doc2md_scale_pages_{args.docs}_x{int(args.size_scale)}_s42"
+    if not os.path.exists(f"{corpus}/_SUCCESS"):
+        # Materialize once (parallelism-independent input layout: enough
+        # files that every level reads evenly).
+        sys.path.insert(0, REPO)
+        from document_convert_to__markdown_spark.pipeline.corpus import (
+            synth_pages_df,
+        )
+        from document_convert_to__markdown_spark.pipeline.session import (
+            build_session,
+        )
+        spark = build_session("synth", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        synth_pages_df(spark, args.docs, partitions=96,
+                       size_scale=args.size_scale).write.mode(
+            "overwrite").parquet(corpus)
+        spark.stop()
+
+    t0 = time.time()
+    levels = [1, 4] if args.skip_secondary else [1, 4, 8, 32]
+    # Interleaved rounds: the sandbox VM has noisy-neighbor windows that
+    # can slow a whole multi-minute level run; alternating levels and
+    # keeping each level's best round de-correlates that interference
+    # from the level comparison.
+    best: dict[int, dict] = {}
+    rounds: dict[int, list] = {c: [] for c in levels}
+    for _ in range(args.rounds):
+        for cores in levels:
+            r = run_level(cores, corpus, args.passes)
+            rounds[cores].append(r["sec"])
+            if cores not in best or r["sec"] < best[cores]["sec"]:
+                best[cores] = r
+    primary = pair_report(best[1], best[4])
+    secondary = pair_report(best[8], best[32]) if not args.skip_secondary \
+        else None
+
+    report = {
+        "metric": "scaling_efficiency_4N_vs_N",
+        "value": primary["efficiency"],
+        "unit": "ratio",
+        "primary_pair": primary,
+        "secondary_pair": secondary,
+        "target": ">=0.8",
+        "pass": primary["efficiency"] >= 0.8,
+        "corpus_docs": args.docs,
+        "size_scale": args.size_scale,
+        "all_round_secs": {str(c): v for c, v in rounds.items()},
+        "wall_sec": round(time.time() - t0, 1),
+    }
+    print(json.dumps(report))
+
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
-        f.write(md)
+        f.write(render_markdown(report, args.rounds))
     return 0
 
 
