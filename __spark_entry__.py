@@ -1361,20 +1361,42 @@ def _q_audio_fingerprint(spark, sf):
 
 
 def _q_multimodal_frame_sample(spark, sf):
-    """Frame-sampling plumbing (stubbed demux): one-to-many mapInPandas."""
+    """Frame sampling: REAL demux for uncompressed-DIB AVI (round 5,
+    extractors/avi_codec.py — RIFF walk, bottom-up stride/padding
+    reversal, BGR→RGB), labeled stub chunks otherwise.  Fixture: 100
+    synthetic page blobs (stub branch) + 30 deterministic 12-frame
+    AVIs (real branch); per-mode counts plus a crc32 checksum over the
+    emitted RGB frame buffers pins the demux itself — a wrong row
+    order, stride, or channel swap changes some frame's bytes.  Not
+    SQL (binary demux) — pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.avi_codec import (
+        encode_avi,
+    )
     from document_convert_to__markdown_spark.operators.multimodal import (
         video_frame_sample,
     )
     from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
 
-    pages = synth_pages_df(spark, 100, giant_every=0)
+    import numpy as np
+
+    avi_rows = []
+    for v in range(30):
+        rng = np.random.RandomState(1300 + v)
+        frames = rng.randint(0, 256, (12, 5 + v % 4, 6 + v % 5, 3)) \
+            .astype(np.uint8)
+        avi_rows.append((f"https://vid.example/{v}.avi",
+                         bytearray(encode_avi(frames, fps=10.0))))
+    avis = spark.createDataFrame(avi_rows, "url string, html binary")
+    pages = synth_pages_df(spark, 100, giant_every=0) \
+        .select("url", "html").unionByName(avis)
     frames = video_frame_sample(pages, every_n=4, url_col="url",
                                 blob_col="html")
-    return frames.agg(
-        F.count("*").alias("n_frames"),
-        F.countDistinct("url").alias("n_videos"),
-        F.max("frame_idx").alias("max_frame_idx"),
-    )
+    return (frames.groupBy("mode")
+            .agg(F.count("*").alias("n_frames"),
+                 F.countDistinct("url").alias("n_videos"),
+                 F.max("frame_idx").alias("max_frame_idx"),
+                 F.sum(F.crc32("frame_data")).alias("frames_crc_sum"))
+            .orderBy("mode"))
 
 
 def _q_text_top_terms(spark, sf):

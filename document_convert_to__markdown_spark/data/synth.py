@@ -55,6 +55,23 @@ class PageRow(NamedTuple):
 
 # --- tiny valid image payloads -------------------------------------------
 
+# zipfile.writestr(str, ...) stamps the CURRENT WALL CLOCK into each
+# local file header, silently making every zip-based payload
+# (DOCX/PPTX/XLSX/EPUB) byte-nondeterministic run-to-run — a violation
+# of the synthesizer determinism invariant that extraction parity never
+# noticed (markdown ignores zip timestamps) but any byte-level checksum
+# over raw payloads exposes.  All zip writes go through this helper
+# with the DOS-epoch timestamp instead.
+_ZIP_EPOCH = (1980, 1, 1, 0, 0, 0)
+
+
+def _zip_writestr(zf: "zipfile.ZipFile", name: str, data) -> None:
+    info = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
+    info.compress_type = zf.compression
+    info.external_attr = 0o600 << 16
+    zf.writestr(info, data)
+
+
 def _png_chunk(tag: bytes, data: bytes) -> bytes:
     return (struct.pack(">I", len(data)) + tag + data
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
@@ -338,11 +355,11 @@ def make_docx(rng: random.Random, lang: str, doc_idx: int, scale: float) -> byte
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
-        zf.writestr("word/document.xml", document)
-        zf.writestr("word/_rels/document.xml.rels", rels)
+        _zip_writestr(zf, "[Content_Types].xml", _CONTENT_TYPES)
+        _zip_writestr(zf, "word/document.xml", document)
+        _zip_writestr(zf, "word/_rels/document.xml.rels", rels)
         for k in range(1, n_images + 1):
-            zf.writestr(f"word/media/image{k}.png",
+            _zip_writestr(zf, f"word/media/image{k}.png",
                         make_png(rng.randint(4, 12), rng.randint(4, 12),
                                  rng.randint(0, 255)))
     return buf.getvalue()
@@ -403,16 +420,16 @@ def make_pptx(rng: random.Random, lang: str, doc_idx: int, scale: float) -> byte
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", _PPTX_CT)
-        zf.writestr(
+        _zip_writestr(zf, "[Content_Types].xml", _PPTX_CT)
+        _zip_writestr(zf, 
             "ppt/presentation.xml",
             f'<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
             f'<p:presentation xmlns:p="{_P}"/>',
         )
         for s, xml in enumerate(slides):
-            zf.writestr(f"ppt/slides/slide{s + 1}.xml", xml)
+            _zip_writestr(zf, f"ppt/slides/slide{s + 1}.xml", xml)
         for k in range(1, n_images + 1):
-            zf.writestr(f"ppt/media/image{k}.png",
+            _zip_writestr(zf, f"ppt/media/image{k}.png",
                         make_png(rng.randint(4, 12), rng.randint(4, 12),
                                  rng.randint(0, 255)))
     return buf.getvalue()
@@ -477,11 +494,11 @@ def make_xlsx(rng: random.Random, lang: str, doc_idx: int, scale: float) -> byte
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("[Content_Types].xml", _XLSX_CT)
-        zf.writestr("xl/workbook.xml", workbook)
-        zf.writestr("xl/_rels/workbook.xml.rels", wb_rels)
+        _zip_writestr(zf, "[Content_Types].xml", _XLSX_CT)
+        _zip_writestr(zf, "xl/workbook.xml", workbook)
+        _zip_writestr(zf, "xl/_rels/workbook.xml.rels", wb_rels)
         for s, xml in enumerate(sheets_xml):
-            zf.writestr(f"xl/worksheets/sheet{s + 1}.xml", xml)
+            _zip_writestr(zf, f"xl/worksheets/sheet{s + 1}.xml", xml)
     return buf.getvalue()
 
 
@@ -610,11 +627,11 @@ def make_epub(rng: random.Random, lang: str, doc_idx: int, scale: float) -> byte
 
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
-        zf.writestr("mimetype", "application/epub+zip")
-        zf.writestr("META-INF/container.xml", container)
-        zf.writestr("OEBPS/content.opf", opf)
+        _zip_writestr(zf, "mimetype", "application/epub+zip")
+        _zip_writestr(zf, "META-INF/container.xml", container)
+        _zip_writestr(zf, "OEBPS/content.opf", opf)
         for c, xhtml in enumerate(chapters, 1):
-            zf.writestr(f"OEBPS/chapter{c}.xhtml", xhtml)
+            _zip_writestr(zf, f"OEBPS/chapter{c}.xhtml", xhtml)
     return buf.getvalue()
 
 

@@ -14,9 +14,13 @@ Decode status by format (round 5 — VERDICT r4 item 4):
 - **WAV: REAL samples.**  PCM 8/16-bit mono/stereo decode via the
   RIFF walk in ``extractors/wav_codec.py`` feeds
   ``audio_spectral_hash`` actual audio.
-- **JPEG/other: deterministic stub.**  JPEG's DCT entropy pipeline
-  needs image libs the container doesn't have (installs off-limits),
-  so those payloads keep the clearly-marked fake decode.  Everything
+- **AVI (uncompressed DIB): REAL frames.**  ``extractors/avi_codec.py``
+  demuxes 24-bit BI_RGB frames for ``video_frame_sample`` — container
+  walk, stride/padding, channel order, all real.
+- **JPEG / compressed video / other: deterministic stub.**  DCT and
+  inter-frame entropy pipelines need libs the container doesn't have
+  (installs off-limits), so those payloads keep the clearly-marked
+  fake decode.  Everything
   Spark-side — schemas, Arrow batch shapes, ``mapInPandas``
   signatures, partitioning — is real either way; swapping the stub for
   PIL/ffmpeg changes one function body, not the plan.
@@ -127,6 +131,8 @@ RESIZED_SCHEMA = StructType([
 FRAME_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("frame_idx", IntegerType(), False),
+    # decode provenance: dib = real AVI demux, stub = byte chunks
+    StructField("mode", StringType(), False),
     StructField("frame_data", BinaryType(), True),
 ])
 
@@ -160,23 +166,39 @@ def media_resize(df: DataFrame, width: int = 16, height: int = 16,
 def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                        url_col: str = "url", blob_col: str = "data"
                        ) -> DataFrame:
-    """Binary "video" column → sampled frame rows (demux STUBBED).
+    """Binary video column → sampled frame rows.
 
-    Real body: ffmpeg/pyav demux + keyframe sampling.  The stub treats
-    the payload as fixed-size frame chunks and keeps every ``every_n``-th
-    — the Spark contract is the interesting part: a one-to-many
-    ``mapInPandas`` (row → variable frame rows), the same shape the
-    extraction pipeline uses for document assets.
+    Uncompressed-DIB AVI payloads demux REAL frames
+    (``extractors/avi_codec.py`` — RIFF walk, stride/padding reversal,
+    BGR→RGB; every ``every_n``-th frame emitted as its raw
+    ``h × w × 3`` RGB buffer, ``mode="dib"``).  Compressed codecs
+    (H.264/VP9/MJPEG) need entropy/transform coders the container
+    can't ship, so those payloads keep the labeled stub (fixed-size
+    byte chunks, ``mode="stub"``) — swapping the stub for an ffmpeg
+    demux changes the per-frame decode, not the Spark contract: a
+    one-to-many ``mapInPandas`` (row → variable frame rows), the same
+    shape the extraction pipeline uses for document assets.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extractors.avi_codec import decode_avi
+
         for pdf in batches:
             rows = []
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    try:
+                        frames, _fps = decode_avi(payload)
+                        for idx in range(0, len(frames), every_n):
+                            rows.append((url, idx, "dib",
+                                         frames[idx].tobytes()))
+                        continue
+                    except ValueError:  # UnsupportedAvi subclasses it
+                        pass
                 n_frames = max(1, len(payload) // frame_bytes)
                 for idx in range(0, n_frames, every_n):
-                    rows.append((url, idx,
+                    rows.append((url, idx, "stub",
                                  payload[idx * frame_bytes:(idx + 1) * frame_bytes]))
             yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA])
 
