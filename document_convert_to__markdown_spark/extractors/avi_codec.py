@@ -44,54 +44,95 @@ def _walk(payload: bytes, pos: int, end: int):
 
 
 def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
-    """AVI bytes → ``((n_frames, h, w, 3) uint8 RGB, fps)``."""
+    """AVI bytes → ``((n_frames, h, w, 3) uint8 RGB, fps)``.
+
+    Malformed or out-of-subset input raises ``ValueError`` (incl.
+    ``UnsupportedAvi``) and NOTHING ELSE — the Spark kernels' stub
+    fallback catches ValueError only, so a hostile crawl payload must
+    never escape as RecursionError/MemoryError/struct.error.  Hence:
+    iterative chunk walk (no recursion), dimensions validated against
+    actual frame sizes before any output allocation, and the
+    compressed-codec refusal raised as soon as the video ``strf`` is
+    parsed (before buffering frame data).
+    """
     if len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
 
     width = height = None
+    top_down = False
     fps = 0.0
-    compression = None
-    bitcount = None
-    frames: list[np.ndarray] = []
+    stream_idx = -1                 # strh counter (stream numbering)
+    video_stream = None             # index of the first 'vids' stream
+    await_video_strf = False
+    chunks: list[tuple[int, int, int]] = []     # (stream_no, body, size)
 
-    def walk_list(pos: int, end: int) -> None:
-        nonlocal width, height, fps, compression, bitcount
+    # iterative FIFO walk: a queue of (pos, end) ranges replaces
+    # recursion, so nested-LIST bombs can't raise RecursionError;
+    # FIFO keeps sibling lists (the strl stream headers) in document
+    # order for stream numbering.  Frame chunks are collected with
+    # their stream number and filtered AFTER the walk, so hdrl/movi
+    # traversal order doesn't matter.
+    from collections import deque
+    work = deque([(12, len(payload))])
+    while work:
+        pos, end = work.popleft()
         for cc, body, size in _walk(payload, pos, end):
             if cc == b"LIST":
-                walk_list(body + 4, body + size)   # skip the list type
+                if size < 4:
+                    raise ValueError("truncated AVI LIST header")
+                work.append((body + 4, body + size))   # skip list type
             elif cc == b"avih" and size >= 32:
                 (usec_per_frame,) = struct.unpack(
                     "<I", payload[body:body + 4])
                 if usec_per_frame:
                     fps = round(1e6 / usec_per_frame, 3)
-            elif cc == b"strf" and size >= 40 and width is None:
+            elif cc == b"strh" and size >= 4:
+                stream_idx += 1
+                await_video_strf = False
+                if payload[body:body + 4] == b"vids" \
+                        and video_stream is None:
+                    video_stream = stream_idx
+                    await_video_strf = True
+            elif cc == b"strf" and await_video_strf:
+                await_video_strf = False
+                if size < 20:
+                    raise ValueError("AVI video strf too short")
                 # BITMAPINFOHEADER: biSize biWidth biHeight biPlanes
                 # biBitCount biCompression ...
                 _sz, w, h, _planes, bits, comp = struct.unpack(
                     "<IiihHI", payload[body:body + 20])
-                width, height = w, abs(h)
-                bitcount, compression = bits, comp
-            elif cc[2:4] in (b"db", b"dc"):        # '00db'/'00dc' frame
-                frames.append(np.frombuffer(
-                    payload[body:body + size], dtype=np.uint8))
+                if comp != 0 or bits != 24:     # 0 = BI_RGB
+                    raise UnsupportedAvi(
+                        f"AVI codec not uncompressed 24-bit BI_RGB "
+                        f"(biCompression={comp}, biBitCount={bits})")
+                if w <= 0 or h == 0:
+                    raise ValueError("bad AVI frame dimensions")
+                width, height, top_down = w, abs(h), h < 0
+            elif cc[2:4] in (b"db", b"dc") and cc[:2].isdigit():
+                chunks.append((int(cc[:2]), body, size))
 
-    walk_list(12, len(payload))
-
+    want_stream = video_stream if video_stream is not None else 0
+    frames = [(body, size) for no, body, size in chunks
+              if no == want_stream]
     if width is None or not frames:
-        raise ValueError("AVI missing stream format / frame data")
-    if compression != 0 or bitcount != 24:      # 0 = BI_RGB
-        raise UnsupportedAvi(
-            f"AVI codec not uncompressed 24-bit BI_RGB "
-            f"(biCompression={compression}, biBitCount={bitcount})")
+        raise ValueError("AVI missing video stream format / frame data")
     stride = (width * 3 + 3) & ~3               # rows pad to 4 bytes
+    need = stride * height
+    # validate EVERY frame span against the declared dimensions BEFORE
+    # allocating output: a tiny payload declaring 40000x40000 must die
+    # as ValueError, never as a MemoryError the stub fallback can't see
+    for _body, size in frames:
+        if size < need:
+            raise ValueError("AVI frame data short for declared size")
     out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
-    for i, raw in enumerate(frames):
-        if raw.size < stride * height:
-            raise ValueError("AVI frame data short")
-        rows = raw[:stride * height].reshape(height, stride)
+    for i, (body, _size) in enumerate(frames):
+        raw = np.frombuffer(payload[body:body + need], dtype=np.uint8)
+        rows = raw.reshape(height, stride)
         bgr = rows[:, :width * 3].reshape(height, width, 3)
-        out[i] = bgr[::-1, :, ::-1]             # bottom-up, BGR → RGB
+        # bottom-up rows (biHeight > 0) flip; top-down (biHeight < 0)
+        # are already in display order
+        out[i] = bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]
     return out, fps
 
 

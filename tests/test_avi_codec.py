@@ -27,17 +27,105 @@ def test_avi_roundtrip_exact(shape):
 
 
 def test_avi_every_truncation_raises_valueerror():
+    """The Spark kernels' stub fallback catches ValueError ONLY: every
+    truncation must either raise ValueError or decode to a prefix of
+    the true frames — never succeed with garbage or escape with a
+    non-ValueError."""
     frames = np.random.RandomState(3).randint(
         0, 256, (4, 3, 5, 3)).astype(np.uint8)
     avi = encode_avi(frames)
+    full, _ = decode_avi(avi)
+    outcomes = {"raise": 0, "ok": 0}
     for cut in range(len(avi)):
         try:
-            decode_avi(avi[:cut])
+            got, _ = decode_avi(avi[:cut])
         except ValueError:
-            pass                                # the contract
+            outcomes["raise"] += 1
+        else:
+            # chunk boundaries can make a prefix a VALID shorter AVI;
+            # whatever decodes must be pixel-true, never garbage
+            outcomes["ok"] += 1
+            assert (got == full[:len(got)]).all()
+    assert outcomes["raise"] > len(avi) // 2    # most cuts do raise
 
 
-def test_avi_compressed_codec_refused():
+import struct
+
+
+def test_avi_hostile_payloads_raise_valueerror_not_crash():
+    """Adversarial shapes that previously escaped as RecursionError /
+    MemoryError must raise ValueError (review findings, round 5)."""
+    # nested-LIST bomb: thousands of LISTs inside LISTs
+    depth = 20000
+    inner = b"JUNK" + struct.pack("<I", 0)
+    for _ in range(depth):
+        inner = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"xxxx" + inner
+    bomb = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError):
+        decode_avi(bomb)
+
+    # tiny payload declaring 40000x40000 (4.8GB) output: must die on
+    # the frame-size check, never reach the allocation
+    avi = bytearray(encode_avi(np.zeros((1, 2, 2, 3), np.uint8)))
+    off = avi.index(b"strf") + 8 + 4            # biWidth field
+    avi[off:off + 4] = (40000).to_bytes(4, "little")
+    avi[off + 4:off + 8] = (40000).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        decode_avi(bytes(avi))
+
+
+def test_avi_top_down_dib_not_flipped():
+    """biHeight < 0 means rows are stored top-down (display order);
+    the decoder must not flip them."""
+    frames = np.random.RandomState(6).randint(
+        0, 256, (2, 3, 4, 3)).astype(np.uint8)
+    avi = bytearray(encode_avi(frames))
+    off = avi.index(b"strf") + 8 + 8            # biHeight field
+    h = 3
+    avi[off:off + 4] = (-h).to_bytes(4, "little", signed=True)
+    # rewrite each frame's rows into top-down order (encoder wrote
+    # bottom-up): reverse the row blocks in place
+    stride = (4 * 3 + 3) & ~3
+    pos = 0
+    for _ in range(2):
+        i = bytes(avi).index(b"00db", pos)
+        body = i + 8
+        rows = [bytes(avi[body + r * stride: body + (r + 1) * stride])
+                for r in range(h)]
+        for r, row in enumerate(reversed(rows)):
+            avi[body + r * stride: body + (r + 1) * stride] = row
+        pos = body
+    got, _ = decode_avi(bytes(avi))
+    assert (got == frames).all()
+
+
+def test_avi_audio_stream_first_ignored():
+    """A 40-byte audio strf preceding the video strl must not be
+    mistaken for the video format, and the audio stream's frame
+    chunks must not merge into the video frames."""
+    frames = np.random.RandomState(7).randint(
+        0, 256, (2, 3, 4, 3)).astype(np.uint8)
+    donor = encode_avi(frames)
+    i = donor.index(b"LIST", 12)                # hdrl list
+    hdrl_body = i + 8
+    hdrl_size = struct.unpack("<I", donor[i + 4:i + 8])[0]
+    # an audio strl: strh fccType 'auds' + a 40-byte fake strf
+    auds = (b"strh" + struct.pack("<I", 8) + b"auds" + b"\x00" * 4
+            + b"strf" + struct.pack("<I", 40) + b"\xee" * 40)
+    strl_audio = b"LIST" + struct.pack("<I", 4 + len(auds)) + b"strl" + auds
+    new_hdrl_inner = (donor[hdrl_body:hdrl_body + 4]        # 'hdrl'
+                      + strl_audio
+                      + donor[hdrl_body + 4:hdrl_body + hdrl_size])
+    rebuilt = (donor[:i] + b"LIST"
+               + struct.pack("<I", len(new_hdrl_inner)) + new_hdrl_inner
+               + donor[i + 8 + hdrl_size:])
+    body = b"AVI " + rebuilt[12:]
+    # NOTE: audio is stream 00 now, video is stream 01 — but the
+    # donor's frame chunks still say '00db'; retag them to '01db'
+    body = body.replace(b"00db", b"01db")
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    got, _ = decode_avi(avi)
+    assert (got == frames).all()
     avi = bytearray(encode_avi(np.zeros((1, 2, 2, 3), np.uint8)))
     off = avi.index(b"strf") + 8 + 16           # biCompression field
     avi[off:off + 4] = (1).to_bytes(4, "little")
