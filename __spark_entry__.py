@@ -946,17 +946,42 @@ def _q_extract_synth_corpus(spark, sf):
 
 
 def _q_multimodal_media_meta(spark, sf):
+    """Typed metadata across all four modalities (round 5: WAV sample
+    rate / frame count via the RIFF walk, AVI dims / fps / declared
+    frames / codec via the header-only avi_meta — real parses, no
+    decode).  Fixture: 200 synthetic pages (incl. WAV docs) + 10
+    hand-encoded AVIs; per-format counts plus sums of the new audio/
+    video columns pin the parses."""
+    from document_convert_to__markdown_spark.extractors.avi_codec import (
+        encode_avi,
+    )
     from document_convert_to__markdown_spark.operators.multimodal import (
         media_metadata,
     )
     from document_convert_to__markdown_spark.pipeline.corpus import synth_pages_df
 
-    pages = synth_pages_df(spark, 200, giant_every=0)
+    import numpy as np
+
+    avi_rows = [(f"https://vid.example/{v}.avi",
+                 bytearray(encode_avi(
+                     np.full((3 + v % 4, 4, 5 + v, 3), v * 17, np.uint8),
+                     fps=float(10 + v))))
+                for v in range(10)]
+    avis = spark.createDataFrame(avi_rows, "url string, html binary")
+    pages = synth_pages_df(spark, 200, giant_every=0) \
+        .select("url", "html").unionByName(avis)
     media = media_metadata(pages, url_col="url", blob_col="html")
     return (
         media.groupBy("media_format")
         .agg(F.count("*").alias("n"),
-             F.sum("n_bytes").alias("total_bytes"))
+             F.sum("n_bytes").alias("total_bytes"),
+             # coalesce: an all-null sum must pin as 0, not NULL — a
+             # NULL-bearing BIGINT column round-trips through the
+             # oracle's pandas fetch as float64/NaN and hash-mismatches
+             F.coalesce(F.sum("width"), F.lit(0)).alias("sum_width"),
+             F.coalesce(F.sum("sample_rate"), F.lit(0)).alias("sum_rate"),
+             F.coalesce(F.sum("n_frames"), F.lit(0)).alias("sum_frames"))
+        .orderBy("media_format")
     )
 
 

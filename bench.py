@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "image_dhash_neardup",
     "multimodal_gif_decode",
     "audio_spectral_hash",
+    "multimodal_frame_sample",
+    "multimodal_media_meta",
     # stream_dedup_ingest excluded: two full streaming drains + 4
     # snapshot commits (~44s at sf0.1) is a soak, not a query; its
     # components (dedup_incremental, minhash bands, snapshot commits)

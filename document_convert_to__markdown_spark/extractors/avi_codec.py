@@ -43,6 +43,50 @@ def _walk(payload: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)            # word-aligned
 
 
+def avi_meta(payload: bytes) -> tuple[int, int, float, int, int]:
+    """Header-only AVI parse → ``(width, height, fps, n_frames,
+    compression)`` — the metadata twin of ``image_meta``: no frame
+    data is touched, so it is safe and cheap on compressed AVIs the
+    decoder refuses.  Raises ``ValueError`` on malformed input."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    from collections import deque
+
+    width = height = None
+    fps = 0.0
+    n_frames = 0
+    compression = None
+    is_video_strl = False
+    work = deque([(12, len(payload))])
+    while work:
+        pos, end = work.popleft()
+        for cc, body, size in _walk(payload, pos, end):
+            if cc == b"LIST":
+                if size < 4:
+                    raise ValueError("truncated AVI LIST header")
+                if payload[body:body + 4] == b"movi":
+                    continue                    # header-only: skip data
+                work.append((body + 4, body + size))
+            elif cc == b"avih" and size >= 20:
+                usec, _rate, _pad, _flags, total = struct.unpack(
+                    "<IIIII", payload[body:body + 20])
+                if usec:
+                    fps = round(1e6 / usec, 3)
+                n_frames = total
+            elif cc == b"strh" and size >= 4:
+                is_video_strl = payload[body:body + 4] == b"vids" \
+                    and width is None
+            elif cc == b"strf" and is_video_strl and size >= 20:
+                is_video_strl = False
+                _sz, w, h, _planes, _bits, comp = struct.unpack(
+                    "<IiihHI", payload[body:body + 20])
+                width, height, compression = w, abs(h), comp
+    if width is None:
+        raise ValueError("AVI missing video stream format")
+    return width, height, fps, n_frames, compression
+
+
 def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     """AVI bytes → ``((n_frames, h, w, 3) uint8 RGB, fps)``.
 

@@ -51,6 +51,8 @@ MEDIA_META_SCHEMA = StructType([
     StructField("width", IntegerType(), True),
     StructField("height", IntegerType(), True),
     StructField("mode", StringType(), True),
+    StructField("sample_rate", IntegerType(), True),    # audio/video hz/fps
+    StructField("n_frames", IntegerType(), True),       # audio/video frames
     StructField("n_bytes", LongType(), True),
 ])
 
@@ -62,9 +64,16 @@ MEDIA_FEATURE_SCHEMA = StructType([
 
 def media_metadata(df: DataFrame, url_col: str = "url",
                    blob_col: str = "data") -> DataFrame:
-    """Binary column → typed metadata rows (real header parse, no decode)."""
+    """Binary column → typed metadata rows (real header parse, no
+    decode) across all four modalities: image width/height/mode, WAV
+    sample rate / frame count / PCM depth, AVI dimensions / fps /
+    declared frame count / codec fourcc-or-RGB24.  Header-only — safe
+    and cheap even on payloads the pixel decoders refuse."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extractors.audio_extractor import wav_meta
+        from ..extractors.avi_codec import avi_meta
+
         for pdf in batches:
             rows = []
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
@@ -73,9 +82,28 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                 if fmt in IMAGE_FORMATS:
                     meta = image_meta(payload, fmt)
                     rows.append((url, fmt, meta.width, meta.height,
-                                 meta.mode, len(payload)))
-                else:
-                    rows.append((url, fmt, None, None, None, len(payload)))
+                                 meta.mode, None, None, len(payload)))
+                    continue
+                if fmt == "wav":
+                    wm = wav_meta(payload)
+                    if wm is not None:
+                        rows.append((url, fmt, None, None,
+                                     f"pcm{wm.bits_per_sample}",
+                                     wm.sample_rate, wm.n_frames,
+                                     len(payload)))
+                        continue
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    try:
+                        w, h, fps, n, comp = avi_meta(payload)
+                        rows.append((url, "avi", w, h,
+                                     "RGB24" if comp == 0 else
+                                     f"fourcc{comp}",
+                                     int(round(fps)), n, len(payload)))
+                        continue
+                    except ValueError:
+                        pass
+                rows.append((url, fmt, None, None, None, None, None,
+                             len(payload)))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
 
     return df.select(url_col, blob_col).mapInPandas(parse, MEDIA_META_SCHEMA)

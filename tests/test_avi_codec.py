@@ -126,6 +126,9 @@ def test_avi_audio_stream_first_ignored():
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
     got, _ = decode_avi(avi)
     assert (got == frames).all()
+
+
+def test_avi_compressed_codec_refused():
     avi = bytearray(encode_avi(np.zeros((1, 2, 2, 3), np.uint8)))
     off = avi.index(b"strf") + 8 + 16           # biCompression field
     avi[off:off + 4] = (1).to_bytes(4, "little")
@@ -156,3 +159,48 @@ def test_video_frame_sample_real_dib_frames(spark):
         assert data == frames[idx].tobytes()     # pixel-exact demux
     stub = [r for r in got if r["url"] == "s"]
     assert stub and all(r["mode"] == "stub" for r in stub)
+
+
+def test_avi_meta_header_only():
+    frames = np.zeros((5, 3, 4, 3), np.uint8)
+    avi = encode_avi(frames, fps=25.0)
+    from document_convert_to__markdown_spark.extractors.avi_codec import (
+        avi_meta,
+    )
+
+    w, h, fps, n, comp = avi_meta(avi)
+    assert (w, h, n, comp) == (4, 3, 5, 0)
+    assert abs(fps - 25.0) < 0.01
+    # works on a compressed AVI the decoder refuses
+    hacked = bytearray(avi)
+    off = hacked.index(b"strf") + 8 + 16
+    hacked[off:off + 4] = (875967048).to_bytes(4, "little")  # 'H264'
+    w2, _h2, _f2, _n2, comp2 = avi_meta(bytes(hacked))
+    assert w2 == 4 and comp2 == 875967048
+    with pytest.raises(ValueError):
+        avi_meta(b"RIFFxxxxAVI ")
+
+
+def test_media_metadata_wav_and_avi(spark):
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        encode_wav,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_metadata,
+    )
+
+    wav = encode_wav(np.zeros(1600, np.float32), rate=8000)
+    avi = encode_avi(np.zeros((4, 2, 3, 3), np.uint8), fps=12.0)
+    rows = [("w", bytearray(wav)), ("v", bytearray(avi)),
+            ("x", bytearray(b"garbage"))]
+    df = spark.createDataFrame(rows, "url string, data binary")
+    got = {r["url"]: r for r in media_metadata(df).collect()}
+    assert got["w"]["media_format"] == "wav"
+    assert got["w"]["sample_rate"] == 8000
+    assert got["w"]["n_frames"] == 1600
+    assert got["w"]["mode"] == "pcm16"
+    assert got["v"]["media_format"] == "avi"
+    assert (got["v"]["width"], got["v"]["height"]) == (3, 2)
+    assert got["v"]["sample_rate"] == 12 and got["v"]["n_frames"] == 4
+    assert got["v"]["mode"] == "RGB24"
+    assert got["x"]["width"] is None and got["x"]["sample_rate"] is None
