@@ -202,13 +202,18 @@ partitions is the right answer for real state volumes.
 ## Round-5 full-bench note (interleaved best-of in effect)
 
 The headline extraction metric now runs inside the 3-round
-interleaved loop (VERDICT r4 item 3): round-5 local[32] sf0.1 run —
-per-round extract secs **[9.92 (cold: JIT + code ship), 1.59, 2.81]**,
-best-of **5,022 docs/s**, `extract_spread_warm` 1.77.  The r03→r04
-headline swing (2,997 → 1,954 docs/s on zero code change) is exactly
-the noise band the warm spread now makes visible in every BENCH_r*
-JSON; the best-of is the trustworthy sample and the all-round values
-travel with it.
+interleaved loop (VERDICT r4 item 3): round-5 final-HEAD local[32]
+sf0.1 run — per-round extract secs **[12.76 (cold: JIT + code ship),
+2.61, 1.39]**, best-of **5,751 docs/s**, `extract_spread_warm` 1.88
+(an earlier same-day run measured 5,022 with warm spread 1.77 — the
+documented noise band).  The r03→r04 headline swing (2,997 → 1,954
+docs/s on zero code change) is exactly the band the warm spread now
+makes visible in every BENCH_r* JSON; the best-of is the trustworthy
+sample and the all-round values travel with it.  89 queries benched
+at final HEAD; slowest is `quality_classifier` at 15.7 s (the
+20-epoch relational training loop — one aggregation + dim-bounded
+collect per epoch, irreducible shape), then the iterative-by-design
+graph/BPE queries at ≤3.8 s; every round-5 multimodal query ≤2 s.
 
 ## Soak: 200k docs / 1.3GB through the full resumable pipeline
 
