@@ -949,11 +949,16 @@ def _q_multimodal_media_meta(spark, sf):
     """Typed metadata across all four modalities (round 5: WAV sample
     rate / frame count via the RIFF walk, AVI dims / fps / declared
     frames / codec via the header-only avi_meta — real parses, no
-    decode).  Fixture: 200 synthetic pages (incl. WAV docs) + 10
-    hand-encoded AVIs; per-format counts plus sums of the new audio/
-    video columns pin the parses."""
+    decode).  Fixture: 200 synthetic pages + 10 hand-encoded AVIs +
+    8 hand-encoded PCM WAVs (the synthesizer's ~1% wav roll yields
+    none at n=200, so the WAV parse path needs explicit rows);
+    per-format counts plus sums of the new audio/video columns pin
+    both parses."""
     from document_convert_to__markdown_spark.extractors.avi_codec import (
         encode_avi,
+    )
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        encode_wav,
     )
     from document_convert_to__markdown_spark.operators.multimodal import (
         media_metadata,
@@ -967,7 +972,13 @@ def _q_multimodal_media_meta(spark, sf):
                      np.full((3 + v % 4, 4, 5 + v, 3), v * 17, np.uint8),
                      fps=float(10 + v))))
                 for v in range(10)]
-    avis = spark.createDataFrame(avi_rows, "url string, html binary")
+    wav_rows = [(f"https://aud.example/{a}.wav",
+                 bytearray(encode_wav(
+                     np.zeros(100 + 37 * a, np.float32),
+                     rate=8000 * (1 + a % 3))))
+                for a in range(8)]
+    avis = spark.createDataFrame(avi_rows + wav_rows,
+                                 "url string, html binary")
     pages = synth_pages_df(spark, 200, giant_every=0) \
         .select("url", "html").unionByName(avis)
     media = media_metadata(pages, url_col="url", blob_col="html")

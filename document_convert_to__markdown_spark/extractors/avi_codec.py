@@ -32,6 +32,17 @@ class UnsupportedAvi(ValueError):
     """Valid AVI outside the implemented subset (compressed codec...)."""
 
 
+def is_avi(payload: bytes) -> bool:
+    """RIFF/AVI magic check — the single definition every AVI call
+    site shares.  Deliberately NOT in the shared ``sniffer``: the
+    extraction dispatcher mirrors the reference's SUPPORTED_FORMATS
+    (which has no video), so teaching the sniffer a new format would
+    change byte-parity-pinned extraction labels; the multimodal
+    curation operators detect AVI locally instead."""
+    return len(payload) >= 12 and payload[:4] == b"RIFF" \
+        and payload[8:12] == b"AVI "
+
+
 def _walk(payload: bytes, pos: int, end: int):
     """Yield (fourcc, body_start, body_size) for RIFF chunks in range."""
     while pos + 8 <= end:
@@ -48,8 +59,7 @@ def avi_meta(payload: bytes) -> tuple[int, int, float, int, int]:
     compression)`` — the metadata twin of ``image_meta``: no frame
     data is touched, so it is safe and cheap on compressed AVIs the
     decoder refuses.  Raises ``ValueError`` on malformed input."""
-    if len(payload) < 12 or payload[:4] != b"RIFF" \
-            or payload[8:12] != b"AVI ":
+    if not is_avi(payload):
         raise ValueError("not a RIFF/AVI file")
     from collections import deque
 
@@ -74,13 +84,20 @@ def avi_meta(payload: bytes) -> tuple[int, int, float, int, int]:
                 if usec:
                     fps = round(1e6 / usec, 3)
                 n_frames = total
-            elif cc == b"strh" and size >= 4:
-                is_video_strl = payload[body:body + 4] == b"vids" \
+            elif cc == b"strh":
+                # reset on EVERY strh so a short video strf can never
+                # leave the flag stale for a later stream's strf
+                is_video_strl = size >= 4 \
+                    and payload[body:body + 4] == b"vids" \
                     and width is None
-            elif cc == b"strf" and is_video_strl and size >= 20:
+            elif cc == b"strf" and is_video_strl:
                 is_video_strl = False
+                if size < 20:
+                    raise ValueError("AVI video strf too short")
                 _sz, w, h, _planes, _bits, comp = struct.unpack(
                     "<IiihHI", payload[body:body + 20])
+                if w <= 0 or h == 0 or abs(h) > 0x7FFFFFFF:
+                    raise ValueError("bad AVI frame dimensions")
                 width, height, compression = w, abs(h), comp
     if width is None:
         raise ValueError("AVI missing video stream format")
@@ -99,8 +116,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     compressed-codec refusal raised as soon as the video ``strf`` is
     parsed (before buffering frame data).
     """
-    if len(payload) < 12 or payload[:4] != b"RIFF" \
-            or payload[8:12] != b"AVI ":
+    if not is_avi(payload):
         raise ValueError("not a RIFF/AVI file")
 
     width = height = None

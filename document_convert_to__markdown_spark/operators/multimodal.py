@@ -51,10 +51,20 @@ MEDIA_META_SCHEMA = StructType([
     StructField("width", IntegerType(), True),
     StructField("height", IntegerType(), True),
     StructField("mode", StringType(), True),
-    StructField("sample_rate", IntegerType(), True),    # audio/video hz/fps
-    StructField("n_frames", IntegerType(), True),       # audio/video frames
+    # LongType: these come from unvalidated uint32 header fields (a
+    # hostile WAV can declare rate 0xFFFFFFFF) — int32 columns would
+    # make Arrow conversion kill the task on one crafted payload
+    StructField("sample_rate", LongType(), True),       # audio/video hz/fps
+    StructField("n_frames", LongType(), True),          # audio/video frames
     StructField("n_bytes", LongType(), True),
 ])
+
+
+def _i32(v) -> int | None:
+    """Clamp header-declared dimensions to the int32 schema columns:
+    a crafted header (PNG width is uint32 on the wire) must yield a
+    null cell, never an Arrow out-of-range task kill."""
+    return int(v) if v is not None and 0 <= int(v) <= 0x7FFFFFFF else None
 
 MEDIA_FEATURE_SCHEMA = StructType([
     StructField("url", StringType(), False),
@@ -72,7 +82,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractors.audio_extractor import wav_meta
-        from ..extractors.avi_codec import avi_meta
+        from ..extractors.avi_codec import avi_meta, is_avi
 
         for pdf in batches:
             rows = []
@@ -81,7 +91,8 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                 fmt = sniff_format(payload)
                 if fmt in IMAGE_FORMATS:
                     meta = image_meta(payload, fmt)
-                    rows.append((url, fmt, meta.width, meta.height,
+                    rows.append((url, fmt, _i32(meta.width),
+                                 _i32(meta.height),
                                  meta.mode, None, None, len(payload)))
                     continue
                 if fmt == "wav":
@@ -89,16 +100,18 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                     if wm is not None:
                         rows.append((url, fmt, None, None,
                                      f"pcm{wm.bits_per_sample}",
-                                     wm.sample_rate, wm.n_frames,
+                                     int(wm.sample_rate),
+                                     int(wm.n_frames),
                                      len(payload)))
                         continue
-                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                if is_avi(payload):
                     try:
                         w, h, fps, n, comp = avi_meta(payload)
-                        rows.append((url, "avi", w, h,
+                        rows.append((url, "avi", _i32(w), _i32(h),
                                      "RGB24" if comp == 0 else
                                      f"fourcc{comp}",
-                                     int(round(fps)), n, len(payload)))
+                                     int(round(fps)), int(n),
+                                     len(payload)))
                         continue
                     except ValueError:
                         pass
@@ -209,13 +222,13 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..extractors.avi_codec import decode_avi
+        from ..extractors.avi_codec import decode_avi, is_avi
 
         for pdf in batches:
             rows = []
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
-                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                if is_avi(payload):
                     try:
                         frames, _fps = decode_avi(payload)
                         for idx in range(0, len(frames), every_n):
