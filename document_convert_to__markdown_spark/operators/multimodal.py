@@ -11,6 +11,9 @@ Decode status by format (round 5 — VERDICT r4 item 4):
   GIF87a/89a container and its variable-width LZW coder from scratch
   (interlace, local color tables, GCE transparency; animated GIFs
   decode their first frame).
+- **BMP: REAL pixels.**  ``extractors/bmp_codec.py`` decodes
+  uncompressed 8/24/32-bit DIBs (palette, bottom-up/top-down, row
+  padding) — the same bitmap layout as AVI raw-video frames.
 - **WAV: REAL samples.**  PCM 8/16-bit mono/stereo decode via the
   RIFF walk in ``extractors/wav_codec.py`` feeds
   ``audio_spectral_hash`` actual audio.
@@ -144,6 +147,7 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     can tell real pixels from fakes.  Never raises on garbage: the
     pipeline contract is one output row per input row.
     """
+    from ..extractors.bmp_codec import BMP_SIG, decode_bmp
     from ..extractors.gif_codec import GIF_SIGS, decode_gif
     from ..extractors.png_codec import PNG_SIG, decode_png
 
@@ -155,7 +159,9 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
             return px, mode
         if payload[:6] in GIF_SIGS:
             return decode_gif(payload)          # always (h, w, c)
-    except ValueError:  # UnsupportedPNG/GifLzwError subclass ValueError
+        if payload[:2] == BMP_SIG:
+            return decode_bmp(payload)          # (h, w, 3)
+    except ValueError:  # Unsupported*/GifLzwError subclass ValueError
         pass
     return _decode_image_stub(payload)[:, :, None], "stub"
 
