@@ -43,6 +43,20 @@ def is_avi(payload: bytes) -> bool:
         and payload[8:12] == b"AVI "
 
 
+def dib_rows_to_rgb(raw: np.ndarray, width: int, height: int,
+                    channels: int, top_down: bool) -> np.ndarray:
+    """Shared DIB scanline layout → ``(h, w, 3)`` RGB: 4-byte row
+    padding stripped, BGR(X) channel order reversed (alpha/padding
+    byte dropped), bottom-up rows flipped unless ``top_down``.  Used
+    by both AVI raw-video frames and BMP files — the identical bitmap
+    format.  ``raw`` must hold exactly ``stride × height`` bytes."""
+    stride = (width * channels + 3) & ~3
+    rows = raw.reshape(height, stride)
+    px = rows[:, :width * channels].reshape(height, width, channels)
+    rgb = px[:, :, 2::-1]                       # BGR(X) → RGB
+    return rgb if top_down else rgb[::-1]
+
+
 def _walk(payload: bytes, pos: int, end: int):
     """Yield (fourcc, body_start, body_size) for RIFF chunks in range."""
     while pos + 8 <= end:
@@ -188,19 +202,16 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     out = np.empty((len(frames), height, width, 3), dtype=np.uint8)
     for i, (body, _size) in enumerate(frames):
         raw = np.frombuffer(payload[body:body + need], dtype=np.uint8)
-        rows = raw.reshape(height, stride)
-        bgr = rows[:, :width * 3].reshape(height, width, 3)
-        # bottom-up rows (biHeight > 0) flip; top-down (biHeight < 0)
-        # are already in display order
-        out[i] = bgr[:, :, ::-1] if top_down else bgr[::-1, :, ::-1]
+        out[i] = dib_rows_to_rgb(raw, width, height, 3, top_down)
     return out, fps
 
 
 def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
     """``(n, h, w, 3)`` uint8 RGB frames → uncompressed AVI bytes."""
     arr = np.ascontiguousarray(frames, dtype=np.uint8)
-    if arr.ndim != 4 or arr.shape[3] != 3:
-        raise ValueError(f"need (n, h, w, 3) RGB frames, got {arr.shape}")
+    if arr.ndim != 4 or arr.shape[3] != 3 or 0 in arr.shape[:3]:
+        raise ValueError(f"need non-empty (n, h, w, 3) RGB frames, "
+                         f"got {arr.shape}")
     n, h, w, _ = arr.shape
     stride = (w * 3 + 3) & ~3
     frame_size = stride * h

@@ -47,6 +47,16 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, str]:
     height = abs(h)
     if w <= 0 or height == 0 or abs(h) > 0x7FFFFFFF:
         raise ValueError("bad BMP dimensions")
+    # pixel data must start past the headers (and palette for 8-bit);
+    # a crafted bfOffBits pointing into the header would otherwise
+    # decode header bytes as "real" pixels with mode='RGB' provenance
+    data_floor = 14 + hdr_size
+    if bits == 8:
+        (used,) = struct.unpack("<I", payload[46:50])
+        n_colors = used or 256
+        data_floor += 4 * n_colors
+    if pixel_off < data_floor:
+        raise ValueError("BMP pixel offset inside header/palette")
 
     stride = (w * bits // 8 + 3) & ~3           # rows pad to 4 bytes
     need = stride * height
@@ -54,34 +64,32 @@ def decode_bmp(payload: bytes) -> tuple[np.ndarray, str]:
         raise ValueError("BMP pixel data short for declared size")
     raw = np.frombuffer(
         payload[pixel_off:pixel_off + need], dtype=np.uint8)
-    rows = raw.reshape(height, stride)
 
     if bits == 8:
         # palette: BGRX quads between the info header and the pixels
-        (used,) = struct.unpack("<I", payload[46:50])
-        n_colors = used or 256
         pal_off = 14 + hdr_size
         pal = np.frombuffer(
             payload[pal_off:pal_off + 4 * n_colors], dtype=np.uint8)
         if pal.size < 4 * n_colors:
             raise ValueError("BMP palette short")
         pal = pal.reshape(-1, 4)[:, :3][:, ::-1]    # BGRX → RGB
-        idx = rows[:, :w]
+        idx = raw.reshape(height, stride)[:, :w]
         if int(idx.max()) >= len(pal):
             raise ValueError("BMP index beyond palette")
         out = pal[idx]
+        out = out if top_down else out[::-1]
     else:
-        ch = bits // 8
-        px = rows[:, :w * ch].reshape(height, w, ch)
-        out = px[:, :, 2::-1]                   # BGR(X) → RGB, drop X
-    return (out if top_down else out[::-1]).copy(), "RGB"
+        from .avi_codec import dib_rows_to_rgb
+        out = dib_rows_to_rgb(raw, w, height, bits // 8, top_down)
+    return out.copy(), "RGB"
 
 
 def encode_bmp(pixels: np.ndarray) -> bytes:
     """``(h, w, 3)`` uint8 RGB → 24-bit bottom-up BMP bytes."""
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
-    if arr.ndim != 3 or arr.shape[2] != 3:
-        raise ValueError(f"need (h, w, 3) RGB pixels, got {arr.shape}")
+    if arr.ndim != 3 or arr.shape[2] != 3 or 0 in arr.shape[:2]:
+        raise ValueError(f"need non-empty (h, w, 3) RGB pixels, "
+                         f"got {arr.shape}")
     h, w, _ = arr.shape
     stride = (w * 3 + 3) & ~3
     rows = np.zeros((h, stride), dtype=np.uint8)

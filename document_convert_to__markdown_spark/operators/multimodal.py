@@ -140,12 +140,12 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """payload → ``((h, w, c) uint8-ish array, mode)``.
 
-    PNGs and GIFs decode for real (``png_codec`` / ``gif_codec``);
-    anything else — or a file outside the implemented subset
-    (16-bit/Adam7 PNG, truncated LZW) — falls back to the
-    deterministic stub with ``mode="stub"`` so callers and audits
-    can tell real pixels from fakes.  Never raises on garbage: the
-    pipeline contract is one output row per input row.
+    PNG, GIF, and BMP decode for real (``png_codec`` / ``gif_codec``
+    / ``bmp_codec``); anything else — or a file outside the
+    implemented subset (16-bit/Adam7 PNG, truncated LZW, RLE BMP) —
+    falls back to the deterministic stub with ``mode="stub"`` so
+    callers and audits can tell real pixels from fakes.  Never raises
+    on garbage: the pipeline contract is one output row per input row.
     """
     from ..extractors.bmp_codec import BMP_SIG, decode_bmp
     from ..extractors.gif_codec import GIF_SIGS, decode_gif
@@ -170,7 +170,8 @@ RESIZED_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("width", IntegerType(), False),
     StructField("height", IntegerType(), False),
-    # decode provenance: L/LA/RGB/RGBA = real PNG pixels, stub = fake
+    # decode provenance: L/LA/RGB/RGBA = real PNG/GIF/BMP pixels,
+    # stub = fake
     StructField("mode", StringType(), False),
     StructField("data", BinaryType(), True),
 ])
@@ -188,11 +189,11 @@ def media_resize(df: DataFrame, width: int = 16, height: int = 16,
                  url_col: str = "url", blob_col: str = "data") -> DataFrame:
     """Binary column → nearest-neighbor-resized pixel bytes.
 
-    PNG payloads resize REAL decoded pixels (``png_codec``); other
-    formats resample the deterministic stub grid (mode column says
-    which).  Output ``data`` is the raw ``height × width × channels``
-    uint8 buffer (channels per ``mode``: L=1, LA=2, RGB=3, RGBA=4,
-    stub=1).  One row in, one row out, Arrow-batched.
+    PNG/GIF/BMP payloads resize REAL decoded pixels (the from-scratch
+    codecs); other formats resample the deterministic stub grid (mode
+    column says which).  Output ``data`` is the raw ``height × width
+    × channels`` uint8 buffer (channels per ``mode``: L=1, LA=2,
+    RGB=3, RGBA=4, stub=1).  One row in, one row out, Arrow-batched.
     """
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -276,7 +277,8 @@ def image_dhash(df: DataFrame, url_col: str = "url",
     re-encoding, and locally sensitive — small edits flip few bits, so
     near-duplicates sit at small Hamming distance.
 
-    PNG payloads hash REAL decoded pixels (png_codec); other formats
+    PNG/GIF/BMP payloads hash REAL decoded pixels (the from-scratch
+    codecs); other formats
     hash the deterministic stub grid (``mode`` records which).  One
     Arrow-batched ``mapInPandas`` pass, no shuffle; the hash is a
     signed BIGINT so it shuffles/joins JVM-side downstream.
@@ -429,8 +431,8 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
 
 def media_features(df: DataFrame, url_col: str = "url",
                    blob_col: str = "data", dim: int = 16) -> DataFrame:
-    """Binary column → fixed-dim feature vector (real pixels for PNG,
-    stub grid otherwise).
+    """Binary column → fixed-dim feature vector (real pixels for
+    PNG/GIF/BMP, stub grid otherwise).
 
     Pooled "feature": channel-averaged column means of the pixel grid,
     cycled/truncated to ``dim`` — a deterministic stand-in for a CNN

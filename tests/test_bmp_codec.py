@@ -85,6 +85,14 @@ def test_bmp_refusals_valueerror_only():
         decode_bmp(bytes(huge))
     with pytest.raises(ValueError):
         encode_bmp(np.zeros((2, 2), np.uint8))
+    with pytest.raises(ValueError):
+        encode_bmp(np.zeros((0, 5, 3), np.uint8))   # degenerate dims
+    # crafted bfOffBits pointing INTO the header must not decode the
+    # header bytes as "real" pixels with mode='RGB' provenance
+    spoof = bytearray(encode_bmp(np.zeros((4, 3, 3), np.uint8)))
+    spoof[10:14] = (0).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(spoof))
 
 
 def test_media_resize_real_bmp_equals_png(spark):
