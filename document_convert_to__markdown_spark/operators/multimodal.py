@@ -14,6 +14,9 @@ Decode status by format (round 5 — VERDICT r4 item 4):
 - **BMP: REAL pixels.**  ``extractors/bmp_codec.py`` decodes
   uncompressed 8/24/32-bit DIBs (palette, bottom-up/top-down, row
   padding) — the same bitmap layout as AVI raw-video frames.
+- **TIFF (baseline uncompressed): REAL pixels.**
+  ``extractors/tiff_codec.py`` walks II/MM IFDs and assembles 8-bit
+  gray/RGB/RGBA strips; LZW/JPEG/deflate TIFFs refuse to the stub.
 - **WAV: REAL samples.**  PCM 8/16-bit mono/stereo decode via the
   RIFF walk in ``extractors/wav_codec.py`` feeds
   ``audio_spectral_hash`` actual audio.
@@ -150,17 +153,22 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     from ..extractors.bmp_codec import BMP_SIG, decode_bmp
     from ..extractors.gif_codec import GIF_SIGS, decode_gif
     from ..extractors.png_codec import PNG_SIG, decode_png
+    from ..extractors.tiff_codec import TIFF_SIGS, decode_tiff
 
     try:
         if payload.startswith(PNG_SIG):
             px, mode = decode_png(payload)
-            if px.ndim == 2:
-                px = px[:, :, None]
-            return px, mode
-        if payload[:6] in GIF_SIGS:
+        elif payload[:6] in GIF_SIGS:
             return decode_gif(payload)          # always (h, w, c)
-        if payload[:2] == BMP_SIG:
+        elif payload[:2] == BMP_SIG:
             return decode_bmp(payload)          # (h, w, 3)
+        elif payload[:4] in TIFF_SIGS:
+            px, mode = decode_tiff(payload)
+        else:
+            raise ValueError("no real decoder for this format")
+        if px.ndim == 2:
+            px = px[:, :, None]
+        return px, mode
     except ValueError:  # Unsupported*/GifLzwError subclass ValueError
         pass
     return _decode_image_stub(payload)[:, :, None], "stub"
