@@ -23,13 +23,19 @@ Decode status by format (round 5 — VERDICT r4 item 4):
 - **AVI (uncompressed DIB): REAL frames.**  ``extractors/avi_codec.py``
   demuxes 24-bit BI_RGB frames for ``video_frame_sample`` — container
   walk, stride/padding, channel order, all real.
-- **JPEG / compressed video / other: deterministic stub.**  DCT and
-  inter-frame entropy pipelines need libs the container doesn't have
+- **JPEG (baseline sequential): REAL pixels.**
+  ``extractors/jpeg_codec.py`` implements the ITU-T T.81 DCT entropy
+  pipeline from scratch (DQT/DHT parse, Huffman + EXTEND, dequant,
+  8×8 IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart markers) — the
+  dominant lossy web format decodes actual pixels.  Progressive /
+  arithmetic / CMYK JPEGs refuse to the stub.
+- **Compressed video (H.264/VP9) / other: deterministic stub.**
+  Inter-frame entropy pipelines need libs the container doesn't have
   (installs off-limits), so those payloads keep the clearly-marked
   fake decode.  Everything
   Spark-side — schemas, Arrow batch shapes, ``mapInPandas``
   signatures, partitioning — is real either way; swapping the stub for
-  PIL/ffmpeg changes one function body, not the plan.
+  ffmpeg changes one function body, not the plan.
 
 Header-only metadata (width/height/format) is NOT stubbed — the pure
 image header parsers from extractors/image_extractor.py are real.
@@ -129,8 +135,8 @@ def media_metadata(df: DataFrame, url_col: str = "url",
 
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
-    """STUB: deterministic fake decode (no JPEG libs in this
-    container).
+    """STUB: deterministic fake decode for formats outside the
+    from-scratch codecs (progressive JPEG, WebP, 16-bit PNG, ...).
 
     Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
     this returns a seeded pseudo-pixel array derived from the bytes so
@@ -143,15 +149,17 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """payload → ``((h, w, c) uint8-ish array, mode)``.
 
-    PNG, GIF, and BMP decode for real (``png_codec`` / ``gif_codec``
-    / ``bmp_codec``); anything else — or a file outside the
-    implemented subset (16-bit/Adam7 PNG, truncated LZW, RLE BMP) —
-    falls back to the deterministic stub with ``mode="stub"`` so
-    callers and audits can tell real pixels from fakes.  Never raises
-    on garbage: the pipeline contract is one output row per input row.
+    PNG, GIF, BMP, TIFF, and baseline JPEG decode for real (the
+    from-scratch ``*_codec`` modules); anything else — or a file
+    outside the implemented subset (16-bit/Adam7 PNG, truncated LZW,
+    RLE BMP, progressive JPEG) — falls back to the deterministic stub
+    with ``mode="stub"`` so callers and audits can tell real pixels
+    from fakes.  Never raises on garbage: the pipeline contract is one
+    output row per input row.
     """
     from ..extractors.bmp_codec import BMP_SIG, decode_bmp
     from ..extractors.gif_codec import GIF_SIGS, decode_gif
+    from ..extractors.jpeg_codec import JPEG_SOI, decode_jpeg
     from ..extractors.png_codec import PNG_SIG, decode_png
     from ..extractors.tiff_codec import TIFF_SIGS, decode_tiff
 
@@ -164,6 +172,8 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
             return decode_bmp(payload)          # (h, w, 3)
         elif payload[:4] in TIFF_SIGS:
             px, mode = decode_tiff(payload)
+        elif payload.startswith(JPEG_SOI):
+            px, mode = decode_jpeg(payload)
         else:
             raise ValueError("no real decoder for this format")
         if px.ndim == 2:

@@ -65,6 +65,9 @@ PINNABLE = [
     # codecs, and the FFT spectral audio fingerprint — neither is SQL.
     "multimodal_gif_decode",
     "audio_spectral_hash",
+    # round-5: JPEG-decode determinism across 444/420/RST/gray paths —
+    # the DCT pipeline isn't SQL; fidelity is bounded in pytest.
+    "multimodal_jpeg_decode",
 ]
 
 _SQL_TYPES = {
