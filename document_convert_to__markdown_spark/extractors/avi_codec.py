@@ -2,23 +2,26 @@
 
 Fourth sibling of ``png_codec``/``gif_codec``/``wav_codec``, and the
 one that makes the video modality real: AVI is RIFF (the same chunk
-grammar as WAV), and the ``BI_RGB`` uncompressed-DIB codec is no codec
-at all — each frame is a bottom-up BGR bitmap.  Compressed video
-(H.264/VP9/MJPEG) genuinely needs entropy/transform coders the
-container can't ship, so those stay on the labeled stub path; raw-DIB
-AVI gives ``video_frame_sample`` a real demux loop — container walk,
-frame framing, stride/padding, channel order — which is the part a
-Spark pipeline owns (swapping raw DIB for an ffmpeg call changes the
-per-frame decode, not the plumbing).
+grammar as WAV).  Two codecs decode: the ``BI_RGB`` uncompressed DIB
+(no codec at all — each frame a bottom-up BGR bitmap) and motion JPEG
+(``MJPG`` fourcc — each frame an independent baseline JPEG through
+``jpeg_codec``, including the DHT-less convention where the Annex K
+tables are implied).  Inter-frame codecs (H.264/VP9) genuinely need
+transform coders the container can't ship, so those stay on the
+labeled stub path; DIB + MJPEG give ``video_frame_sample`` a real
+demux loop — container walk, frame framing, stride/padding, channel
+order, per-frame entropy decode — which is the part a Spark pipeline
+owns (swapping in an ffmpeg call changes the per-frame decode, not
+the plumbing).
 
 - ``decode_avi``: RIFF walk (``hdrl`` → ``avih``/``strh``/``strf``,
-  ``movi`` → ``00db``/``00dc`` chunks), 24-bit BI_RGB only,
-  bottom-up row order and 4-byte row padding reversed, BGR → RGB.
-  Compressed streams raise ``UnsupportedAvi``; malformed ones raise
+  ``movi`` → ``00db``/``00dc`` chunks), 24-bit BI_RGB (bottom-up row
+  order and 4-byte row padding reversed, BGR → RGB) or MJPG.  Other
+  codecs raise ``UnsupportedAvi``; malformed input raises
   ``ValueError`` (never a non-ValueError escape — the kernels' stub
   fallback catches ValueError only).
 - ``encode_avi``: ``(n, h, w, 3)`` RGB frames → single-video-stream
-  AVI bytes (the test/synthesizer twin).
+  AVI bytes, DIB or MJPEG (the test/synthesizer twin).
 """
 
 from __future__ import annotations
@@ -30,6 +33,9 @@ import numpy as np
 
 class UnsupportedAvi(ValueError):
     """Valid AVI outside the implemented subset (compressed codec...)."""
+
+
+MJPG_FOURCC = struct.unpack("<I", b"MJPG")[0]
 
 
 def is_avi(payload: bytes) -> bool:
@@ -134,6 +140,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
         raise ValueError("not a RIFF/AVI file")
 
     width = height = None
+    codec = None
     top_down = False
     fps = 0.0
     stream_idx = -1                 # strh counter (stream numbering)
@@ -176,9 +183,13 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
                 # biBitCount biCompression ...
                 _sz, w, h, _planes, bits, comp = struct.unpack(
                     "<IiihHI", payload[body:body + 20])
-                if comp != 0 or bits != 24:     # 0 = BI_RGB
+                if comp == MJPG_FOURCC:
+                    codec = "mjpg"              # frames are JPEGs
+                elif comp == 0 and bits == 24:  # 0 = BI_RGB
+                    codec = "dib"
+                else:
                     raise UnsupportedAvi(
-                        f"AVI codec not uncompressed 24-bit BI_RGB "
+                        f"AVI codec not BI_RGB 24-bit or MJPG "
                         f"(biCompression={comp}, biBitCount={bits})")
                 if w <= 0 or h == 0:
                     raise ValueError("bad AVI frame dimensions")
@@ -191,6 +202,23 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
               if no == want_stream]
     if width is None or not frames:
         raise ValueError("AVI missing video stream format / frame data")
+    if codec == "mjpg":
+        # motion JPEG: every frame chunk is an independent baseline
+        # JPEG (possibly DHT-less per the MJPEG convention — the JPEG
+        # decoder supplies the implied Annex K tables)
+        from .jpeg_codec import decode_jpeg
+
+        # decode into a list, stack after: memory follows the REAL
+        # decoded frames (decode_jpeg's MCU-vs-scan-bytes bound kills
+        # dimension bombs), never a crafted strf width*height*n_frames
+        decoded = []
+        for body, size in frames:
+            px, mode = decode_jpeg(payload[body:body + size])
+            if px.shape[:2] != (height, width):
+                raise ValueError("MJPEG frame size mismatches header")
+            decoded.append(px[:, :, None].repeat(3, axis=2)
+                           if mode == "L" else px)
+        return np.stack(decoded), fps
     stride = (width * 3 + 3) & ~3               # rows pad to 4 bytes
     need = stride * height
     # validate EVERY frame span against the declared dimensions BEFORE
@@ -206,12 +234,23 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     return out, fps
 
 
-def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
-    """``(n, h, w, 3)`` uint8 RGB frames → uncompressed AVI bytes."""
+def encode_avi(frames: np.ndarray, fps: float = 10.0,
+               codec: str = "dib", quality: int = 85,
+               strip_dht: bool = False) -> bytes:
+    """``(n, h, w, 3)`` uint8 RGB frames → AVI bytes.
+
+    ``codec="dib"`` writes uncompressed bottom-up BGR bitmaps;
+    ``codec="mjpg"`` writes each frame as an independent baseline
+    JPEG at ``quality`` (motion JPEG).  ``strip_dht=True`` (mjpg only)
+    drops the DHT segments from each frame — the DHT-less MJPEG
+    convention real capture hardware emits — to exercise the decoder's
+    implied-Annex-K-tables path."""
     arr = np.ascontiguousarray(frames, dtype=np.uint8)
     if arr.ndim != 4 or arr.shape[3] != 3 or 0 in arr.shape[:3]:
         raise ValueError(f"need non-empty (n, h, w, 3) RGB frames, "
                          f"got {arr.shape}")
+    if codec not in ("dib", "mjpg"):
+        raise ValueError("codec must be 'dib' or 'mjpg'")
     n, h, w, _ = arr.shape
     stride = (w * 3 + 3) & ~3
     frame_size = stride * h
@@ -223,24 +262,55 @@ def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
     def lst(kind: bytes, data: bytes) -> bytes:
         return chunk(b"LIST", kind + data)
 
+    movi_frames = []
+    if codec == "mjpg":
+        from .jpeg_codec import encode_jpeg
+
+        for i in range(n):
+            jpg = encode_jpeg(arr[i], quality=quality)
+            if strip_dht:
+                jpg = _drop_dht(jpg)
+            movi_frames.append(chunk(b"00dc", jpg))
+        frame_size = max(len(f) - 8 for f in movi_frames)
+        handler, comp = b"MJPG", MJPG_FOURCC
+    else:
+        for i in range(n):
+            bgr_bottom_up = arr[i, ::-1, :, ::-1]  # RGB → BGR, bottom-up
+            rows = np.zeros((h, stride), dtype=np.uint8)
+            rows[:, :w * 3] = bgr_bottom_up.reshape(h, w * 3)
+            movi_frames.append(chunk(b"00db", rows.tobytes()))
+        handler, comp = b"DIB ", 0
+
     avih = struct.pack("<IIIIIIIIIIIIII",
                        int(1e6 / fps), frame_size * int(fps), 0, 0x10,
                        n, 0, 1, frame_size, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack(
+    strh = (b"vids" + handler + struct.pack(
         "<IHHIIIIIIIIhhhh", 0, 0, 0, 0, 1, int(round(fps)), 0, n,
         frame_size, 0xFFFFFFFF & -1, 0, 0, 0, w, h))
-    strf = struct.pack("<IiihHIIiiII", 40, w, h, 1, 24, 0,
+    strf = struct.pack("<IiihHIIiiII", 40, w, h, 1, 24, comp,
                        frame_size, 0, 0, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-
-    movi_frames = []
-    for i in range(n):
-        bgr_bottom_up = arr[i, ::-1, :, ::-1]   # RGB → BGR, bottom-up
-        rows = np.zeros((h, stride), dtype=np.uint8)
-        rows[:, :w * 3] = bgr_bottom_up.reshape(h, w * 3)
-        movi_frames.append(chunk(b"00db", rows.tobytes()))
     movi = lst(b"movi", b"".join(movi_frames))
 
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _drop_dht(jpg: bytes) -> bytes:
+    """Remove every DHT (0xFFC4) segment — the DHT-less MJPEG form."""
+    out = bytearray(jpg[:2])
+    i = 2
+    n = len(jpg)
+    while i + 4 <= n:
+        if jpg[i] != 0xFF:
+            break
+        marker = jpg[i + 1]
+        if marker == 0xDA:                      # SOS: copy the rest
+            out += jpg[i:]
+            return bytes(out)
+        seg_len = struct.unpack(">H", jpg[i + 2:i + 4])[0]
+        if marker != 0xC4:
+            out += jpg[i:i + 2 + seg_len]
+        i += 2 + seg_len
+    return bytes(out)

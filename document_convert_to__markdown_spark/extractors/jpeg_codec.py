@@ -544,6 +544,16 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
     scan_comps, entropy_start = scan
     if len(scan_comps) != len(comps):
         raise UnsupportedJpeg("multi-scan JPEG")
+    if not huff:
+        # MJPEG convention (and some camera JPEGs): DHT omitted, the
+        # Annex K "typical" tables implied.  Only when NO table was
+        # declared — a stream with its own tables never gets defaults.
+        huff = {
+            (0, 0): _decode_lookup(_DC_LUM_BITS, _DC_LUM_VALS),
+            (1, 0): _decode_lookup(_AC_LUM_BITS, _AC_LUM_VALS),
+            (0, 1): _decode_lookup(_DC_CHR_BITS, _DC_CHR_VALS),
+            (1, 1): _decode_lookup(_AC_CHR_BITS, _AC_CHR_VALS),
+        }
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcus_x = -(-fw // (8 * hmax))

@@ -20,9 +20,11 @@ Decode status by format (round 5 — VERDICT r4 item 4):
 - **WAV: REAL samples.**  PCM 8/16-bit mono/stereo decode via the
   RIFF walk in ``extractors/wav_codec.py`` feeds
   ``audio_spectral_hash`` actual audio.
-- **AVI (uncompressed DIB): REAL frames.**  ``extractors/avi_codec.py``
-  demuxes 24-bit BI_RGB frames for ``video_frame_sample`` — container
-  walk, stride/padding, channel order, all real.
+- **AVI (uncompressed DIB + motion JPEG): REAL frames.**
+  ``extractors/avi_codec.py`` demuxes 24-bit BI_RGB bitmaps and
+  per-frame baseline JPEGs (incl. the DHT-less MJPEG convention) for
+  ``video_frame_sample`` — container walk, stride/padding, channel
+  order, per-frame entropy decode, all real.
 - **JPEG (baseline sequential): REAL pixels.**
   ``extractors/jpeg_codec.py`` implements the ITU-T T.81 DCT entropy
   pipeline from scratch (DQT/DHT parse, Huffman + EXTEND, dequant,
@@ -94,7 +96,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractors.audio_extractor import wav_meta
-        from ..extractors.avi_codec import avi_meta, is_avi
+        from ..extractors.avi_codec import MJPG_FOURCC, avi_meta, is_avi
 
         for pdf in batches:
             rows = []
@@ -119,10 +121,11 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                 if is_avi(payload):
                     try:
                         w, h, fps, n, comp = avi_meta(payload)
+                        mode = ("RGB24" if comp == 0 else
+                                "MJPG" if comp == MJPG_FOURCC else
+                                f"fourcc{comp}")
                         rows.append((url, "avi", _i32(w), _i32(h),
-                                     "RGB24" if comp == 0 else
-                                     f"fourcc{comp}",
-                                     int(round(fps)), int(n),
+                                     mode, int(round(fps)), int(n),
                                      len(payload)))
                         continue
                     except ValueError:
@@ -234,20 +237,23 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                        ) -> DataFrame:
     """Binary video column → sampled frame rows.
 
-    Uncompressed-DIB AVI payloads demux REAL frames
-    (``extractors/avi_codec.py`` — RIFF walk, stride/padding reversal,
-    BGR→RGB; every ``every_n``-th frame emitted as its raw
-    ``h × w × 3`` RGB buffer, ``mode="dib"``).  Compressed codecs
-    (H.264/VP9/MJPEG) need entropy/transform coders the container
-    can't ship, so those payloads keep the labeled stub (fixed-size
-    byte chunks, ``mode="stub"``) — swapping the stub for an ffmpeg
-    demux changes the per-frame decode, not the Spark contract: a
-    one-to-many ``mapInPandas`` (row → variable frame rows), the same
-    shape the extraction pipeline uses for document assets.
+    Uncompressed-DIB and motion-JPEG AVI payloads demux REAL frames
+    (``extractors/avi_codec.py`` — RIFF walk; DIB stride/padding
+    reversal + BGR→RGB, or per-frame baseline-JPEG decode through
+    ``jpeg_codec``; every ``every_n``-th frame emitted as its raw
+    ``h × w × 3`` RGB buffer, ``mode="dib"``/``"mjpg"``).  Inter-frame
+    codecs (H.264/VP9) need transform coders the container can't ship,
+    so those payloads keep the labeled stub (fixed-size byte chunks,
+    ``mode="stub"``) — swapping the stub for an ffmpeg demux changes
+    the per-frame decode, not the Spark contract: a one-to-many
+    ``mapInPandas`` (row → variable frame rows), the same shape the
+    extraction pipeline uses for document assets.
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..extractors.avi_codec import decode_avi, is_avi
+        from ..extractors.avi_codec import (
+            MJPG_FOURCC, avi_meta, decode_avi, is_avi,
+        )
 
         for pdf in batches:
             rows = []
@@ -256,8 +262,10 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                 if is_avi(payload):
                     try:
                         frames, _fps = decode_avi(payload)
+                        comp = avi_meta(payload)[4]
+                        label = "mjpg" if comp == MJPG_FOURCC else "dib"
                         for idx in range(0, len(frames), every_n):
-                            rows.append((url, idx, "dib",
+                            rows.append((url, idx, label,
                                          frames[idx].tobytes()))
                         continue
                     except ValueError:  # UnsupportedAvi subclasses it

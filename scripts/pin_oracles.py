@@ -68,6 +68,9 @@ PINNABLE = [
     # round-5: JPEG-decode determinism across 444/420/RST/gray paths —
     # the DCT pipeline isn't SQL; fidelity is bounded in pytest.
     "multimodal_jpeg_decode",
+    # round-5: MJPEG AVI demux (incl. DHT-less) vs the DIB reference —
+    # per-frame entropy decode isn't SQL.
+    "video_mjpeg_demux",
 ]
 
 _SQL_TYPES = {

@@ -11,7 +11,7 @@ import numpy as np
 import pytest
 
 from document_convert_to__markdown_spark.extractors.avi_codec import (
-    UnsupportedAvi, decode_avi, encode_avi,
+    UnsupportedAvi, avi_meta, decode_avi, encode_avi,
 )
 
 
@@ -204,3 +204,77 @@ def test_media_metadata_wav_and_avi(spark):
     assert got["v"]["sample_rate"] == 12 and got["v"]["n_frames"] == 4
     assert got["v"]["mode"] == "RGB24"
     assert got["x"]["width"] is None and got["x"]["sample_rate"] is None
+
+
+def _smooth_frames(n: int, h: int, w: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:h, 0:w]
+    return np.stack([
+        np.stack([(yy * 8 + i * 10) % 200 + 20, (xx * 6) % 200,
+                  ((yy + xx) * 4 + i * 5) % 200], axis=2)
+        for i in range(n)]).astype(np.uint8)
+
+
+def test_avi_mjpeg_roundtrip_error_bounded():
+    frames = _smooth_frames(5, 16, 24)
+    for strip in (False, True):        # DHT-less = implied Annex K tables
+        avi = encode_avi(frames, fps=8, codec="mjpg", quality=92,
+                         strip_dht=strip)
+        dec, fps = decode_avi(avi)
+        assert dec.shape == frames.shape and fps == 8.0
+        assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 6
+    # meta sees the fourcc without touching frame data
+    _w, _h, _fps, _n, comp = avi_meta(avi)
+    assert comp == struct.unpack("<I", b"MJPG")[0]
+
+
+def test_avi_mjpeg_frame_size_mismatch_raises():
+    frames = _smooth_frames(2, 8, 8)
+    avi = bytearray(encode_avi(frames, codec="mjpg"))
+    off = avi.index(b"strf") + 8 + 4            # biWidth field
+    avi[off:off + 4] = (16).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        decode_avi(bytes(avi))
+
+
+def test_avi_mjpeg_truncation_raises_valueerror():
+    avi = encode_avi(_smooth_frames(3, 8, 8), codec="mjpg")
+    for cut in range(12, len(avi) - 1, 31):
+        with pytest.raises(ValueError):
+            decode_avi(avi[:cut])
+
+
+def test_video_frame_sample_mjpg_provenance(spark):
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    frames = _smooth_frames(6, 8, 12)
+    rows = [("m", bytearray(encode_avi(frames, codec="mjpg", quality=95))),
+            ("d", bytearray(encode_avi(frames)))]
+    df = spark.createDataFrame(rows, "url string, data binary")
+    got = video_frame_sample(df, every_n=3).collect()
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r["url"], []).append(r)
+    assert sorted(r["frame_idx"] for r in by_url["m"]) == [0, 3]
+    assert all(r["mode"] == "mjpg" for r in by_url["m"])
+    assert all(r["mode"] == "dib" for r in by_url["d"])
+    # mjpg frames are real pixels: close to the exact dib demux
+    dib = {r["frame_idx"]: np.frombuffer(bytes(r["frame_data"]), np.uint8)
+           for r in by_url["d"]}
+    for r in by_url["m"]:
+        mj = np.frombuffer(bytes(r["frame_data"]), np.uint8)
+        assert np.abs(mj.astype(int)
+                      - dib[r["frame_idx"]].astype(int)).max() <= 6
+
+
+def test_media_metadata_mjpg_mode(spark):
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_metadata,
+    )
+
+    avi = encode_avi(_smooth_frames(2, 4, 6), fps=10, codec="mjpg")
+    df = spark.createDataFrame([("m", bytearray(avi))],
+                               "url string, data binary")
+    row = media_metadata(df).collect()[0]
+    assert row["mode"] == "MJPG" and (row["width"], row["height"]) == (6, 4)
