@@ -131,6 +131,10 @@ BENCH_QUERIES = [
     "audio_spectral_hash",
     "multimodal_frame_sample",
     "multimodal_media_meta",
+    # round-5b: baseline JPEG decode (444/420/RST/gray) and MJPEG AVI
+    # demux through the from-scratch T.81 pipeline
+    "multimodal_jpeg_decode",
+    "video_mjpeg_demux",
     # stream_dedup_ingest excluded: two full streaming drains + 4
     # snapshot commits (~44s at sf0.1) is a soak, not a query; its
     # components (dedup_incremental, minhash bands, snapshot commits)
