@@ -124,8 +124,12 @@ def avi_meta(payload: bytes) -> tuple[int, int, float, int, int]:
     return width, height, fps, n_frames, compression
 
 
-def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
-    """AVI bytes → ``((n_frames, h, w, 3) uint8 RGB, fps)``.
+def decode_avi(payload: bytes) -> tuple[np.ndarray, float, str]:
+    """AVI bytes → ``((n_frames, h, w, 3) uint8 RGB, fps, codec)``.
+
+    ``codec`` is ``"dib"`` (uncompressed BI_RGB) or ``"mjpg"`` —
+    returned so callers labeling frame provenance don't re-parse the
+    header with ``avi_meta``.
 
     Malformed or out-of-subset input raises ``ValueError`` (incl.
     ``UnsupportedAvi``) and NOTHING ELSE — the Spark kernels' stub
@@ -209,7 +213,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
         from .jpeg_codec import decode_jpeg
 
         # decode into a list, stack after: memory follows the REAL
-        # decoded frames (decode_jpeg's MCU-vs-scan-bytes bound kills
+        # decoded frames (decode_jpeg's block-vs-scan-bytes bound kills
         # dimension bombs), never a crafted strf width*height*n_frames
         decoded = []
         for body, size in frames:
@@ -218,7 +222,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
                 raise ValueError("MJPEG frame size mismatches header")
             decoded.append(px[:, :, None].repeat(3, axis=2)
                            if mode == "L" else px)
-        return np.stack(decoded), fps
+        return np.stack(decoded), fps, "mjpg"
     stride = (width * 3 + 3) & ~3               # rows pad to 4 bytes
     need = stride * height
     # validate EVERY frame span against the declared dimensions BEFORE
@@ -231,7 +235,7 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, float]:
     for i, (body, _size) in enumerate(frames):
         raw = np.frombuffer(payload[body:body + need], dtype=np.uint8)
         out[i] = dib_rows_to_rgb(raw, width, height, 3, top_down)
-    return out, fps
+    return out, fps, "dib"
 
 
 def encode_avi(frames: np.ndarray, fps: float = 10.0,

@@ -499,12 +499,16 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
                 huff[(tc, th)] = _decode_lookup(bits, vals)
                 j += 17 + count
         elif marker in (0xC0, 0xC1):        # SOF0/1 baseline
+            if len(data) < 6:
+                raise ValueError("short SOF segment")
             if data[0] != 8:
                 raise UnsupportedJpeg("non-8-bit precision")
             fh, fw = struct.unpack(">HH", data[1:5])
             ncomp = data[5]
             if ncomp not in (1, 3):
                 raise UnsupportedJpeg(f"{ncomp}-component JPEG")
+            if len(data) < 6 + 3 * ncomp:
+                raise ValueError("short SOF segment")
             if fh == 0 or fw == 0:
                 raise ValueError("zero image dimension")
             comps = []
@@ -518,6 +522,9 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
             vm = max(c[2] for c in comps)
             if any(hm % sh or vm % sv for _, sh, sv, _ in comps):
                 raise UnsupportedJpeg("non-dividing sampling factors")
+            if sum(sh * sv for _, sh, sv, _ in comps) > 10:
+                # T.81 B.2.2: sum of Hi*Vi over all components <= 10
+                raise ValueError("sampling factors exceed T.81 bound")
             frame = (fh, fw, comps)
         elif marker == 0xC2:
             raise UnsupportedJpeg("progressive JPEG")
@@ -525,11 +532,17 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedJpeg("non-baseline SOF")
         elif marker == 0xDD:                # DRI
+            if len(data) < 2:
+                raise ValueError("short DRI segment")
             restart_interval = struct.unpack(">H", data[:2])[0]
         elif marker == 0xDA:                # SOS
             if frame is None:
                 raise ValueError("SOS before SOF")
+            if len(data) < 1:
+                raise ValueError("short SOS segment")
             ns = data[0]
+            if len(data) < 1 + 2 * ns:
+                raise ValueError("short SOS segment")
             scan_comps = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
@@ -559,10 +572,14 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
     mcus_x = -(-fw // (8 * hmax))
     mcus_y = -(-fh // (8 * vmax))
     total_mcus = mcus_x * mcus_y
-    # MCU area sanity: a crafted header can declare 65535x65535 with
-    # a 2-byte scan — bound work by the entropy bytes actually present
-    if total_mcus > 4 * (n - entropy_start) + 64:
-        raise ValueError("declared MCU count exceeds scan data")
+    # Area sanity BEFORE any plane allocation: a crafted header can
+    # declare 65535x65535 (or 4x4-sampled planes) with a tiny scan.
+    # Bound total 8x8 *blocks* — each costs >=4 entropy bits (2-bit DC
+    # code + 2-bit EOB), so a scan byte encodes at most 2 blocks — and
+    # thereby the float64 plane allocation (512 bytes per block).
+    blocks_per_mcu = sum(sh * sv for _, sh, sv, _ in comps)
+    if total_mcus * blocks_per_mcu > 2 * (n - entropy_start) + 64:
+        raise ValueError("declared block count exceeds scan data")
 
     segs, _ = _split_entropy(payload, entropy_start)
     # per-component output planes on the MCU-padded lattice

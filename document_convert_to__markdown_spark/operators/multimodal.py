@@ -191,8 +191,8 @@ RESIZED_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("width", IntegerType(), False),
     StructField("height", IntegerType(), False),
-    # decode provenance: L/LA/RGB/RGBA = real PNG/GIF/BMP pixels,
-    # stub = fake
+    # decode provenance: L/LA/RGB/RGBA = real PNG/GIF/BMP/TIFF/JPEG
+    # pixels, stub = fake
     StructField("mode", StringType(), False),
     StructField("data", BinaryType(), True),
 ])
@@ -200,7 +200,8 @@ RESIZED_SCHEMA = StructType([
 FRAME_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("frame_idx", IntegerType(), False),
-    # decode provenance: dib = real AVI demux, stub = byte chunks
+    # decode provenance: dib/mjpg = real AVI demux (uncompressed or
+    # motion-JPEG), stub = byte chunks
     StructField("mode", StringType(), False),
     StructField("frame_data", BinaryType(), True),
 ])
@@ -210,8 +211,9 @@ def media_resize(df: DataFrame, width: int = 16, height: int = 16,
                  url_col: str = "url", blob_col: str = "data") -> DataFrame:
     """Binary column → nearest-neighbor-resized pixel bytes.
 
-    PNG/GIF/BMP payloads resize REAL decoded pixels (the from-scratch
-    codecs); other formats resample the deterministic stub grid (mode
+    PNG/GIF/BMP/TIFF/baseline-JPEG payloads resize REAL decoded pixels
+    (the from-scratch codecs); other formats resample the
+    deterministic stub grid (mode
     column says which).  Output ``data`` is the raw ``height × width
     × channels`` uint8 buffer (channels per ``mode``: L=1, LA=2,
     RGB=3, RGBA=4, stub=1).  One row in, one row out, Arrow-batched.
@@ -251,9 +253,7 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..extractors.avi_codec import (
-            MJPG_FOURCC, avi_meta, decode_avi, is_avi,
-        )
+        from ..extractors.avi_codec import decode_avi, is_avi
 
         for pdf in batches:
             rows = []
@@ -261,9 +261,7 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                 payload = bytes(blob) if blob is not None else b""
                 if is_avi(payload):
                     try:
-                        frames, _fps = decode_avi(payload)
-                        comp = avi_meta(payload)[4]
-                        label = "mjpg" if comp == MJPG_FOURCC else "dib"
+                        frames, _fps, label = decode_avi(payload)
                         for idx in range(0, len(frames), every_n):
                             rows.append((url, idx, label,
                                          frames[idx].tobytes()))
@@ -303,8 +301,8 @@ def image_dhash(df: DataFrame, url_col: str = "url",
     re-encoding, and locally sensitive — small edits flip few bits, so
     near-duplicates sit at small Hamming distance.
 
-    PNG/GIF/BMP payloads hash REAL decoded pixels (the from-scratch
-    codecs); other formats
+    PNG/GIF/BMP/TIFF/baseline-JPEG payloads hash REAL decoded pixels
+    (the from-scratch codecs); other formats
     hash the deterministic stub grid (``mode`` records which).  One
     Arrow-batched ``mapInPandas`` pass, no shuffle; the hash is a
     signed BIGINT so it shuffles/joins JVM-side downstream.
@@ -458,7 +456,7 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
 def media_features(df: DataFrame, url_col: str = "url",
                    blob_col: str = "data", dim: int = 16) -> DataFrame:
     """Binary column → fixed-dim feature vector (real pixels for
-    PNG/GIF/BMP, stub grid otherwise).
+    PNG/GIF/BMP/TIFF/baseline JPEG, stub grid otherwise).
 
     Pooled "feature": channel-averaged column means of the pixel grid,
     cycled/truncated to ``dim`` — a deterministic stand-in for a CNN

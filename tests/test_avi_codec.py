@@ -20,7 +20,7 @@ from document_convert_to__markdown_spark.extractors.avi_codec import (
 def test_avi_roundtrip_exact(shape):
     frames = (np.arange(np.prod(shape)).reshape(shape) * 31 % 256
               ).astype(np.uint8)
-    got, fps = decode_avi(encode_avi(frames, fps=12.5))
+    got, fps, _codec = decode_avi(encode_avi(frames, fps=12.5))
     assert got.shape == frames.shape
     assert (got == frames).all()
     assert abs(fps - 12.5) < 0.01
@@ -34,11 +34,11 @@ def test_avi_every_truncation_raises_valueerror():
     frames = np.random.RandomState(3).randint(
         0, 256, (4, 3, 5, 3)).astype(np.uint8)
     avi = encode_avi(frames)
-    full, _ = decode_avi(avi)
+    full, _, _codec = decode_avi(avi)
     outcomes = {"raise": 0, "ok": 0}
     for cut in range(len(avi)):
         try:
-            got, _ = decode_avi(avi[:cut])
+            got, _, _codec = decode_avi(avi[:cut])
         except ValueError:
             outcomes["raise"] += 1
         else:
@@ -95,7 +95,7 @@ def test_avi_top_down_dib_not_flipped():
         for r, row in enumerate(reversed(rows)):
             avi[body + r * stride: body + (r + 1) * stride] = row
         pos = body
-    got, _ = decode_avi(bytes(avi))
+    got, _, _codec = decode_avi(bytes(avi))
     assert (got == frames).all()
 
 
@@ -124,7 +124,7 @@ def test_avi_audio_stream_first_ignored():
     # donor's frame chunks still say '00db'; retag them to '01db'
     body = body.replace(b"00db", b"01db")
     avi = b"RIFF" + struct.pack("<I", len(body)) + body
-    got, _ = decode_avi(avi)
+    got, _, _codec = decode_avi(avi)
     assert (got == frames).all()
 
 
@@ -219,7 +219,7 @@ def test_avi_mjpeg_roundtrip_error_bounded():
     for strip in (False, True):        # DHT-less = implied Annex K tables
         avi = encode_avi(frames, fps=8, codec="mjpg", quality=92,
                          strip_dht=strip)
-        dec, fps = decode_avi(avi)
+        dec, fps, _codec = decode_avi(avi)
         assert dec.shape == frames.shape and fps == 8.0
         assert np.abs(dec.astype(int) - frames.astype(int)).max() <= 6
     # meta sees the fourcc without touching frame data

@@ -132,6 +132,53 @@ def test_declared_mcu_bound_rejects_dimension_bomb():
         decode_jpeg(bytes(enc))
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def test_short_segment_bodies_raise_valueerror_not_indexerror():
+    """SOF/SOS/DRI bodies shorter than their fixed fields must raise
+    ValueError (stub-fallback-visible), never IndexError/struct.error —
+    the module contract callers rely on (multimodal._decode_image and
+    decode_avi's MJPG path catch ValueError only)."""
+    sof_ok = _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                  + bytes([1, 1, 0x11, 0]))
+    cases = [
+        JPEG_SOI + _seg(0xC0, b"\x08"),                     # short SOF head
+        JPEG_SOI + _seg(0xC0, bytes([8]) + struct.pack(">HH", 8, 8)
+                        + bytes([3, 1, 0x11, 0])),          # SOF comps cut
+        JPEG_SOI + sof_ok + _seg(0xDA, b""),                # empty SOS
+        JPEG_SOI + sof_ok + _seg(0xDA, bytes([3, 1, 0])),   # SOS comps cut
+        JPEG_SOI + _seg(0xDD, b"\x01") + b"\xff\xd9",       # short DRI
+    ]
+    for payload in cases:
+        with pytest.raises(ValueError):
+            decode_jpeg(payload)
+
+
+def test_sampling_factor_bomb_rejected_before_allocation():
+    """A 30720x30720 SOF with 4x4 luma sampling and a ~300KB junk scan
+    previously passed the MCU-count bound yet implied a multi-GiB
+    float64 plane.  T.81 B.2.2 (sum Hi*Vi <= 10) plus the per-BLOCK
+    scan-bytes bound must kill it as ValueError pre-allocation."""
+    sof = (bytes([8]) + struct.pack(">HH", 30720, 30720)
+           + bytes([3, 1, 0x44, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    bomb = (JPEG_SOI + _seg(0xDB, bytes([0]) + bytes(64)) + _seg(0xC0, sof)
+            + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]))
+            + b"\x55" * 300_000 + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg(bomb)
+    # in-T.81-bound sampling (2x2+1x1+1x1 = 6 blocks/MCU) with bomb
+    # dimensions must trip the block-vs-scan-bytes bound instead
+    sof2 = (bytes([8]) + struct.pack(">HH", 0xFFF0, 0xFFF0)
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    bomb2 = (JPEG_SOI + _seg(0xDB, bytes([0]) + bytes(64)) + _seg(0xC0, sof2)
+             + _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]))
+             + b"\x55" * 300_000 + b"\xff\xd9")
+    with pytest.raises(ValueError):
+        decode_jpeg(bomb2)
+
+
 @settings(max_examples=150, deadline=None)
 @given(junk=st.binary(max_size=1024))
 def test_fuzz_junk_after_soi_never_crashes(junk):
