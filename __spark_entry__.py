@@ -1357,7 +1357,13 @@ def _q_multimodal_jpeg_decode(spark, sf):
     or RST resync changes some scene's crc and the sum mismatches.
     Fidelity to source pixels is bounded in tests/test_jpeg_codec.py
     (lossy format — error bounds, not byte parity).  Pixel decode
-    isn't SQL — pinned oracle."""
+    isn't SQL — pinned oracle.  Caveat shared with the FFT-based
+    audio_spectral_hash pin: the IDCT is float64 BLAS matmul + round,
+    so the pinned crcs assume the pinning machine's BLAS; a different
+    summation order could in principle flip a pixel sitting within
+    1 ulp of a .5 boundary (re-pin via scripts/pin_oracles.py if a
+    platform move ever trips this — the integer-exact PNG/GIF/BMP/
+    TIFF pins are immune)."""
     from document_convert_to__markdown_spark.extractors.jpeg_codec import (
         encode_jpeg,
     )
@@ -1501,7 +1507,9 @@ def _q_video_mjpeg_demux(spark, sf):
     crc sum (the implied-table fallback decodes the stripped stream
     bit-identically).  DIB-vs-MJPEG pixel closeness is bounded in
     tests/test_avi_codec.py (lossy).  Binary demux isn't SQL — pinned
-    oracle."""
+    oracle (same BLAS-rounding caveat as multimodal_jpeg_decode: the
+    mjpg crcs assume the pinning machine's float64 matmul; re-pin via
+    scripts/pin_oracles.py on a platform move)."""
     from document_convert_to__markdown_spark.extractors.avi_codec import (
         encode_avi,
     )
