@@ -1344,6 +1344,75 @@ def _q_multimodal_gif_decode(spark, sf):
             .orderBy("variant"))
 
 
+def _q_multimodal_ico_decode(spark, sf):
+    """ICO (favicon) decodes REAL pixels (round 5: extractors/
+    ico_codec.py walks the ICONDIR and decodes PNG entries via
+    png_codec and double-height BI_RGB DIB entries — the one image
+    nearly every crawled host serves at /favicon.ico).  Proof shape:
+    30 scenes, each rendered as a plain PNG and as an ICO of the SAME
+    pixel grid — a PNG-entry ICO (Vista+ convention) and a 32-bit
+    BGRA DIB-entry ICO — pushed through media_resize; per-variant
+    counts of byte-identical resized outputs.  A wrong directory
+    walk, best-entry pick, BGRA channel order, bottom-up flip, or
+    alpha handling breaks pixel parity on some scene.  AND-mask
+    transparency and the all-zero-alpha quirk are pytest-pinned
+    (tests/test_ico_codec.py).  Pixel decode isn't SQL — pinned
+    oracle."""
+    from document_convert_to__markdown_spark.extractors.ico_codec import (
+        ICO_SIG, encode_ico,
+    )
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+
+    import numpy as np
+    import struct as _struct
+
+    rows = []
+    for s in range(30):
+        rng = np.random.RandomState(1700 + s)
+        h, w = 5 + s % 9, 6 + s % 11
+        variant = ("png_entry", "dib32")[s % 2]
+        if variant == "png_entry":
+            rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            png = encode_png(rgb)
+            entry = _struct.pack("<BBBBHHII", w % 256, h % 256, 0, 0,
+                                 1, 32, len(png), 22)
+            ico = ICO_SIG + _struct.pack("<H", 1) + entry + png
+        else:
+            rgba = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+            rgba[:, :, 3] |= 1                  # keep alpha non-zero
+            png = encode_png(rgba)
+            ico = encode_ico(rgba)
+        rows.append((f"i{s:03d}", variant, "ico", bytearray(ico)))
+        rows.append((f"i{s:03d}", variant, "png", bytearray(png)))
+    df = spark.createDataFrame(
+        rows, "scene string, variant string, codec string, data binary")
+    resized = media_resize(df.withColumn(
+        "url", F.concat_ws("/", "scene", "codec")), width=5, height=5)
+    keyed = (resized
+             .withColumn("scene", F.substring_index("url", "/", 1))
+             .withColumn("codec", F.substring_index("url", "/", -1)))
+    icos = keyed.filter("codec = 'ico'").select(
+        "scene", F.col("mode").alias("ico_mode"),
+        F.col("data").alias("ico_px"))
+    pngs = keyed.filter("codec = 'png'").select(
+        "scene", F.col("mode").alias("png_mode"),
+        F.col("data").alias("png_px"))
+    meta = df.select("scene", "variant").distinct()
+    return (icos.join(pngs, "scene").join(meta, "scene")
+            .groupBy("variant")
+            .agg(F.count("*").alias("n_scenes"),
+                 F.sum(F.when(F.col("ico_mode") == F.col("png_mode"), 1)
+                       .otherwise(0)).alias("n_mode_match"),
+                 F.sum(F.when(F.col("ico_px") == F.col("png_px"), 1)
+                       .otherwise(0)).alias("n_pixel_match"))
+            .orderBy("variant"))
+
+
 def _q_multimodal_jpeg_decode(spark, sf):
     """Baseline JPEG decodes REAL pixels (round 5: extractors/
     jpeg_codec.py is a from-scratch ITU-T T.81 DCT entropy pipeline —
@@ -3149,7 +3218,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_schema_evolution": _q_snapshot_schema_evolution,  # 4b
         "sitemap_discovery": _q_sitemap_discovery,       # new round 4b
         # --- r03-green entries filling the rest of the window ---
-        "sketch_distinct": _q_sketch_distinct,
         "asof_join_attribution": _q_asof_join_attribution,
         # structured streaming (drained availableNow)
         "stream_window_events": _q_stream_window_events,
@@ -3167,6 +3235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_gif_decode": _q_multimodal_gif_decode,  # new round 5
         "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,  # new round 5
+        "multimodal_ico_decode": _q_multimodal_ico_decode,  # new round 5
         "image_dhash_neardup": _q_image_dhash_neardup,   # new round 5
         "audio_spectral_hash": _q_audio_fingerprint,     # new round 5
         "video_mjpeg_demux": _q_video_mjpeg_demux,       # new round 5
@@ -3174,13 +3243,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ^ position 50 (multimodal_frame_sample — r5-touched: the
         # mode column gained mjpg provenance, so it stays inside the
         # window for a fresh verdict).  The r04 cut landed at
-        # dedup_paragraphs; the five round-5 insertions
+        # dedup_paragraphs; the six round-5 insertions
         # (multimodal_gif_decode, multimodal_jpeg_decode,
-        # image_dhash_neardup, audio_spectral_hash, video_mjpeg_demux)
-        # displace token_budget_select, text_winnow_fps,
-        # dedup_paragraphs, interval_join_errors, and
-        # tfidf_cosine_pairs (all r04-or-earlier green, untouched in
+        # multimodal_ico_decode, image_dhash_neardup,
+        # audio_spectral_hash, video_mjpeg_demux) displace
+        # token_budget_select, text_winnow_fps, dedup_paragraphs,
+        # interval_join_errors, tfidf_cosine_pairs, and
+        # sketch_distinct (all r04-or-earlier green, untouched in
         # round 5) past the cut.
+        "sketch_distinct": _q_sketch_distinct,
         "text_winnow_fps": _q_text_winnow_fps,
         "token_budget_select": _q_token_budget_select,
         # ORDERING INVARIANT: the driver scores exactly the FIRST 50

@@ -135,6 +135,8 @@ BENCH_QUERIES = [
     # demux through the from-scratch T.81 pipeline
     "multimodal_jpeg_decode",
     "video_mjpeg_demux",
+    # round-5c: ICO (favicon) container walk vs PNG pixel parity
+    "multimodal_ico_decode",
     # stream_dedup_ingest excluded: two full streaming drains + 4
     # snapshot commits (~44s at sf0.1) is a soak, not a query; its
     # components (dedup_incremental, minhash bands, snapshot commits)

@@ -31,6 +31,11 @@ Decode status by format (round 5 — VERDICT r4 item 4):
   8×8 IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart markers) — the
   dominant lossy web format decodes actual pixels.  Progressive /
   arithmetic / CMYK JPEGs refuse to the stub.
+- **ICO (favicons): REAL pixels.**  ``extractors/ico_codec.py`` walks
+  the ICONDIR, picks the best entry, and decodes PNG entries via
+  ``png_codec`` and double-height BI_RGB DIB entries (XOR image +
+  1-bit AND mask → RGBA, incl. the all-zero-alpha 32-bit quirk) —
+  the one image nearly every crawled host serves.
 - **Compressed video (H.264/VP9) / other: deterministic stub.**
   Inter-frame entropy pipelines need libs the container doesn't have
   (installs off-limits), so those payloads keep the clearly-marked
@@ -97,6 +102,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractors.audio_extractor import wav_meta
         from ..extractors.avi_codec import MJPG_FOURCC, avi_meta, is_avi
+        from ..extractors.ico_codec import ico_meta, is_ico
 
         for pdf in batches:
             rows = []
@@ -130,6 +136,15 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                         continue
                     except ValueError:
                         pass
+                if is_ico(payload):
+                    try:
+                        w, h, bits, n_entries = ico_meta(payload)
+                        rows.append((url, "ico", _i32(w), _i32(h),
+                                     f"{bits}bpp", None,
+                                     int(n_entries), len(payload)))
+                        continue
+                    except ValueError:
+                        pass
                 rows.append((url, fmt, None, None, None, None, None,
                              len(payload)))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
@@ -152,9 +167,10 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """payload → ``((h, w, c) uint8-ish array, mode)``.
 
-    PNG, GIF, BMP, TIFF, and baseline JPEG decode for real (the
-    from-scratch ``*_codec`` modules); anything else — or a file
-    outside the implemented subset (16-bit/Adam7 PNG, truncated LZW,
+    PNG, GIF, BMP, TIFF, baseline JPEG, and ICO (favicons — PNG or
+    double-height-DIB entries) decode for real (the from-scratch
+    ``*_codec`` modules); anything else — or a file outside the
+    implemented subset (16-bit/Adam7 PNG, truncated LZW,
     RLE BMP, progressive JPEG) — falls back to the deterministic stub
     with ``mode="stub"`` so callers and audits can tell real pixels
     from fakes.  Never raises on garbage: the pipeline contract is one
@@ -162,6 +178,7 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """
     from ..extractors.bmp_codec import BMP_SIG, decode_bmp
     from ..extractors.gif_codec import GIF_SIGS, decode_gif
+    from ..extractors.ico_codec import decode_ico, is_ico
     from ..extractors.jpeg_codec import JPEG_SOI, decode_jpeg
     from ..extractors.png_codec import PNG_SIG, decode_png
     from ..extractors.tiff_codec import TIFF_SIGS, decode_tiff
@@ -177,6 +194,8 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
             px, mode = decode_tiff(payload)
         elif payload.startswith(JPEG_SOI):
             px, mode = decode_jpeg(payload)
+        elif is_ico(payload):
+            return decode_ico(payload)          # always (h, w, c)
         else:
             raise ValueError("no real decoder for this format")
         if px.ndim == 2:

@@ -71,6 +71,9 @@ PINNABLE = [
     # round-5: MJPEG AVI demux (incl. DHT-less) vs the DIB reference —
     # per-frame entropy decode isn't SQL.
     "video_mjpeg_demux",
+    # round-5: ICO (favicon) container walk vs PNG pixel parity —
+    # binary decode isn't SQL.
+    "multimodal_ico_decode",
 ]
 
 _SQL_TYPES = {
