@@ -18,9 +18,11 @@ pixel area then bit depth, PNG entries via ``decode_png``'s subset,
 DIB entries at 8/24/32 bits uncompressed.  1/4-bit DIBs and cursors
 raise ``UnsupportedIco``; malformed input raises ``ValueError`` and
 NOTHING ELSE (the multimodal kernels' stub fallback catches ValueError
-only), with every span validated against the payload before any
-output allocation — output is bounded by 4x the entry's byte size, so
-a crafted directory can't allocation-bomb the executor.
+only).  Allocation-bomb posture: DIB entries validate every span
+against the payload before any output allocation (output ≤ 4x the
+entry's bytes); PNG entries inherit ``decode_png``'s header-capped
+decompression and 256 MiB decoded-size ceiling, so a crafted
+directory can't OOM the executor either way.
 
 32-bit quirk handled: icons written before alpha icons existed carry
 an all-zero alpha channel and rely on the AND mask; when every alpha
@@ -72,12 +74,15 @@ def _decode_dib_entry(sub: bytes) -> tuple[np.ndarray, str]:
         raise ValueError("bad ICO DIB dimensions")
     height = h2 // 2
 
-    data_off = hdr_size
-    n_colors = 0
-    if bits == 8:
-        (used,) = struct.unpack("<I", sub[32:36])
-        n_colors = used or 256
-        data_off += 4 * n_colors
+    (used,) = struct.unpack("<I", sub[32:36])
+    # biClrUsed: the palette size for 8-bit, but ALSO the size of the
+    # optional "optimization" color table some encoders emit for
+    # truecolor DIBs — skipping it only for bits==8 would decode
+    # palette bytes as the first scanlines
+    n_colors = (used or 256) if bits == 8 else used
+    if n_colors > 256:
+        raise ValueError("ICO DIB color table beyond 256 entries")
+    data_off = hdr_size + 4 * n_colors
 
     xor_stride = (w * bits // 8 + 3) & ~3       # rows pad to 4 bytes
     and_stride = ((w + 7) // 8 + 3) & ~3        # 1 bit/px, same padding
@@ -98,11 +103,10 @@ def _decode_dib_entry(sub: bytes) -> tuple[np.ndarray, str]:
         rgb = pal[idx][::-1]                            # bottom-up
         alpha = None
     else:
-        ch = bits // 8
-        px = (raw.reshape(height, xor_stride)[:, :w * ch]
-              .reshape(height, w, ch))
-        rgb = px[:, :, 2::-1][::-1]                     # BGR(A) → RGB
-        alpha = px[:, :, 3][::-1] if ch == 4 else None
+        from .avi_codec import dib_rows_to_rgb         # shared DIB math
+        rgb = dib_rows_to_rgb(raw, w, height, bits // 8, top_down=False)
+        alpha = (raw.reshape(height, xor_stride)[:, 3:w * 4:4][::-1]
+                 if bits == 32 else None)
 
     if alpha is None or not alpha.any():
         # 24/8-bit always mask-transparent; 32-bit with all-zero alpha

@@ -58,10 +58,13 @@ def _chunks(payload: bytes):
 
 def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     """Reverse per-scanline filtering (spec §6.1-6.6) → (h, stride) u8."""
-    out = np.empty((height, stride), dtype=np.uint8)
     expected = height * (stride + 1)
     if len(raw) < expected:
+        # BEFORE the output allocation: a crafted IHDR declaring huge
+        # dimensions with a tiny IDAT must die as ValueError here, not
+        # as a MemoryError on np.empty below
         raise ValueError("truncated PNG pixel data")
+    out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     pos = 0
     for y in range(height):
@@ -138,7 +141,25 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, str]:
 
     ch = _CHANNELS[ctype]
     stride = width * ch
-    raw = zlib.decompress(b"".join(idat))
+    expected = height * (stride + 1)
+    if expected > 1 << 28:
+        # decoded-size ceiling (256 MiB of scanlines): zlib expands up
+        # to ~1032x, so without a cap a small crafted payload can
+        # demand tens of GB.  Real web images sit far below this;
+        # UnsupportedPNG → callers' stub fallback, never an OOM.
+        raise UnsupportedPNG("PNG decoded size beyond 256MiB cap")
+    try:
+        # decompress with the output CAPPED at the size the header
+        # promises — a decompression bomb stops at `expected` bytes
+        # instead of materializing its full expansion
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), expected)
+        while len(raw) < expected and d.unconsumed_tail:
+            raw += d.decompress(d.unconsumed_tail, expected - len(raw))
+    except zlib.error as exc:
+        # zlib.error subclasses Exception, NOT ValueError — without
+        # this wrap one corrupt IDAT kills the whole Arrow batch task
+        raise ValueError(f"corrupt PNG deflate stream: {exc}") from None
     grid = _unfilter(raw, height, stride, bpp=ch)
 
     if ctype == 3:

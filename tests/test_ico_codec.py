@@ -136,6 +136,19 @@ def test_8bit_palette_entry():
     assert (got[:, :, 3] == 255).all()
 
 
+def test_truecolor_optimization_color_table_skipped():
+    """BITMAPINFOHEADER permits an 'optimization' color table for
+    >=16-bit DIBs (biClrUsed > 0); it sits between the header and the
+    XOR image and must be skipped, not decoded as the first
+    scanlines."""
+    px = _rgb(6, 6, seed=12)
+    body = bytearray(_dib_entry(px))
+    body[32:36] = struct.pack("<I", 4)          # biClrUsed = 4
+    body[40:40] = bytes(16)                     # the 4-entry table
+    got, mode = decode_ico(_ico_container([(6, 6, 32, bytes(body))]))
+    assert mode == "RGBA" and (got[:, :, :3] == px).all()
+
+
 def test_cursor_and_low_depth_refused():
     px = _rgb(4, 4, seed=8)
     cur = bytearray(encode_ico(px))

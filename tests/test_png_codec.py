@@ -135,3 +135,54 @@ def test_malformed_inputs_raise_valueerror():
             + _chunk(b"IEND", b""))
     with pytest.raises(ValueError):
         decode_png(png2)
+
+
+def test_corrupt_deflate_raises_valueerror_not_zlib_error():
+    """zlib.error subclasses Exception, not ValueError — a corrupt
+    IDAT must surface as ValueError or it escapes the multimodal
+    kernels' stub fallback and kills the whole Arrow batch task."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    png = bytearray(encode_png(
+        np.arange(48, dtype=np.uint8).reshape(4, 4, 3)))
+    idat = bytes(png).index(b"IDAT")
+    png[idat + 8] ^= 0xFF                       # corrupt deflate body
+    with pytest.raises(ValueError):
+        decode_png(bytes(png))
+
+
+def test_dimension_bomb_dies_before_allocation():
+    """A crafted IHDR declaring 60000x60000 with a tiny IDAT must
+    refuse as ValueError pre-allocation (the old path allocated the
+    h*stride output array before checking the pixel data length), and
+    a header past the 256MiB decoded-size cap refuses outright."""
+    bomb = (PNG_SIG
+            + _chunk(b"IHDR",
+                     struct.pack(">IIBBBBB", 9000, 9000, 8, 2, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bomb)
+    capped = (PNG_SIG
+              + _chunk(b"IHDR",
+                       struct.pack(">IIBBBBB", 60000, 60000, 8, 6, 0, 0, 0))
+              + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+              + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(capped)
+
+
+def test_decompression_bomb_output_is_header_capped():
+    """An IDAT that inflates far beyond what the declared dimensions
+    need must not materialize its full expansion: the decompress loop
+    caps output at the header-promised byte count and the extra is
+    ignored (a valid image prefix still decodes)."""
+    h, w = 4, 4
+    raw = b"".join(b"\x00" + bytes(w * 3) for _ in range(h))
+    png = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+           + _chunk(b"IDAT", zlib.compress(raw + b"\x00" * 50_000_000))
+           + _chunk(b"IEND", b""))
+    px, mode = decode_png(png)
+    assert mode == "RGB" and px.shape == (4, 4, 3) and (px == 0).all()
