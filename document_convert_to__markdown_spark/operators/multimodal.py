@@ -96,8 +96,10 @@ def media_metadata(df: DataFrame, url_col: str = "url",
     """Binary column → typed metadata rows (real header parse, no
     decode) across all four modalities: image width/height/mode, WAV
     sample rate / frame count / PCM depth, AVI dimensions / fps /
-    declared frame count / codec fourcc-or-RGB24.  Header-only — safe
-    and cheap even on payloads the pixel decoders refuse."""
+    declared frame count / codec fourcc-or-RGB24, ICO best-entry
+    dimensions / bit depth (mode ``"<n>bpp"``) / directory entry
+    count (in ``n_frames``).  Header-only — safe and cheap even on
+    payloads the pixel decoders refuse."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractors.audio_extractor import wav_meta
