@@ -36,8 +36,15 @@ Decode status by format (round 5 — VERDICT r4 item 4):
   ``png_codec`` and double-height BI_RGB DIB entries (XOR image +
   1-bit AND mask → RGBA, incl. the all-zero-alpha 32-bit quirk) —
   the one image nearly every crawled host serves.
-- **Compressed video (H.264/VP9) / other: deterministic stub.**
-  Inter-frame entropy pipelines need libs the container doesn't have
+- **WebP (lossless VP8L): REAL pixels.**  ``extractors/webp_codec.py``
+  implements RFC 9649 from scratch — canonical prefix codes, meta
+  prefix groups, LZ77 backrefs with the 2D distance map, color cache,
+  and all four transforms (predictor/cross-color/subtract-green/
+  color-indexing) — so the dominant modern web format decodes actual
+  pixels.  Lossy VP8 (boolean-coder DCT) refuses to the stub.
+- **Compressed video (H.264/VP9) / lossy WebP / other: deterministic
+  stub.**  Inter-frame and DCT entropy pipelines need libs the
+  container doesn't have
   (installs off-limits), so those payloads keep the clearly-marked
   fake decode.  Everything
   Spark-side — schemas, Arrow batch shapes, ``mapInPandas``
@@ -156,7 +163,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB: deterministic fake decode for formats outside the
-    from-scratch codecs (progressive JPEG, WebP, 16-bit PNG, ...).
+    from-scratch codecs (progressive JPEG, lossy WebP, 16-bit PNG...).
 
     Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
     this returns a seeded pseudo-pixel array derived from the bytes so
@@ -169,11 +176,12 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """payload → ``((h, w, c) uint8-ish array, mode)``.
 
-    PNG, GIF, BMP, TIFF, baseline JPEG, and ICO (favicons — PNG or
-    double-height-DIB entries) decode for real (the from-scratch
-    ``*_codec`` modules); anything else — or a file outside the
-    implemented subset (16-bit/Adam7 PNG, truncated LZW,
-    RLE BMP, progressive JPEG) — falls back to the deterministic stub
+    PNG, GIF, BMP, TIFF, baseline JPEG, lossless WebP, and ICO
+    (favicons — PNG or double-height-DIB entries) decode for real (the
+    from-scratch ``*_codec`` modules); anything else — or a file
+    outside the implemented subset (16-bit/Adam7 PNG, truncated LZW,
+    RLE BMP, progressive JPEG, lossy/animated WebP) — falls back to
+    the deterministic stub
     with ``mode="stub"`` so callers and audits can tell real pixels
     from fakes.  Never raises on garbage: the pipeline contract is one
     output row per input row.
@@ -184,6 +192,7 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     from ..extractors.jpeg_codec import JPEG_SOI, decode_jpeg
     from ..extractors.png_codec import PNG_SIG, decode_png
     from ..extractors.tiff_codec import TIFF_SIGS, decode_tiff
+    from ..extractors.webp_codec import decode_webp, is_webp
 
     try:
         if payload.startswith(PNG_SIG):
@@ -196,6 +205,8 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
             px, mode = decode_tiff(payload)
         elif payload.startswith(JPEG_SOI):
             px, mode = decode_jpeg(payload)
+        elif is_webp(payload):
+            return decode_webp(payload)         # (h, w, 3|4)
         elif is_ico(payload):
             return decode_ico(payload)          # always (h, w, c)
         else:
@@ -212,8 +223,8 @@ RESIZED_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("width", IntegerType(), False),
     StructField("height", IntegerType(), False),
-    # decode provenance: L/LA/RGB/RGBA = real PNG/GIF/BMP/TIFF/JPEG
-    # pixels, stub = fake
+    # decode provenance: L/LA/RGB/RGBA = real PNG/GIF/BMP/TIFF/JPEG/
+    # WebP pixels, stub = fake
     StructField("mode", StringType(), False),
     StructField("data", BinaryType(), True),
 ])
@@ -232,7 +243,8 @@ def media_resize(df: DataFrame, width: int = 16, height: int = 16,
                  url_col: str = "url", blob_col: str = "data") -> DataFrame:
     """Binary column → nearest-neighbor-resized pixel bytes.
 
-    PNG/GIF/BMP/TIFF/baseline-JPEG payloads resize REAL decoded pixels
+    PNG/GIF/BMP/TIFF/baseline-JPEG/lossless-WebP payloads resize REAL
+    decoded pixels
     (the from-scratch codecs); other formats resample the
     deterministic stub grid (mode
     column says which).  Output ``data`` is the raw ``height × width
@@ -322,7 +334,8 @@ def image_dhash(df: DataFrame, url_col: str = "url",
     re-encoding, and locally sensitive — small edits flip few bits, so
     near-duplicates sit at small Hamming distance.
 
-    PNG/GIF/BMP/TIFF/baseline-JPEG payloads hash REAL decoded pixels
+    PNG/GIF/BMP/TIFF/baseline-JPEG/lossless-WebP payloads hash REAL
+    decoded pixels
     (the from-scratch codecs); other formats
     hash the deterministic stub grid (``mode`` records which).  One
     Arrow-batched ``mapInPandas`` pass, no shuffle; the hash is a
@@ -477,7 +490,7 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
 def media_features(df: DataFrame, url_col: str = "url",
                    blob_col: str = "data", dim: int = 16) -> DataFrame:
     """Binary column → fixed-dim feature vector (real pixels for
-    PNG/GIF/BMP/TIFF/baseline JPEG, stub grid otherwise).
+    PNG/GIF/BMP/TIFF/baseline JPEG/lossless WebP, stub grid otherwise).
 
     Pooled "feature": channel-averaged column means of the pixel grid,
     cycled/truncated to ``dim`` — a deterministic stand-in for a CNN
