@@ -1413,6 +1413,80 @@ def _q_multimodal_ico_decode(spark, sf):
             .orderBy("variant"))
 
 
+def _q_multimodal_webp_decode(spark, sf):
+    """Lossless WebP (VP8L) decodes REAL pixels (round 5: extractors/
+    webp_codec.py implements RFC 9649 from scratch — canonical prefix
+    codes, LZ77 with the 2D distance map, color cache, meta prefix
+    groups, and all four transforms — so the dominant modern web image
+    format has no stub on the lossless path).  Proof shape: 35 scenes,
+    each rendered as a PNG and as a VP8L WebP of the SAME pixel grid
+    across five encoder paths — no transform, subtract-green,
+    cross-color, palette (sub-byte index bundling), and the spatial
+    predictor (scene s uses mode s % 14) — pushed through
+    media_resize; per-variant counts of byte-identical resized
+    outputs.  A wrong prefix-code assignment, transform inverse,
+    channel order, or palette bundling breaks pixel parity between
+    the two independent from-scratch codecs on some scene.  The
+    LZ77 / color-cache / meta-group decoder paths the literal-only
+    encoder can't emit are pinned by crafted bitstreams in
+    tests/test_webp_codec.py.  Pixel decode isn't SQL — pinned
+    oracle."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.extractors.webp_codec import (
+        encode_webp,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+
+    import numpy as np
+
+    variants = ("plain", "subtract_green", "color", "palette", "predictor")
+    rows = []
+    for s in range(35):
+        rng = np.random.RandomState(2200 + s)
+        h, w = 5 + s % 9, 6 + s % 11
+        variant = variants[s % 5]
+        if variant == "palette":
+            colors = rng.randint(0, 256, (4 + s % 12, 3)).astype(np.uint8)
+            px = colors[rng.randint(0, len(colors), (h, w))]
+        else:
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+        if variant == "plain":
+            webp = encode_webp(px)
+        elif variant == "predictor":
+            webp = encode_webp(px, transform="predictor",
+                               predictor_mode=s % 14)
+        else:
+            webp = encode_webp(px, transform=variant)
+        rows.append((f"s{s:03d}", variant, "webp", bytearray(webp)))
+        rows.append((f"s{s:03d}", variant, "png", bytearray(encode_png(px))))
+    df = spark.createDataFrame(
+        rows, "scene string, variant string, codec string, data binary")
+    resized = media_resize(df.withColumn(
+        "url", F.concat_ws("/", "scene", "codec")), width=5, height=5)
+    keyed = (resized
+             .withColumn("scene", F.substring_index("url", "/", 1))
+             .withColumn("codec", F.substring_index("url", "/", -1)))
+    webps = keyed.filter("codec = 'webp'").select(
+        "scene", F.col("mode").alias("webp_mode"),
+        F.col("data").alias("webp_px"))
+    pngs = keyed.filter("codec = 'png'").select(
+        "scene", F.col("mode").alias("png_mode"),
+        F.col("data").alias("png_px"))
+    meta = df.select("scene", "variant").distinct()
+    return (webps.join(pngs, "scene").join(meta, "scene")
+            .groupBy("variant")
+            .agg(F.count("*").alias("n_scenes"),
+                 F.sum(F.when(F.col("webp_mode") == F.col("png_mode"), 1)
+                       .otherwise(0)).alias("n_mode_match"),
+                 F.sum(F.when(F.col("webp_px") == F.col("png_px"), 1)
+                       .otherwise(0)).alias("n_pixel_match"))
+            .orderBy("variant"))
+
+
 def _q_multimodal_jpeg_decode(spark, sf):
     """Baseline JPEG decodes REAL pixels (round 5: extractors/
     jpeg_codec.py is a from-scratch ITU-T T.81 DCT entropy pipeline —
@@ -3218,7 +3292,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_schema_evolution": _q_snapshot_schema_evolution,  # 4b
         "sitemap_discovery": _q_sitemap_discovery,       # new round 4b
         # --- r03-green entries filling the rest of the window ---
-        "asof_join_attribution": _q_asof_join_attribution,
         # structured streaming (drained availableNow)
         "stream_window_events": _q_stream_window_events,
         "stream_dedup_users": _q_stream_dedup_users,
@@ -3236,6 +3309,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_gif_decode": _q_multimodal_gif_decode,  # new round 5
         "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,  # new round 5
         "multimodal_ico_decode": _q_multimodal_ico_decode,  # new round 5
+        "multimodal_webp_decode": _q_multimodal_webp_decode,  # new round 5
         "image_dhash_neardup": _q_image_dhash_neardup,   # new round 5
         "audio_spectral_hash": _q_audio_fingerprint,     # new round 5
         "video_mjpeg_demux": _q_video_mjpeg_demux,       # new round 5
@@ -3243,14 +3317,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ^ position 50 (multimodal_frame_sample — r5-touched: the
         # mode column gained mjpg provenance, so it stays inside the
         # window for a fresh verdict).  The r04 cut landed at
-        # dedup_paragraphs; the six round-5 insertions
+        # dedup_paragraphs; the seven round-5 insertions
         # (multimodal_gif_decode, multimodal_jpeg_decode,
-        # multimodal_ico_decode, image_dhash_neardup,
-        # audio_spectral_hash, video_mjpeg_demux) displace
-        # token_budget_select, text_winnow_fps, dedup_paragraphs,
-        # interval_join_errors, tfidf_cosine_pairs, and
-        # sketch_distinct (all r04-or-earlier green, untouched in
-        # round 5) past the cut.
+        # multimodal_ico_decode, multimodal_webp_decode,
+        # image_dhash_neardup, audio_spectral_hash, video_mjpeg_demux)
+        # displace token_budget_select, text_winnow_fps,
+        # dedup_paragraphs, interval_join_errors, tfidf_cosine_pairs,
+        # sketch_distinct, and asof_join_attribution (all
+        # r04-or-earlier green, untouched in round 5) past the cut.
         "sketch_distinct": _q_sketch_distinct,
         "text_winnow_fps": _q_text_winnow_fps,
         "token_budget_select": _q_token_budget_select,
@@ -3260,6 +3334,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r*.json.  When inserting a new query above,
         # check what falls past position 50 — it must be a
         # previously-scored query.
+        "asof_join_attribution": _q_asof_join_attribution,
         "interval_join_errors": _q_interval_join_errors,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
         "dedup_paragraphs": _q_dedup_paragraphs,

@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "video_mjpeg_demux",
     # round-5c: ICO (favicon) container walk vs PNG pixel parity
     "multimodal_ico_decode",
+    "multimodal_webp_decode",
     # stream_dedup_ingest excluded: two full streaming drains + 4
     # snapshot commits (~44s at sf0.1) is a soak, not a query; its
     # components (dedup_incremental, minhash bands, snapshot commits)

@@ -74,6 +74,7 @@ PINNABLE = [
     # round-5: ICO (favicon) container walk vs PNG pixel parity —
     # binary decode isn't SQL.
     "multimodal_ico_decode",
+    "multimodal_webp_decode",
 ]
 
 _SQL_TYPES = {
