@@ -21,7 +21,9 @@ Specification (RFC 9649 §3-5) directly:
 Lossy WebP (``VP8 `` chunks — the boolean-coder DCT pipeline) is out
 of scope and raises ``UnsupportedWebP`` so callers fall back to their
 labeled stub path explicitly; header metadata for lossy files stays
-real via ``image_extractor._webp_meta``.
+real via ``image_extractor._webp_meta``.  Animated WebP decodes its
+first frame when that frame is lossless (the ``gif_codec``
+first-frame convention).
 
 Validation note: no libwebp exists in this container to cross-check
 against (CPython's only bundled ``.webp`` test file is lossy VP8), so
@@ -578,7 +580,13 @@ def is_webp(payload: bytes) -> bool:
 
 
 def _find_vp8l(payload: bytes) -> bytes:
-    """RIFF walk → the VP8L chunk body (VP8X wrappers skipped)."""
+    """RIFF walk → the VP8L chunk body.
+
+    VP8X/ICCP/EXIF/XMP/ANIM wrappers are skipped; an ANMF animation
+    frame is entered and its first frame returned when lossless (the
+    same first-frame convention ``gif_codec`` uses for animated GIFs);
+    lossy ``VP8 `` data refuses with ``UnsupportedWebP``.
+    """
     if not is_webp(payload):
         raise ValueError("not a WebP (bad RIFF header)")
     pos = 12
@@ -593,8 +601,22 @@ def _find_vp8l(payload: bytes) -> bytes:
             return body
         if tag == b"VP8 ":
             raise UnsupportedWebP("lossy VP8 (DCT pipeline) not decoded")
-        if tag in (b"ANIM", b"ANMF"):
-            raise UnsupportedWebP("animated WebP not decoded")
+        if tag == b"ANMF":
+            # frame params are 16 bytes, then the frame's own chunks
+            sub = 16
+            while sub + 8 <= length:
+                stag = body[sub:sub + 4]
+                (slen,) = struct.unpack("<I", body[sub + 4:sub + 8])
+                sbody = body[sub + 8:sub + 8 + slen]
+                if len(sbody) < slen:
+                    raise ValueError("truncated ANMF sub-chunk")
+                if stag == b"VP8L":
+                    return sbody                  # first animation frame
+                if stag == b"VP8 ":
+                    raise UnsupportedWebP(
+                        "lossy animated WebP not decoded")
+                sub += 8 + slen + (slen & 1)
+            raise ValueError("ANMF frame without image data")
         pos += 8 + length + (length & 1)
     raise ValueError("no VP8L chunk in WebP container")
 
@@ -816,6 +838,8 @@ def encode_webp(pixels: np.ndarray, transform: str | None = None,
     px = np.asarray(pixels, dtype=np.uint8)
     if px.ndim == 2:
         px = px[:, :, None]
+    if px.ndim != 3 or px.shape[2] not in (1, 2, 3, 4):
+        raise ValueError("expected (h, w[, 1|2|3|4]) pixel array")
     h, w, c = px.shape
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("VP8L dimensions out of range")

@@ -6,11 +6,14 @@ the Arrow kernels, the banded Hamming self-join, and closed-form
 output checks:
 
 - images: ``n_scenes`` distinct seeded 8×9 grayscale grids, each
-  rendered twice (base PNG, +10 brightness PNG — dHash-invariant).
-  Pairs found must be EXACTLY n_scenes, all at Hamming 0: every
-  within-scene pair recalled, and random 64-bit codes put the expected
-  cross-scene collision count at ~C(n,2)·4.4e4/2^64 (≪ 1 even at
-  10^6 rows), so any extra pair is a real defect.
+  rendered twice (base PNG; +10 brightness — dHash-invariant — as a
+  PNG, or for every 4th scene as a lossless WebP cycling the VP8L
+  encoder transforms, so the from-scratch webp_codec decode also runs
+  at 10^4-10^5 volume).  Pairs found must be EXACTLY n_scenes, all at
+  Hamming 0: every within-scene pair recalled, and random 64-bit
+  codes put the expected cross-scene collision count at
+  ~C(n,2)·4.4e4/2^64 (≪ 1 even at 10^6 rows), so any extra pair is a
+  real defect (a cross-codec PNG↔WebP hash mismatch included).
 - audio: ``n_scenes/10`` clips built in the frequency domain (65
   decisive log-band energies), each rendered twice (full gain, 0.45×).
   Same exact-count/zero-distance check through the same banded join.
@@ -66,16 +69,25 @@ def main() -> None:
 
         from document_convert_to__markdown_spark.extractors.png_codec \
             import encode_png
+        from document_convert_to__markdown_spark.extractors.webp_codec \
+            import encode_webp
 
+        transforms = (None, "subtract_green", "predictor", "palette")
         for pdf in batches:
             urls, blobs = [], []
             for s in pdf["id"]:
-                base = np.random.RandomState(int(s)) \
+                s = int(s)
+                base = np.random.RandomState(s) \
                     .randint(0, 240, (8, 9)).astype(np.uint8)
-                urls.append(f"s{int(s):07d}/a")
+                urls.append(f"s{s:07d}/a")
                 blobs.append(encode_png(base))
-                urls.append(f"s{int(s):07d}/b")
-                blobs.append(encode_png(base + 10))
+                urls.append(f"s{s:07d}/b")
+                if s % 4 == 0:      # every 4th scene: PNG↔WebP pair
+                    blobs.append(encode_webp(
+                        base + 10, transform=transforms[(s >> 2) % 4],
+                        predictor_mode=s % 14))
+                else:
+                    blobs.append(encode_png(base + 10))
             yield pd.DataFrame({"url": urls, "data": blobs})
 
     imgs = spark.range(n_scenes).repartition(64) \
@@ -86,6 +98,7 @@ def main() -> None:
     n_imgs = hashes.count()
     t_hash = time.time() - t0
     results["n_images"] = n_imgs
+    results["n_webp_renditions"] = (n_scenes + 3) // 4
     results["img_hash_sec"] = round(t_hash, 1)
     results["img_hash_docs_per_sec"] = round(n_imgs / t_hash)
 

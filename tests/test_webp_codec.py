@@ -224,15 +224,39 @@ def _lossy_vp8_container():
             + b"VP8 " + struct.pack("<I", len(body)) + body)
 
 
-def test_lossy_and_animated_refuse_cleanly():
+def test_lossy_and_lossy_animation_refuse_cleanly():
     with pytest.raises(UnsupportedWebP):
         decode_webp(_lossy_vp8_container())
+    # lossy animation frame → UnsupportedWebP; imageless ANIM-only
+    # container → ValueError (malformed, no image data at all)
+    lossy_frame = b"VP8 " + struct.pack("<I", 8) + b"\0" * 8
+    anmf = b"ANMF" + struct.pack("<I", 16 + len(lossy_frame)) \
+        + b"\0" * 16 + lossy_frame
+    cont = b"RIFF" + struct.pack("<I", 4 + len(anmf)) + b"WEBP" + anmf
+    with pytest.raises(UnsupportedWebP):
+        decode_webp(cont)
     anim = (b"RIFF" + struct.pack("<I", 18) + b"WEBP"
             + b"ANIM" + struct.pack("<I", 6) + b"\0" * 6)
-    with pytest.raises(UnsupportedWebP):
+    with pytest.raises(ValueError):
         decode_webp(anim)
     assert is_webp(_lossy_vp8_container())
     assert not is_webp(b"RIFF1234ABCD")
+
+
+def test_animated_lossless_decodes_first_frame():
+    """ANMF frames holding VP8L data decode their first frame — the
+    same convention gif_codec uses for animated GIFs."""
+    px = _rgb(6, 7, seed=21)
+    data = encode_webp(px)
+    (ln,) = struct.unpack("<I", data[16:20])
+    vp8l_chunk = data[12:20 + ln + (ln & 1)]
+    anim = b"ANIM" + struct.pack("<I", 6) + b"\0" * 6
+    frame = b"ANMF" + struct.pack("<I", 16 + len(vp8l_chunk)) \
+        + b"\0" * 16 + vp8l_chunk
+    body = anim + frame
+    cont = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    got, mode = decode_webp(cont)
+    assert mode == "RGB" and (got == px).all()
 
 
 def test_vp8x_wrapper_walked_to_vp8l():
@@ -288,6 +312,23 @@ def test_fuzz_bitflipped_real_webp_never_crashes(flips):
         decode_webp(bytes(base))
     except ValueError:
         pass
+
+
+@settings(max_examples=40, deadline=None)
+@given(data=st.data())
+def test_fuzz_roundtrip_random_shapes_and_transforms(data):
+    """Any small image through any encoder path round-trips exactly
+    (≤144 pixels → always ≤256 colors, so palette is always legal)."""
+    h = data.draw(st.integers(1, 12))
+    w = data.draw(st.integers(1, 12))
+    c = data.draw(st.sampled_from([1, 2, 3, 4]))
+    tr = data.draw(st.sampled_from(
+        [None, "subtract_green", "color", "palette", "predictor"]))
+    px = np.random.RandomState(data.draw(st.integers(0, 10_000))) \
+        .randint(0, 256, (h, w, c)).astype(np.uint8)
+    got, _ = decode_webp(encode_webp(
+        px, transform=tr, predictor_mode=data.draw(st.integers(0, 13))))
+    assert (got == _expected(px)).all()
 
 
 # ------------------------------------------------------ Spark paths
