@@ -9,12 +9,18 @@ Spark-first training, not a driver-side fit:
   the same cross-engine hash idiom as ``md5_u32``), L1-normalized per
   document, so the model is ``dim + 1`` doubles no matter how large
   the vocabulary or corpus;
-- each logistic-regression epoch is ONE relational pass: broadcast the
-  current weights (a ``dim``-row relation) onto the feature table,
-  aggregate per-doc logits, sigmoid, then aggregate the gradient **per
-  feature** — the collect is bounded by ``dim`` (256 rows), never by
-  corpus size.  10^12 docs ⇒ each epoch is a shuffle keyed on doc_id
-  plus one keyed on feature id, both with map-side partial aggregation;
+- the per-doc feature bag is materialized ONCE into a sorted
+  ``array<struct<feature,x>>`` column (≤ ``dim + 1`` entries per doc —
+  hashing collapses the vocabulary) and persisted; each
+  logistic-regression epoch is then ONE SCAN of that table with the
+  current weights embedded as a plan-literal array: the per-doc logit
+  is ``F.aggregate`` over the array (no join, no doc-keyed shuffle),
+  and the gradient is an explode + per-feature aggregation whose
+  map-side combine reduces every partition to ≤ ``dim + 1`` rows
+  before the only (tiny) shuffle.  The collect is bounded by ``dim``,
+  never by corpus size.  10^12 docs ⇒ each epoch is one map pass plus
+  a ``dim``-row exchange — the doc-keyed shuffles the naive
+  join-per-epoch shape pays are paid once, at bag-build time;
 - scoring is a single broadcast join + aggregation (no Python at all).
 
 Determinism: gradients are rounded to 12 decimals each epoch before the
@@ -87,18 +93,27 @@ def train_quality_classifier(documents: DataFrame, label_col: str,
     gradients are deterministic given the corpus (no sampling), and
     are rounded before the accumulator sees them.
     """
-    spark = documents.sparkSession
     feats = hashed_doc_features(documents, dim, text_col, key_col)
     labels = documents.select(key_col,
                               F.col(label_col).cast("double").alias("y"))
-    # Bias as feature id ``dim`` with x = 1 on every doc: one feature
-    # relation carries the whole model, so each epoch is ONE
-    # aggregation + ONE dim-bounded collect (not separate bias jobs).
-    bias_rows = labels.select(key_col, F.lit(int(dim)).alias("feature"),
-                              F.lit(1.0).alias("x"))
-    xy = (feats.unionByName(bias_rows.select(key_col, "feature", "x"))
-          .join(labels, key_col).persist())
-    m = documents.count()
+    # Bag-build (the ONLY doc-keyed shuffles, paid once): per-doc
+    # sorted array of (feature, x).  array_sort makes the in-doc
+    # summation order deterministic regardless of partitioning, so the
+    # logits — and through them the rounded gradients — cannot drift
+    # between runs or parallelism levels.  Bias is appended as feature
+    # id ``dim`` with x = 1, so one array carries the whole model row.
+    bag = (feats.groupBy(key_col)
+           .agg(F.array_sort(F.collect_list(F.struct("feature", "x")))
+                .alias("fx")))
+    bias_entry = F.array(F.struct(
+        F.lit(int(dim)).cast("long").alias("feature"),
+        F.lit(1.0).alias("x")))
+    xy = (labels.join(bag, key_col, "left")
+          .select("y",
+                  F.concat(F.coalesce("fx", F.array()), bias_entry)
+                  .alias("fx"))
+          .persist())
+    m = xy.count()
     if m == 0:
         xy.unpersist()
         return np.zeros(dim + 1)
@@ -106,22 +121,20 @@ def train_quality_classifier(documents: DataFrame, label_col: str,
     w = np.zeros(dim + 1)
     acc_g2 = np.zeros(dim + 1)
     for _ in range(epochs):
-        wdf = broadcast(spark.createDataFrame(
-            [(int(f), float(w[f])) for f in range(dim + 1)],
-            "feature long, w double"))
-        err = (
-            xy.join(wdf, "feature")
-            .groupBy(key_col)
-            .agg(F.sum(F.col("x") * F.col("w")).alias("z"),
-                 F.first("y").alias("y"))
-            .select(key_col,
-                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z")))
-                     - F.col("y")).alias("err"))
-        )
+        # Weights as a plan literal (dim + 1 doubles): each epoch is a
+        # single scan of the persisted bag — logit via F.aggregate
+        # over the array, gradient via explode + per-feature agg whose
+        # map-side combine leaves a ≤ dim+1-row exchange.
+        warr = F.array(*[F.lit(float(w[f])) for f in range(dim + 1)])
+        z = F.aggregate(
+            "fx", F.lit(0.0),
+            lambda acc, s: acc + s["x"] * F.element_at(
+                warr, s["feature"].cast("int") + 1))
+        err = (F.lit(1.0) / (F.lit(1.0) + F.exp(-z)) - F.col("y"))
         grad_rows = (
-            xy.join(err, key_col)
-            .groupBy("feature")
-            .agg(F.round(F.sum(F.col("err") * F.col("x")) / m, 12)
+            xy.select(err.alias("err"), F.explode("fx").alias("s"))
+            .groupBy(F.col("s.feature").alias("feature"))
+            .agg(F.round(F.sum(F.col("err") * F.col("s.x")) / m, 12)
                  .alias("g"))
             .collect()
         )
