@@ -79,6 +79,7 @@ def run_stream_sessionize(
     input_path: str,
     checkpoint_path: str,
     output_path: str,
+    state_partitions: int | None = 8,
 ) -> DataFrame:
     """Drain the stateful stream (availableNow) through a foreachBatch
     parquet sink and return the latest per-user totals.
@@ -89,6 +90,16 @@ def run_stream_sessionize(
     of the batch ledger resume.  Each micro-batch appends rows tagged
     with its batch_id; batch ids keep increasing across restarts, so the
     max-batch_id row per user is the current total.
+
+    ``state_partitions`` sizes the ``applyInPandasWithState`` state
+    store for THIS query, same contract as
+    ``stream_job.drain_stream_agg``: the shuffle-partition count is
+    frozen into the checkpoint at first start, and a short availableNow
+    drain over the session default pays partitions × micro-batches of
+    pure store init/commit fixed cost.  A continuous production query
+    sizes this to steady-state throughput; results are partition-count
+    independent either way.  Pass ``None`` to keep the session value
+    (required when resuming a checkpoint created under it).
     """
     from pyspark.sql import functions as F
 
@@ -96,14 +107,22 @@ def run_stream_sessionize(
         (batch_df.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(output_path))
 
-    q = (
-        stream_sessionize(spark, input_path)
-        .writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_path)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
+    conf_key = "spark.sql.shuffle.partitions"
+    saved = spark.conf.get(conf_key)
+    if state_partitions is not None:
+        spark.conf.set(conf_key, str(state_partitions))
+    try:
+        q = (
+            stream_sessionize(spark, input_path)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_path)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        if state_partitions is not None:
+            spark.conf.set(conf_key, saved)
     if not q.awaitTermination(120):
         q.stop()
         # Silent partials masquerade as complete session totals — fail
