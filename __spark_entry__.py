@@ -3258,10 +3258,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # drains (state_partitions knob), snapshot_changelog (schema-
         # evolution handling), dedup_clusters_star (checkpoint
         # unpersist), wet/cdx/warc/charset/stream_extract_parity
-        # (fixture-lifetime cleanup).  All sit inside the top 50 below;
-        # every entry past position 50 holds a green r02-r04 verdict
-        # (see ORDERING INVARIANT at the cut).
-        "text_ngram_novelty": _q_text_ngram_novelty,
+        # (fixture-lifetime cleanup), quality_classifier (one-scan
+        # epoch restructure — rotated in; text_ngram_novelty, green r04
+        # and untouched, rotated out to make room).  All sit inside the
+        # top 50 below; every entry past position 50 holds a green
+        # r02-r04 verdict (see ORDERING INVARIANT at the cut).
+        "quality_classifier": _q_quality_classifier,  # r5: one-scan epochs
         "cluster_safe_split": _q_cluster_safe_split,
         "lm_quality_scalable": _q_lm_quality_scalable,   # new round 4
         "topk_terms_sketch": _q_topk_terms_sketch,       # new round 4
@@ -3334,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # CORRECTNESS_r*.json.  When inserting a new query above,
         # check what falls past position 50 — it must be a
         # previously-scored query.
+        "text_ngram_novelty": _q_text_ngram_novelty,  # green r04, unchanged
         "asof_join_attribution": _q_asof_join_attribution,
         "interval_join_errors": _q_interval_join_errors,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,
@@ -3349,7 +3352,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_delta": _q_snapshot_delta,
         "chunk_documents": _q_chunk_documents,
         "host_pagerank": _q_host_pagerank,
-        "quality_classifier": _q_quality_classifier,
         "snapshot_merge": _q_snapshot_merge,
         "zorder_layout": _q_zorder_layout,
         "udaf_harmonic_mean": _q_udaf_harmonic_mean,
