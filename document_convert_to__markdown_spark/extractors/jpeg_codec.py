@@ -7,12 +7,16 @@ entropy pipeline, implemented here directly from the public spec
 (ITU-T T.81 / ISO-IEC 10918-1).  No reference-code lineage: the
 reference repo wraps MarkItDown/PIL and contains no codec to copy.
 
-- ``decode_jpeg``: baseline sequential DCT (SOF0/SOF1), 8-bit,
-  grayscale or 3-component YCbCr with arbitrary sampling factors
-  (4:4:4 / 4:2:2 / 4:2:0 all covered by the general Hi×Vi MCU walk),
-  DQT/DHT tables read from the stream, restart markers (DRI/RSTn)
-  honored with DC-predictor reset.  Progressive (SOF2), arithmetic
-  coding, 12-bit precision, and 4-component CMYK raise
+- ``decode_jpeg``: baseline sequential DCT (SOF0/SOF1) AND
+  progressive DCT (SOF2, T.81 Annex G: spectral selection +
+  successive approximation, EOB runs, per-scan restart markers) —
+  together the two modes that cover essentially every JPEG on the
+  web.  8-bit, grayscale or 3-component YCbCr with arbitrary sampling
+  factors (4:4:4 / 4:2:2 / 4:2:0 all covered by the general Hi×Vi MCU
+  walk), DQT/DHT tables read from the stream (redefinable between
+  progressive scans), restart markers (DRI/RSTn) honored with
+  DC-predictor / EOB-run reset.  Arithmetic coding, 12-bit precision,
+  lossless/hierarchical modes, and 4-component CMYK raise
   ``UnsupportedJpeg`` — callers fall back to their labeled stub path,
   never a silent wrong decode.
 - ``encode_jpeg``: baseline 4:4:4 (or 4:2:0 via ``subsampling``)
@@ -21,6 +25,16 @@ reference repo wraps MarkItDown/PIL and contains no codec to copy.
   APP0, optional restart intervals — so tests roundtrip through the
   real entropy coder and the decoder's RST/subsampling paths are
   exercised without any external JPEG to import.
+- ``encode_jpeg_progressive``: the same quantized coefficients
+  emitted through a libjpeg-style 10-scan (gray: 5-scan) progressive
+  script — interleaved DC first scan at Al=1, spectral-band AC first
+  scans, then successive-approximation refinement scans down to Al=0.
+  Because both encoders quantize with the identical per-block
+  expression, ``decode(encode_jpeg_progressive(img)) ==
+  decode(encode_jpeg(img))`` byte-for-byte — the cross-mode parity
+  contract the tests pin.  EOB runs are capped at 1 (the Annex K.3
+  tables carry no EOBn>0 symbols); the decoder handles arbitrary EOB
+  runs, exercised by a custom-table fixture in the tests.
 
 Blocks transform through an orthonormal 8×8 DCT matrix (numpy
 ``M @ B @ M.T``); the Huffman bit loops are per-coefficient Python,
@@ -192,11 +206,22 @@ class _BitWriter:
             self.write(1, 1)
 
 
-def _encode_block(bw, block, quant, dc_codes, ac_codes, dc_pred):
-    """8x8 spatial block -> entropy-coded bits; returns new DC pred."""
+def _quantize_block(block: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """8x8 spatial block -> 64 quantized coefficients in zigzag order.
+
+    The single shared quantizer expression: both the baseline and the
+    progressive encoder call exactly this, so the two streams carry
+    identical coefficients and decode to identical pixels (the
+    cross-mode parity contract).
+    """
     coeffs = _DCT_M @ (block.astype(np.float64) - 128.0) @ _DCT_M.T
     q = np.round(coeffs / quant.reshape(8, 8)).astype(np.int64)
-    zz = q.reshape(64)[_ZIGZAG]
+    return q.reshape(64)[_ZIGZAG]
+
+
+def _encode_block(bw, block, quant, dc_codes, ac_codes, dc_pred):
+    """8x8 spatial block -> entropy-coded bits; returns new DC pred."""
+    zz = _quantize_block(block, quant)
     diff = int(zz[0]) - dc_pred
     size, raw = _magnitude(diff)
     code, length = dc_codes[size]
@@ -232,15 +257,13 @@ def _comp_blocks(plane: np.ndarray, by: int, bx: int) -> np.ndarray:
     return padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3)
 
 
-def encode_jpeg(pixels: np.ndarray, quality: int = 85,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """(h, w[, c]) uint8 gray/RGB -> baseline JFIF bytes.
-
-    ``subsampling``: "444" (one block each of Y/Cb/Cr per MCU) or
-    "420" (2x2 Y blocks + box-averaged chroma — exercises the
-    decoder's general sampling-factor walk).  ``restart_interval`` > 0
-    emits DRI + RSTn markers every that-many MCUs.
+def _plan_encode(pixels: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front half: validate, color-convert, subsample,
+    edge-pad onto the MCU lattice.  Returns ``(gray, h, w, grids,
+    samp, quants, mcus_x, mcus_y)`` where ``grids[ci]`` is a
+    ``(BY, BX, 8, 8)`` spatial block array on the padded lattice.
+    Both the baseline and the progressive encoder start here, so the
+    pixel pipeline ahead of entropy coding is identical.
     """
     px = np.asarray(pixels)
     if px.ndim == 3 and px.shape[2] == 1:
@@ -289,14 +312,14 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
     for plane, (sh, sv) in zip(planes, samp):
         grids.append(_comp_blocks(np.clip(plane, 0, 255),
                                   mcus_y * sv, mcus_x * sh))
+    return gray, h, w, grids, samp, quants, mcus_x, mcus_y
 
-    dc_lum = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
-    ac_lum = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
-    dc_chr = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
-    ac_chr = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
-    huffs = [(dc_lum, ac_lum)] + [(dc_chr, ac_chr)] * (len(planes) - 1)
 
-    out = bytearray()
+def _write_frame_headers(out: bytearray, gray: bool, h: int, w: int,
+                         samp, quants, sof_marker: int,
+                         restart_interval: int) -> None:
+    """SOI..DRI common header block (APP0/DQT/SOFn/DHT/DRI)."""
+    q_lum = quants[0]
     out += b"\xff\xd8"                                    # SOI
     out += (b"\xff\xe0" + struct.pack(">H", 16)
             + b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
@@ -304,13 +327,13 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
         + bytes(int(v) for v in q_lum[_ZIGZAG])           # DQT 0
     if not gray:
         out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x01" \
-            + bytes(int(v) for v in q_chr[_ZIGZAG])       # DQT 1
+            + bytes(int(v) for v in quants[1][_ZIGZAG])   # DQT 1
     ncomp = 1 if gray else 3
     sof = bytearray([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
     for ci in range(ncomp):
         sh, sv = samp[ci]
         sof += bytes([ci + 1, (sh << 4) | sv, 0 if ci == 0 else 1])
-    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += bytes([0xFF, sof_marker]) + struct.pack(">H", len(sof) + 2) + sof
     for tc_th, bits, vals in (
             ((0x00, _DC_LUM_BITS, _DC_LUM_VALS),
              (0x10, _AC_LUM_BITS, _AC_LUM_VALS))
@@ -321,6 +344,31 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
         out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
     if restart_interval > 0:
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+
+
+def encode_jpeg(pixels: np.ndarray, quality: int = 85,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """(h, w[, c]) uint8 gray/RGB -> baseline JFIF bytes.
+
+    ``subsampling``: "444" (one block each of Y/Cb/Cr per MCU) or
+    "420" (2x2 Y blocks + box-averaged chroma — exercises the
+    decoder's general sampling-factor walk).  ``restart_interval`` > 0
+    emits DRI + RSTn markers every that-many MCUs.
+    """
+    gray, h, w, grids, samp, quants, mcus_x, mcus_y = _plan_encode(
+        pixels, quality, subsampling)
+
+    dc_lum = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_lum = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_chr = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_chr = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
+    huffs = [(dc_lum, ac_lum)] + [(dc_chr, ac_chr)] * (len(grids) - 1)
+
+    out = bytearray()
+    ncomp = len(grids)
+    _write_frame_headers(out, gray, h, w, samp, quants, 0xC0,
+                         restart_interval)
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
@@ -352,6 +400,220 @@ def encode_jpeg(pixels: np.ndarray, quality: int = 85,
             mcu_count += 1
     bw.flush()
     out += bw.out
+    out += b"\xff\xd9"                                    # EOI
+    return bytes(out)
+
+
+# --- progressive encoder (T.81 Annex G) ------------------------------------
+
+# libjpeg-style scan scripts: (component indices, Ss, Se, Ah, Al).
+# DC first at Al=1 interleaved, luma AC split into a low band for the
+# early passes, successive-approximation refinements down to Al=0.
+_PROG_SCRIPT_COLOR = (
+    ((0, 1, 2), 0, 0, 0, 1),
+    ((0,), 1, 5, 0, 2),
+    ((1,), 1, 63, 0, 1),
+    ((2,), 1, 63, 0, 1),
+    ((0,), 6, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0, 1, 2), 0, 0, 1, 0),
+    ((1,), 1, 63, 1, 0),
+    ((2,), 1, 63, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+_PROG_SCRIPT_GRAY = (
+    ((0,), 0, 0, 0, 1),
+    ((0,), 1, 63, 0, 2),
+    ((0,), 1, 63, 2, 1),
+    ((0,), 0, 0, 1, 0),
+    ((0,), 1, 63, 1, 0),
+)
+
+
+def _emit_ac_first_block(bw, zz, ss, se, al, ac_codes) -> None:
+    """One block of an AC spectral-selection/first-SA scan (G.1.2.2).
+
+    EOB runs are capped at 1 (plain EOB0 per all-done block) because
+    the Annex K.3 tables define no EOBn>0 symbols — valid, just less
+    compact than libjpeg's deferred runs.
+    """
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        mag = abs(t) >> al
+        if mag == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = ac_codes[0xF0]                        # ZRL
+            bw.write(c, ln)
+            r -= 16
+        size = mag.bit_length()
+        raw = mag if t > 0 else (mag ^ ((1 << size) - 1))
+        c, ln = ac_codes[(r << 4) | size]
+        bw.write(c, ln)
+        bw.write(raw, size)
+        r = 0
+    if r:
+        c, ln = ac_codes[0x00]                            # EOB (run 1)
+        bw.write(c, ln)
+
+
+def _emit_ac_refine_block(bw, zz, ss, se, al, ac_codes) -> None:
+    """One block of an AC successive-approximation refinement scan
+    (G.1.2.3): newly-significant coefficients carry a (run, 1) symbol
+    plus a sign bit; already-significant coefficients contribute one
+    buffered correction bit each, flushed after the next emitted
+    symbol in coefficient order — exactly the order the decoder
+    consumes them while walking the run.  The pending ZRL check fires
+    at every nonzero magnitude BEFORE its bit is buffered, mirroring
+    the decoder's skip walk.
+    """
+    p_sign = []   # buffered correction bits
+    r = 0
+    for k in range(ss, se + 1):
+        t = int(zz[k])
+        mag = abs(t) >> al
+        if mag == 0:
+            r += 1
+            continue
+        while r > 15:
+            c, ln = ac_codes[0xF0]                        # ZRL
+            bw.write(c, ln)
+            r -= 16
+            for bit in p_sign:
+                bw.write(bit, 1)
+            p_sign = []
+        if mag > 1:                  # already significant: correction bit
+            p_sign.append(mag & 1)
+            continue
+        c, ln = ac_codes[(r << 4) | 1]                    # newly significant
+        bw.write(c, ln)
+        bw.write(1 if t > 0 else 0, 1)                    # sign
+        for bit in p_sign:
+            bw.write(bit, 1)
+        p_sign = []
+        r = 0
+    if r or p_sign:
+        c, ln = ac_codes[0x00]                            # EOB (run 1)
+        bw.write(c, ln)
+        for bit in p_sign:
+            bw.write(bit, 1)
+
+
+def encode_jpeg_progressive(pixels: np.ndarray, quality: int = 85,
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """(h, w[, c]) uint8 gray/RGB -> progressive (SOF2) JFIF bytes.
+
+    Same pixel pipeline and per-block quantizer as ``encode_jpeg``,
+    entropy-coded through the ``_PROG_SCRIPT_*`` scan script, so the
+    decoded image is byte-identical to the baseline encode at the same
+    quality/subsampling.  ``restart_interval`` > 0 emits RSTn every
+    that-many MCUs (interleaved DC scans) / blocks (all other scans).
+    """
+    gray, h, w, grids, samp, quants, mcus_x, mcus_y = _plan_encode(
+        pixels, quality, subsampling)
+    ncomp = len(grids)
+
+    # quantized zigzag coefficients per component, on the padded lattice
+    zzs = []
+    for grid, q in zip(grids, quants):
+        by_n, bx_n = grid.shape[:2]
+        z = np.zeros((by_n, bx_n, 64), dtype=np.int64)
+        for by in range(by_n):
+            for bx in range(bx_n):
+                z[by, bx] = _quantize_block(grid[by, bx], q.reshape(8, 8))
+        zzs.append(z)
+    # non-interleaved scans cover only the component's own block raster
+    # (T.81 A.2.2), not the MCU-padded lattice
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    nblocks = []
+    for sh, sv in samp:
+        cw = -(-w * sh // hmax)
+        ch = -(-h * sv // vmax)
+        nblocks.append((-(-ch // 8), -(-cw // 8)))
+
+    dc_lum = _build_codes(_DC_LUM_BITS, _DC_LUM_VALS)
+    ac_lum = _build_codes(_AC_LUM_BITS, _AC_LUM_VALS)
+    dc_chr = _build_codes(_DC_CHR_BITS, _DC_CHR_VALS)
+    ac_chr = _build_codes(_AC_CHR_BITS, _AC_CHR_VALS)
+
+    out = bytearray()
+    _write_frame_headers(out, gray, h, w, samp, quants, 0xC2,
+                         restart_interval)
+
+    script = _PROG_SCRIPT_GRAY if gray else _PROG_SCRIPT_COLOR
+    for cis, ss, se, ah, al in script:
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, (0x00 if ci == 0 else 0x11)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+        bw = _BitWriter()
+        rst = 0
+        unit = 0
+
+        def boundary():
+            nonlocal bw, rst
+            bw.flush()
+            out.extend(bw.out)
+            out.extend(bytes([0xFF, 0xD0 + rst]))
+            bw = _BitWriter()
+            rst = (rst + 1) & 7
+
+        if ss == 0 and ah == 0:                       # DC first scan
+            preds = [0] * ncomp
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        boundary()
+                        preds = [0] * ncomp
+                    for ci in cis:
+                        sh, sv = samp[ci]
+                        dc_codes = dc_lum if ci == 0 else dc_chr
+                        for by in range(sv):
+                            for bx in range(sh):
+                                v = int(zzs[ci][my * sv + by,
+                                                mx * sh + bx, 0]) >> al
+                                size, raw = _magnitude(v - preds[ci])
+                                preds[ci] = v
+                                c, ln = dc_codes[size]
+                                bw.write(c, ln)
+                                if size:
+                                    bw.write(raw, size)
+                    unit += 1
+        elif ss == 0:                                  # DC refinement scan
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        boundary()
+                    for ci in cis:
+                        sh, sv = samp[ci]
+                        for by in range(sv):
+                            for bx in range(sh):
+                                bw.write((int(zzs[ci][my * sv + by,
+                                                      mx * sh + bx, 0])
+                                          >> al) & 1, 1)
+                    unit += 1
+        else:                                          # AC scan (ns == 1)
+            ci = cis[0]
+            ac_codes = ac_lum if ci == 0 else ac_chr
+            bh_i, bw_i = nblocks[ci]
+            for b in range(bh_i * bw_i):
+                if restart_interval and b and b % restart_interval == 0:
+                    boundary()
+                zz = zzs[ci][b // bw_i, b % bw_i]
+                if ah == 0:
+                    _emit_ac_first_block(bw, zz, ss, se, al, ac_codes)
+                else:
+                    _emit_ac_refine_block(bw, zz, ss, se, al, ac_codes)
+        bw.flush()
+        out += bw.out
     out += b"\xff\xd9"                                    # EOI
     return bytes(out)
 
@@ -449,13 +711,269 @@ def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, n
 
 
+def _ac_first_block(br, ac_tbl, blk, ss, se, al, eobrun) -> int:
+    """Decode one block of an AC first scan (G.2.1); returns eobrun."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        sym = _decode_huff(br, ac_tbl)
+        r, s = sym >> 4, sym & 0x0F
+        if s == 0:
+            if r == 15:                           # ZRL: 16 zeros
+                k += 16
+                continue
+            eobrun = (1 << r) - 1                 # EOBn: this block done
+            if r:
+                eobrun += br.read_bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        blk[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(br, ac_tbl, blk, ss, se, al, eobrun) -> int:
+    """Decode one block of an AC refinement scan (G.1.2.3).
+
+    Walks the band skipping zero-*history* coefficients per the run
+    length while reading one correction bit for every nonzero-history
+    coefficient passed; inside an EOB run only the correction bits are
+    read.  Returns the remaining eobrun.
+    """
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _decode_huff(br, ac_tbl)
+            r, s = sym >> 4, sym & 0x0F
+            newval = 0
+            if s == 0:
+                if r != 15:                       # EOBn (includes this block)
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("bad AC refinement symbol")
+                newval = p1 if br.read_bit() else -p1
+            while k <= se:
+                v = int(blk[k])
+                if v != 0:
+                    if br.read_bit() and (abs(v) & p1) == 0:
+                        blk[k] = v + p1 if v >= 0 else v - p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                blk[k] = newval
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            v = int(blk[k])
+            if v != 0:
+                if br.read_bit() and (abs(v) & p1) == 0:
+                    blk[k] = v + p1 if v >= 0 else v - p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(payload, start, coefs, frame, huff,
+                             scan_comps, ss, se, ah, al,
+                             restart_interval) -> int:
+    """Decode one progressive scan's entropy data into ``coefs``
+    (per-component ``(BY, BW, 64)`` int32, zigzag order).  Returns the
+    payload index of the terminating marker's 0xFF so the caller's
+    marker walk continues there.
+    """
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+
+    # map scan components to frame order (B.2.3: frame order, no dups)
+    idxs = []
+    last = -1
+    for (cs, _td, _ta) in scan_comps:
+        ci = next((j for j, c in enumerate(comps) if c[0] == cs), None)
+        if ci is None or ci <= last:
+            raise ValueError("bad progressive scan component list")
+        idxs.append(ci)
+        last = ci
+    ns = len(idxs)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan with nonzero Se")
+    else:
+        if ns != 1 or not (ss <= se <= 63):
+            raise ValueError("AC progressive scan must be single-component")
+    if al > 13:
+        raise ValueError("bad successive-approximation shift")
+    dc_first = ss == 0 and ah == 0
+    tables = []
+    for (cs, td, ta) in scan_comps:
+        if dc_first:
+            if (0, td) not in huff:
+                raise ValueError("JPEG references missing DC table")
+            tables.append(huff[(0, td)])
+        elif ss > 0:
+            if (1, ta) not in huff:
+                raise ValueError("JPEG references missing AC table")
+            tables.append(huff[(1, ta)])
+        else:
+            tables.append(None)                   # DC refine: raw bits
+
+    segs, end = _split_entropy(payload, start)
+    seg_idx = 0
+    br = _BitReader(segs[0] if segs else b"")
+    preds = [0] * ns
+    eobrun = 0
+
+    if ns > 1:                                    # interleaved DC scan
+        units = mcus_x * mcus_y
+    else:
+        # non-interleaved: the component's own block raster (A.2.2),
+        # ceil(comp samples / 8) per axis, NOT the MCU-padded lattice
+        ci = idxs[0]
+        _cid, sh, sv, _tq = comps[ci]
+        comp_w = -(-fw * sh // hmax)
+        comp_h = -(-fh * sv // vmax)
+        bw_i = -(-comp_w // 8)
+        bh_i = -(-comp_h // 8)
+        units = bw_i * bh_i
+
+    for unit in range(units):
+        if restart_interval and unit and unit % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise ValueError("missing restart segment")
+            br = _BitReader(segs[seg_idx])
+            preds = [0] * ns
+            eobrun = 0
+        if ns > 1:                                # MCU walk, DC only
+            my, mx = divmod(unit, mcus_x)
+            for si, ci in enumerate(idxs):
+                _cid, sh, sv, _tq = comps[ci]
+                for by in range(sv):
+                    for bx in range(sh):
+                        blk = coefs[ci][my * sv + by, mx * sh + bx]
+                        if ah == 0:
+                            size = _decode_huff(br, tables[si])
+                            if size > 11:
+                                raise ValueError("bad DC category")
+                            preds[si] += _extend(br.read_bits(size), size)
+                            blk[0] = preds[si] << al
+                        else:
+                            blk[0] = int(blk[0]) | (br.read_bit() << al)
+        else:                                     # single-component raster
+            ci = idxs[0]
+            blk = coefs[ci][unit // bw_i, unit % bw_i]
+            if ss == 0:
+                if ah == 0:
+                    size = _decode_huff(br, tables[0])
+                    if size > 11:
+                        raise ValueError("bad DC category")
+                    preds[0] += _extend(br.read_bits(size), size)
+                    blk[0] = preds[0] << al
+                else:
+                    blk[0] = int(blk[0]) | (br.read_bit() << al)
+            elif ah == 0:
+                eobrun = _ac_first_block(br, tables[0], blk, ss, se, al,
+                                         eobrun)
+            else:
+                eobrun = _ac_refine_block(br, tables[0], blk, ss, se, al,
+                                          eobrun)
+    return end
+
+
+def _init_progressive(frame, n, entropy_start):
+    """Allocate per-component coefficient arrays on the MCU lattice.
+
+    Area sanity BEFORE allocation, mirroring the baseline guard: a
+    progressive first scan can legitimately be DC-only (>= ~2 bits per
+    block), so bound declared blocks at 4 per remaining payload byte.
+    """
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    blocks_per_mcu = sum(sh * sv for _, sh, sv, _ in comps)
+    if mcus_x * mcus_y * blocks_per_mcu > 4 * (n - entropy_start) + 64:
+        raise ValueError("declared block count exceeds scan data")
+    # int64: a hostile stream can walk DC predictors past int32 (the
+    # callers' error contract is ValueError, not numpy OverflowError)
+    return [np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int64)
+            for (_cid, sh, sv, _tq) in comps]
+
+
+def _reconstruct_progressive(frame, coefs, quant):
+    """Dequantize + IDCT the accumulated coefficient arrays.
+
+    Uses the identical per-block ``M.T @ C @ M`` expression as the
+    baseline streaming path so a progressive stream carrying the same
+    quantized coefficients decodes to byte-identical pixels (all-zero
+    blocks short-circuit to the flat 128 the IDCT would produce).
+    """
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    planes = []
+    for ci, (_cid, _sh, _sv, tq) in enumerate(comps):
+        if tq not in quant:
+            raise ValueError("JPEG references missing table")
+        zzq = quant[tq][_ZIGZAG].astype(np.int64)
+        grid = coefs[ci]
+        by_n, bx_n = grid.shape[:2]
+        plane = np.full((by_n * 8, bx_n * 8), 128.0)
+        nz_by, nz_bx = np.nonzero(grid.any(axis=2))
+        for by, bx in zip(nz_by, nz_bx):
+            zz = grid[by, bx].astype(np.int64)
+            coeff = (zz * zzq)[_UNZIGZAG].reshape(8, 8)
+            block = _DCT_M.T @ coeff.astype(np.float64) @ _DCT_M
+            plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = block + 128.0
+        planes.append(plane)
+    return _finish_planes(planes, comps, hmax, vmax, fh, fw)
+
+
+def _finish_planes(planes, comps, hmax, vmax, fh, fw):
+    """Upsample subsampled planes to the full lattice, crop to the
+    frame size, and color-convert — shared by both decode modes."""
+    full = []
+    for plane, (_cid, sh, sv, _tq) in zip(planes, comps):
+        if sh != hmax or sv != vmax:
+            plane = np.repeat(np.repeat(plane, vmax // sv, axis=0),
+                              hmax // sh, axis=1)
+        full.append(plane[:fh, :fw])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8), "L"
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), "RGB"
+
+
 def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
-    """Baseline JFIF bytes -> ((h, w) or (h, w, 3) uint8, "L"|"RGB")."""
+    """Baseline or progressive JFIF bytes ->
+    ((h, w) or (h, w, 3) uint8, "L"|"RGB")."""
     if payload[:3] != JPEG_SOI:
         raise ValueError("not a JPEG (missing SOI)")
     quant = {}           # Tq -> 64 int32 (natural order)
     huff = {}            # (class, id) -> lookup table
     frame = None         # (h, w, comps) where comps = [(id, sh, sv, tq)]
+    progressive = False
+    coefs = None         # progressive: per-comp (BY, BW, 64) int32 zigzag
+    scans_seen = 0
     restart_interval = 0
     scan = None
     i = 2
@@ -498,7 +1016,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
                     raise ValueError("short DHT")
                 huff[(tc, th)] = _decode_lookup(bits, vals)
                 j += 17 + count
-        elif marker in (0xC0, 0xC1):        # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
+            if frame is not None:
+                raise ValueError("multiple SOF markers")
+            progressive = marker == 0xC2
             if len(data) < 6:
                 raise ValueError("short SOF segment")
             if data[0] != 8:
@@ -526,8 +1047,6 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
                 # T.81 B.2.2: sum of Hi*Vi over all components <= 10
                 raise ValueError("sampling factors exceed T.81 bound")
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise UnsupportedJpeg("progressive JPEG")
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedJpeg("non-baseline SOF")
@@ -541,15 +1060,31 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
             if len(data) < 1:
                 raise ValueError("short SOS segment")
             ns = data[0]
-            if len(data) < 1 + 2 * ns:
+            if len(data) < 1 + 2 * ns + (3 if progressive else 0):
                 raise ValueError("short SOS segment")
             scan_comps = []
             for c in range(ns):
                 cs, tt = data[1 + 2 * c], data[2 + 2 * c]
                 scan_comps.append((cs, tt >> 4, tt & 0x0F))
-            scan = (scan_comps, i + 2 + seg_len)
-            break
+            if not progressive:
+                scan = (scan_comps, i + 2 + seg_len)
+                break
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            aa = data[3 + 2 * ns]
+            entropy_start = i + 2 + seg_len
+            if coefs is None:
+                coefs = _init_progressive(frame, n, entropy_start)
+            i = _decode_progressive_scan(
+                payload, entropy_start, coefs, frame, huff, scan_comps,
+                ss, se, aa >> 4, aa & 0x0F, restart_interval)
+            scans_seen += 1
+            continue
         i += 2 + seg_len
+
+    if progressive:
+        if scans_seen == 0:
+            raise ValueError("progressive JPEG with no scans")
+        return _reconstruct_progressive(frame, coefs, quant)
     if frame is None or scan is None:
         raise ValueError("JPEG missing SOF/SOS")
 
@@ -640,18 +1175,4 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
                     y0 = (my * sv + by) * 8
                     x0 = (mx * sh + bx) * 8
                     planes[ci][y0:y0 + 8, x0:x0 + 8] = block + 128.0
-    # upsample to the full lattice, crop to (fh, fw)
-    full = []
-    for plane, (_cid, sh, sv, _tq) in zip(planes, comps):
-        if sh != hmax or sv != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // sv, axis=0),
-                              hmax // sh, axis=1)
-        full.append(plane[:fh, :fw])
-    if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8), "L"
-    y, cb, cr = full
-    r = y + 1.402 * (cr - 128.0)
-    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = y + 1.772 * (cb - 128.0)
-    rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8), "RGB"
+    return _finish_planes(planes, comps, hmax, vmax, fh, fw)

@@ -103,10 +103,10 @@ def test_meta_parser_reads_encoder_output():
     assert (meta.width, meta.height, meta.mode) == (21, 10, "RGB")
 
 
-def test_progressive_and_cmyk_refused():
+def test_arithmetic_and_cmyk_refused():
     enc = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
     sof = enc.index(b"\xff\xc0")
-    enc[sof + 1] = 0xC2                 # SOF0 -> SOF2 progressive
+    enc[sof + 1] = 0xC9                 # SOF0 -> SOF9 arithmetic
     with pytest.raises(UnsupportedJpeg):
         decode_jpeg(bytes(enc))
     enc2 = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
@@ -114,6 +114,17 @@ def test_progressive_and_cmyk_refused():
     enc2[sof2 + 9] = 4                  # ncomp 3 -> 4 (CMYK-shaped)
     with pytest.raises((UnsupportedJpeg, ValueError)):
         decode_jpeg(bytes(enc2))
+
+
+def test_baseline_stream_relabeled_sof2_rejected_not_misdecoded():
+    """A baseline scan header (Se=63) under an SOF2 frame is invalid
+    (a DC progressive scan must have Se=0) — must raise, never decode
+    garbage."""
+    enc = bytearray(encode_jpeg(_smooth_rgb(8, 8)))
+    sof = enc.index(b"\xff\xc0")
+    enc[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
 
 
 def test_truncation_always_raises_never_hangs():
@@ -227,3 +238,194 @@ def test_spark_decode_provenance(spark):
     got = {r["url"]: r["mode"]
            for r in media_resize(df, width=4, height=4).collect()}
     assert got == {"u1": "RGB", "u2": "L", "u3": "stub"}
+
+
+# --- progressive (SOF2) ----------------------------------------------------
+
+from document_convert_to__markdown_spark.extractors.jpeg_codec import (  # noqa: E402
+    encode_jpeg_progressive,
+)
+
+
+def _parity(img, quality=85, subsampling="444", restart_interval=0):
+    """Cross-mode contract: same quantizer -> byte-identical decode."""
+    b = encode_jpeg(img, quality=quality, subsampling=subsampling,
+                    restart_interval=restart_interval)
+    p = encode_jpeg_progressive(img, quality=quality,
+                                subsampling=subsampling,
+                                restart_interval=restart_interval)
+    db, mb = decode_jpeg(b)
+    dp, mp = decode_jpeg(p)
+    assert mb == mp and db.shape == dp.shape
+    assert np.array_equal(db, dp)
+    return p
+
+
+def test_progressive_is_sof2_and_multiscan():
+    p = _parity(_smooth_rgb(24, 33))
+    assert b"\xff\xc2" in p and b"\xff\xc0" not in p
+    assert p.count(b"\xff\xda") == 10   # the 10-scan color script
+
+
+def test_progressive_parity_gray_and_color():
+    yy, xx = np.mgrid[0:17, 0:23]
+    _parity(((yy * 200) // 16 + (xx * 40) // 22).astype(np.uint8))
+    _parity(_smooth_rgb(33, 41))
+
+
+def test_progressive_parity_noise_and_flat():
+    rng = np.random.default_rng(3)
+    for q in (1, 25, 85, 100):
+        _parity(rng.integers(0, 256, (40, 56, 3), np.uint8), quality=q,
+                subsampling="420")
+        _parity(rng.integers(0, 256, (24, 40), np.uint8), quality=q)
+    _parity(np.full((32, 32, 3), 200, np.uint8))
+    _parity(np.zeros((17, 19), np.uint8))
+
+
+def test_progressive_parity_with_restarts():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (48, 64, 3), np.uint8)
+    p = _parity(img, restart_interval=3)
+    assert any(bytes([0xFF, 0xD0 + k]) in p for k in range(8))
+    _parity(img, subsampling="420", restart_interval=2)
+    _parity(rng.integers(0, 256, (24, 24), np.uint8), restart_interval=5)
+
+
+def test_progressive_truncation_raises_or_decodes_partial():
+    """Truncated progressive: a prefix that ends at a scan boundary is
+    a VALID coarser image (that's the format's point — incremental
+    rendering), anything mid-scan raises.  Either way: full declared
+    shape, never a hang or non-ValueError."""
+    img = _smooth_rgb(16, 16)
+    enc = encode_jpeg_progressive(img, quality=85)
+    full, _ = decode_jpeg(enc)
+    partials = 0
+    for cut in range(3, len(enc) - 1, 11):
+        try:
+            dec, mode = decode_jpeg(enc[:cut])
+        except ValueError:
+            continue
+        partials += 1
+        assert mode == "RGB" and dec.shape == img.shape
+    assert partials < (len(enc) - 4) // 11   # some cuts must still raise
+
+
+def test_progressive_dimension_bomb_rejected_before_allocation():
+    enc = bytearray(encode_jpeg_progressive(_smooth_rgb(8, 8)))
+    sof = bytes(enc).index(b"\xff\xc2")
+    enc[sof + 5:sof + 9] = struct.pack(">HH", 0xFFFF, 0xFFFF)
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(enc))
+
+
+@settings(max_examples=40, deadline=None)
+@given(flips=st.lists(st.tuples(st.integers(3, 10_000),
+                                st.integers(0, 255)),
+                      min_size=1, max_size=6))
+def test_fuzz_bitflipped_progressive_never_crashes(flips):
+    enc = bytearray(encode_jpeg_progressive(_smooth_rgb(16, 24)))
+    for pos, val in flips:
+        enc[pos % len(enc)] = val
+    try:
+        decode_jpeg(bytes(enc))
+    except ValueError:
+        pass
+
+
+def _handcrafted_eobrun_jpeg():
+    """Gray 32x8 progressive stream whose AC scans carry EOBn runs > 1
+    (our encoder caps runs at 1, so this path needs its own fixture).
+
+    Custom 3-bit AC table {0x00 EOB0, 0x01, 0x10 EOBn(r=1), 0x11};
+    quant all-ones.  Final coefficients (zigzag index: value):
+      block0: DC 8, zz1=3, zz3=+1   (refined from first-scan 2<<? ...)
+      block1: DC 16; block2: DC 24; block3: DC 32, zz2=-3
+    """
+    from document_convert_to__markdown_spark.extractors import jpeg_codec as J
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, b"\x00" + bytes([1] * 64))           # DQT id0, all 1s
+    out += seg(0xC2, bytes([8]) + struct.pack(">HH", 8, 32)
+               + bytes([1, 1, 0x11, 0]))                  # SOF2 1 comp 1x1
+    out += seg(0xC4, bytes([0x00]) + bytes(J._DC_LUM_BITS)
+               + bytes(J._DC_LUM_VALS))                   # DC table 0
+    ac_bits = [0, 0, 4] + [0] * 13                        # four 3-bit codes
+    ac_vals = [0x00, 0x01, 0x10, 0x11]
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    dc = J._build_codes(J._DC_LUM_BITS, J._DC_LUM_VALS)
+    ac = J._build_codes(ac_bits, ac_vals)
+
+    # scan 1: DC first (Ss=0 Se=0 Ah=0 Al=0), DCs 8,16,24,32 (diff 8 each)
+    out += seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00]))
+    bw = J._BitWriter()
+    for _ in range(4):
+        c, ln = dc[4]
+        bw.write(c, ln)
+        bw.write(8, 4)
+    bw.flush()
+    out += bw.out
+
+    # scan 2: AC first, Al=1: block0 zz1=+1 (->2), then EOBn r=1 bits=1
+    # (eobrun 2: skips blocks 1,2); block3 run1 size1 -> zz2=-1 (->-2), EOB0
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x01]))
+    bw = J._BitWriter()
+    c, ln = ac[0x01]; bw.write(c, ln); bw.write(1, 1)     # +1 at zz1
+    c, ln = ac[0x10]; bw.write(c, ln); bw.write(1, 1)     # EOBn: run 2
+    c, ln = ac[0x11]; bw.write(c, ln); bw.write(0, 1)     # -1 at zz2
+    c, ln = ac[0x00]; bw.write(c, ln)                     # EOB0
+    bw.flush()
+    out += bw.out
+
+    # scan 3: AC refine Ah=1 Al=0: block0 sym(run1,1)+sign + correction
+    # bit for zz1 (2->3), newval +1 lands at zz3; EOBn r=1 bits=1 ->
+    # eobrun 3 (rest of block0 + blocks 1,2); block3: EOB0 + correction
+    # bit for zz2 (-2->-3)
+    out += seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x10]))
+    bw = J._BitWriter()
+    c, ln = ac[0x11]; bw.write(c, ln)                     # run1, size1
+    bw.write(1, 1)                                        # sign: +1
+    bw.write(1, 1)                                        # correction zz1
+    c, ln = ac[0x10]; bw.write(c, ln); bw.write(1, 1)     # EOBn: run 3
+    c, ln = ac[0x00]; bw.write(c, ln)                     # EOB0 (block3)
+    bw.write(1, 1)                                        # correction zz2
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_eobrun_gt1_and_refinement_semantics():
+    from document_convert_to__markdown_spark.extractors import jpeg_codec as J
+
+    got, mode = decode_jpeg(_handcrafted_eobrun_jpeg())
+    assert mode == "L" and got.shape == (8, 32)
+    # independent reconstruction from the intended coefficients
+    coefs = np.zeros((4, 64), np.int64)
+    coefs[:, 0] = [8, 16, 24, 32]
+    coefs[0, 1] = 3
+    coefs[0, 3] = 1
+    coefs[3, 2] = -3
+    expect = np.zeros((8, 32))
+    for b in range(4):
+        nat = coefs[b][J._UNZIGZAG].reshape(8, 8).astype(np.float64)
+        expect[:, b * 8:(b + 1) * 8] = J._DCT_M.T @ nat @ J._DCT_M + 128.0
+    expect = np.clip(np.round(expect), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, expect)
+
+
+def test_progressive_spark_decode_provenance(spark):
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+
+    rows = [("p1", bytearray(encode_jpeg_progressive(_smooth_rgb(12, 18)))),
+            ("p2", bytearray(encode_jpeg_progressive(
+                np.arange(64, dtype=np.uint8).reshape(8, 8))))]
+    df = spark.createDataFrame(rows, "url string, data binary")
+    got = {r["url"]: r["mode"]
+           for r in media_resize(df, width=4, height=4).collect()}
+    assert got == {"p1": "RGB", "p2": "L"}
