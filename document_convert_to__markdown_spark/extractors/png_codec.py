@@ -6,16 +6,25 @@ stubs.  PNG, the dominant lossless web image format, needs nothing
 beyond DEFLATE — so this module implements the subset of ISO/IEC
 15948 / RFC 2083 a training-data pipeline actually meets:
 
-- ``decode_png``: non-interlaced, bit depth 8, color types 0 (gray),
-  2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA); all five scanline
-  filters (None/Sub/Up/Average/Paeth, spec §6) reversed exactly.
-- ``encode_png``: filter-0 scanlines for gray/gray+alpha/RGB/RGBA
-  arrays (the synthesizer's ``make_png`` twin, but for arbitrary
-  pixel arrays).
+- ``decode_png``: color types 0 (gray), 2 (RGB), 3 (palette),
+  4 (gray+alpha), 6 (RGBA) at every legal bit depth — 8, 16 (reduced
+  to 8 via the high byte, the standard presentation mapping), and the
+  sub-byte 1/2/4 gray/palette depths (bit-unpacked, gray rescaled by
+  the exact 255/(2^d-1) factor) — both sequential and Adam7
+  interlaced (each of the seven passes is its own filtered sub-image,
+  scattered back on the (x0, y0, dx, dy) lattice, spec §8.2); all
+  five scanline filters (None/Sub/Up/Average/Paeth, spec §6) reversed
+  exactly, with the filter's bpp equal to the *byte* stride per pixel
+  (1 for sub-byte rows, 2×channels at depth 16).
+- ``encode_png``: gray/gray+alpha/RGB/RGBA arrays as filter-0
+  scanlines (the synthesizer's ``make_png`` twin), optionally Adam7
+  interlaced and/or widened to depth 16 or packed to sub-byte gray —
+  so the decoder's pass walk, 16-bit reduction, and bit unpacking are
+  all roundtrip-tested without any external PNG to import.
 
-Anything outside that subset (interlaced, 16-bit, sub-byte depths)
-raises ``UnsupportedPNG`` so callers can fall back to their stub path
-explicitly — never a silent wrong decode.
+Anything outside that (illegal depth/type combos, undeclared streams)
+raises ``UnsupportedPNG``/``ValueError`` so callers can fall back to
+their stub path explicitly — never a silent wrong decode.
 
 Pure Python per-row filter loops are fine here: scanlines are
 sequential by definition (each byte depends on the previous), and the
@@ -105,13 +114,46 @@ def _unfilter(raw: bytes, height: int, stride: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass lattice: (x0, y0, dx, dy) per pass (spec §8.2)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+# legal (color type -> bit depths) combos, spec table 11.1
+_LEGAL_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
+
+
+def _row_stride(width: int, depth: int, ch: int) -> int:
+    """Filtered scanline byte length for `width` pixels."""
+    return (width * depth * ch + 7) // 8
+
+
+def _samples(grid: np.ndarray, width: int, depth: int,
+             ch: int) -> np.ndarray:
+    """Unfiltered row bytes ``(rows, stride)`` → ``(rows, width, ch)``
+    uint8 samples: depth 16 reduces via the high (big-endian first)
+    byte; sub-byte depths unpack MSB-first (spec §7.2)."""
+    h = grid.shape[0]
+    if depth == 8:
+        return grid[:, :width * ch].reshape(h, width, ch)
+    if depth == 16:
+        return grid[:, :width * ch * 2].reshape(h, width * ch, 2)[:, :, 0] \
+            .reshape(h, width, ch)
+    bits = np.unpackbits(grid, axis=1)[:, :width * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    v = (bits.reshape(h, width, depth) * weights).sum(axis=2)
+    return v.astype(np.uint8).reshape(h, width, 1)
+
+
 def decode_png(payload: bytes) -> tuple[np.ndarray, str]:
     """PNG bytes → ``(pixels, mode)``.
 
     ``pixels`` is ``(h, w)`` uint8 for mode ``"L"`` and ``(h, w, c)``
     for ``"LA"``/``"RGB"``/``"RGBA"``; palette images resolve through
-    PLTE to RGB.  Raises ``UnsupportedPNG`` for interlaced/16-bit/
-    sub-byte inputs, ``ValueError`` for malformed ones.
+    PLTE to RGB; depth 16 reduces to 8 via the high byte; sub-byte
+    grays rescale by 255/(2^d-1); Adam7 passes scatter back onto the
+    full lattice.  Raises ``ValueError`` (or its ``UnsupportedPNG``
+    subclass) for malformed or out-of-subset inputs.
     """
     if not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
@@ -130,18 +172,31 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, str]:
     width, height, depth, ctype, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("bad PNG compression/filter method")
-    if interlace != 0:
-        raise UnsupportedPNG("interlaced (Adam7) PNG not supported")
-    if depth != 8:
-        raise UnsupportedPNG(f"bit depth {depth} not supported (only 8)")
+    if interlace not in (0, 1):
+        raise ValueError("bad PNG interlace method")
     if ctype not in _CHANNELS:
         raise ValueError(f"bad PNG color type {ctype}")
+    if depth not in _LEGAL_DEPTHS[ctype]:
+        raise ValueError(f"illegal depth {depth} for color type {ctype}")
     if width == 0 or height == 0:
         raise ValueError("zero-dimension PNG")
 
     ch = _CHANNELS[ctype]
-    stride = width * ch
-    expected = height * (stride + 1)
+    bpp = max(1, depth * ch // 8)     # filter stride per pixel, in bytes
+    if interlace == 0:
+        passes = [(0, 0, 1, 1)]
+    else:
+        passes = _ADAM7
+    spans = []                        # (pw, ph, x0, y0, dx, dy, stride)
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = max(0, -(-(width - x0) // dx))
+        ph = max(0, -(-(height - y0) // dy))
+        if pw == 0 or ph == 0:
+            continue                  # empty pass contributes no bytes
+        stride = _row_stride(pw, depth, ch)
+        spans.append((pw, ph, x0, y0, dx, dy, stride))
+        expected += ph * (stride + 1)
     if expected > 1 << 28:
         # decoded-size ceiling (256 MiB of scanlines): zlib expands up
         # to ~1032x, so without a cap a small crafted payload can
@@ -160,24 +215,59 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, str]:
         # zlib.error subclasses Exception, NOT ValueError — without
         # this wrap one corrupt IDAT kills the whole Arrow batch task
         raise ValueError(f"corrupt PNG deflate stream: {exc}") from None
-    grid = _unfilter(raw, height, stride, bpp=ch)
+
+    full = np.zeros((height, width, ch), dtype=np.uint8)
+    pos = 0
+    for pw, ph, x0, y0, dx, dy, stride in spans:
+        sub = _unfilter(raw[pos:pos + ph * (stride + 1)], ph, stride, bpp)
+        pos += ph * (stride + 1)
+        full[y0::dy, x0::dx] = _samples(sub, pw, depth, ch)
 
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         pal = np.frombuffer(plte, dtype=np.uint8)
         pal = pal[: (len(pal) // 3) * 3].reshape(-1, 3)
-        return pal[grid.reshape(height, width)], _MODES[ctype]
+        idx = full.reshape(height, width)
+        if pal.shape[0] == 0 or int(idx.max()) >= pal.shape[0]:
+            raise ValueError("palette index out of range")
+        return pal[idx], _MODES[ctype]
+    if ctype == 0 and depth < 8:
+        # exact integer rescale: 255 is divisible by 1, 3, and 15
+        full = full * np.uint8(255 // ((1 << depth) - 1))
     if ch == 1:
-        return grid.reshape(height, width), _MODES[ctype]
-    return grid.reshape(height, width, ch), _MODES[ctype]
+        return full.reshape(height, width), _MODES[ctype]
+    return full, _MODES[ctype]
 
 
-def encode_png(pixels: np.ndarray, mode: str | None = None) -> bytes:
+def _pack_rows(samp: np.ndarray, depth: int, ch: int) -> bytes:
+    """(rows, width, ch) uint8 samples → filter-0 scanline bytes."""
+    h, w = samp.shape[:2]
+    if depth == 8:
+        body = samp.reshape(h, w * ch)
+        return b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    if depth == 16:
+        # widen v -> (v<<8)|v == v*257, the exact inverse of the
+        # decoder's high-byte reduction
+        wide = (samp.astype(">u2") * 257).reshape(h, w * ch)
+        return b"".join(b"\x00" + wide[y].tobytes() for y in range(h))
+    # sub-byte gray: values must already fit the depth
+    bits = ((samp.reshape(h, w, 1)
+             >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    rows = np.packbits(bits.reshape(h, w * depth), axis=1)
+    return b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+
+
+def encode_png(pixels: np.ndarray, mode: str | None = None,
+               interlace: bool = False, depth: int = 8) -> bytes:
     """Pixel array → PNG bytes (filter 0, one IDAT).
 
     ``(h, w)`` arrays encode as grayscale; ``(h, w, {2,3,4})`` as
     LA/RGB/RGBA.  ``mode`` is accepted for symmetry and validated.
+    ``interlace`` emits the seven Adam7 passes; ``depth`` accepts 16
+    (samples widened to v*257 so the decode reduces back exactly) and
+    1/2/4 for grayscale whose values already fit the depth — both
+    exist to roundtrip-test the decoder's full lattice.
     """
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
@@ -189,9 +279,20 @@ def encode_png(pixels: np.ndarray, mode: str | None = None) -> bytes:
         raise ValueError(f"unsupported pixel array shape {arr.shape}")
     if mode is not None and mode != _MODES[ctype]:
         raise ValueError(f"mode {mode!r} does not match array shape")
+    if depth not in _LEGAL_DEPTHS[ctype] or (depth < 8 and ctype != 0):
+        raise ValueError(f"encode depth {depth} unsupported for this shape")
+    if depth < 8 and int(arr.max(initial=0)) >= (1 << depth):
+        raise ValueError(f"samples exceed {depth}-bit range")
     h, w = arr.shape[0], arr.shape[1]
-    body = arr.reshape(h, w * ch)
-    raw = b"".join(b"\x00" + body[y].tobytes() for y in range(h))
+    samp = arr.reshape(h, w, ch)
+    if interlace:
+        raw = b""
+        for x0, y0, dx, dy in _ADAM7:
+            part = samp[y0::dy, x0::dx]
+            if part.shape[0] and part.shape[1]:
+                raw += _pack_rows(part, depth, ch)
+    else:
+        raw = _pack_rows(samp, depth, ch)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
@@ -199,6 +300,7 @@ def encode_png(pixels: np.ndarray, mode: str | None = None) -> bytes:
 
     return (PNG_SIG
             + chunk(b"IHDR",
-                    struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+                    struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                                1 if interlace else 0))
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))

@@ -102,21 +102,88 @@ def test_palette_resolves_to_rgb():
     assert (dec[1, 1] == [9, 10, 11]).all()
 
 
-def test_unsupported_subset_refused_not_misdecoded():
+def test_formerly_unsupported_16bit_and_adam7_now_decode():
+    """Round 5: depth 16 and Adam7 are real paths, not refusals."""
     png16 = (PNG_SIG
              + _chunk(b"IHDR",
                       struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0))
              + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
              + _chunk(b"IEND", b""))
-    with pytest.raises(UnsupportedPNG):
-        decode_png(png16)
+    dec, mode = decode_png(png16)
+    assert mode == "L" and dec.shape == (2, 2) and (dec == 0).all()
     interlaced = (PNG_SIG
                   + _chunk(b"IHDR",
                            struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 1))
                   + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
                   + _chunk(b"IEND", b""))
-    with pytest.raises(UnsupportedPNG):
-        decode_png(interlaced)
+    dec2, mode2 = decode_png(interlaced)
+    assert mode2 == "L" and dec2.shape == (2, 2) and (dec2 == 0).all()
+
+
+def test_illegal_depth_type_combos_refused():
+    """Spec table 11.1: depth 16 palette / sub-byte RGB are illegal —
+    ValueError, never a misdecode (UnsupportedPNG covers bombs)."""
+    for depth, ctype in ((16, 3), (4, 2), (2, 6), (1, 4), (3, 0)):
+        bad = (PNG_SIG
+               + _chunk(b"IHDR",
+                        struct.pack(">IIBBBBB", 2, 2, depth, ctype, 0, 0, 0))
+               + _chunk(b"IDAT", zlib.compress(b"\x00" * 32))
+               + _chunk(b"IEND", b""))
+        with pytest.raises(ValueError):
+            decode_png(bad)
+    # bad interlace method byte
+    bad2 = (PNG_SIG
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 2))
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(bad2)
+
+
+def test_adam7_16bit_subbyte_roundtrips():
+    rng = np.random.default_rng(55)
+    for shape in ((7, 9), (8, 8, 3), (5, 13, 4), (6, 6, 2), (1, 1),
+                  (2, 3), (9, 1), (17, 23, 3)):
+        img = rng.integers(0, 256, shape, np.uint8)
+        for kw in ({"interlace": True}, {"depth": 16},
+                   {"interlace": True, "depth": 16}):
+            dec, _ = decode_png(encode_png(img, **kw))
+            assert np.array_equal(dec, img), (shape, kw)
+    for depth in (1, 2, 4):
+        g = rng.integers(0, 1 << depth, (9, 11), np.uint8)
+        scale = 255 // ((1 << depth) - 1)
+        for kw in ({"depth": depth}, {"depth": depth, "interlace": True}):
+            dec, mode = decode_png(encode_png(g, **kw))
+            assert mode == "L" and np.array_equal(dec, g * scale), kw
+
+
+def test_subbyte_palette_decode():
+    """2-bit palette PNG (hand-built): indexes unpack MSB-first and
+    resolve through PLTE — the favicon-era format."""
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 7, 7, 7])
+    # 5 px wide, 2 rows, depth 2: rows [0,1,2,3,0], [3,2,1,0,3]
+    row0 = bytes([0b00011011, 0b00000000])
+    row1 = bytes([0b11100100, 0b11000000])
+    png = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 2, 2, 3, 0, 0, 0))
+           + _chunk(b"PLTE", pal)
+           + _chunk(b"IDAT", zlib.compress(b"\x00" + row0 + b"\x00" + row1))
+           + _chunk(b"IEND", b""))
+    dec, mode = decode_png(png)
+    assert mode == "RGB" and dec.shape == (2, 5, 3)
+    expect = np.frombuffer(pal, np.uint8).reshape(4, 3)[
+        np.array([[0, 1, 2, 3, 0], [3, 2, 1, 0, 3]])]
+    assert np.array_equal(dec, expect)
+
+
+def test_palette_index_out_of_range_raises():
+    png = (PNG_SIG
+           + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0))
+           + _chunk(b"PLTE", bytes([1, 2, 3]))      # one entry
+           + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x05"))  # index 5
+           + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError):
+        decode_png(png)
 
 
 def test_malformed_inputs_raise_valueerror():
