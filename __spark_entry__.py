@@ -1546,6 +1546,136 @@ def _q_multimodal_jpeg_decode(spark, sf):
             .orderBy("variant"))
 
 
+def _q_multimodal_png_depths(spark, sf):
+    """Adam7-interlaced, 16-bit, and sub-byte (1/2/4) PNGs decode REAL
+    pixels (round 5: extractors/png_codec.py covers every legal
+    depth/color-type combo of ISO 15948, both interlace methods).
+    Proof shape: 30 scenes, each rendered as a plain 8-bit sequential
+    PNG and as one variant — adam7, depth-16 (widened v*257, reduced
+    back via the high byte), adam7+16, or packed 1/2/4-bit gray (the
+    plain twin carries the same 255/(2^d-1)-rescaled grays) — pushed
+    through media_resize; per-variant counts of byte-identical resized
+    outputs.  A wrong pass lattice, bit-unpack order, or 16-bit
+    reduction breaks parity on some scene.  Pixel decode isn't SQL —
+    pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+
+    import numpy as np
+
+    variants = ("adam7", "depth16", "adam7_16", "gray1", "gray2", "gray4")
+    rows = []
+    for s in range(30):
+        rng = np.random.RandomState(4400 + s)
+        h, w = 5 + s % 9, 6 + s % 11
+        variant = variants[s % 6]
+        if variant.startswith("gray"):
+            d = int(variant[4])
+            raw = rng.randint(0, 1 << d, (h, w)).astype(np.uint8)
+            plain = (raw * (255 // ((1 << d) - 1))).astype(np.uint8)
+            var_png = encode_png(raw, depth=d, interlace=s % 2 == 0)
+        else:
+            plain = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            kw = {"adam7": {"interlace": True}, "depth16": {"depth": 16},
+                  "adam7_16": {"interlace": True, "depth": 16}}[variant]
+            var_png = encode_png(plain, **kw)
+        rows.append((f"s{s:03d}/{variant}/var", bytearray(var_png)))
+        rows.append((f"s{s:03d}/{variant}/plain",
+                     bytearray(encode_png(plain))))
+    df = spark.createDataFrame(rows, "url string, data binary")
+    resized = (media_resize(df, width=5, height=5)
+               .withColumn("scene", F.substring_index("url", "/", 1))
+               .withColumn("variant", F.split("url", "/")[1])
+               .withColumn("kind", F.substring_index("url", "/", -1)))
+    var = resized.filter("kind = 'var'").select(
+        "scene", "variant", F.col("mode").alias("var_mode"),
+        F.col("data").alias("var_px"))
+    plain = resized.filter("kind = 'plain'").select(
+        "scene", F.col("mode").alias("plain_mode"),
+        F.col("data").alias("plain_px"))
+    return (var.join(plain, "scene")
+            .groupBy("variant")
+            .agg(F.count("*").alias("n_scenes"),
+                 F.sum(F.when((F.col("var_mode") == F.col("plain_mode"))
+                              & (F.col("var_mode") != "stub"), 1)
+                       .otherwise(0)).alias("n_real_mode_match"),
+                 F.sum(F.when(F.col("var_px") == F.col("plain_px"), 1)
+                       .otherwise(0)).alias("n_pixel_match"))
+            .orderBy("variant"))
+
+
+def _q_multimodal_jpeg_progressive(spark, sf):
+    """Progressive (SOF2) JPEG decodes REAL pixels (round 5:
+    extractors/jpeg_codec.py grew the full T.81 Annex G path —
+    spectral selection, successive approximation, EOB runs, per-scan
+    restarts — the other half of web JPEGs next to baseline).  Proof
+    shape: 32 scenes (gradients + seeded noise so AC bands and
+    refinement scans carry real work) each encoded BOTH ways from the
+    shared quantizer across four variants — 4:4:4, 4:2:0, restart
+    markers, gray — pushed through media_resize; per-variant counts of
+    scenes whose progressive decode is byte-identical to the baseline
+    decode.  The parity target is exact because the two streams carry
+    the same quantized coefficients: any wrong EOB-run length,
+    refinement correction bit, band bound, or non-interleaved raster
+    walk breaks some scene.  n_pixel_match must equal n_scenes.
+    Pixel decode isn't SQL — pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.jpeg_codec import (
+        encode_jpeg, encode_jpeg_progressive,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+
+    import numpy as np
+
+    rows = []
+    for s in range(32):
+        h, w = 9 + s % 14, 8 + (s * 3) % 17
+        rng = np.random.RandomState(3300 + s)
+        yy, xx = np.mgrid[0:h, 0:w]
+        smooth = ((yy * 127) // max(1, h - 1) + (s * 7) % 64)
+        img = np.stack([smooth,
+                        rng.randint(0, 256, (h, w)),
+                        (xx * 127) // max(1, w - 1) + 32],
+                       axis=2).astype(np.uint8)
+        variant = ("q85_444", "q85_420", "q85_rst", "gray_q90")[s % 4]
+        kw = {"quality": 85}
+        src = img
+        if variant == "q85_420":
+            kw["subsampling"] = "420"
+        elif variant == "q85_rst":
+            kw["restart_interval"] = 2
+        elif variant == "gray_q90":
+            kw, src = {"quality": 90}, img[:, :, 0]
+        for codec, enc in (("base", encode_jpeg(src, **kw)),
+                           ("prog", encode_jpeg_progressive(src, **kw))):
+            rows.append((f"j{s:03d}/{variant}/{codec}", bytearray(enc)))
+    df = spark.createDataFrame(rows, "url string, data binary")
+    resized = (media_resize(df, width=6, height=6)
+               .withColumn("scene", F.substring_index("url", "/", 1))
+               .withColumn("variant", F.split("url", "/")[1])
+               .withColumn("codec", F.substring_index("url", "/", -1)))
+    base = resized.filter("codec = 'base'").select(
+        "scene", "variant", F.col("mode").alias("base_mode"),
+        F.col("data").alias("base_px"))
+    prog = resized.filter("codec = 'prog'").select(
+        "scene", F.col("mode").alias("prog_mode"),
+        F.col("data").alias("prog_px"))
+    return (base.join(prog, "scene")
+            .groupBy("variant")
+            .agg(F.count("*").alias("n_scenes"),
+                 F.sum(F.when((F.col("base_mode") == F.col("prog_mode"))
+                              & (F.col("base_mode") != "stub"), 1)
+                       .otherwise(0)).alias("n_real_mode_match"),
+                 F.sum(F.when(F.col("base_px") == F.col("prog_px"), 1)
+                       .otherwise(0)).alias("n_pixel_match"))
+            .orderBy("variant"))
+
+
 def _q_audio_fingerprint(spark, sf):
     """Spectral audio fingerprint near-dup (operators/multimodal.py:
     audio_spectral_hash — round 5, over REAL PCM samples via the
@@ -3264,8 +3394,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top 50 below; every entry past position 50 holds a green
         # r02-r04 verdict (see ORDERING INVARIANT at the cut).
         "quality_classifier": _q_quality_classifier,  # r5: one-scan epochs
-        "cluster_safe_split": _q_cluster_safe_split,
-        "lm_quality_scalable": _q_lm_quality_scalable,   # new round 4
         "topk_terms_sketch": _q_topk_terms_sketch,       # new round 4
         "snapshot_take_down": _q_snapshot_take_down,     # new round 4
         "stream_dedup_ingest": _q_stream_dedup_ingest,   # new round 4
@@ -3308,8 +3436,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_synth_corpus": _q_extract_synth_corpus,
         "multimodal_media_meta": _q_multimodal_media_meta,
         "multimodal_resize": _q_multimodal_resize,
+        "multimodal_png_depths": _q_multimodal_png_depths,  # r5
         "multimodal_gif_decode": _q_multimodal_gif_decode,  # new round 5
         "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,  # new round 5
+        "multimodal_jpeg_progressive": _q_multimodal_jpeg_progressive,  # r5
         "multimodal_ico_decode": _q_multimodal_ico_decode,  # new round 5
         "multimodal_webp_decode": _q_multimodal_webp_decode,  # new round 5
         "image_dhash_neardup": _q_image_dhash_neardup,   # new round 5
@@ -3319,14 +3449,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ^ position 50 (multimodal_frame_sample — r5-touched: the
         # mode column gained mjpg provenance, so it stays inside the
         # window for a fresh verdict).  The r04 cut landed at
-        # dedup_paragraphs; the seven round-5 insertions
-        # (multimodal_gif_decode, multimodal_jpeg_decode,
+        # dedup_paragraphs; the ten round-5 insertions/rotations
+        # (multimodal_png_depths, multimodal_gif_decode,
+        # multimodal_jpeg_decode, multimodal_jpeg_progressive,
         # multimodal_ico_decode, multimodal_webp_decode,
-        # image_dhash_neardup, audio_spectral_hash, video_mjpeg_demux)
-        # displace token_budget_select, text_winnow_fps,
-        # dedup_paragraphs, interval_join_errors, tfidf_cosine_pairs,
-        # sketch_distinct, and asof_join_attribution (all
-        # r04-or-earlier green, untouched in round 5) past the cut.
+        # image_dhash_neardup, audio_spectral_hash, video_mjpeg_demux,
+        # quality_classifier) displace token_budget_select,
+        # text_winnow_fps, dedup_paragraphs, interval_join_errors,
+        # tfidf_cosine_pairs, sketch_distinct, asof_join_attribution,
+        # text_ngram_novelty, cluster_safe_split, and
+        # lm_quality_scalable (all r04-or-earlier green, untouched in
+        # round 5) past the cut.
         "sketch_distinct": _q_sketch_distinct,
         "text_winnow_fps": _q_text_winnow_fps,
         "token_budget_select": _q_token_budget_select,
@@ -3337,6 +3470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check what falls past position 50 — it must be a
         # previously-scored query.
         "text_ngram_novelty": _q_text_ngram_novelty,  # green r04, unchanged
+        "cluster_safe_split": _q_cluster_safe_split,  # green r04, unchanged
+        "lm_quality_scalable": _q_lm_quality_scalable,  # green r04, unchanged
         "asof_join_attribution": _q_asof_join_attribution,
         "interval_join_errors": _q_interval_join_errors,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,

@@ -135,6 +135,10 @@ BENCH_QUERIES = [
     # demux through the from-scratch T.81 pipeline
     "multimodal_jpeg_decode",
     "video_mjpeg_demux",
+    # round-5f: progressive (SOF2) JPEG vs baseline pixel parity, and
+    # Adam7/16-bit/sub-byte PNG variants vs plain-8-bit parity
+    "multimodal_jpeg_progressive",
+    "multimodal_png_depths",
     # round-5c: ICO (favicon) container walk vs PNG pixel parity
     "multimodal_ico_decode",
     "multimodal_webp_decode",

@@ -3,10 +3,11 @@
 Decode status by format (round 5 — VERDICT r4 item 4):
 
 - **PNG: REAL pixels.**  ``extractors/png_codec.py`` is a from-scratch
-  ISO/IEC 15948 decoder (stdlib ``zlib`` + numpy — non-interlaced
-  8-bit gray/RGB/RGBA/palette, all five scanline filters), so
-  ``media_resize``/``media_features`` operate on actual image data for
-  the dominant lossless web format.
+  ISO/IEC 15948 decoder (stdlib ``zlib`` + numpy — gray/LA/RGB/RGBA/
+  palette at depths 1/2/4/8/16, sequential AND Adam7 interlaced, all
+  five scanline filters), so ``media_resize``/``media_features``
+  operate on actual image data for the dominant lossless web format
+  at every legal depth/type combination.
 - **GIF: REAL pixels.**  ``extractors/gif_codec.py`` implements the
   GIF87a/89a container and its variable-width LZW coder from scratch
   (interlace, local color tables, GCE transparency; animated GIFs
@@ -25,12 +26,14 @@ Decode status by format (round 5 — VERDICT r4 item 4):
   per-frame baseline JPEGs (incl. the DHT-less MJPEG convention) for
   ``video_frame_sample`` — container walk, stride/padding, channel
   order, per-frame entropy decode, all real.
-- **JPEG (baseline sequential): REAL pixels.**
+- **JPEG (baseline + progressive): REAL pixels.**
   ``extractors/jpeg_codec.py`` implements the ITU-T T.81 DCT entropy
   pipeline from scratch (DQT/DHT parse, Huffman + EXTEND, dequant,
-  8×8 IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart markers) — the
-  dominant lossy web format decodes actual pixels.  Progressive /
-  arithmetic / CMYK JPEGs refuse to the stub.
+  8×8 IDCT, 4:4:4/4:2:2/4:2:0 sampling, restart markers) plus the
+  full progressive mode (T.81 Annex G: spectral selection, successive
+  approximation, EOB runs) — both halves of the dominant lossy web
+  format decode actual pixels.  Arithmetic-coded / 12-bit / CMYK
+  JPEGs refuse to the stub.
 - **ICO (favicons): REAL pixels.**  ``extractors/ico_codec.py`` walks
   the ICONDIR, picks the best entry, and decodes PNG entries via
   ``png_codec`` and double-height BI_RGB DIB entries (XOR image +
@@ -163,7 +166,8 @@ def media_metadata(df: DataFrame, url_col: str = "url",
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB: deterministic fake decode for formats outside the
-    from-scratch codecs (progressive JPEG, lossy WebP, 16-bit PNG...).
+    from-scratch codecs (lossy-DCT WebP, arithmetic/CMYK JPEG,
+    LZW/deflate TIFF...).
 
     Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
     this returns a seeded pseudo-pixel array derived from the bytes so
@@ -176,12 +180,12 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """payload → ``((h, w, c) uint8-ish array, mode)``.
 
-    PNG, GIF, BMP, TIFF, baseline JPEG, lossless WebP, and ICO
-    (favicons — PNG or double-height-DIB entries) decode for real (the
-    from-scratch ``*_codec`` modules); anything else — or a file
-    outside the implemented subset (16-bit/Adam7 PNG, truncated LZW,
-    RLE BMP, progressive JPEG, lossy/animated WebP) — falls back to
-    the deterministic stub
+    PNG, GIF, BMP, TIFF, baseline AND progressive JPEG, lossless WebP,
+    and ICO (favicons — PNG or double-height-DIB entries) decode for
+    real (the from-scratch ``*_codec`` modules); anything else — or a
+    file outside the implemented subset (truncated LZW, RLE BMP,
+    arithmetic-coded JPEG, lossy-DCT WebP, LZW/deflate TIFF) — falls back
+    to the deterministic stub
     with ``mode="stub"`` so callers and audits can tell real pixels
     from fakes.  Never raises on garbage: the pipeline contract is one
     output row per input row.

@@ -68,6 +68,12 @@ PINNABLE = [
     # round-5: JPEG-decode determinism across 444/420/RST/gray paths —
     # the DCT pipeline isn't SQL; fidelity is bounded in pytest.
     "multimodal_jpeg_decode",
+    # round-5: progressive-vs-baseline JPEG pixel parity through the
+    # shared quantizer — Annex G entropy decode isn't SQL.
+    "multimodal_jpeg_progressive",
+    # round-5: Adam7/16-bit/sub-byte PNG variants vs plain-8-bit
+    # parity — the pass lattice / bit unpack isn't SQL.
+    "multimodal_png_depths",
     # round-5: MJPEG AVI demux (incl. DHT-less) vs the DIB reference —
     # per-frame entropy decode isn't SQL.
     "video_mjpeg_demux",
