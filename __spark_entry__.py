@@ -1608,6 +1608,78 @@ def _q_multimodal_png_depths(spark, sf):
             .orderBy("variant"))
 
 
+def _q_multimodal_codec_variants(spark, sf):
+    """Compressed-TIFF and RLE-BMP variants decode REAL pixels
+    (round 5: tiff_codec.py grew LZW §13 / deflate / PackBits §9
+    strips + the §14 horizontal-differencing predictor; bmp_codec.py
+    grew BI_RLE8/BI_RLE4 and 1/4-bit uncompressed depths).  Proof
+    shape: 28 scenes each rendered plain (uncompressed TIFF / PNG)
+    and as one variant — tiff_lzw, tiff_lzw_pred, tiff_deflate,
+    tiff_packbits, bmp_rle8, or bmp_gray-as-palette — pushed through
+    media_resize; per-variant counts of byte-identical resized
+    outputs.  A wrong LZW width bump, predictor cumsum, PackBits run,
+    or RLE escape breaks parity on some scene.  Pixel decode isn't
+    SQL — pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.bmp_codec import (
+        encode_bmp, encode_bmp_rle8,
+    )
+    from document_convert_to__markdown_spark.extractors.tiff_codec import (
+        encode_tiff,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_resize,
+    )
+
+    import numpy as np
+
+    variants = ("tiff_lzw", "tiff_lzw_pred", "tiff_deflate",
+                "tiff_packbits", "bmp_rle8", "bmp_rle8_runs")
+    rows = []
+    for s in range(28):
+        rng = np.random.RandomState(5500 + s)
+        h, w = 5 + s % 9, 6 + s % 11
+        variant = variants[s % 6]
+        if variant.startswith("tiff"):
+            px = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+            kw = {"tiff_lzw": {"compression": "lzw"},
+                  "tiff_lzw_pred": {"compression": "lzw",
+                                    "predictor": True},
+                  "tiff_deflate": {"compression": "deflate"},
+                  "tiff_packbits": {"compression": "packbits"}}[variant]
+            var_img = encode_tiff(px, **kw)
+            plain = encode_tiff(px)
+        else:
+            pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+            idx = rng.randint(0, 8, (h, w)).astype(np.uint8)
+            if variant == "bmp_rle8_runs":      # run-heavy rows
+                idx = np.sort(idx, axis=1)
+            px = pal[idx]
+            var_img = encode_bmp_rle8(idx, pal)
+            plain = encode_bmp(px)
+        rows.append((f"s{s:03d}/{variant}/var", bytearray(var_img)))
+        rows.append((f"s{s:03d}/{variant}/plain", bytearray(plain)))
+    df = spark.createDataFrame(rows, "url string, data binary")
+    resized = (media_resize(df, width=5, height=5)
+               .withColumn("scene", F.substring_index("url", "/", 1))
+               .withColumn("variant", F.split("url", "/")[1])
+               .withColumn("kind", F.substring_index("url", "/", -1)))
+    var = resized.filter("kind = 'var'").select(
+        "scene", "variant", F.col("mode").alias("var_mode"),
+        F.col("data").alias("var_px"))
+    plain = resized.filter("kind = 'plain'").select(
+        "scene", F.col("mode").alias("plain_mode"),
+        F.col("data").alias("plain_px"))
+    return (var.join(plain, "scene")
+            .groupBy("variant")
+            .agg(F.count("*").alias("n_scenes"),
+                 F.sum(F.when((F.col("var_mode") == F.col("plain_mode"))
+                              & (F.col("var_mode") != "stub"), 1)
+                       .otherwise(0)).alias("n_real_mode_match"),
+                 F.sum(F.when(F.col("var_px") == F.col("plain_px"), 1)
+                       .otherwise(0)).alias("n_pixel_match"))
+            .orderBy("variant"))
+
+
 def _q_multimodal_jpeg_progressive(spark, sf):
     """Progressive (SOF2) JPEG decodes REAL pixels (round 5:
     extractors/jpeg_codec.py grew the full T.81 Annex G path —
@@ -3394,7 +3466,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top 50 below; every entry past position 50 holds a green
         # r02-r04 verdict (see ORDERING INVARIANT at the cut).
         "quality_classifier": _q_quality_classifier,  # r5: one-scan epochs
-        "topk_terms_sketch": _q_topk_terms_sketch,       # new round 4
         "snapshot_take_down": _q_snapshot_take_down,     # new round 4
         "stream_dedup_ingest": _q_stream_dedup_ingest,   # new round 4
         "dedup_clusters_star": _q_dedup_clusters_star,   # new round 4
@@ -3437,6 +3508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_media_meta": _q_multimodal_media_meta,
         "multimodal_resize": _q_multimodal_resize,
         "multimodal_png_depths": _q_multimodal_png_depths,  # r5
+        "multimodal_codec_variants": _q_multimodal_codec_variants,  # r5
         "multimodal_gif_decode": _q_multimodal_gif_decode,  # new round 5
         "multimodal_jpeg_decode": _q_multimodal_jpeg_decode,  # new round 5
         "multimodal_jpeg_progressive": _q_multimodal_jpeg_progressive,  # r5
@@ -3449,16 +3521,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ^ position 50 (multimodal_frame_sample — r5-touched: the
         # mode column gained mjpg provenance, so it stays inside the
         # window for a fresh verdict).  The r04 cut landed at
-        # dedup_paragraphs; the ten round-5 insertions/rotations
-        # (multimodal_png_depths, multimodal_gif_decode,
-        # multimodal_jpeg_decode, multimodal_jpeg_progressive,
-        # multimodal_ico_decode, multimodal_webp_decode,
-        # image_dhash_neardup, audio_spectral_hash, video_mjpeg_demux,
-        # quality_classifier) displace token_budget_select,
-        # text_winnow_fps, dedup_paragraphs, interval_join_errors,
-        # tfidf_cosine_pairs, sketch_distinct, asof_join_attribution,
-        # text_ngram_novelty, cluster_safe_split, and
-        # lm_quality_scalable (all r04-or-earlier green, untouched in
+        # dedup_paragraphs; the eleven round-5 insertions/rotations
+        # (multimodal_png_depths, multimodal_codec_variants,
+        # multimodal_gif_decode, multimodal_jpeg_decode,
+        # multimodal_jpeg_progressive, multimodal_ico_decode,
+        # multimodal_webp_decode, image_dhash_neardup,
+        # audio_spectral_hash, video_mjpeg_demux, quality_classifier)
+        # displace token_budget_select, text_winnow_fps,
+        # dedup_paragraphs, interval_join_errors, tfidf_cosine_pairs,
+        # sketch_distinct, asof_join_attribution, text_ngram_novelty,
+        # cluster_safe_split, lm_quality_scalable, and
+        # topk_terms_sketch (all r04-or-earlier green, untouched in
         # round 5) past the cut.
         "sketch_distinct": _q_sketch_distinct,
         "text_winnow_fps": _q_text_winnow_fps,
@@ -3472,6 +3545,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_ngram_novelty": _q_text_ngram_novelty,  # green r04, unchanged
         "cluster_safe_split": _q_cluster_safe_split,  # green r04, unchanged
         "lm_quality_scalable": _q_lm_quality_scalable,  # green r04, unchanged
+        "topk_terms_sketch": _q_topk_terms_sketch,  # green r04, unchanged
         "asof_join_attribution": _q_asof_join_attribution,
         "interval_join_errors": _q_interval_join_errors,
         "tfidf_cosine_pairs": _q_tfidf_cosine_pairs,

@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     # Adam7/16-bit/sub-byte PNG variants vs plain-8-bit parity
     "multimodal_jpeg_progressive",
     "multimodal_png_depths",
+    "multimodal_codec_variants",
     # round-5c: ICO (favicon) container walk vs PNG pixel parity
     "multimodal_ico_decode",
     "multimodal_webp_decode",

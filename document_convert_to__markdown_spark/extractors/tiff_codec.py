@@ -1,26 +1,33 @@
-"""From-scratch baseline-TIFF decode/encode — stdlib ``struct`` + numpy.
+"""From-scratch TIFF decode/encode — stdlib ``struct``/``zlib`` + numpy.
 
-Sixth member of the codec family: TIFF 6.0 "baseline" images with
-``Compression=1`` (none) are IFD bookkeeping plus raw strip bytes — no
-entropy coder — so the dominant uncompressed-archive image format
-joins PNG/GIF/BMP on the real-pixel path.  LZW/JPEG/deflate TIFFs
-raise ``UnsupportedTiff`` and take the labeled stub, like every other
+Sixth member of the codec family: TIFF 6.0 images at the compressions
+real archives carry — ``Compression=1`` (none), ``5`` (LZW, TIFF
+§13: MSB-first variable-width 9→12-bit codes with the TIFF
+"early change" width bump, Clear/EOI), ``8``/``32946`` (zlib
+deflate), and ``32773`` (PackBits byte RLE, §9) — optionally behind
+``Predictor=2`` horizontal differencing (§14, undone per row per
+sample channel).  JPEG-in-TIFF and other exotic compressions raise
+``UnsupportedTiff`` and take the labeled stub, like every other
 out-of-subset payload.
 
 - ``decode_tiff``: II/MM byte orders, first IFD, 8-bit grayscale
   (Photometric 0/1, including the 0=WhiteIsZero inversion) and 8-bit
   RGB/RGBA (ExtraSamples alpha kept), multi-strip assembly via
-  StripOffsets/StripByteCounts/RowsPerStrip.  Planar, tiled, palette,
-  and non-8-bit depths are refused explicitly.  Malformed input
-  raises ``ValueError`` and nothing else (the multimodal kernels'
-  stub fallback catches ValueError only).
+  StripOffsets/StripByteCounts/RowsPerStrip with per-strip
+  decompression.  Planar, tiled, palette, and non-8-bit depths are
+  refused explicitly.  Malformed input raises ``ValueError`` and
+  nothing else (the multimodal kernels' stub fallback catches
+  ValueError only).
 - ``encode_tiff``: ``(h, w)`` gray or ``(h, w, 3)`` RGB array →
-  single-strip little-endian baseline TIFF (the test twin).
+  single-strip little-endian TIFF at any supported compression, with
+  optional predictor — the test twin, so every decoder path
+  roundtrips without an external TIFF to import.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -62,6 +69,160 @@ def _read_ifd(payload: bytes, order: str) -> dict[int, list[int]]:
     return tags
 
 
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, 9→12-bit codes, the
+    TIFF *early change* convention (width bumps when the next code to
+    assign is 2^w - 1 — one code earlier than GIF's LZW)."""
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos = 0
+    width = 9
+    table: list[bytes] | None = None
+    prev: bytes | None = None
+    while bitpos + width <= nbits:
+        byte0 = bitpos >> 3
+        chunk = int.from_bytes(data[byte0:byte0 + 4].ljust(4, b"\0"),
+                               "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if table is None:
+            raise ValueError("TIFF LZW stream must start with Clear")
+        if prev is None:
+            if code > 255:
+                raise ValueError("bad first TIFF LZW code")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):                # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("TIFF LZW code out of range")
+        out += entry
+        if len(out) > max_out:
+            raise ValueError("TIFF LZW output exceeds declared size")
+        prev = entry
+        if len(table) == (1 << width) - 1 and width < 12:
+            width += 1                          # early change
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """The §13 encoder twin (early-change width bumps, Clear on a
+    full table) so the decoder roundtrips on arbitrary strips."""
+    out = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+        acc &= (1 << nacc) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # the decoder's table lags this one by a single entry (its
+        # first post-Clear code adds nothing), so its slot-(2^w - 1)
+        # early-change bump lines up with next_code == 2^w here
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4094:                 # table full: restart
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, max_out: int) -> bytes:
+    """TIFF §9 PackBits byte RLE."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < max_out:
+        c = data[i]
+        i += 1
+        if c < 128:                             # literal run of c+1
+            if i + c + 1 > n:
+                raise ValueError("truncated PackBits literal run")
+            out += data[i:i + c + 1]
+            i += c + 1
+        elif c > 128:                           # repeat next byte 257-c
+            if i >= n:
+                raise ValueError("truncated PackBits repeat run")
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: noop
+    if len(out) > max_out:
+        raise ValueError("PackBits output exceeds declared size")
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """§9 encoder twin: repeat runs >= 3 bytes, literals otherwise."""
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and data[i + run] == data[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, data[i]])
+            i += run
+            continue
+        lit = i
+        while i < n and i - lit < 128:
+            nxt = 1
+            while i + nxt < n and nxt < 3 and data[i + nxt] == data[i]:
+                nxt += 1
+            if nxt >= 3:
+                break
+            i += 1
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
+
+
+def _inflate_capped(data: bytes, max_out: int) -> bytes:
+    d = zlib.decompressobj()
+    raw = d.decompress(data, max_out)
+    while len(raw) < max_out and d.unconsumed_tail:
+        raw += d.decompress(d.unconsumed_tail, max_out - len(raw))
+    return raw
+
+
 def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
     """TIFF bytes → ``((h, w) gray | (h, w, 3|4) RGB(A) uint8, mode)``."""
     if len(payload) < 8 or payload[:4] not in TIFF_SIGS:
@@ -82,8 +243,11 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
     if width <= 0 or height <= 0 or width * height > 1 << 28:
         raise ValueError("bad TIFF dimensions")
     comp = one(259, 1)
-    if comp != 1:
-        raise UnsupportedTiff(f"TIFF compression {comp} not baseline-none")
+    if comp not in (1, 5, 8, 32946, 32773):
+        raise UnsupportedTiff(f"TIFF compression {comp} unsupported")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise UnsupportedTiff(f"TIFF predictor {predictor} unsupported")
     photometric = one(262, 1)
     spp = one(277, 1)
     if one(284, 1) != 1:
@@ -109,30 +273,60 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
     if not offsets or not counts or len(offsets) != len(counts):
         raise ValueError("TIFF missing strip offsets/counts")
     rows_per_strip = one(278, height)
+    if rows_per_strip <= 0:
+        raise ValueError("bad TIFF RowsPerStrip")
     need = width * height * spp
     parts = []
     got = 0
-    for off, cnt in zip(offsets, counts):
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
         if off + cnt > len(payload):
             raise ValueError("TIFF strip beyond file")
-        take = min(cnt, need - got)
-        parts.append(payload[off:off + take])
+        strip_rows = min(rows_per_strip, height - s * rows_per_strip)
+        if strip_rows <= 0:
+            break
+        strip_need = strip_rows * width * spp
+        chunk = payload[off:off + cnt]
+        if comp == 1:
+            dec = chunk[:strip_need]
+        elif comp == 5:
+            dec = _lzw_decode(chunk, strip_need)
+        elif comp == 32773:
+            dec = _packbits_decode(chunk, strip_need)
+        else:                                   # 8 / 32946: deflate
+            try:
+                dec = _inflate_capped(chunk, strip_need)
+            except zlib.error as exc:
+                raise ValueError(
+                    f"corrupt TIFF deflate strip: {exc}") from None
+        take = min(len(dec), need - got)
+        parts.append(dec[:take])
         got += take
         if got >= need:
             break
     if got < need:
         raise ValueError("TIFF strip data short for declared size")
-    if rows_per_strip <= 0:
-        raise ValueError("bad TIFF RowsPerStrip")
     raw = np.frombuffer(b"".join(parts), dtype=np.uint8)
     px = raw.reshape(height, width, spp)
+    if predictor == 2:
+        # §14 horizontal differencing: undo via cumulative sum per
+        # row per sample channel, mod 256
+        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
     if photometric == 0:                        # WhiteIsZero: invert
         px = 255 - px
     return (px[:, :, 0] if spp == 1 else px).copy(), mode
 
 
-def encode_tiff(pixels: np.ndarray) -> bytes:
-    """``(h, w)`` gray or ``(h, w, 3)`` RGB → baseline TIFF bytes."""
+_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+
+
+def encode_tiff(pixels: np.ndarray, compression: str = "none",
+                predictor: bool = False) -> bytes:
+    """``(h, w)`` gray or ``(h, w, 3)`` RGB → single-strip TIFF bytes.
+
+    ``compression``: none | lzw | deflate | packbits.  ``predictor``
+    applies §14 horizontal differencing before compression (valid for
+    lzw/deflate per the spec; refused otherwise).
+    """
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
         spp, photometric = 1, 1
@@ -141,18 +335,38 @@ def encode_tiff(pixels: np.ndarray) -> bytes:
     else:
         raise ValueError(f"need (h, w) gray or (h, w, 3) RGB, "
                          f"got {arr.shape}")
+    if compression not in _COMP_CODES:
+        raise ValueError(f"compression {compression!r} unsupported")
+    if predictor and compression not in ("lzw", "deflate"):
+        raise ValueError("predictor requires lzw or deflate")
     h, w = arr.shape[0], arr.shape[1]
     if h == 0 or w == 0:
         raise ValueError("need non-empty pixel array")
-    data = arr.tobytes()
+    samp = arr.reshape(h, w, spp)
+    if predictor:
+        # forward differencing per row per channel (mod 256)
+        d = samp.astype(np.int16)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        samp = (d & 0xFF).astype(np.uint8)
+    raw = samp.tobytes()
+    if compression == "none":
+        data = raw
+    elif compression == "lzw":
+        data = _lzw_encode(raw)
+    elif compression == "packbits":
+        data = _packbits_encode(raw)
+    else:
+        data = zlib.compress(raw)
 
     entries = [
         (256, 3, 1, w), (257, 3, 1, h),
         # BitsPerSample: inline for gray; offset for RGB (3 shorts)
-        (259, 3, 1, 1), (262, 3, 1, photometric),
+        (259, 3, 1, _COMP_CODES[compression]), (262, 3, 1, photometric),
         (277, 3, 1, spp), (278, 3, 1, h),
         (279, 4, 1, len(data)),
     ]
+    if predictor:
+        entries.append((317, 3, 1, 2))
     header = 8
     ifd_off = header
     n = len(entries) + 2                        # + BitsPerSample + 273

@@ -13,11 +13,15 @@ Decode status by format (round 5 — VERDICT r4 item 4):
   (interlace, local color tables, GCE transparency; animated GIFs
   decode their first frame).
 - **BMP: REAL pixels.**  ``extractors/bmp_codec.py`` decodes
-  uncompressed 8/24/32-bit DIBs (palette, bottom-up/top-down, row
-  padding) — the same bitmap layout as AVI raw-video frames.
-- **TIFF (baseline uncompressed): REAL pixels.**
-  ``extractors/tiff_codec.py`` walks II/MM IFDs and assembles 8-bit
-  gray/RGB/RGBA strips; LZW/JPEG/deflate TIFFs refuse to the stub.
+  uncompressed 1/4/8/24/32-bit DIBs (palette, bottom-up/top-down,
+  row padding) and BI_RLE8/BI_RLE4 run-length streams (absolute/
+  delta/EOL/EOB escapes) — the same bitmap layout as AVI raw-video
+  frames.
+- **TIFF: REAL pixels.**  ``extractors/tiff_codec.py`` walks II/MM
+  IFDs and assembles 8-bit gray/RGB/RGBA strips at the archive
+  compressions — none, LZW (§13 early-change variable-width codes),
+  deflate, PackBits — with §14 horizontal-differencing predictor
+  support; JPEG-in-TIFF refuses to the stub.
 - **WAV: REAL samples.**  PCM 8/16-bit mono/stereo decode via the
   RIFF walk in ``extractors/wav_codec.py`` feeds
   ``audio_spectral_hash`` actual audio.
@@ -167,7 +171,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB: deterministic fake decode for formats outside the
     from-scratch codecs (lossy-DCT WebP, arithmetic/CMYK JPEG,
-    LZW/deflate TIFF...).
+    JPEG-in-TIFF...).
 
     Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
     this returns a seeded pseudo-pixel array derived from the bytes so
@@ -183,8 +187,8 @@ def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     PNG, GIF, BMP, TIFF, baseline AND progressive JPEG, lossless WebP,
     and ICO (favicons — PNG or double-height-DIB entries) decode for
     real (the from-scratch ``*_codec`` modules); anything else — or a
-    file outside the implemented subset (truncated LZW, RLE BMP,
-    arithmetic-coded JPEG, lossy-DCT WebP, LZW/deflate TIFF) — falls back
+    file outside the implemented subset (truncated LZW, BI_BITFIELDS
+    BMP, arithmetic-coded JPEG, lossy-DCT WebP, JPEG-in-TIFF) — falls back
     to the deterministic stub
     with ``mode="stub"`` so callers and audits can tell real pixels
     from fakes.  Never raises on garbage: the pipeline contract is one

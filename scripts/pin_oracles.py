@@ -74,6 +74,9 @@ PINNABLE = [
     # round-5: Adam7/16-bit/sub-byte PNG variants vs plain-8-bit
     # parity — the pass lattice / bit unpack isn't SQL.
     "multimodal_png_depths",
+    # round-5: compressed-TIFF (LZW/deflate/PackBits/predictor) and
+    # RLE-BMP variants vs plain parity — entropy decode isn't SQL.
+    "multimodal_codec_variants",
     # round-5: MJPEG AVI demux (incl. DHT-less) vs the DIB reference —
     # per-frame entropy decode isn't SQL.
     "video_mjpeg_demux",

@@ -90,10 +90,14 @@ def test_tiff_refusals_valueerror_only():
     for cut in range(len(full)):
         with pytest.raises(ValueError):
             decode_tiff(full[:cut])
-    lzw = bytearray(full)
+    lzw = bytearray(full)                       # raw strip relabeled LZW:
     lzw[tags[259] + 8:tags[259] + 10] = (5).to_bytes(2, "little")
-    with pytest.raises(UnsupportedTiff):
+    with pytest.raises(ValueError):             # no Clear code -> invalid
         decode_tiff(bytes(lzw))
+    jpg = bytearray(full)                       # old-JPEG-in-TIFF
+    jpg[tags[259] + 8:tags[259] + 10] = (6).to_bytes(2, "little")
+    with pytest.raises(UnsupportedTiff):
+        decode_tiff(bytes(jpg))
     pal = bytearray(full)                       # palette photometric
     pal[tags[262] + 8:tags[262] + 10] = (3).to_bytes(2, "little")
     with pytest.raises(UnsupportedTiff):
@@ -137,3 +141,104 @@ def test_media_resize_real_tiff_equals_png(spark):
                                              blob_col="data").collect()}
     assert got["t"]["mode"] == "RGB" == got["p"]["mode"]
     assert bytes(got["t"]["data"]) == bytes(got["p"]["data"])
+
+
+# --- LZW / deflate / PackBits / predictor (round 5) --------------------------
+
+from document_convert_to__markdown_spark.extractors.tiff_codec import (  # noqa: E402
+    _lzw_decode, _lzw_encode, _packbits_decode, _packbits_encode,
+)
+
+
+def test_lzw_stream_roundtrips_across_width_bumps():
+    """Width 9->10->11->12 growth plus the table-full Clear restart —
+    the decoder's slot-(2^w - 1) early change against the encoder's
+    next_code == 2^w bump (the classic off-by-one trap)."""
+    rng = np.random.RandomState(11)
+    cases = [
+        rng.randint(0, 256, 5000).astype(np.uint8).tobytes(),  # width growth
+        rng.randint(0, 256, 60000).astype(np.uint8).tobytes(),  # full table
+        b"abcab" * 20000,                                       # long repeats
+        bytes(4000),
+        b"",
+    ]
+    for data in cases:
+        assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+
+def test_lzw_hostile_streams_raise_valueerror():
+    with pytest.raises(ValueError):
+        _lzw_decode(b"\x00\x00\x00\x00", 100)       # no leading Clear
+    # Clear then an out-of-range code (511 with an empty table)
+    import struct as _s
+    bits = (256 << 23) | (511 << 14)                # 9-bit codes, MSB-first
+    with pytest.raises(ValueError):
+        _lzw_decode(_s.pack(">I", bits), 100)
+    # declared-size cap enforced
+    data = b"x" * 500
+    enc = _lzw_encode(data)
+    with pytest.raises(ValueError):
+        _lzw_decode(enc, 10)
+
+
+def test_packbits_known_vector():
+    """The spec's worked example (TIFF 6.0 §9)."""
+    enc = bytes([0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA,
+                 0x03, 0x80, 0x00, 0x2A, 0x22, 0xF7, 0xAA])
+    dec = (b"\xAA\xAA\xAA\x80\x00\x2A\xAA\xAA\xAA\xAA\x80\x00"
+           b"\x2A\x22\xAA\xAA\xAA\xAA\xAA\xAA\xAA\xAA\xAA\xAA")
+    assert _packbits_decode(enc, len(dec)) == dec
+    assert _packbits_decode(_packbits_encode(dec), len(dec)) == dec
+    with pytest.raises(ValueError):
+        _packbits_decode(bytes([5, 1, 2]), 100)     # truncated literal
+
+
+def test_tiff_compressed_roundtrips_match_uncompressed():
+    rng = np.random.RandomState(12)
+    for shape in ((9, 13), (8, 8, 3), (40, 60, 3)):
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        base, mode = decode_tiff(encode_tiff(img))
+        for comp in ("lzw", "deflate", "packbits"):
+            got, m = decode_tiff(encode_tiff(img, compression=comp))
+            assert m == mode and np.array_equal(got, base), (shape, comp)
+        for comp in ("lzw", "deflate"):
+            got, m = decode_tiff(encode_tiff(img, compression=comp,
+                                             predictor=True))
+            assert m == mode and np.array_equal(got, base), (shape, comp)
+
+
+def test_tiff_multistrip_lzw_with_predictor():
+    """Strips decompress independently; the predictor undoes per row."""
+    import struct as _s
+    rng = np.random.RandomState(13)
+    img = rng.randint(0, 256, (6, 7, 3)).astype(np.uint8)
+    # build a 2-strip LZW+predictor TIFF by hand (3 rows per strip)
+    d = img.astype(np.int16)
+    d[:, 1:] = d[:, 1:] - d[:, :-1]
+    diffed = (d & 0xFF).astype(np.uint8)
+    strips = [_lzw_encode(diffed[:3].tobytes()),
+              _lzw_encode(diffed[3:].tobytes())]
+    entries = [
+        (256, 3, 1, 7), (257, 3, 1, 6), (259, 3, 1, 5),
+        (262, 3, 1, 2), (277, 3, 1, 3), (278, 3, 1, 3), (317, 3, 1, 2),
+    ]
+    n = len(entries) + 3           # + bits + offsets + counts
+    ifd_size = 2 + 12 * n + 4
+    extra = 8 + ifd_size
+    bps_off, off_off, cnt_off = extra, extra + 6, extra + 14
+    data_off = cnt_off + 8
+    entries += [(258, 3, 3, bps_off), (273, 4, 2, off_off),
+                (279, 4, 2, cnt_off)]
+    entries.sort()
+    out = bytearray(b"II*\x00" + _s.pack("<I", 8) + _s.pack("<H", n))
+    for tag, vtype, count, val in entries:
+        out += _s.pack("<HHI", tag, vtype, count)
+        out += _s.pack("<I", val) if vtype == 4 or count > 2 \
+            else _s.pack("<HH", val, 0)
+    out += _s.pack("<I", 0)
+    out += _s.pack("<HHH", 8, 8, 8)
+    out += _s.pack("<II", data_off, data_off + len(strips[0]))
+    out += _s.pack("<II", len(strips[0]), len(strips[1]))
+    out += strips[0] + strips[1]
+    got, mode = decode_tiff(bytes(out))
+    assert mode == "RGB" and np.array_equal(got, img)
