@@ -342,9 +342,8 @@ def image_dhash(df: DataFrame, url_col: str = "url",
     re-encoding, and locally sensitive — small edits flip few bits, so
     near-duplicates sit at small Hamming distance.
 
-    PNG/GIF/BMP/TIFF/baseline-JPEG/lossless-WebP payloads hash REAL
-    decoded pixels
-    (the from-scratch codecs); other formats
+    PNG/GIF/BMP/TIFF/JPEG/lossless-WebP payloads hash REAL decoded
+    pixels (the from-scratch codecs); other formats
     hash the deterministic stub grid (``mode`` records which).  One
     Arrow-batched ``mapInPandas`` pass, no shuffle; the hash is a
     signed BIGINT so it shuffles/joins JVM-side downstream.

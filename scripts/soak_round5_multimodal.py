@@ -6,14 +6,17 @@ the Arrow kernels, the banded Hamming self-join, and closed-form
 output checks:
 
 - images: ``n_scenes`` distinct seeded 8×9 grayscale grids, each
-  rendered twice (base PNG; +10 brightness — dHash-invariant — as a
-  PNG, or for every 4th scene as a lossless WebP cycling the VP8L
-  encoder transforms, so the from-scratch webp_codec decode also runs
-  at 10^4-10^5 volume).  Pairs found must be EXACTLY n_scenes, all at
-  Hamming 0: every within-scene pair recalled, and random 64-bit
-  codes put the expected cross-scene collision count at
-  ~C(n,2)·4.4e4/2^64 (≪ 1 even at 10^6 rows), so any extra pair is a
-  real defect (a cross-codec PNG↔WebP hash mismatch included).
+  rendered twice (base PNG; +10 brightness — dHash-invariant — cycled
+  by scene across EVERY lossless decode path: plain PNG, Adam7-
+  interlaced PNG, 16-bit PNG, LZW TIFF, deflate+predictor TIFF,
+  PackBits TIFF, RLE8 BMP with an identity gray palette, and VP8L
+  WebP cycling the encoder transforms — so each from-scratch codec
+  decodes at 10^4-10^5 volume inside the Arrow kernel).  Pairs found
+  must be EXACTLY n_scenes, all at Hamming 0: every within-scene pair
+  recalled, and random 64-bit codes put the expected cross-scene
+  collision count at ~C(n,2)·4.4e4/2^64 (≪ 1 even at 10^6 rows), so
+  any extra pair is a real defect (any cross-codec hash mismatch
+  included).
 - audio: ``n_scenes/10`` clips built in the frequency domain (65
   decisive log-band energies), each rendered twice (full gain, 0.45×).
   Same exact-count/zero-distance check through the same banded join.
@@ -67,12 +70,40 @@ def main() -> None:
         import numpy as np
         import pandas as pd
 
+        from document_convert_to__markdown_spark.extractors.bmp_codec \
+            import encode_bmp_rle8
         from document_convert_to__markdown_spark.extractors.png_codec \
             import encode_png
+        from document_convert_to__markdown_spark.extractors.tiff_codec \
+            import encode_tiff
         from document_convert_to__markdown_spark.extractors.webp_codec \
             import encode_webp
 
         transforms = (None, "subtract_green", "predictor", "palette")
+        gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+
+        def rendition(s, img):
+            k = s % 8
+            if k == 0:          # VP8L WebP, transform cycle
+                return encode_webp(img, transform=transforms[(s >> 3) % 4],
+                                   predictor_mode=s % 14)
+            if k == 1:
+                return encode_png(img)
+            if k == 2:
+                return encode_png(img, interlace=True)     # Adam7
+            if k == 3:
+                return encode_png(img, depth=16)
+            if k == 4:
+                return encode_tiff(img, compression="lzw")
+            if k == 5:
+                return encode_tiff(img, compression="deflate",
+                                   predictor=True)
+            if k == 6:
+                return encode_tiff(img, compression="packbits")
+            # k == 7: RLE8 BMP, identity gray palette (equal channels
+            # keep the dHash channel-mean exact)
+            return encode_bmp_rle8(img, gray_pal)
+
         for pdf in batches:
             urls, blobs = [], []
             for s in pdf["id"]:
@@ -82,12 +113,7 @@ def main() -> None:
                 urls.append(f"s{s:07d}/a")
                 blobs.append(encode_png(base))
                 urls.append(f"s{s:07d}/b")
-                if s % 4 == 0:      # every 4th scene: PNG↔WebP pair
-                    blobs.append(encode_webp(
-                        base + 10, transform=transforms[(s >> 2) % 4],
-                        predictor_mode=s % 14))
-                else:
-                    blobs.append(encode_png(base + 10))
+                blobs.append(rendition(s, base + 10))
             yield pd.DataFrame({"url": urls, "data": blobs})
 
     imgs = spark.range(n_scenes).repartition(64) \
@@ -98,7 +124,7 @@ def main() -> None:
     n_imgs = hashes.count()
     t_hash = time.time() - t0
     results["n_images"] = n_imgs
-    results["n_webp_renditions"] = (n_scenes + 3) // 4
+    results["renditions_per_codec_path"] = n_scenes // 8
     results["img_hash_sec"] = round(t_hash, 1)
     results["img_hash_docs_per_sec"] = round(n_imgs / t_hash)
 
