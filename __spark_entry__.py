@@ -1803,14 +1803,22 @@ def _q_audio_fingerprint(spark, sf):
 def _q_multimodal_frame_sample(spark, sf):
     """Frame sampling: REAL demux for uncompressed-DIB AVI (round 5,
     extractors/avi_codec.py — RIFF walk, bottom-up stride/padding
-    reversal, BGR→RGB), labeled stub chunks otherwise.  Fixture: 100
-    synthetic page blobs (stub branch) + 30 deterministic 12-frame
-    AVIs (real branch); per-mode counts plus a crc32 checksum over the
-    emitted RGB frame buffers pins the demux itself — a wrong row
-    order, stride, or channel swap changes some frame's bytes.  Not
-    SQL (binary demux) — pinned oracle."""
+    reversal, BGR→RGB) and fully-composited animated GIF frames
+    (round 5: gif_codec.decode_gif_frames — per-frame transparency
+    shows the previous canvas through, disposal 2 restores the frame
+    rect to background, disposal 3 restores the prior canvas), labeled
+    stub chunks otherwise.  Fixture: 100 synthetic page blobs (stub
+    branch) + 30 deterministic 12-frame AVIs + 20 deterministic
+    10-frame animated GIFs cycling disposal 1/2/3 with transparent
+    sub-rect patches; per-mode counts plus a crc32 checksum over the
+    emitted RGB frame buffers pins the demux AND the compositor — a
+    wrong row order, stride, channel swap, or disposal restore changes
+    some frame's bytes.  Not SQL (binary demux) — pinned oracle."""
     from document_convert_to__markdown_spark.extractors.avi_codec import (
         encode_avi,
+    )
+    from document_convert_to__markdown_spark.extractors.gif_codec import (
+        encode_gif_animation,
     )
     from document_convert_to__markdown_spark.operators.multimodal import (
         video_frame_sample,
@@ -1826,6 +1834,19 @@ def _q_multimodal_frame_sample(spark, sf):
             .astype(np.uint8)
         avi_rows.append((f"https://vid.example/{v}.avi",
                          bytearray(encode_avi(frames, fps=10.0))))
+    for v in range(20):
+        rng = np.random.RandomState(1400 + v)
+        pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+        h, w = 6 + v % 3, 7 + v % 4
+        anim = [(rng.randint(0, 7, (h, w)).astype(np.uint8), 0, 0, 1,
+                 None)]
+        for f in range(9):
+            ph, pw = 2 + (v + f) % 3, 2 + (v + f) % 4
+            patch = rng.randint(0, 8, (ph, pw)).astype(np.uint8)
+            anim.append((patch, (v + f) % (w - pw + 1),
+                         f % (h - ph + 1), 1 + (v + f) % 3, 7))
+        avi_rows.append((f"https://vid.example/{v}.gif",
+                         bytearray(encode_gif_animation(anim, pal))))
     avis = spark.createDataFrame(avi_rows, "url string, html binary")
     pages = synth_pages_df(spark, 100, giant_every=0) \
         .select("url", "html").unionByName(avis)

@@ -199,14 +199,14 @@ def _read_subblocks(payload: bytes, pos: int) -> tuple[bytes, int]:
         pos += size
 
 
-def decode_gif(payload: bytes) -> tuple[np.ndarray, str]:
-    """GIF bytes → ``(pixels, mode)``, first frame.
-
-    ``pixels`` is ``(h, w, 3)`` uint8 RGB, or ``(h, w, 4)`` RGBA when
-    the frame's graphic-control extension declares a transparent index
-    (mode ``"RGB"`` / ``"RGBA"``).  ``h × w`` is the logical screen;
-    a smaller first frame sits at its offset over the background color.
-    """
+def _parse_gif(payload: bytes, max_frames: int):
+    """Header + frame walk shared by the first-frame and animation
+    decoders.  Returns ``(width, height, gct, bg_idx, frames)`` where
+    each frame is ``(left, top, grid, table, transparent, disposal)``
+    with ``grid`` the deinterlaced index array.  The logical-screen
+    canvas allocation is capped BEFORE any frame decode: a 40-byte
+    header can otherwise declare a 65535×65535 screen around a 1×1
+    frame and demand a ~13 GB canvas."""
     if payload[:6] not in GIF_SIGS:
         raise ValueError("not a GIF (bad signature)")
     if len(payload) < 13:
@@ -215,6 +215,8 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, str]:
         "<HHBBB", payload[6:13])
     if width == 0 or height == 0:
         raise ValueError("zero-dimension GIF")
+    if width * height * 3 > 1 << 28:
+        raise ValueError("GIF logical screen beyond 256MiB cap")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -226,9 +228,11 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, str]:
         gct = gct.reshape(-1, 3)
         pos += 3 * n_colors
 
+    frames = []
     transparent = -1
+    disposal = 0
     n = len(payload)
-    while pos < n:
+    while pos < n and len(frames) < max_frames:
         block = payload[pos]
         pos += 1
         if block == 0x3B:                       # trailer
@@ -239,13 +243,13 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, str]:
             label = payload[pos]
             pos += 1
             data, pos = _read_subblocks(payload, pos)
-            if label == 0xF9 and len(data) >= 4 and data[0] & 0x01:
-                transparent = data[3]
+            if label == 0xF9 and len(data) >= 4:
+                disposal = (data[0] >> 2) & 0x07
+                transparent = data[3] if data[0] & 0x01 else -1
             continue
         if block != 0x2C:
             raise ValueError(f"bad GIF block 0x{block:02x}")
 
-        # image descriptor — decode this (first) frame and return
         if pos + 9 > n:
             raise ValueError("truncated GIF image descriptor")
         left, top, fw, fh, fpacked = struct.unpack(
@@ -279,26 +283,124 @@ def decode_gif(payload: bytes) -> tuple[np.ndarray, str]:
             grid = _deinterlace(grid)
         if int(grid.max()) >= len(table):
             raise ValueError("GIF index beyond color table")
+        frames.append((left, top, grid, table, transparent, disposal))
+        transparent = -1                        # GCE scopes one image
+        disposal = 0
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return width, height, gct, bg_idx, frames
 
-        alpha_frame = None
+
+def _gif_background(gct, bg_idx) -> np.ndarray:
+    # background color resolves against the GLOBAL table (spec §18:
+    # the LSD's background index refers to the GCT), never a frame's
+    # local table
+    return gct[bg_idx] if gct is not None and bg_idx < len(gct) \
+        else np.zeros(3, dtype=np.uint8)
+
+
+def decode_gif(payload: bytes) -> tuple[np.ndarray, str]:
+    """GIF bytes → ``(pixels, mode)``, first frame.
+
+    ``pixels`` is ``(h, w, 3)`` uint8 RGB, or ``(h, w, 4)`` RGBA when
+    the frame's graphic-control extension declares a transparent index
+    (mode ``"RGB"`` / ``"RGBA"``).  ``h × w`` is the logical screen;
+    a smaller first frame sits at its offset over the background color.
+    """
+    width, height, gct, bg_idx, frames = _parse_gif(payload, 1)
+    left, top, grid, table, transparent, _disposal = frames[0]
+    fh, fw = grid.shape
+
+    alpha_frame = None
+    if transparent >= 0:
+        alpha_frame = np.where(grid == transparent, 0, 255)
+    rgb_frame = table[grid]
+
+    canvas = np.broadcast_to(
+        _gif_background(gct, bg_idx), (height, width, 3)).copy()
+    canvas[top:top + fh, left:left + fw] = rgb_frame
+    if alpha_frame is None:
+        return canvas, "RGB"
+    alpha = np.zeros((height, width, 1), dtype=np.uint8)
+    alpha[top:top + fh, left:left + fw, 0] = alpha_frame
+    return np.concatenate([canvas, alpha], axis=2), "RGBA"
+
+
+def decode_gif_frames(payload: bytes,
+                      max_frames: int = 256) -> list[np.ndarray]:
+    """Animated GIF → list of fully-composited ``(h, w, 3)`` RGB
+    canvases, one per frame, honoring per-frame graphic control:
+    transparent pixels show the previous canvas content through,
+    disposal 2 restores the frame rectangle to the background color,
+    disposal 3 restores the pre-frame canvas (spec 89a §23).  Frame 1
+    of the composite matches :func:`decode_gif`'s RGB channels by
+    construction; at most ``max_frames`` frames decode."""
+    width, height, gct, bg_idx, frames = _parse_gif(payload, max_frames)
+    bg = _gif_background(gct, bg_idx)
+    canvas = np.broadcast_to(bg, (height, width, 3)).copy()
+    out = []
+    for left, top, grid, table, transparent, disposal in frames:
+        fh, fw = grid.shape
+        saved = canvas.copy() if disposal == 3 else None
+        rect = canvas[top:top + fh, left:left + fw]
+        rgb = table[grid]
         if transparent >= 0:
-            alpha_frame = np.where(grid == transparent, 0, 255)
-        rgb_frame = table[grid]
+            keep = (grid == transparent)[:, :, None]
+            rgb = np.where(keep, rect, rgb)
+        canvas[top:top + fh, left:left + fw] = rgb
+        out.append(canvas.copy())
+        if disposal == 2:
+            canvas[top:top + fh, left:left + fw] = bg
+        elif disposal == 3:
+            canvas = saved
+    return out
 
-        # background color resolves against the GLOBAL table (spec
-        # §18: the LSD's background index refers to the GCT), never
-        # the frame's local table
-        bg = gct[bg_idx] if gct is not None and bg_idx < len(gct) \
-            else np.zeros(3, dtype=np.uint8)
-        canvas = np.broadcast_to(
-            bg, (height, width, 3)).copy()
-        canvas[top:top + fh, left:left + fw] = rgb_frame
-        if alpha_frame is None:
-            return canvas, "RGB"
-        alpha = np.zeros((height, width, 1), dtype=np.uint8)
-        alpha[top:top + fh, left:left + fw, 0] = alpha_frame
-        return np.concatenate([canvas, alpha], axis=2), "RGBA"
-    raise ValueError("GIF contains no image data")
+
+def encode_gif_animation(frames, palette: np.ndarray) -> bytes:
+    """Multi-frame GIF89a (the animation-decoder test twin).
+
+    ``frames`` is a list of ``(indices, left, top, disposal,
+    transparent)`` tuples — ``indices`` ``(fh, fw)`` uint8 into the
+    shared global ``palette`` ``(n, 3)``; ``disposal`` 0-3;
+    ``transparent`` an index or None.  The logical screen is the
+    bounding box of all frame rectangles.
+    """
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if pal.ndim != 2 or pal.shape[1] != 3 or not 1 <= len(pal) <= 256:
+        raise ValueError("palette must be (1-256, 3)")
+    if not frames:
+        raise ValueError("need at least one frame")
+    w = max(int(left) + f.shape[1] for f, left, _t, _d, _tr in frames)
+    h = max(int(top) + f.shape[0] for f, _l, top, _d, _tr in frames)
+    bits = max(1, (len(pal) - 1).bit_length())
+    table = np.zeros((1 << bits, 3), dtype=np.uint8)
+    table[:len(pal)] = pal
+
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (bits - 1), 0, 0)
+    out += table.tobytes()
+    for idx, left, top, disposal, transparent in frames:
+        idx = np.ascontiguousarray(idx, dtype=np.uint8)
+        if int(idx.max()) >= len(pal):
+            raise ValueError("index beyond palette")
+        flags = (int(disposal) & 0x07) << 2
+        tr = 0
+        if transparent is not None:
+            flags |= 0x01
+            tr = int(transparent)
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, flags, 4, tr, 0)
+        fh, fw = idx.shape
+        out += struct.pack("<BHHHHB", 0x2C, int(left), int(top), fw, fh, 0)
+        min_code = max(2, bits)
+        out.append(min_code)
+        lzw = _lzw_encode(min_code, idx.tobytes())
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i:i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
 
 
 def encode_gif(indices: np.ndarray, palette: np.ndarray,

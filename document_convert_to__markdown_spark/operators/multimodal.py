@@ -295,6 +295,7 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractors.avi_codec import decode_avi, is_avi
+        from ..extractors.gif_codec import GIF_SIGS, decode_gif_frames
 
         for pdf in batches:
             rows = []
@@ -308,6 +309,18 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                                          frames[idx].tobytes()))
                         continue
                     except ValueError:  # UnsupportedAvi subclasses it
+                        pass
+                if payload[:6] in GIF_SIGS:
+                    # animated GIF: fully-composited frames (disposal
+                    # + transparency honored), the web's other
+                    # ubiquitous multi-frame container
+                    try:
+                        frames = decode_gif_frames(payload)
+                        for idx in range(0, len(frames), every_n):
+                            rows.append((url, idx, "gif",
+                                         frames[idx].tobytes()))
+                        continue
+                    except ValueError:
                         pass
                 n_frames = max(1, len(payload) // frame_bytes)
                 for idx in range(0, n_frames, every_n):

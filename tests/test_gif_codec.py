@@ -183,3 +183,96 @@ def test_gif_background_uses_global_table():
     assert mode == "RGB"
     assert (px[0, 0] == gct[0]).all()           # canvas = GLOBAL bg
     assert (px[1, 1] == lct[0]).all() and (px[1, 2] == lct[1]).all()
+
+
+# --- animation compositing (round 5) -----------------------------------------
+
+from document_convert_to__markdown_spark.extractors.gif_codec import (  # noqa: E402
+    decode_gif_frames, encode_gif_animation,
+)
+
+
+def _anim_palette():
+    return np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0],
+                     [0, 0, 200]], np.uint8)
+
+
+def test_gif_animation_disposal_none_transparency_composites():
+    pal = _anim_palette()
+    f1 = np.full((4, 4), 1, np.uint8)
+    f2 = np.full((4, 4), 2, np.uint8)
+    f2[0, :] = 3                                 # transparent index
+    fr = decode_gif_frames(encode_gif_animation(
+        [(f1, 0, 0, 1, None), (f2, 0, 0, 1, 3)], pal))
+    assert len(fr) == 2
+    assert (fr[0] == pal[1]).all()
+    assert (fr[1][1:] == pal[2]).all()
+    assert (fr[1][0] == pal[1]).all()            # shows through frame 1
+
+
+def test_gif_animation_disposal_restore_background_and_previous():
+    pal = _anim_palette()
+    f1 = np.full((4, 4), 1, np.uint8)
+    patch = np.full((2, 2), 2, np.uint8)
+    clear = np.full((4, 4), 3, np.uint8)         # fully transparent
+    # disposal 2: the patch rect restores to background before frame 3
+    fr2 = decode_gif_frames(encode_gif_animation(
+        [(f1, 0, 0, 1, None), (patch, 1, 1, 2, None),
+         (clear, 0, 0, 1, 3)], pal))
+    assert (fr2[1][1:3, 1:3] == pal[2]).all()
+    assert (fr2[2][1:3, 1:3] == pal[0]).all()    # bg restored
+    assert (fr2[2][0] == pal[1]).all()           # rest keeps frame 1
+    # disposal 3: frame 3 sees the pre-patch canvas (== frame 1)
+    fr3 = decode_gif_frames(encode_gif_animation(
+        [(f1, 0, 0, 1, None), (patch, 1, 1, 3, None),
+         (clear, 0, 0, 1, 3)], pal))
+    assert np.array_equal(fr3[2], fr3[0])
+
+
+def test_gif_animation_first_frame_matches_decode_gif():
+    rng = np.random.RandomState(21)
+    pal = rng.randint(0, 256, (8, 3)).astype(np.uint8)
+    idx = rng.randint(0, 8, (7, 9)).astype(np.uint8)
+    enc = encode_gif(idx, pal)
+    first, mode = decode_gif(enc)
+    frames = decode_gif_frames(enc)
+    assert mode == "RGB" and len(frames) == 1
+    assert np.array_equal(frames[0], first)
+
+
+def test_gif_logical_screen_bomb_rejected():
+    """60000x60000 screen around a 1x1 frame must refuse before the
+    ~11 GB canvas allocation (pre-round-5 this hung)."""
+    g = bytearray(encode_gif(np.zeros((1, 1), np.uint8),
+                             np.zeros((2, 3), np.uint8)))
+    g[6:10] = struct.pack("<HH", 60000, 60000)
+    with pytest.raises(ValueError):
+        decode_gif(bytes(g))
+    with pytest.raises(ValueError):
+        decode_gif_frames(bytes(g))
+
+
+def test_gif_max_frames_cap():
+    pal = _anim_palette()
+    f = np.zeros((2, 2), np.uint8)
+    anim = encode_gif_animation([(f, 0, 0, 1, None)] * 20, pal)
+    assert len(decode_gif_frames(anim, max_frames=5)) == 5
+
+
+def test_video_frame_sample_real_gif_frames(spark):
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    pal = _anim_palette()
+    f1 = np.full((3, 5), 1, np.uint8)
+    f2 = np.full((3, 5), 2, np.uint8)
+    anim = encode_gif_animation(
+        [(f1, 0, 0, 1, None), (f2, 0, 0, 1, None)], pal)
+    df = spark.createDataFrame([("g", bytearray(anim))],
+                               "url string, data binary")
+    rows = video_frame_sample(df, every_n=1).collect()
+    assert [r["mode"] for r in rows] == ["gif", "gif"]
+    got1 = np.frombuffer(rows[0]["frame_data"], np.uint8).reshape(3, 5, 3)
+    got2 = np.frombuffer(rows[1]["frame_data"], np.uint8).reshape(3, 5, 3)
+    assert (got1 == pal[1]).all() and (got2 == pal[2]).all()
