@@ -1911,6 +1911,59 @@ def _q_video_mjpeg_demux(spark, sf):
             .orderBy("variant", "mode"))
 
 
+def _q_multimodal_apng_decode(spark, sf):
+    """Animated PNG composites REAL frames (round 5: png_codec.
+    decode_apng_frames — acTL/fcTL/fdAT walk per W3C PNG 3rd ed. §12,
+    each frame a complete PNG datastream re-decoded through the
+    existing filter/interlace machinery, composited onto a shared RGBA
+    canvas with blend_op SOURCE/OVER and dispose_op none/background/
+    previous, incl. the spec's first-frame coercions).  Fixture: 24
+    deterministic 8-frame APNGs spanning the six dispose×blend
+    variants with semi-transparent sub-rect patches, through
+    video_frame_sample; per-variant counts + crc32 sums over the
+    composited RGBA buffers pin the chunk walk AND the compositor — a
+    wrong sequence-number check, OVER alpha math, or dispose restore
+    changes some frame's bytes.  Not SQL (binary compositing) —
+    pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_apng,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    import numpy as np
+
+    rows = []
+    for v in range(24):
+        rng = np.random.RandomState(1500 + v)
+        dispose, blend = v % 3, v % 2
+        variant = ("none", "background", "previous")[dispose] \
+            + "_" + ("source", "over")[blend]
+        h, w = 6 + v % 3, 7 + v % 4
+        base = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+        base[:, :, 3] = 255
+        anim = [(base, 0, 0, dispose, 0)]
+        for f in range(7):
+            ph, pw = 2 + (v + f) % 3, 2 + (v + f) % 4
+            patch = rng.randint(0, 256, (ph, pw, 4)).astype(np.uint8)
+            anim.append((patch, (v + f) % (w - pw + 1),
+                         f % (h - ph + 1), dispose, blend))
+        rows.append((f"https://img.example/{variant}/{v}.png",
+                     bytearray(encode_apng(anim))))
+    df = spark.createDataFrame(rows, "url string, data binary")
+    frames = video_frame_sample(df, every_n=3)
+    return (frames
+            .withColumn("variant", F.regexp_extract(
+                "url", r"example/([a-z_]+)/", 1))
+            .groupBy("variant", "mode")
+            .agg(F.count("*").alias("n_frames"),
+                 F.countDistinct("url").alias("n_anims"),
+                 F.max("frame_idx").alias("max_frame_idx"),
+                 F.sum(F.crc32("frame_data")).alias("frames_crc_sum"))
+            .orderBy("variant", "mode"))
+
+
 def _q_text_top_terms(spark, sf):
     """applyInPandas grouped-map: top-5 terms per language by document
     frequency, oracle-verified against the relational formulation."""
@@ -3487,7 +3540,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # top 50 below; every entry past position 50 holds a green
         # r02-r04 verdict (see ORDERING INVARIANT at the cut).
         "quality_classifier": _q_quality_classifier,  # r5: one-scan epochs
-        "snapshot_take_down": _q_snapshot_take_down,     # new round 4
+        "multimodal_apng_decode": _q_multimodal_apng_decode,  # new round 5
         "stream_dedup_ingest": _q_stream_dedup_ingest,   # new round 4
         "dedup_clusters_star": _q_dedup_clusters_star,   # new round 4
         "snapshot_changelog": _q_snapshot_changelog,     # new round 4
@@ -3542,18 +3595,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ^ position 50 (multimodal_frame_sample — r5-touched: the
         # mode column gained mjpg provenance, so it stays inside the
         # window for a fresh verdict).  The r04 cut landed at
-        # dedup_paragraphs; the eleven round-5 insertions/rotations
+        # dedup_paragraphs; the twelve round-5 insertions/rotations
         # (multimodal_png_depths, multimodal_codec_variants,
         # multimodal_gif_decode, multimodal_jpeg_decode,
         # multimodal_jpeg_progressive, multimodal_ico_decode,
-        # multimodal_webp_decode, image_dhash_neardup,
-        # audio_spectral_hash, video_mjpeg_demux, quality_classifier)
-        # displace token_budget_select, text_winnow_fps,
-        # dedup_paragraphs, interval_join_errors, tfidf_cosine_pairs,
-        # sketch_distinct, asof_join_attribution, text_ngram_novelty,
-        # cluster_safe_split, lm_quality_scalable, and
-        # topk_terms_sketch (all r04-or-earlier green, untouched in
-        # round 5) past the cut.
+        # multimodal_webp_decode, multimodal_apng_decode,
+        # image_dhash_neardup, audio_spectral_hash, video_mjpeg_demux,
+        # quality_classifier) displace token_budget_select,
+        # text_winnow_fps, dedup_paragraphs, interval_join_errors,
+        # tfidf_cosine_pairs, sketch_distinct, asof_join_attribution,
+        # text_ngram_novelty, cluster_safe_split, lm_quality_scalable,
+        # topk_terms_sketch, and snapshot_take_down (all r04-or-
+        # earlier green, untouched in round 5 — snapshot_take_down's
+        # query body and sources/snapshot.py are byte-identical to
+        # their r04-green state) past the cut.
+        "snapshot_take_down": _q_snapshot_take_down,  # green r04, unchanged
         "sketch_distinct": _q_sketch_distinct,
         "text_winnow_fps": _q_text_winnow_fps,
         "token_budget_select": _q_token_budget_select,

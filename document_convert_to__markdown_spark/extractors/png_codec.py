@@ -22,6 +22,16 @@ beyond DEFLATE — so this module implements the subset of ISO/IEC
   so the decoder's pass walk, 16-bit reduction, and bit unpacking are
   all roundtrip-tested without any external PNG to import.
 
+- ``decode_apng_frames`` / ``encode_apng``: the APNG extension
+  (W3C PNG 3rd ed. §12 — ``acTL``/``fcTL``/``fdAT`` chunks), i.e.
+  animated PNG, the successor to animated GIF on the modern web.
+  Each frame region is a complete PNG datastream decoded through
+  ``decode_png``; frames composite onto a shared RGBA canvas honoring
+  ``blend_op`` (SOURCE overwrite / Porter-Duff OVER) and
+  ``dispose_op`` (none / clear-to-transparent / restore-previous),
+  with the spec's first-frame coercions (OVER→SOURCE,
+  PREVIOUS→BACKGROUND).
+
 Anything outside that (illegal depth/type combos, undeclared streams)
 raises ``UnsupportedPNG``/``ValueError`` so callers can fall back to
 their stub path explicitly — never a silent wrong decode.
@@ -304,3 +314,223 @@ def encode_png(pixels: np.ndarray, mode: str | None = None,
                                 1 if interlace else 0))
             + chunk(b"IDAT", zlib.compress(raw))
             + chunk(b"IEND", b""))
+
+
+# ------------------------------------------------------------------ APNG
+# Animated PNG (W3C PNG spec 3rd edition §12; formerly the Mozilla APNG
+# extension).  acTL declares the animation, fcTL carries per-frame
+# geometry + dispose/blend ops, fdAT carries frame pixel data with a
+# 4-byte sequence-number prefix.  Every frame's fdAT payloads together
+# form a complete zlib datastream with the same depth/color type as the
+# IHDR — so each frame decodes through `decode_png` on a reconstructed
+# single-frame datastream, reusing the filter/interlace/palette walk.
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def _to_rgba(px: np.ndarray, mode: str) -> np.ndarray:
+    """decode_png output → (h, w, 4) RGBA uint8."""
+    if mode == "L":
+        g = px[:, :, None]
+        return np.concatenate(
+            [g, g, g, np.full_like(g, 255)], axis=2)
+    if mode == "LA":
+        g = px[:, :, :1]
+        return np.concatenate([g, g, g, px[:, :, 1:]], axis=2)
+    if mode == "RGB":
+        return np.concatenate(
+            [px, np.full(px.shape[:2] + (1,), 255, dtype=np.uint8)],
+            axis=2)
+    return px
+
+
+def decode_apng_frames(payload: bytes,
+                       max_frames: int = 256) -> list[np.ndarray]:
+    """APNG bytes → list of fully-composited ``(h, w, 4)`` RGBA
+    canvases, one per animation frame.
+
+    Compositing follows the spec exactly: ``blend_op`` 0 overwrites the
+    frame rectangle, 1 is Porter-Duff OVER; after the frame renders,
+    ``dispose_op`` 1 clears the rectangle to fully-transparent black
+    and 2 restores the pre-frame canvas.  On the FIRST frame the spec
+    coerces OVER→SOURCE and PREVIOUS→BACKGROUND.  When the ``fcTL``
+    with sequence 0 precedes ``IDAT``, the default image IS frame 0;
+    otherwise the default image is not part of the animation and every
+    frame comes from ``fdAT``.  Raises ``UnsupportedPNG`` for a static
+    PNG (no ``acTL``) and ``ValueError`` for malformed animations
+    (broken sequence numbers, frame rect outside the canvas, acTL
+    frame-count mismatch) — never a silent wrong composite.
+    """
+    if not payload.startswith(PNG_SIG):
+        raise ValueError("not a PNG (bad signature)")
+    ihdr = None
+    plte = None
+    actl = None
+    seqs: list[int] = []
+    frames: list[dict] = []
+    idat_seen = False
+    fdat_seen = False
+    for tag, data in _chunks(payload):
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"PLTE":
+            plte = data
+        elif tag == b"acTL":
+            if idat_seen:
+                raise ValueError("APNG acTL after IDAT")
+            if len(data) < 8:
+                raise ValueError("truncated acTL")
+            actl = struct.unpack(">II", data[:8])
+        elif tag == b"fcTL":
+            if len(data) < 26:
+                raise ValueError("truncated fcTL")
+            (seq, fw, fh, x0, y0, _dn, _dd,
+             dispose, blend) = struct.unpack(">IIIIIHHBB", data[:26])
+            seqs.append(seq)
+            frames.append({"w": fw, "h": fh, "x": x0, "y": y0,
+                           "dispose": dispose, "blend": blend,
+                           "data": []})
+        elif tag == b"IDAT":
+            idat_seen = True
+            # the default image is animation frame 0 only when its
+            # fcTL arrived first (spec §12.3) — otherwise IDAT is the
+            # standalone default image and contributes no frame
+            if len(frames) == 1 and not fdat_seen:
+                frames[0]["data"].append(data)
+        elif tag == b"fdAT":
+            if len(data) < 4:
+                raise ValueError("truncated fdAT")
+            fdat_seen = True
+            seqs.append(struct.unpack(">I", data[:4])[0])
+            if not frames:
+                raise ValueError("APNG fdAT before any fcTL")
+            frames[-1]["data"].append(data[4:])
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    if actl is None:
+        raise UnsupportedPNG("PNG without acTL (not animated)")
+    width, height, depth, ctype, comp, filt, interlace = ihdr
+    if seqs != list(range(len(seqs))):
+        raise ValueError("APNG sequence numbers not consecutive from 0")
+    num_frames = actl[0]
+    if num_frames != len(frames) or num_frames == 0:
+        raise ValueError(
+            f"acTL declares {num_frames} frames, found {len(frames)}")
+    if width * height > 1 << 24:
+        # canvas bomb cap (matches the GIF compositor): a crafted
+        # header must not make the per-frame canvas copies explode
+        raise UnsupportedPNG("APNG canvas beyond 16M-pixel cap")
+
+    canvas = np.zeros((height, width, 4), dtype=np.uint8)
+    out: list[np.ndarray] = []
+    for i, fr in enumerate(frames[:max_frames]):
+        fw, fh, x0, y0 = fr["w"], fr["h"], fr["x"], fr["y"]
+        dispose, blend = fr["dispose"], fr["blend"]
+        if fw == 0 or fh == 0 or x0 + fw > width or y0 + fh > height:
+            raise ValueError("APNG frame rect outside canvas")
+        if dispose > 2 or blend > 1:
+            raise ValueError("bad APNG dispose/blend op")
+        if not fr["data"]:
+            raise ValueError("APNG frame with no pixel data")
+        if i == 0:
+            # spec first-frame coercions
+            blend = 0
+            if dispose == 2:
+                dispose = 1
+        sub = (PNG_SIG
+               + _chunk(b"IHDR", struct.pack(
+                   ">IIBBBBB", fw, fh, depth, ctype, comp, filt,
+                   interlace))
+               + (_chunk(b"PLTE", plte) if plte is not None else b"")
+               + _chunk(b"IDAT", b"".join(fr["data"]))
+               + _chunk(b"IEND", b""))
+        px, mode = decode_png(sub)
+        rgba = _to_rgba(px, mode)
+
+        saved = canvas.copy() if dispose == 2 else None
+        rect = canvas[y0:y0 + fh, x0:x0 + fw]
+        if blend == 0:
+            rect[:] = rgba
+        else:
+            # Porter-Duff OVER in float64, np.rint (round-half-even)
+            # for a platform-independent integer result
+            fa = rgba[:, :, 3:].astype(np.float64) / 255.0
+            ca = rect[:, :, 3:].astype(np.float64) / 255.0
+            oa = fa + ca * (1.0 - fa)
+            orgb = (rgba[:, :, :3].astype(np.float64) * fa
+                    + rect[:, :, :3].astype(np.float64) * ca * (1.0 - fa))
+            safe = np.where(oa == 0.0, 1.0, oa)
+            rect[:, :, :3] = np.rint(orgb / safe).astype(np.uint8)
+            rect[:, :, 3:] = np.rint(oa * 255.0).astype(np.uint8)
+        out.append(canvas.copy())
+        if dispose == 1:
+            canvas[y0:y0 + fh, x0:x0 + fw] = 0
+        elif dispose == 2:
+            canvas = saved
+    return out
+
+
+def encode_apng(frames, num_plays: int = 0) -> bytes:
+    """Animated PNG (the APNG decoder's test twin).
+
+    ``frames`` is a list of ``(pixels, x, y, dispose, blend)`` where
+    ``pixels`` is ``(h, w, 4)`` uint8 RGBA.  Frame 0 is the default
+    image (fcTL before IDAT) and must cover the full canvas at (0, 0)
+    per spec §12.3; later frames may be sub-rectangles.  Frame data is
+    filter-0 scanlines, one zlib stream per frame, fdAT sequence
+    numbers shared with fcTL exactly as the spec requires.
+    """
+    if not frames:
+        raise ValueError("encode_apng needs at least one frame")
+    first = np.ascontiguousarray(frames[0][0], dtype=np.uint8)
+    if first.ndim != 3 or first.shape[2] != 4:
+        raise ValueError("APNG frames must be (h, w, 4) RGBA")
+    height, width = first.shape[:2]
+    if frames[0][1] != 0 or frames[0][2] != 0:
+        raise ValueError("APNG frame 0 must sit at (0, 0)")
+
+    body = _chunk(b"IHDR", struct.pack(
+        ">IIBBBBB", width, height, 8, 6, 0, 0, 0))
+    body += _chunk(b"acTL", struct.pack(">II", len(frames), num_plays))
+    seq = 0
+    for i, (px, x0, y0, dispose, blend) in enumerate(frames):
+        arr = np.ascontiguousarray(px, dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] != 4:
+            raise ValueError("APNG frames must be (h, w, 4) RGBA")
+        fh, fw = arr.shape[:2]
+        if x0 + fw > width or y0 + fh > height:
+            raise ValueError("APNG frame rect outside canvas")
+        if i == 0 and (fw != width or fh != height):
+            raise ValueError("APNG frame 0 must cover the canvas")
+        body += _chunk(b"fcTL", struct.pack(
+            ">IIIIIHHBB", seq, fw, fh, x0, y0, 1, 10,
+            int(dispose), int(blend)))
+        seq += 1
+        data = zlib.compress(_pack_rows(arr, 8, 4))
+        if i == 0:
+            body += _chunk(b"IDAT", data)
+        else:
+            body += _chunk(b"fdAT", struct.pack(">I", seq) + data)
+            seq += 1
+    return PNG_SIG + body + _chunk(b"IEND", b"")
+
+
+def apng_frame_count(payload: bytes) -> int | None:
+    """Header-only probe: the acTL-declared frame count for an APNG,
+    ``None`` for a static PNG or anything malformed.  Stops at the
+    first IDAT (acTL must precede it, spec §12.3), so this never walks
+    pixel data."""
+    if not payload.startswith(PNG_SIG):
+        return None
+    try:
+        for tag, data in _chunks(payload):
+            if tag == b"acTL" and len(data) >= 8:
+                return struct.unpack(">I", data[:4])[0]
+            if tag == b"IDAT":
+                return None
+    except ValueError:
+        return None
+    return None

@@ -119,6 +119,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
         from ..extractors.audio_extractor import wav_meta
         from ..extractors.avi_codec import MJPG_FOURCC, avi_meta, is_avi
         from ..extractors.ico_codec import ico_meta, is_ico
+        from ..extractors.png_codec import apng_frame_count
 
         for pdf in batches:
             rows = []
@@ -127,9 +128,15 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                 fmt = sniff_format(payload)
                 if fmt in IMAGE_FORMATS:
                     meta = image_meta(payload, fmt)
+                    # animated PNGs surface their acTL-declared frame
+                    # count; static images keep a null n_frames
+                    nf = apng_frame_count(payload) if fmt == "png" \
+                        else None
                     rows.append((url, fmt, _i32(meta.width),
                                  _i32(meta.height),
-                                 meta.mode, None, None, len(payload)))
+                                 meta.mode, None,
+                                 int(nf) if nf is not None else None,
+                                 len(payload)))
                     continue
                 if fmt == "wav":
                     wm = wav_meta(payload)
@@ -284,7 +291,10 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
     (``extractors/avi_codec.py`` — RIFF walk; DIB stride/padding
     reversal + BGR→RGB, or per-frame baseline-JPEG decode through
     ``jpeg_codec``; every ``every_n``-th frame emitted as its raw
-    ``h × w × 3`` RGB buffer, ``mode="dib"``/``"mjpg"``).  Inter-frame
+    ``h × w × 3`` RGB buffer, ``mode="dib"``/``"mjpg"``).  Animated
+    GIF and animated PNG (APNG) composite REAL frames through their
+    from-scratch codecs (``mode="gif"`` RGB / ``"apng"`` RGBA
+    canvases, disposal + blend semantics honored).  Inter-frame
     codecs (H.264/VP9) need transform coders the container can't ship,
     so those payloads keep the labeled stub (fixed-size byte chunks,
     ``mode="stub"``) — swapping the stub for an ffmpeg demux changes
@@ -296,6 +306,7 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractors.avi_codec import decode_avi, is_avi
         from ..extractors.gif_codec import GIF_SIGS, decode_gif_frames
+        from ..extractors.png_codec import PNG_SIG, decode_apng_frames
 
         for pdf in batches:
             rows = []
@@ -321,6 +332,22 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                                          frames[idx].tobytes()))
                         continue
                     except ValueError:
+                        pass
+                if payload.startswith(PNG_SIG) and b"acTL" in payload:
+                    # animated PNG: fully-composited RGBA frames
+                    # (blend OVER + dispose background/previous
+                    # honored).  The substring probe is only a cheap
+                    # pre-filter — decode_apng_frames re-parses the
+                    # chunk stream, so a static PNG whose IDAT happens
+                    # to contain b"acTL" falls through to the stub
+                    # exactly like any static PNG.
+                    try:
+                        frames = decode_apng_frames(payload)
+                        for idx in range(0, len(frames), every_n):
+                            rows.append((url, idx, "apng",
+                                         frames[idx].tobytes()))
+                        continue
+                    except ValueError:  # UnsupportedPNG subclasses it
                         pass
                 n_frames = max(1, len(payload) // frame_bytes)
                 for idx in range(0, n_frames, every_n):

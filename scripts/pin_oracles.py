@@ -84,6 +84,9 @@ PINNABLE = [
     # binary decode isn't SQL.
     "multimodal_ico_decode",
     "multimodal_webp_decode",
+    # round-5: APNG (acTL/fcTL/fdAT) compositing across the six
+    # dispose×blend variants — Porter-Duff OVER isn't SQL.
+    "multimodal_apng_decode",
 ]
 
 _SQL_TYPES = {

@@ -454,3 +454,64 @@ def test_spectral_band_edges_are_strictly_increasing():
     assert (_BAND_EDGES[1:] > _BAND_EDGES[:-1]).all()
     assert _BAND_EDGES[0] == 8 and _BAND_EDGES[-1] <= 8192
     assert isinstance(_BAND_EDGES, np.ndarray)
+
+
+def test_video_frame_sample_apng_composited(spark):
+    """APNG payloads route through decode_apng_frames: mode='apng',
+    one row per sampled frame, buffers byte-identical to the codec's
+    composited RGBA canvases; a static PNG keeps the stub path."""
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        decode_apng_frames, encode_apng, encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    rng = np.random.RandomState(21)
+    base = rng.randint(0, 256, (6, 8, 4)).astype(np.uint8)
+    base[:, :, 3] = 255
+    anim = [(base, 0, 0, 0, 0)]
+    for f in range(5):
+        patch = rng.randint(0, 256, (2, 3, 4)).astype(np.uint8)
+        anim.append((patch, f % 6, f % 5, f % 3, f % 2))
+    blob = encode_apng(anim)
+    static = encode_png(base)
+    df = spark.createDataFrame(
+        [("u-anim", bytearray(blob)), ("u-static", bytearray(static))],
+        "url string, data binary")
+    got = video_frame_sample(df, every_n=2).collect()
+    by_url = {}
+    for r in got:
+        by_url.setdefault(r.url, []).append(r)
+    anim_rows = sorted(by_url["u-anim"], key=lambda r: r.frame_idx)
+    assert [r.mode for r in anim_rows] == ["apng"] * 3
+    assert [r.frame_idx for r in anim_rows] == [0, 2, 4]
+    expected = decode_apng_frames(blob)
+    for r in anim_rows:
+        assert bytes(r.frame_data) == expected[r.frame_idx].tobytes()
+    assert {r.mode for r in by_url["u-static"]} == {"stub"}
+
+
+def test_media_metadata_apng_frame_count(spark):
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_apng, encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_metadata,
+    )
+
+    rng = np.random.RandomState(22)
+    base = rng.randint(0, 256, (5, 7, 4)).astype(np.uint8)
+    blob = encode_apng([(base, 0, 0, 0, 0),
+                        (base[:2, :2], 1, 1, 0, 0)])
+    df = spark.createDataFrame(
+        [("anim.png", bytearray(blob)),
+         ("still.png", bytearray(encode_png(base)))],
+        "url string, data binary")
+    rows = {r.url: r for r in media_metadata(df).collect()}
+    assert rows["anim.png"].media_format == "png"
+    assert rows["anim.png"].n_frames == 2
+    assert rows["anim.png"].width == 7 and rows["anim.png"].height == 5
+    assert rows["still.png"].n_frames is None

@@ -253,3 +253,177 @@ def test_decompression_bomb_output_is_header_capped():
            + _chunk(b"IEND", b""))
     px, mode = decode_png(png)
     assert mode == "RGB" and px.shape == (4, 4, 3) and (px == 0).all()
+
+
+# ------------------------------------------------------------------ APNG
+
+def _apng_over(dst, src):
+    """Independent Porter-Duff OVER (test twin of the decoder's)."""
+    fa = src[:, :, 3:].astype(np.float64) / 255.0
+    ca = dst[:, :, 3:].astype(np.float64) / 255.0
+    oa = fa + ca * (1 - fa)
+    orgb = src[:, :, :3] * fa + dst[:, :, :3] * ca * (1 - fa)
+    out = dst.copy()
+    out[:, :, :3] = np.rint(orgb / np.where(oa == 0, 1.0, oa)).astype(np.uint8)
+    out[:, :, 3:] = np.rint(oa * 255).astype(np.uint8)
+    return out
+
+
+def _rand_rgba(rng, h, w, alpha=None):
+    px = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+    if alpha is not None:
+        px[:, :, 3] = alpha
+    return px
+
+
+def test_apng_roundtrip_and_compositing_semantics():
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        decode_apng_frames, encode_apng,
+    )
+    rng = np.random.RandomState(7)
+    base = _rand_rgba(rng, 8, 10, alpha=255)
+    patch = _rand_rgba(rng, 3, 4)          # semi-transparent alphas
+    patch2 = _rand_rgba(rng, 2, 3)
+    blob = encode_apng([
+        (base, 0, 0, 0, 0),
+        (patch, 2, 1, 1, 1),   # OVER blend, dispose -> background
+        (patch2, 5, 4, 2, 0),  # SOURCE, dispose -> previous
+        (patch, 0, 0, 0, 1),
+    ])
+    out = decode_apng_frames(blob)
+    assert len(out) == 4
+    assert all(f.shape == (8, 10, 4) and f.dtype == np.uint8 for f in out)
+    assert np.array_equal(out[0], base)
+
+    exp1 = base.copy()
+    exp1[1:4, 2:6] = _apng_over(base[1:4, 2:6], patch)
+    assert np.array_equal(out[1], exp1)
+    after1 = exp1.copy()
+    after1[1:4, 2:6] = 0                    # dispose 1: transparent black
+    exp2 = after1.copy()
+    exp2[4:6, 5:8] = patch2
+    assert np.array_equal(out[2], exp2)
+    exp3 = after1.copy()                    # dispose 2 restored pre-frame
+    exp3[0:3, 0:4] = _apng_over(after1[0:3, 0:4], patch)
+    assert np.array_equal(out[3], exp3)
+
+
+def test_apng_first_frame_coercions():
+    """Spec §12.3: frame 0 treats blend OVER as SOURCE and dispose
+    PREVIOUS as BACKGROUND."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        decode_apng_frames, encode_apng,
+    )
+    rng = np.random.RandomState(8)
+    base = _rand_rgba(rng, 5, 6)            # semi-transparent base
+    patch = _rand_rgba(rng, 2, 2, alpha=255)
+    out = decode_apng_frames(encode_apng([
+        (base, 0, 0, 2, 1),                 # dispose=PREVIOUS, blend=OVER
+        (patch, 1, 1, 0, 0),
+    ]))
+    # blend coerced to SOURCE: frame 0 is exactly `base`, not
+    # base-over-transparent (which would zero RGB where alpha is 0)
+    assert np.array_equal(out[0], base)
+    # dispose coerced to BACKGROUND: canvas cleared before frame 1
+    exp = np.zeros_like(base)
+    exp[1:3, 1:3] = patch
+    assert np.array_equal(out[1], exp)
+
+
+def test_apng_static_png_and_malformed_raise():
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        decode_apng_frames, encode_apng,
+    )
+    rng = np.random.RandomState(9)
+    base = _rand_rgba(rng, 4, 4, alpha=255)
+    with pytest.raises(UnsupportedPNG):
+        decode_apng_frames(encode_png(base))  # no acTL
+
+    blob = bytearray(encode_apng([(base, 0, 0, 0, 0),
+                                  (base[:2, :2], 1, 1, 0, 0)]))
+    # break the fdAT sequence number (acTL + fcTL0 + IDAT + fcTL1 + fdAT)
+    pos = bytes(blob).find(b"fdAT")
+    blob[pos + 4:pos + 8] = struct.pack(">I", 9)
+    with pytest.raises(ValueError, match="sequence"):
+        decode_apng_frames(bytes(blob))
+
+    # acTL frame-count mismatch
+    blob2 = bytearray(encode_apng([(base, 0, 0, 0, 0)]))
+    pos = bytes(blob2).find(b"acTL")
+    blob2[pos + 4:pos + 8] = struct.pack(">I", 3)
+    with pytest.raises(ValueError, match="acTL declares"):
+        decode_apng_frames(bytes(blob2))
+
+    # frame rect outside the canvas
+    blob3 = bytearray(encode_apng([(base, 0, 0, 0, 0),
+                                   (base[:2, :2], 2, 2, 0, 0)]))
+    pos = bytes(blob3).find(b"fcTL", bytes(blob3).find(b"IDAT"))
+    # widen frame 1 to 4x4 at (2, 2) -> exceeds the 4x4 canvas
+    blob3[pos + 8:pos + 12] = struct.pack(">I", 4)
+    with pytest.raises(ValueError, match="rect|truncated|sequence"):
+        decode_apng_frames(bytes(blob3))
+
+
+def test_apng_encoder_validation():
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_apng,
+    )
+    rng = np.random.RandomState(10)
+    base = _rand_rgba(rng, 4, 4)
+    with pytest.raises(ValueError, match="at least one"):
+        encode_apng([])
+    # the canvas IS frame 0's shape, so "frame 0 smaller than canvas"
+    # can't be expressed — but an offset frame 0 is refused:
+    with pytest.raises(ValueError, match="\\(0, 0\\)"):
+        encode_apng([(base, 1, 0, 0, 0)])
+    with pytest.raises(ValueError, match="outside canvas"):
+        encode_apng([(base, 0, 0, 0, 0), (base, 1, 1, 0, 0)])
+    with pytest.raises(ValueError, match="RGBA"):
+        encode_apng([(base[:, :, :3], 0, 0, 0, 0)])
+
+
+def test_apng_frame_count_probe():
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        apng_frame_count, encode_apng,
+    )
+    rng = np.random.RandomState(11)
+    base = _rand_rgba(rng, 4, 4)
+    blob = encode_apng([(base, 0, 0, 0, 0), (base[:2, :2], 0, 0, 0, 0),
+                        (base[:1, :1], 3, 3, 0, 0)])
+    assert apng_frame_count(blob) == 3
+    assert apng_frame_count(encode_png(base)) is None
+    assert apng_frame_count(b"notapng") is None
+
+
+def test_apng_default_image_outside_animation():
+    """When the first fcTL comes AFTER IDAT, the default image is not
+    an animation frame — frames come only from fdAT."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        decode_apng_frames, encode_apng,
+    )
+    rng = np.random.RandomState(12)
+    base = _rand_rgba(rng, 4, 5, alpha=255)
+    f1 = _rand_rgba(rng, 4, 5, alpha=255)
+    blob = bytearray(encode_apng([(base, 0, 0, 0, 0), (f1, 0, 0, 0, 0)]))
+    # surgically move fcTL0 to after IDAT: rebuild chunk-by-chunk
+    import zlib as _z
+    pos, chunks = len(PNG_SIG), []
+    b = bytes(blob)
+    while pos < len(b):
+        (ln,) = struct.unpack(">I", b[pos:pos + 4])
+        chunks.append((b[pos + 4:pos + 8], b[pos + 8:pos + 8 + ln]))
+        pos += 12 + ln
+    out = PNG_SIG
+    for tag, data in chunks:
+        if tag == b"fcTL" and struct.unpack(">I", data[:4])[0] == 0:
+            continue                       # drop fcTL0 entirely
+        if tag == b"fcTL":                 # renumber: fcTL1/fdAT1 -> 0/1
+            data = struct.pack(">I", 0) + data[4:]
+        if tag == b"fdAT":
+            data = struct.pack(">I", 1) + data[4:]
+        if tag == b"acTL":
+            data = struct.pack(">II", 1, 0)
+        out += _chunk(tag, data)
+    frames = decode_apng_frames(out)
+    assert len(frames) == 1
+    assert np.array_equal(frames[0], f1)   # IDAT default image skipped
