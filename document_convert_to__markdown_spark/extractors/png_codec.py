@@ -15,7 +15,10 @@ beyond DEFLATE — so this module implements the subset of ISO/IEC
   scattered back on the (x0, y0, dx, dy) lattice, spec §8.2); all
   five scanline filters (None/Sub/Up/Average/Paeth, spec §6) reversed
   exactly, with the filter's bpp equal to the *byte* stride per pixel
-  (1 for sub-byte rows, 2×channels at depth 16).
+  (1 for sub-byte rows, 2×channels at depth 16); ``tRNS``
+  transparency (spec §11.3.2) for all three legal color types —
+  per-palette-entry alpha, and the single transparent gray/RGB sample
+  value (palette → RGBA, gray → LA, RGB → RGBA).
 - ``encode_png``: gray/gray+alpha/RGB/RGBA arrays as filter-0
   scanlines (the synthesizer's ``make_png`` twin), optionally Adam7
   interlaced and/or widened to depth 16 or packed to sub-byte gray —
@@ -162,19 +165,29 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, str]:
     for ``"LA"``/``"RGB"``/``"RGBA"``; palette images resolve through
     PLTE to RGB; depth 16 reduces to 8 via the high byte; sub-byte
     grays rescale by 255/(2^d-1); Adam7 passes scatter back onto the
-    full lattice.  Raises ``ValueError`` (or its ``UnsupportedPNG``
-    subclass) for malformed or out-of-subset inputs.
+    full lattice.  A ``tRNS`` chunk (spec §11.3.2 — the common web
+    transparency form for palette PNGs) widens the output: palette →
+    RGBA with per-entry alpha (missing entries opaque), gray → LA and
+    RGB → RGBA with alpha 0 exactly where the sample equals the
+    declared transparent value (compared at the stored precision —
+    the high byte at depth 16, matching the sample reduction; the raw
+    sub-depth value before the gray rescale).  Raises ``ValueError``
+    (or its ``UnsupportedPNG`` subclass) for malformed or
+    out-of-subset inputs.
     """
     if not payload.startswith(PNG_SIG):
         raise ValueError("not a PNG (bad signature)")
     ihdr = None
     plte = None
+    trns = None
     idat = []
     for tag, data in _chunks(payload):
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"PLTE":
             plte = data
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"IDAT":
             idat.append(data)
     if ihdr is None or not idat:
@@ -233,6 +246,8 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, str]:
         pos += ph * (stride + 1)
         full[y0::dy, x0::dx] = _samples(sub, pw, depth, ch)
 
+    if trns is not None and ctype in (4, 6):
+        raise ValueError("tRNS is illegal for alpha color types")
     if ctype == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
@@ -241,12 +256,40 @@ def decode_png(payload: bytes) -> tuple[np.ndarray, str]:
         idx = full.reshape(height, width)
         if pal.shape[0] == 0 or int(idx.max()) >= pal.shape[0]:
             raise ValueError("palette index out of range")
+        if trns is not None:
+            # per-entry alpha; entries past the chunk are opaque
+            alpha = np.full(pal.shape[0], 255, dtype=np.uint8)
+            n_a = min(len(trns), pal.shape[0])
+            alpha[:n_a] = np.frombuffer(trns[:n_a], dtype=np.uint8)
+            return np.concatenate(
+                [pal[idx], alpha[idx][:, :, None]], axis=2), "RGBA"
         return pal[idx], _MODES[ctype]
-    if ctype == 0 and depth < 8:
-        # exact integer rescale: 255 is divisible by 1, 3, and 15
-        full = full * np.uint8(255 // ((1 << depth) - 1))
-    if ch == 1:
-        return full.reshape(height, width), _MODES[ctype]
+    if ctype == 0:
+        gray = full.reshape(height, width)
+        mask = None
+        if trns is not None:
+            if len(trns) < 2:
+                raise ValueError("truncated tRNS for grayscale")
+            v16 = struct.unpack(">H", trns[:2])[0]
+            cmp = v16 >> 8 if depth == 16 else v16 & ((1 << depth) - 1)
+            # compared BEFORE the sub-byte rescale, at stored precision
+            mask = gray == cmp
+        if depth < 8:
+            # exact integer rescale: 255 is divisible by 1, 3, and 15
+            gray = gray * np.uint8(255 // ((1 << depth) - 1))
+        if mask is not None:
+            a = np.where(mask, 0, 255).astype(np.uint8)
+            return np.stack([gray, a], axis=2), "LA"
+        return gray, _MODES[ctype]
+    if ctype == 2 and trns is not None:
+        if len(trns) < 6:
+            raise ValueError("truncated tRNS for RGB")
+        v = struct.unpack(">HHH", trns[:6])
+        cmp = [x >> 8 if depth == 16 else x & 0xFF for x in v]
+        mask = ((full[:, :, 0] == cmp[0]) & (full[:, :, 1] == cmp[1])
+                & (full[:, :, 2] == cmp[2]))
+        a = np.where(mask, 0, 255).astype(np.uint8)
+        return np.concatenate([full, a[:, :, None]], axis=2), "RGBA"
     return full, _MODES[ctype]
 
 
@@ -368,6 +411,7 @@ def decode_apng_frames(payload: bytes,
         raise ValueError("not a PNG (bad signature)")
     ihdr = None
     plte = None
+    trns = None
     actl = None
     seqs: list[int] = []
     frames: list[dict] = []
@@ -378,6 +422,8 @@ def decode_apng_frames(payload: bytes,
             ihdr = struct.unpack(">IIBBBBB", data)
         elif tag == b"PLTE":
             plte = data
+        elif tag == b"tRNS":
+            trns = data
         elif tag == b"acTL":
             if idat_seen:
                 raise ValueError("APNG acTL after IDAT")
@@ -445,6 +491,7 @@ def decode_apng_frames(payload: bytes,
                    ">IIBBBBB", fw, fh, depth, ctype, comp, filt,
                    interlace))
                + (_chunk(b"PLTE", plte) if plte is not None else b"")
+               + (_chunk(b"tRNS", trns) if trns is not None else b"")
                + _chunk(b"IDAT", b"".join(fr["data"]))
                + _chunk(b"IEND", b""))
         px, mode = decode_png(sub)

@@ -20,6 +20,12 @@ output checks:
 - audio: ``n_scenes/10`` clips built in the frequency domain (65
   decisive log-band energies), each rendered twice (full gain, 0.45×).
   Same exact-count/zero-distance check through the same banded join.
+- animation: ``n_scenes/5`` six-frame APNGs (dispose/blend ops cycled
+  per scene) through ``video_frame_sample``; every sampled frame's
+  crc32 must equal the one an INDEPENDENT numpy compositor (written in
+  this script, not the codec) computed at synthesis time — a bit-exact
+  10^5-frame exercise of the acTL/fcTL/fdAT walk and the Porter-Duff
+  OVER / dispose restore math.
 
 Synthesis happens executor-side in ``mapInPandas`` (the driver ships
 only a range), so the soak also measures distributed encode+decode
@@ -188,6 +194,104 @@ def main() -> None:
     results["audio_pairs_h0"] = apairs.filter("hamming = 0").count()
     assert n_audio == 2 * n_clips == results["audio_pcm_rows"], results
     assert n_apairs == n_clips == results["audio_pairs_h0"], results
+
+    # --- animation: 6-frame APNGs, independent-compositor CRCs ------
+    n_anim = max(n_scenes // 5, 100)
+
+    ANIM_SCHEMA = StructType([
+        StructField("url", StringType(), False),
+        StructField("data", BinaryType(), False),
+        StructField("crc0", StringType(), False),   # frame 0 crc32 hex
+        StructField("crc3", StringType(), False),   # frame 3 crc32 hex
+    ])
+
+    def gen_anims(batches):
+        import zlib
+
+        import numpy as np
+        import pandas as pd
+
+        from document_convert_to__markdown_spark.extractors.png_codec \
+            import encode_apng
+
+        def over(dst, src):
+            # independent Porter-Duff OVER twin (NOT the codec's code)
+            fa = src[:, :, 3:].astype(np.float64) / 255.0
+            ca = dst[:, :, 3:].astype(np.float64) / 255.0
+            oa = fa + ca * (1 - fa)
+            orgb = src[:, :, :3] * fa + dst[:, :, :3] * ca * (1 - fa)
+            out = dst.copy()
+            out[:, :, :3] = np.rint(
+                orgb / np.where(oa == 0, 1.0, oa)).astype(np.uint8)
+            out[:, :, 3:] = np.rint(oa * 255).astype(np.uint8)
+            return out
+
+        for pdf in batches:
+            rows = []
+            for s in pdf["id"]:
+                s = int(s)
+                rng = np.random.RandomState(1 << 20 | s)
+                h, w = 6 + s % 3, 7 + s % 4
+                base = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+                base[:, :, 3] = 255
+                anim = [(base, 0, 0, s % 3, 0)]
+                canvas = base.copy()
+                composites = [canvas.copy()]
+                # replay dispose of frame 0 (first-frame coercion:
+                # dispose PREVIOUS acts as BACKGROUND)
+                d0 = 1 if s % 3 == 2 else s % 3
+                if d0 == 1:
+                    canvas[:, :] = 0
+                for f in range(5):
+                    ph, pw = 2 + (s + f) % 3, 2 + (s + f) % 4
+                    x0 = (s + f) % (w - pw + 1)
+                    y0 = f % (h - ph + 1)
+                    dispose, blend = (s + f) % 3, (s + f) % 2
+                    patch = rng.randint(0, 256, (ph, pw, 4)) \
+                        .astype(np.uint8)
+                    anim.append((patch, x0, y0, dispose, blend))
+                    saved = canvas.copy() if dispose == 2 else None
+                    rect = canvas[y0:y0 + ph, x0:x0 + pw]
+                    rect[:] = patch if blend == 0 else over(rect, patch)
+                    composites.append(canvas.copy())
+                    if dispose == 1:
+                        canvas[y0:y0 + ph, x0:x0 + pw] = 0
+                    elif dispose == 2:
+                        canvas = saved
+                rows.append((f"a{s:07d}", bytearray(encode_apng(anim)),
+                             f"{zlib.crc32(composites[0].tobytes()):08x}",
+                             f"{zlib.crc32(composites[3].tobytes()):08x}"))
+            yield pd.DataFrame(
+                rows, columns=["url", "data", "crc0", "crc3"])
+
+    anims = spark.range(n_anim).repartition(64) \
+        .mapInPandas(gen_anims, ANIM_SCHEMA).localCheckpoint()
+
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    t0 = time.time()
+    frames = video_frame_sample(anims.select("url", "data"), every_n=3)
+    got = (frames
+           .withColumn("crc", F.lpad(F.lower(F.hex(F.crc32("frame_data"))),
+                                     8, "0"))
+           .join(anims.select("url", "crc0", "crc3"), "url")
+           .withColumn("expected", F.when(F.col("frame_idx") == 0,
+                                          F.col("crc0"))
+                       .otherwise(F.col("crc3"))))
+    agg = got.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("mode") == "apng", 1).otherwise(0))
+        .alias("n_apng"),
+        F.sum(F.when(F.col("crc") == F.col("expected"), 1).otherwise(0))
+        .alias("n_crc_match")).collect()[0]
+    results["n_anims"] = n_anim
+    results["anim_frames_sampled"] = agg.n
+    results["anim_frame_sec"] = round(time.time() - t0, 1)
+    results["anim_frames_per_sec"] = round(
+        agg.n * 3 / max(time.time() - t0, 1e-9))
+    assert agg.n == 2 * n_anim == agg.n_apng == agg.n_crc_match, results
 
     results["checks"] = "pass"
     print(json.dumps(results))

@@ -427,3 +427,126 @@ def test_apng_default_image_outside_animation():
     frames = decode_apng_frames(out)
     assert len(frames) == 1
     assert np.array_equal(frames[0], f1)   # IDAT default image skipped
+
+
+# ------------------------------------------------------------------ tRNS
+
+def _ihdr(w, h, depth, ctype, interlace=0):
+    return _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, ctype,
+                                       0, 0, interlace))
+
+
+def test_trns_palette_per_entry_alpha():
+    # 3-entry palette, tRNS covers only the first two entries
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1, 2], [2, 1, 0]], dtype=np.uint8)
+    raw = zlib.compress(b"".join(b"\x00" + r.tobytes() for r in idx))
+    blob = (PNG_SIG + _ihdr(3, 2, 8, 3) + _chunk(b"PLTE", pal)
+            + _chunk(b"tRNS", bytes([10, 200]))
+            + _chunk(b"IDAT", raw) + _chunk(b"IEND", b""))
+    px, mode = decode_png(blob)
+    assert mode == "RGBA" and px.shape == (2, 3, 4)
+    exp_a = np.array([[10, 200, 255], [255, 200, 10]], dtype=np.uint8)
+    assert np.array_equal(px[:, :, 3], exp_a)
+    assert np.array_equal(px[0, 0, :3], [255, 0, 0])
+
+
+def test_trns_gray_8bit_and_subbyte():
+    g = np.array([[0, 7, 255], [7, 0, 7]], dtype=np.uint8)
+    raw = zlib.compress(b"".join(b"\x00" + r.tobytes() for r in g))
+    blob = (PNG_SIG + _ihdr(3, 2, 8, 0)
+            + _chunk(b"tRNS", struct.pack(">H", 7))
+            + _chunk(b"IDAT", raw) + _chunk(b"IEND", b""))
+    px, mode = decode_png(blob)
+    assert mode == "LA" and px.shape == (2, 3, 2)
+    assert np.array_equal(px[:, :, 0], g)
+    assert np.array_equal(px[:, :, 1] == 0, g == 7)
+
+    # 2-bit gray: value 3 transparent, compared BEFORE the 85x rescale
+    vals = np.array([[0, 1, 2, 3]], dtype=np.uint8)
+    packed = np.packbits(((vals.reshape(1, 4, 1)
+                           >> np.arange(1, -1, -1)) & 1).astype(np.uint8)
+                         .reshape(1, 8), axis=1)
+    raw = zlib.compress(b"\x00" + packed.tobytes())
+    blob = (PNG_SIG + _ihdr(4, 1, 2, 0)
+            + _chunk(b"tRNS", struct.pack(">H", 3))
+            + _chunk(b"IDAT", raw) + _chunk(b"IEND", b""))
+    px, mode = decode_png(blob)
+    assert mode == "LA"
+    assert np.array_equal(px[0, :, 0], [0, 85, 170, 255])
+    assert np.array_equal(px[0, :, 1], [255, 255, 255, 0])
+
+
+def test_trns_rgb_sample_match():
+    rgb = np.array([[[1, 2, 3], [9, 9, 9]],
+                    [[1, 2, 4], [1, 2, 3]]], dtype=np.uint8)
+    raw = zlib.compress(b"".join(
+        b"\x00" + rgb[y].tobytes() for y in range(2)))
+    blob = (PNG_SIG + _ihdr(2, 2, 8, 2)
+            + _chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+            + _chunk(b"IDAT", raw) + _chunk(b"IEND", b""))
+    px, mode = decode_png(blob)
+    assert mode == "RGBA" and px.shape == (2, 2, 4)
+    assert np.array_equal(px[:, :, 3],
+                          [[0, 255], [255, 0]])
+    assert np.array_equal(px[:, :, :3], rgb)
+
+
+def test_trns_illegal_and_truncated():
+    arr = np.zeros((2, 2, 4), dtype=np.uint8)
+    blob = bytearray(encode_png(arr))
+    # inject tRNS before IDAT on an RGBA image -> illegal
+    pos = bytes(blob).find(b"IDAT") - 4
+    bad = bytes(blob[:pos]) + _chunk(b"tRNS", b"\x00\x00") + bytes(blob[pos:])
+    with pytest.raises(ValueError, match="illegal for alpha"):
+        decode_png(bad)
+
+    g = np.zeros((2, 2), dtype=np.uint8)
+    raw = zlib.compress(b"\x00\x00\x00\x00\x00\x00")
+    blob = (PNG_SIG + _ihdr(2, 2, 8, 0) + _chunk(b"tRNS", b"\x07")
+            + _chunk(b"IDAT", raw) + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="truncated tRNS"):
+        decode_png(blob)
+
+
+def test_trns_depth16_high_byte_compare():
+    # depth-16 gray, transparent value 0x0102: compare on high byte 0x01
+    g16 = np.array([[0x0102, 0x01FF, 0x0201]], dtype=">u2")
+    raw = zlib.compress(b"\x00" + g16.tobytes())
+    blob = (PNG_SIG + _ihdr(3, 1, 16, 0)
+            + _chunk(b"tRNS", struct.pack(">H", 0x0102))
+            + _chunk(b"IDAT", raw) + _chunk(b"IEND", b""))
+    px, mode = decode_png(blob)
+    assert mode == "LA"
+    # both 0x01xx samples reduce to 0x01 == tRNS high byte -> alpha 0
+    assert np.array_equal(px[0, :, 1], [0, 0, 255])
+
+
+def test_trns_apng_passthrough():
+    """tRNS inside an APNG applies to every reconstructed frame."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        decode_apng_frames,
+    )
+    pal = bytes([10, 20, 30, 40, 50, 60])
+    idx0 = np.array([[0, 1], [1, 0]], dtype=np.uint8)
+    raw0 = zlib.compress(b"".join(b"\x00" + r.tobytes() for r in idx0))
+    idx1 = np.array([[1]], dtype=np.uint8)
+    raw1 = zlib.compress(b"\x00" + idx1.tobytes())
+    fctl0 = _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 2, 2, 0, 0,
+                                        1, 10, 0, 0))
+    fctl1 = _chunk(b"fcTL", struct.pack(">IIIIIHHBB", 1, 1, 1, 0, 0,
+                                        1, 10, 0, 0))
+    blob = (PNG_SIG + _ihdr(2, 2, 8, 3) + _chunk(b"PLTE", pal)
+            + _chunk(b"tRNS", bytes([128]))
+            + _chunk(b"acTL", struct.pack(">II", 2, 0))
+            + fctl0 + _chunk(b"IDAT", raw0)
+            + fctl1 + _chunk(b"fdAT", struct.pack(">I", 2) + raw1)
+            + _chunk(b"IEND", b""))
+    frames = decode_apng_frames(blob)
+    assert len(frames) == 2
+    # palette entry 0 has alpha 128, entry 1 opaque
+    assert np.array_equal(frames[0][:, :, 3],
+                          [[128, 255], [255, 128]])
+    assert np.array_equal(frames[0][0, 0], [10, 20, 30, 128])
+    # frame 1 overwrites (0,0) with entry 1 (opaque)
+    assert np.array_equal(frames[1][0, 0], [40, 50, 60, 255])
