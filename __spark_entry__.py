@@ -1964,6 +1964,80 @@ def _q_multimodal_apng_decode(spark, sf):
             .orderBy("variant", "mode"))
 
 
+def _q_audio_flac_decode(spark, sf):
+    """FLAC decodes REAL samples (round 5: extractors/flac_codec.py is
+    a from-scratch RFC 9639 decoder — STREAMINFO walk, CRC-8/16
+    verified frames, CONSTANT/VERBATIM/FIXED/LPC subframes, rice
+    residuals, all four channel assignments).  Proof shape: 18 clips
+    built in the frequency domain, each rendered as 16-bit WAV and as
+    FLAC of the SAME samples (mono and stereo variants; stereo frames
+    cycle independent / left-side / mid-side assignments), both pushed
+    through audio_spectral_hash; per-variant counts of identical
+    64-bit fingerprints.  A wrong rice zigzag, fixed-predictor
+    reconstruction, or mid/side math shifts band energies and breaks
+    fingerprint parity on some clip.  Not SQL (entropy decode) —
+    pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.flac_codec import (
+        encode_flac,
+    )
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        encode_wav,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        audio_spectral_hash,
+    )
+
+    import numpy as np
+
+    rows = []
+    for s in range(18):
+        rng = np.random.RandomState(1600 + s)
+        t = np.arange(16384)
+        x = np.clip(np.sin(2 * np.pi * t / (36 + 3 * s))
+                    + 0.25 * rng.randn(16384), -1, 1)
+        if s % 2:
+            variant = "stereo"
+            # build the pair in the INTEGER domain with an even
+            # channel difference, so the FLAC mean downmix is an exact
+            # integer and the WAV twin carries identical samples (no
+            # half-LSB rounding skew on odd sums)
+            q0 = np.clip(np.rint(0.9 * x.astype(np.float32) * 32767.0),
+                         -30000, 30000)
+            d = np.rint(1000.0 * rng.randn(16384)).clip(-1000, 1000)
+            q1 = q0 - 2.0 * d
+            st = np.stack([q0 / 32767.0, q1 / 32767.0], axis=1)
+            flac = encode_flac(st, 16000)
+            wav = encode_wav(((q0 - d) / 32767.0).astype(np.float32),
+                             16000)
+        else:
+            variant = "mono"
+            flac = encode_flac(x, 16000)
+            wav = encode_wav(x, 16000)
+        rows.append((f"c{s:03d}", variant, "wav", bytearray(wav)))
+        rows.append((f"c{s:03d}", variant, "flac", bytearray(flac)))
+    df = spark.createDataFrame(
+        rows, "clip string, variant string, codec string, data binary")
+    hashed = audio_spectral_hash(df.withColumn(
+        "url", F.concat_ws("/", "clip", "codec")))
+    keyed = (hashed
+             .withColumn("clip", F.substring_index("url", "/", 1))
+             .withColumn("codec", F.substring_index("url", "/", -1)))
+    flacs = keyed.filter("codec = 'flac'").select(
+        "clip", F.col("mode").alias("flac_mode"),
+        F.col("ahash").alias("flac_hash"))
+    wavs = keyed.filter("codec = 'wav'").select(
+        "clip", F.col("ahash").alias("wav_hash"))
+    meta = df.select("clip", "variant").distinct()
+    return (flacs.join(wavs, "clip").join(meta, "clip")
+            .groupBy("variant")
+            .agg(F.count("*").alias("n_clips"),
+                 F.sum(F.when(F.col("flac_mode") == "flac", 1)
+                       .otherwise(0)).alias("n_flac_mode"),
+                 F.sum(F.when(F.col("flac_hash") == F.col("wav_hash"), 1)
+                       .otherwise(0)).alias("n_hash_match"))
+            .orderBy("variant"))
+
+
 def _q_text_top_terms(spark, sf):
     """applyInPandas grouped-map: top-5 terms per language by document
     frequency, oracle-verified against the relational formulation."""
@@ -3545,7 +3619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_star": _q_dedup_clusters_star,   # new round 4
         "snapshot_changelog": _q_snapshot_changelog,     # new round 4
         "robots_parse_rules": _q_robots_parse_rules,     # new round 4
-        "stats_pruned_scan": _q_stats_pruned_scan,       # new round 4
+        "audio_flac_decode": _q_audio_flac_decode,       # new round 5
         "dedup_minhash_lsh": _q_dedup_minhash_lsh,       # xxhash64 bands
         "neardup_pipeline": _q_neardup_pipeline,         # xxhash64 bands
         "dedup_incremental": _q_dedup_incremental,       # xxhash64 bands
@@ -3600,16 +3674,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal_gif_decode, multimodal_jpeg_decode,
         # multimodal_jpeg_progressive, multimodal_ico_decode,
         # multimodal_webp_decode, multimodal_apng_decode,
-        # image_dhash_neardup, audio_spectral_hash, video_mjpeg_demux,
-        # quality_classifier) displace token_budget_select,
+        # audio_flac_decode, image_dhash_neardup, audio_spectral_hash,
+        # video_mjpeg_demux, quality_classifier) displace
+        # token_budget_select,
         # text_winnow_fps, dedup_paragraphs, interval_join_errors,
         # tfidf_cosine_pairs, sketch_distinct, asof_join_attribution,
         # text_ngram_novelty, cluster_safe_split, lm_quality_scalable,
-        # topk_terms_sketch, and snapshot_take_down (all r04-or-
-        # earlier green, untouched in round 5 — snapshot_take_down's
-        # query body and sources/snapshot.py are byte-identical to
-        # their r04-green state) past the cut.
+        # topk_terms_sketch, snapshot_take_down, and stats_pruned_scan
+        # (all r04-or-earlier green, untouched in round 5 — the two
+        # snapshot queries' bodies and sources/snapshot.py are
+        # byte-identical to their r04-green state) past the cut.
         "snapshot_take_down": _q_snapshot_take_down,  # green r04, unchanged
+        "stats_pruned_scan": _q_stats_pruned_scan,     # green r04, unchanged
         "sketch_distinct": _q_sketch_distinct,
         "text_winnow_fps": _q_text_winnow_fps,
         "token_budget_select": _q_token_budget_select,

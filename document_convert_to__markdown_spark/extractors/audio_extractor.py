@@ -124,3 +124,24 @@ def wav_to_markdown(payload: bytes, doc_name: str) -> Optional[str]:
         f"- 时长: {meta.duration_sec} 秒\n"
         f"- 文件大小: {len(payload)} 字节\n"
     )
+
+
+def flac_to_markdown(payload: bytes, doc_name: str) -> Optional[str]:
+    """FLAC → metadata markdown, same template family as WAV/MP3
+    (reference converter.py:772-787 lists .flac among the supported
+    audio extensions; MarkItDown emits file metadata for it)."""
+    from .flac_codec import flac_meta
+
+    meta = flac_meta(payload)
+    if meta is None:
+        return None
+    return (
+        f"# {doc_name}\n\n"
+        f"**音频文件信息**\n\n"
+        f"- 格式: FLAC (无损)\n"
+        f"- 声道数: {meta.channels}\n"
+        f"- 采样率: {meta.sample_rate} Hz\n"
+        f"- 位深度: {meta.bits_per_sample} bit\n"
+        f"- 时长: {meta.duration_sec} 秒\n"
+        f"- 文件大小: {len(payload)} 字节\n"
+    )

@@ -198,6 +198,20 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, 0, "wav_metadata", [])
 
+        if fmt == sniffer.FMT_FLAC:
+            # .flac is in the reference's audio list (converter.py:
+            # 772-787); metadata markdown via the STREAMINFO parse
+            from .audio_extractor import flac_to_markdown
+
+            content = flac_to_markdown(payload, doc_name)
+            if content is None:
+                return ExtractedDocument(url, doc_name, fmt,
+                                         STATUS_UNSUPPORTED, None, None, 0,
+                                         "none", [])
+            markdown = clean_markdown_content(content, is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "flac_metadata", [])
+
         if fmt == sniffer.FMT_CSV:
             markdown = clean_markdown_content(
                 csv_to_markdown(payload, doc_name), is_pdf=False)

@@ -33,6 +33,7 @@ FMT_JSON = "json"
 FMT_XML = "xml"
 FMT_WAV = "wav"
 FMT_MP3 = "mp3"
+FMT_FLAC = "flac"
 FMT_EPUB = "epub"
 FMT_RTF = "rtf"
 FMT_DOC = "doc"    # legacy OLE2 Word (reference config.py:40)
@@ -129,6 +130,8 @@ def sniff_format(payload: bytes) -> str:
         return FMT_WAV
     if head.startswith(b"ID3"):
         return FMT_MP3
+    if head.startswith(b"fLaC"):
+        return FMT_FLAC
 
     lowered = head.lstrip()[:64].lower()
     for marker in _HTML_MARKERS:

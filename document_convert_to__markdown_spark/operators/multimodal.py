@@ -118,6 +118,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractors.audio_extractor import wav_meta
         from ..extractors.avi_codec import MJPG_FOURCC, avi_meta, is_avi
+        from ..extractors.flac_codec import flac_meta
         from ..extractors.ico_codec import ico_meta, is_ico
         from ..extractors.png_codec import apng_frame_count
 
@@ -145,6 +146,15 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                                      f"pcm{wm.bits_per_sample}",
                                      int(wm.sample_rate),
                                      int(wm.n_frames),
+                                     len(payload)))
+                        continue
+                if fmt == "flac":
+                    fm = flac_meta(payload)
+                    if fm is not None:
+                        rows.append((url, fmt, None, None,
+                                     f"flac{fm.bits_per_sample}",
+                                     int(fm.sample_rate),
+                                     int(fm.total_samples),
                                      len(payload)))
                         continue
                 if is_avi(payload):
@@ -500,12 +510,15 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
     perturb few bands, so near-duplicates sit at small Hamming
     distance and feed the same banded ``image_neardup_pairs`` join.
 
-    PCM WAV payloads hash REAL decoded samples (``wav_codec``); other
-    formats hash a deterministic byte-derived stub signal (``mode``
-    records which).  One Arrow-batched ``mapInPandas`` pass.
+    PCM WAV and FLAC payloads hash REAL decoded samples (``wav_codec``
+    / ``flac_codec`` — same sample contract, so the same audio in
+    either container carries the SAME fingerprint); other formats hash
+    a deterministic byte-derived stub signal (``mode`` records which).
+    One Arrow-batched ``mapInPandas`` pass.
     """
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extractors.flac_codec import FLAC_SIG, decode_flac
         from ..extractors.wav_codec import decode_wav
 
         for pdf in batches:
@@ -513,9 +526,13 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
                 try:
-                    x, _rate = decode_wav(payload)
-                    mode = "pcm"
-                except ValueError:   # UnsupportedWav subclasses ValueError
+                    if payload.startswith(FLAC_SIG):
+                        x, _rate = decode_flac(payload)
+                        mode = "flac"
+                    else:
+                        x, _rate = decode_wav(payload)
+                        mode = "pcm"
+                except ValueError:   # Unsupported* subclass ValueError
                     raw = np.frombuffer(
                         payload[:4096].ljust(4096, b"\0"), dtype=np.uint8)
                     x = (raw.astype(np.float32) - 128.0) / 128.0

@@ -87,6 +87,9 @@ PINNABLE = [
     # round-5: APNG (acTL/fcTL/fdAT) compositing across the six
     # dispose×blend variants — Porter-Duff OVER isn't SQL.
     "multimodal_apng_decode",
+    # round-5: FLAC-vs-WAV fingerprint parity through the from-scratch
+    # RFC 9639 decoder — rice/LPC entropy decode isn't SQL.
+    "audio_flac_decode",
 ]
 
 _SQL_TYPES = {

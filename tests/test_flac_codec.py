@@ -1,0 +1,206 @@
+"""From-scratch FLAC codec (extractors/flac_codec.py) — pure
+functions, no Spark.  The encoder cycles every subframe kind and
+channel assignment it emits (CONSTANT/VERBATIM/FIXED-0/1/2 ×
+independent/left-side/mid-side), so roundtrips cover those; the
+decode-only paths the encoder never writes (LPC prediction, rice
+partitions > 0, the 5-bit parameter method, the escape-to-raw code,
+wasted bits) are exercised with hand-built frames.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from document_convert_to__markdown_spark.extractors.flac_codec import (
+    FLAC_SIG, UnsupportedFlac, _BitWriter, _crc8, _crc16, _utf8_number,
+    decode_flac, encode_flac, flac_meta,
+)
+from document_convert_to__markdown_spark.extractors.wav_codec import (
+    decode_wav, encode_wav,
+)
+
+
+def _signal(n=16384, seed=0):
+    rng = np.random.RandomState(seed)
+    t = np.arange(n)
+    return np.clip(0.5 * np.sin(2 * np.pi * t / 64)
+                   + 0.1 * rng.randn(n), -1, 1)
+
+
+def test_mono_roundtrip_matches_wav_bit_exactly():
+    x = _signal()
+    y, rate = decode_flac(encode_flac(x, 16000))
+    yw, _ = decode_wav(encode_wav(x, 16000))
+    assert rate == 16000
+    assert np.array_equal(y, yw)
+
+
+def test_stereo_roundtrip_all_channel_modes():
+    """block_size 4096 over 16384 samples → 4 frames cycling
+    independent / left-side / mid-side assignments."""
+    x = _signal()
+    rng = np.random.RandomState(1)
+    st = np.stack([x, np.clip(0.8 * x + 0.05 * rng.randn(x.size), -1, 1)],
+                  axis=1)
+    y, rate = decode_flac(encode_flac(st, 44100))
+    q = np.clip(np.rint(st.astype(np.float32) * 32767.0),
+                -32768, 32767).astype(np.int64)
+    expect = (np.mean(np.stack([q[:, 0], q[:, 1]]), axis=0)
+              / 32768.0).astype(np.float32)
+    assert rate == 44100
+    assert np.array_equal(y, expect)
+
+
+def test_constant_blocks_and_short_tail():
+    x = np.concatenate([np.full(4096, 0.25), _signal(1000, 2)])
+    y, _ = decode_flac(encode_flac(x, 8000))
+    yw, _ = decode_wav(encode_wav(x, 8000))
+    assert y.size == x.size
+    assert np.array_equal(y, yw)
+
+
+def test_multibyte_utf8_frame_numbers():
+    """>127 frames forces the two-byte coded-number path on both
+    sides."""
+    x = _signal(130 * 64, 3)
+    y, _ = decode_flac(encode_flac(x, 16000, block_size=64))
+    yw, _ = decode_wav(encode_wav(x, 16000))
+    assert np.array_equal(y, yw)
+    assert _utf8_number(129) == bytes([0xC2, 0x81])
+    assert _utf8_number(0x801) == bytes([0xE0, 0xA0, 0x81])
+
+
+def _streaminfo(n, rate=16000, channels=1, bits=16, block=4096):
+    si = _BitWriter()
+    si.write(block, 16)
+    si.write(block, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(rate, 20)
+    si.write(channels - 1, 3)
+    si.write(bits - 1, 5)
+    si.write(n, 36)
+    body = bytes(si.out) + b"\x00" * 16
+    return bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def _frame_header(w, block_size, frame_idx=0, ch_code=0):
+    w.write(0x3FFE, 14)
+    w.write(0, 2)
+    w.write(7, 4)                                # 16-bit block size at end
+    w.write(0, 4)                                # rate from STREAMINFO
+    w.write(ch_code, 4)
+    w.write(0b100, 3)                            # 16-bit samples
+    w.write(0, 1)
+    for b in _utf8_number(frame_idx):
+        w.write(b, 8)
+    w.write(block_size - 1, 16)
+    w.write(_crc8(bytes(w.out)), 8)
+
+
+def _finish_frame(w):
+    w.align()
+    frame = bytes(w.out)
+    return frame + struct.pack(">H", _crc16(frame))
+
+
+def test_lpc_subframe_with_partitions_and_5bit_method():
+    """Hand-built LPC order-2 frame, residual method 1 (5-bit params),
+    partition order 1 — none of which the encoder emits."""
+    coefs, shift = (3, -1), 1
+    x = [100, 103, 98, 90, 75, 112, -60, 40]
+    res = []
+    for i in range(2, 8):
+        pred = (coefs[0] * x[i - 1] + coefs[1] * x[i - 2]) >> shift
+        res.append(x[i] - pred)
+    w = _BitWriter()
+    _frame_header(w, 8)
+    w.write(0, 1)                                # subframe pad
+    w.write(32 + 1, 6)                           # LPC, order 2
+    w.write(0, 1)                                # no wasted bits
+    for v in x[:2]:
+        w.write(v, 16)                           # warmup
+    w.write(4 - 1, 4)                            # precision 4
+    w.write(shift, 5)
+    for c in coefs:
+        w.write(c, 4)
+    w.write(1, 2)                                # method 1: 5-bit params
+    w.write(1, 4)                                # partition order 1
+    for part in ([res[0], res[1]], res[2:]):     # 8/2-2=2, then 4
+        k = 5
+        w.write(k, 5)
+        for v in part:
+            u = (abs(v) << 1) - (v < 0)
+            for _ in range(u >> k):
+                w.write(0, 1)
+            w.write(1, 1)
+            w.write(u & ((1 << k) - 1), k)
+    blob = FLAC_SIG + _streaminfo(8) + _finish_frame(w)
+    y, rate = decode_flac(blob)
+    assert rate == 16000
+    assert np.array_equal(y, (np.array(x) / 32768.0).astype(np.float32))
+
+
+def test_escape_code_and_wasted_bits():
+    # frame 1: verbatim-escaped residuals on a FIXED order-0 subframe
+    x = [7, -3, 12, 0]
+    w = _BitWriter()
+    _frame_header(w, 4)
+    w.write(0, 1)
+    w.write(8, 6)                                # FIXED order 0
+    w.write(0, 1)
+    w.write(0, 2)                                # method 0 (4-bit params)
+    w.write(0, 4)                                # partition order 0
+    w.write(15, 4)                               # escape
+    w.write(6, 5)                                # 6 raw bits per residual
+    for v in x:
+        w.write(v, 6)
+    blob = FLAC_SIG + _streaminfo(4, block=4) + _finish_frame(w)
+    y, _ = decode_flac(blob)
+    assert np.array_equal(y, (np.array(x) / 32768.0).astype(np.float32))
+
+    # frame 2: CONSTANT subframe with 1 wasted bit → value shifts left
+    w = _BitWriter()
+    _frame_header(w, 4)
+    w.write(0, 1)
+    w.write(0, 6)                                # CONSTANT
+    w.write(1, 1)                                # wasted-bits flag
+    w.write(1, 1)                                # unary 0 → wasted = 1
+    w.write(21, 15)                              # eff = 16 - 1 bits
+    blob = FLAC_SIG + _streaminfo(4, block=4) + _finish_frame(w)
+    y, _ = decode_flac(blob)
+    assert np.array_equal(y, np.full(4, 42 / 32768.0, dtype=np.float32))
+
+
+def test_malformed_and_unsupported_refuse():
+    x = _signal(4096, 4)
+    good = encode_flac(x, 16000)
+    with pytest.raises(ValueError):
+        decode_flac(b"not flac")
+    # corrupt one frame byte → CRC mismatch, not a wrong decode
+    bad = bytearray(good)
+    bad[len(good) // 2] ^= 0xFF
+    with pytest.raises(ValueError):
+        decode_flac(bytes(bad))
+    # exotic bit depth in STREAMINFO → UnsupportedFlac
+    blob = FLAC_SIG + _streaminfo(4, bits=20)
+    with pytest.raises(UnsupportedFlac):
+        decode_flac(blob)
+    # unknown total sample count → UnsupportedFlac
+    blob = FLAC_SIG + _streaminfo(0)
+    with pytest.raises(UnsupportedFlac):
+        decode_flac(blob)
+    # truncated mid-frame → ValueError
+    with pytest.raises(ValueError):
+        decode_flac(good[:len(good) // 2])
+
+
+def test_flac_meta_probe():
+    x = _signal(8192, 5)
+    st = np.stack([x, -x], axis=1)
+    m = flac_meta(encode_flac(st, 22050))
+    assert m.channels == 2 and m.sample_rate == 22050
+    assert m.bits_per_sample == 16 and m.total_samples == 8192
+    assert flac_meta(b"fLaC") is None
+    assert flac_meta(encode_wav(x)) is None

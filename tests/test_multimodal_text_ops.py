@@ -515,3 +515,52 @@ def test_media_metadata_apng_frame_count(spark):
     assert rows["anim.png"].n_frames == 2
     assert rows["anim.png"].width == 7 and rows["anim.png"].height == 5
     assert rows["still.png"].n_frames is None
+
+
+def test_audio_spectral_hash_flac_equals_wav(spark):
+    """The same samples in FLAC and WAV containers must carry the SAME
+    64-bit spectral fingerprint (mode records the container)."""
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.flac_codec import (
+        encode_flac,
+    )
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        encode_wav,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        audio_spectral_hash,
+    )
+
+    rows = []
+    for s in range(6):
+        rng = np.random.RandomState(30 + s)
+        t = np.arange(16384)
+        x = np.clip(np.sin(2 * np.pi * t / (40 + s))
+                    + 0.2 * rng.randn(16384), -1, 1)
+        rows.append((f"c{s}/wav", bytearray(encode_wav(x, 16000))))
+        rows.append((f"c{s}/flac", bytearray(encode_flac(x, 16000))))
+    df = spark.createDataFrame(rows, "url string, data binary")
+    got = {r.url: r for r in audio_spectral_hash(df).collect()}
+    for s in range(6):
+        w, f = got[f"c{s}/wav"], got[f"c{s}/flac"]
+        assert w.mode == "pcm" and f.mode == "flac"
+        assert w.ahash == f.ahash, s
+
+
+def test_media_metadata_flac_row(spark):
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.flac_codec import (
+        encode_flac,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_metadata,
+    )
+
+    x = np.clip(np.sin(np.arange(4096) / 7.0), -1, 1)
+    st = np.stack([x, -x], axis=1)
+    df = spark.createDataFrame(
+        [("a.flac", bytearray(encode_flac(st, 22050)))],
+        "url string, data binary")
+    r = media_metadata(df).collect()[0]
+    assert r.media_format == "flac" and r.mode == "flac16"
+    assert r.sample_rate == 22050 and r.n_frames == 4096

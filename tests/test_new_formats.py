@@ -113,3 +113,24 @@ def test_pptx_slide_order_is_numeric_not_lexicographic():
     doc = _extract(buf.getvalue())
     assert doc.status == "ok" and doc.format == "pptx"
     assert doc.markdown.index("second") < doc.markdown.index("tenth")
+
+
+def test_flac_extracts_metadata_markdown():
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors import (
+        extract_document,
+    )
+    from document_convert_to__markdown_spark.extractors.flac_codec import (
+        encode_flac,
+    )
+
+    x = np.clip(np.sin(np.arange(8192) / 9.0), -1, 1)
+    blob = encode_flac(x, 16000)
+    doc = extract_document("https://a.example/clip.flac", blob)
+    assert doc.format == "flac" and doc.status == "ok"
+    assert doc.extractor_used == "flac_metadata"
+    assert "FLAC" in doc.markdown and "16000 Hz" in doc.markdown
+    assert "16 bit" in doc.markdown
+    # malformed FLAC surfaces as a status row, never a crash
+    bad = extract_document("https://a.example/x.flac", b"fLaC\x00\x00")
+    assert bad.status in ("skipped_unsupported", "failed")
