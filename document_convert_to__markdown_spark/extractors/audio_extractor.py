@@ -145,3 +145,25 @@ def flac_to_markdown(payload: bytes, doc_name: str) -> Optional[str]:
         f"- 时长: {meta.duration_sec} 秒\n"
         f"- 文件大小: {len(payload)} 字节\n"
     )
+
+
+def aiff_to_markdown(payload: bytes, doc_name: str) -> Optional[str]:
+    """AIFF → metadata markdown (WAV's big-endian twin; the reference's
+    MarkItDown audio path treats uncompressed PCM containers alike)."""
+    from .wav_codec import aiff_meta
+
+    meta = aiff_meta(payload)
+    if meta is None:
+        return None
+    channels, rate, bits, n_frames = meta
+    duration = round(n_frames / rate, 3) if rate else 0.0
+    return (
+        f"# {doc_name}\n\n"
+        f"**音频文件信息**\n\n"
+        f"- 格式: AIFF (PCM)\n"
+        f"- 声道数: {channels}\n"
+        f"- 采样率: {rate} Hz\n"
+        f"- 位深度: {bits} bit\n"
+        f"- 时长: {duration} 秒\n"
+        f"- 文件大小: {len(payload)} 字节\n"
+    )

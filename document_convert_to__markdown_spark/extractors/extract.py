@@ -212,6 +212,18 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, 0, "flac_metadata", [])
 
+        if fmt == sniffer.FMT_AIFF:
+            from .audio_extractor import aiff_to_markdown
+
+            content = aiff_to_markdown(payload, doc_name)
+            if content is None:
+                return ExtractedDocument(url, doc_name, fmt,
+                                         STATUS_UNSUPPORTED, None, None, 0,
+                                         "none", [])
+            markdown = clean_markdown_content(content, is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "aiff_metadata", [])
+
         if fmt == sniffer.FMT_CSV:
             markdown = clean_markdown_content(
                 csv_to_markdown(payload, doc_name), is_pdf=False)

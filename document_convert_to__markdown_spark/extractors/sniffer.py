@@ -34,6 +34,7 @@ FMT_XML = "xml"
 FMT_WAV = "wav"
 FMT_MP3 = "mp3"
 FMT_FLAC = "flac"
+FMT_AIFF = "aiff"
 FMT_EPUB = "epub"
 FMT_RTF = "rtf"
 FMT_DOC = "doc"    # legacy OLE2 Word (reference config.py:40)
@@ -132,6 +133,8 @@ def sniff_format(payload: bytes) -> str:
         return FMT_MP3
     if head.startswith(b"fLaC"):
         return FMT_FLAC
+    if head.startswith(b"FORM") and payload[8:12] in (b"AIFF", b"AIFC"):
+        return FMT_AIFF
 
     lowered = head.lstrip()[:64].lower()
     for marker in _HTML_MARKERS:

@@ -120,6 +120,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
         from ..extractors.avi_codec import MJPG_FOURCC, avi_meta, is_avi
         from ..extractors.flac_codec import flac_meta
         from ..extractors.ico_codec import ico_meta, is_ico
+        from ..extractors.wav_codec import aiff_meta
         from ..extractors.png_codec import apng_frame_count
 
         for pdf in batches:
@@ -156,6 +157,14 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                                      int(fm.sample_rate),
                                      int(fm.total_samples),
                                      len(payload)))
+                        continue
+                if fmt == "aiff":
+                    am = aiff_meta(payload)
+                    if am is not None:
+                        ch, rate, bits, n_frames = am
+                        rows.append((url, fmt, None, None,
+                                     f"pcm{bits}", int(rate),
+                                     int(n_frames), len(payload)))
                         continue
                 if is_avi(payload):
                     try:
@@ -519,7 +528,8 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..extractors.flac_codec import FLAC_SIG, decode_flac
-        from ..extractors.wav_codec import decode_wav
+        from ..extractors.wav_codec import (AIFF_FORM, decode_aiff,
+                                            decode_wav)
 
         for pdf in batches:
             urls, modes, hashes = [], [], []
@@ -529,6 +539,9 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
                     if payload.startswith(FLAC_SIG):
                         x, _rate = decode_flac(payload)
                         mode = "flac"
+                    elif payload.startswith(AIFF_FORM):
+                        x, _rate = decode_aiff(payload)
+                        mode = "aiff"
                     else:
                         x, _rate = decode_wav(payload)
                         mode = "pcm"

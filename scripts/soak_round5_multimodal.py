@@ -18,7 +18,11 @@ output checks:
   any extra pair is a real defect (any cross-codec hash mismatch
   included).
 - audio: ``n_scenes/10`` clips built in the frequency domain (65
-  decisive log-band energies), each rendered twice (full gain, 0.45×).
+  decisive log-band energies), each rendered twice (full gain, 0.45×);
+  the second rendition alternates WAV / FLAC per scene, so the
+  from-scratch RFC 9639 decoder (rice + fixed predictors + CRC-16
+  verify) runs at 10^4 volume inside the Arrow hash kernel and must
+  agree with the WAV rendition bit-for-bit through the fingerprint.
   Same exact-count/zero-distance check through the same banded join.
 - animation: ``n_scenes/5`` six-frame APNGs (dispose/blend ops cycled
   per scene) through ``video_frame_sample``; every sampled frame's
@@ -153,6 +157,8 @@ def main() -> None:
         import numpy as np
         import pandas as pd
 
+        from document_convert_to__markdown_spark.extractors.flac_codec \
+            import encode_flac
         from document_convert_to__markdown_spark.extractors.wav_codec \
             import encode_wav
         from document_convert_to__markdown_spark.operators.multimodal \
@@ -162,17 +168,21 @@ def main() -> None:
         for pdf in batches:
             urls, blobs = [], []
             for s in pdf["id"]:
-                rng = np.random.RandomState(int(s))
+                s = int(s)
+                rng = np.random.RandomState(s)
                 amps = 0.97 ** rng.permutation(65).astype(np.float64)
                 coef = np.zeros(8193, dtype=complex)
                 coef[centers] = amps * np.exp(
                     1j * rng.uniform(0, 2 * np.pi, 65))
                 x = np.fft.irfft(coef, 16384)
                 x = 0.9 * x / np.abs(x).max()
-                urls.append(f"c{int(s):07d}/a")
+                urls.append(f"c{s:07d}/a")
                 blobs.append(encode_wav(x, 16000))
-                urls.append(f"c{int(s):07d}/b")
-                blobs.append(encode_wav(0.45 * x, 16000))
+                urls.append(f"c{s:07d}/b")
+                # alternate the gain-scaled rendition's container: the
+                # FLAC path must land at Hamming 0 exactly like WAV
+                enc = encode_flac if s % 2 == 0 else encode_wav
+                blobs.append(enc(0.45 * x, 16000))
             yield pd.DataFrame({"url": urls, "data": blobs})
 
     clips = spark.range(n_clips).repartition(64) \
@@ -186,13 +196,17 @@ def main() -> None:
     results["audio_hash_sec"] = round(t_ahash, 1)
     results["audio_hash_clips_per_sec"] = round(n_audio / t_ahash)
     results["audio_pcm_rows"] = ahashes.filter("mode = 'pcm'").count()
+    results["audio_flac_rows"] = ahashes.filter("mode = 'flac'").count()
 
     apairs = image_neardup_pairs(ahashes, hash_col="ahash",
                                  max_hamming=3, n_bands=4)
     n_apairs = apairs.count()
     results["audio_pairs"] = n_apairs
     results["audio_pairs_h0"] = apairs.filter("hamming = 0").count()
-    assert n_audio == 2 * n_clips == results["audio_pcm_rows"], results
+    assert n_audio == 2 * n_clips, results
+    assert results["audio_flac_rows"] == (n_clips + 1) // 2, results
+    assert results["audio_pcm_rows"] == n_audio \
+        - results["audio_flac_rows"], results
     assert n_apairs == n_clips == results["audio_pairs_h0"], results
 
     # --- animation: 6-frame APNGs, independent-compositor CRCs ------

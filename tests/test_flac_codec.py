@@ -204,3 +204,61 @@ def test_flac_meta_probe():
     assert m.bits_per_sample == 16 and m.total_samples == 8192
     assert flac_meta(b"fLaC") is None
     assert flac_meta(encode_wav(x)) is None
+
+
+# ------------------------------------------------------------------ AIFF
+
+def test_aiff_roundtrip_matches_wav_and_meta():
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        aiff_meta, decode_aiff, encode_aiff,
+    )
+    x = _signal(16384, 7)
+    y, rate = decode_aiff(encode_aiff(x, 44100))
+    yw, _ = decode_wav(encode_wav(x, 44100))
+    assert rate == 44100
+    assert np.array_equal(y, yw)
+    assert aiff_meta(encode_aiff(x, 22050)) == (1, 22050, 16, 16384)
+    assert aiff_meta(encode_wav(x)) is None
+
+
+def test_aiff_extended80_rates_and_refusals():
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        UnsupportedAiff, _extended80, _read_extended80, decode_aiff,
+        encode_aiff,
+    )
+    for rate in (8000, 11025, 22050, 44100, 48000, 96000):
+        assert _read_extended80(_extended80(float(rate))) == float(rate)
+    x = _signal(256, 8)
+    blob = bytearray(encode_aiff(x, 16000))
+    blob[8:12] = b"AIFC"                         # compressed form type
+    with pytest.raises(UnsupportedAiff):
+        decode_aiff(bytes(blob))
+    with pytest.raises(ValueError):
+        decode_aiff(b"FORM\x00\x00\x00\x04JUNK")
+    with pytest.raises(ValueError):
+        decode_aiff(b"not aiff")
+
+
+def test_aiff_spectral_hash_and_metadata_spark(spark):
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        encode_aiff, encode_wav,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        audio_spectral_hash, media_metadata,
+    )
+
+    x = np.clip(np.sin(np.arange(16384) / 11.0)
+                + 0.2 * np.random.RandomState(40).randn(16384), -1, 1)
+    df = spark.createDataFrame(
+        [("a.wav", bytearray(encode_wav(x, 16000))),
+         ("a.aiff", bytearray(encode_aiff(x, 16000)))],
+        "url string, data binary")
+    got = {r.url: r for r in audio_spectral_hash(df).collect()}
+    assert got["a.aiff"].mode == "aiff"
+    assert got["a.aiff"].ahash == got["a.wav"].ahash
+    meta = {r.url: r for r in media_metadata(df).collect()}
+    assert meta["a.aiff"].media_format == "aiff"
+    assert meta["a.aiff"].mode == "pcm16"
+    assert meta["a.aiff"].sample_rate == 16000
+    assert meta["a.aiff"].n_frames == 16384

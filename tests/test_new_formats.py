@@ -134,3 +134,22 @@ def test_flac_extracts_metadata_markdown():
     # malformed FLAC surfaces as a status row, never a crash
     bad = extract_document("https://a.example/x.flac", b"fLaC\x00\x00")
     assert bad.status in ("skipped_unsupported", "failed")
+
+
+def test_aiff_extracts_metadata_markdown():
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors import (
+        extract_document,
+    )
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        encode_aiff,
+    )
+
+    x = np.clip(np.sin(np.arange(8192) / 9.0), -1, 1)
+    doc = extract_document("https://a.example/c.aiff", encode_aiff(x, 22050))
+    assert doc.format == "aiff" and doc.status == "ok"
+    assert doc.extractor_used == "aiff_metadata"
+    assert "AIFF" in doc.markdown and "22050 Hz" in doc.markdown
+    bad = extract_document("https://a.example/x.aiff",
+                           b"FORM\x00\x00\x00\x04AIFF")
+    assert bad.status in ("skipped_unsupported", "failed")
