@@ -1964,6 +1964,59 @@ def _q_multimodal_apng_decode(spark, sf):
             .orderBy("variant", "mode"))
 
 
+def _q_multimodal_webp_anim(spark, sf):
+    """Animated lossless WebP composites REAL frames (round 5:
+    webp_codec.decode_webp_frames — VP8X/ANIM/ANMF walk, 2px-unit
+    offsets, per-frame VP8L decode through the existing RFC 9649
+    machinery, blend bit 0 = Porter-Duff OVER / 1 = overwrite, dispose
+    bit 1 = fill rect with the ANIM background color).  Completes the
+    animation trio: GIF, APNG, and WebP all composite real frames in
+    video_frame_sample.  Fixture: 20 deterministic 6-frame animations
+    spanning the four blend×dispose variants with semi-transparent
+    patches and a non-zero ANIM background; per-variant counts + crc32
+    sums over the composited RGBA buffers.  Not SQL (entropy decode +
+    compositing) — pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.webp_codec import (
+        encode_webp_anim,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    import numpy as np
+
+    rows = []
+    for v in range(20):
+        rng = np.random.RandomState(1700 + v)
+        blend, dispose = v % 2, (v // 2) % 2
+        variant = ("over", "source")[blend] \
+            + "_" + ("none", "background")[dispose]
+        h, w = 6 + v % 3, 8 + v % 3
+        base = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
+        base[:, :, 3] = 255
+        anim = [(base, 0, 0, 1, dispose)]
+        for f in range(5):
+            ph, pw = 2 + (v + f) % 3, 2 + (v + f) % 3
+            x0 = 2 * ((v + f) % ((w - pw) // 2 + 1))
+            y0 = 2 * (f % ((h - ph) // 2 + 1))
+            patch = rng.randint(0, 256, (ph, pw, 4)).astype(np.uint8)
+            anim.append((patch, x0, y0, blend, dispose))
+        rows.append((f"https://img.example/{variant}/{v}.webp",
+                     bytearray(encode_webp_anim(
+                         anim, bg=(v * 11 % 256, 40, 200, 128)))))
+    df = spark.createDataFrame(rows, "url string, data binary")
+    frames = video_frame_sample(df, every_n=3)
+    return (frames
+            .withColumn("variant", F.regexp_extract(
+                "url", r"example/([a-z_]+)/", 1))
+            .groupBy("variant", "mode")
+            .agg(F.count("*").alias("n_frames"),
+                 F.countDistinct("url").alias("n_anims"),
+                 F.max("frame_idx").alias("max_frame_idx"),
+                 F.sum(F.crc32("frame_data")).alias("frames_crc_sum"))
+            .orderBy("variant", "mode"))
+
+
 def _q_audio_flac_decode(spark, sf):
     """FLAC decodes REAL samples (round 5: extractors/flac_codec.py is
     a from-scratch RFC 9639 decoder — STREAMINFO walk, CRC-8/16
@@ -3620,7 +3673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_changelog": _q_snapshot_changelog,     # new round 4
         "robots_parse_rules": _q_robots_parse_rules,     # new round 4
         "audio_flac_decode": _q_audio_flac_decode,       # new round 5
-        "dedup_minhash_lsh": _q_dedup_minhash_lsh,       # xxhash64 bands
+        "multimodal_webp_anim": _q_multimodal_webp_anim,  # new round 5
         "neardup_pipeline": _q_neardup_pipeline,         # xxhash64 bands
         "dedup_incremental": _q_dedup_incremental,       # xxhash64 bands
         "semdedup_prune": _q_semdedup_prune,             # half-away round
@@ -3680,12 +3733,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text_winnow_fps, dedup_paragraphs, interval_join_errors,
         # tfidf_cosine_pairs, sketch_distinct, asof_join_attribution,
         # text_ngram_novelty, cluster_safe_split, lm_quality_scalable,
-        # topk_terms_sketch, snapshot_take_down, and stats_pruned_scan
-        # (all r04-or-earlier green, untouched in round 5 — the two
-        # snapshot queries' bodies and sources/snapshot.py are
+        # topk_terms_sketch, snapshot_take_down, stats_pruned_scan, and
+        # dedup_minhash_lsh (all r04-or-earlier green, untouched in
+        # round 5 — their query bodies and the modules behind them are
         # byte-identical to their r04-green state) past the cut.
         "snapshot_take_down": _q_snapshot_take_down,  # green r04, unchanged
         "stats_pruned_scan": _q_stats_pruned_scan,     # green r04, unchanged
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,     # green r04, unchanged
         "sketch_distinct": _q_sketch_distinct,
         "text_winnow_fps": _q_text_winnow_fps,
         "token_budget_select": _q_token_budget_select,

@@ -149,6 +149,8 @@ BENCH_QUERIES = [
     # round-5g: FLAC-vs-WAV spectral-fingerprint parity through the
     # from-scratch RFC 9639 decoder
     "audio_flac_decode",
+    # round-5g: animated-WebP (ANMF) compositing — the animation trio
+    "multimodal_webp_anim",
     # stream_dedup_ingest excluded: two full streaming drains + 4
     # snapshot commits (~44s at sf0.1) is a soak, not a query; its
     # components (dedup_incremental, minhash bands, snapshot commits)

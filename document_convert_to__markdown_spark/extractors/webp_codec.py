@@ -916,3 +916,167 @@ def _wrap_vp8l(body: bytes) -> bytes:
     if len(body) & 1:
         chunk += b"\0"
     return RIFF_SIG + struct.pack("<I", 4 + len(chunk)) + WEBP_FOURCC + chunk
+
+
+# --------------------------------------------------------- animation
+# Animated WebP (the VP8X/ANIM/ANMF extension of the container spec):
+# each ANMF carries frame geometry (offsets stored in 2-pixel units),
+# a duration, a blend bit (alpha-blend vs overwrite) and a dispose bit
+# (none vs fill-rect-with-ANIM-background) — the same compositing
+# model as APNG with WebP's own encodings.
+
+
+def _decode_vp8l_rgba(body: bytes) -> np.ndarray:
+    """One VP8L bitstream → (h, w, 4) RGBA uint8."""
+    br = _BitReader(body)
+    if br.read(8) != 0x2F:
+        raise ValueError("bad VP8L signature byte")
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)
+    if br.read(3) != 0:
+        raise UnsupportedWebP("VP8L version != 0")
+    argb = _decode_image_stream(br, w, h, True)
+    a, r, g, b = (c.astype(np.uint8) for c in _split(argb))
+    return np.dstack([r, g, b, a])
+
+
+def decode_webp_frames(payload: bytes,
+                       max_frames: int = 256) -> list[np.ndarray]:
+    """Animated lossless WebP → list of fully-composited ``(h, w, 4)``
+    RGBA canvases, one per ANMF frame.
+
+    Blend bit 0 alpha-composites the frame over the canvas (identical
+    Porter-Duff OVER arithmetic to the APNG compositor); blend bit 1
+    overwrites the rectangle.  Dispose bit 1 fills the rectangle with
+    the ANIM background color (BGRA in the file) after the frame
+    renders.  Raises ``UnsupportedWebP`` for a static WebP (no ANMF)
+    or lossy frames, ``ValueError`` for malformed containers (frame
+    rect outside the canvas, truncated chunks).
+    """
+    if not is_webp(payload):
+        raise ValueError("not a WebP (bad RIFF header)")
+    pos = 12
+    n = len(payload)
+    canvas_w = canvas_h = None
+    bg = np.zeros(4, dtype=np.uint8)
+    frames = []                    # (x, y, blend, dispose, rgba)
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8X":
+            if length < 10:
+                raise ValueError("truncated VP8X")
+            canvas_w = int.from_bytes(body[4:7], "little") + 1
+            canvas_h = int.from_bytes(body[7:10], "little") + 1
+        elif tag == b"ANIM":
+            if length < 6:
+                raise ValueError("truncated ANIM")
+            # file order is B, G, R, A
+            bg = np.array([body[2], body[1], body[0], body[3]],
+                          dtype=np.uint8)
+        elif tag == b"ANMF":
+            if length < 16:
+                raise ValueError("truncated ANMF params")
+            fx = int.from_bytes(body[0:3], "little") * 2
+            fy = int.from_bytes(body[3:6], "little") * 2
+            fw = int.from_bytes(body[6:9], "little") + 1
+            fh = int.from_bytes(body[9:12], "little") + 1
+            flags = body[15]
+            blend = (flags >> 1) & 1       # 0 = alpha blend, 1 = overwrite
+            dispose = flags & 1            # 1 = fill rect with background
+            sub = 16
+            rgba = None
+            while sub + 8 <= length:
+                stag = body[sub:sub + 4]
+                (slen,) = struct.unpack("<I", body[sub + 4:sub + 8])
+                sbody = body[sub + 8:sub + 8 + slen]
+                if len(sbody) < slen:
+                    raise ValueError("truncated ANMF sub-chunk")
+                if stag == b"VP8L":
+                    rgba = _decode_vp8l_rgba(sbody)
+                elif stag == b"VP8 ":
+                    raise UnsupportedWebP("lossy animated WebP frame")
+                sub += 8 + slen + (slen & 1)
+            if rgba is None:
+                raise ValueError("ANMF frame without image data")
+            if rgba.shape[0] != fh or rgba.shape[1] != fw:
+                raise ValueError("ANMF geometry / VP8L size mismatch")
+            frames.append((fx, fy, blend, dispose, rgba))
+        pos += 8 + length + (length & 1)
+    if not frames:
+        raise UnsupportedWebP("WebP without ANMF frames (not animated)")
+    if canvas_w is None:
+        raise ValueError("animated WebP missing VP8X canvas")
+    if canvas_w * canvas_h > 1 << 24:
+        raise UnsupportedWebP("WebP canvas beyond 16M-pixel cap")
+
+    canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
+    out = []
+    for fx, fy, blend, dispose, rgba in frames[:max_frames]:
+        fh, fw = rgba.shape[:2]
+        if fx + fw > canvas_w or fy + fh > canvas_h:
+            raise ValueError("ANMF frame rect outside canvas")
+        rect = canvas[fy:fy + fh, fx:fx + fw]
+        if blend == 1:
+            rect[:] = rgba
+        else:
+            fa = rgba[:, :, 3:].astype(np.float64) / 255.0
+            ca = rect[:, :, 3:].astype(np.float64) / 255.0
+            oa = fa + ca * (1.0 - fa)
+            orgb = (rgba[:, :, :3].astype(np.float64) * fa
+                    + rect[:, :, :3].astype(np.float64) * ca * (1.0 - fa))
+            safe = np.where(oa == 0.0, 1.0, oa)
+            rect[:, :, :3] = np.rint(orgb / safe).astype(np.uint8)
+            rect[:, :, 3:] = np.rint(oa * 255.0).astype(np.uint8)
+        out.append(canvas.copy())
+        if dispose:
+            canvas[fy:fy + fh, fx:fx + fw] = bg
+    return out
+
+
+def encode_webp_anim(frames, bg=(0, 0, 0, 0)) -> bytes:
+    """Animated lossless WebP (the animation decoder's test twin).
+
+    ``frames`` is a list of ``(pixels, x, y, blend, dispose)`` with
+    ``pixels`` ``(h, w, 4)`` uint8 RGBA and even x/y offsets (the
+    format stores them in 2-pixel units); frame 0 should cover the
+    canvas.  ``bg`` is the ANIM background color as RGBA.
+    """
+    if not frames:
+        raise ValueError("encode_webp_anim needs at least one frame")
+    first = np.ascontiguousarray(frames[0][0], dtype=np.uint8)
+    if first.ndim != 3 or first.shape[2] != 4:
+        raise ValueError("animated WebP frames must be (h, w, 4) RGBA")
+    ch, cw = first.shape[:2]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(data)) + data
+        return out + (b"\0" if len(data) & 1 else b"")
+
+    vp8x = bytes([0x02, 0, 0, 0]) \
+        + (cw - 1).to_bytes(3, "little") + (ch - 1).to_bytes(3, "little")
+    anim = bytes([bg[2], bg[1], bg[0], bg[3]]) + struct.pack("<H", 0)
+    body = chunk(b"VP8X", vp8x) + chunk(b"ANIM", anim)
+    for px, x, y, blend, dispose in frames:
+        arr = np.ascontiguousarray(px, dtype=np.uint8)
+        if arr.ndim != 3 or arr.shape[2] != 4:
+            raise ValueError("animated WebP frames must be (h, w, 4) RGBA")
+        if x % 2 or y % 2:
+            raise ValueError("ANMF offsets must be even (2px units)")
+        fh, fw = arr.shape[:2]
+        if x + fw > cw or y + fh > ch:
+            raise ValueError("ANMF frame rect outside canvas")
+        vp8l = _find_vp8l(encode_webp(arr))
+        params = ((x // 2).to_bytes(3, "little")
+                  + (y // 2).to_bytes(3, "little")
+                  + (fw - 1).to_bytes(3, "little")
+                  + (fh - 1).to_bytes(3, "little")
+                  + (10).to_bytes(3, "little")
+                  + bytes([(int(blend) & 1) << 1 | (int(dispose) & 1)]))
+        body += chunk(b"ANMF", params + chunk(b"VP8L", vp8l))
+    return (RIFF_SIG + struct.pack("<I", 4 + len(body)) + WEBP_FOURCC
+            + body)

@@ -311,9 +311,10 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
     reversal + BGR→RGB, or per-frame baseline-JPEG decode through
     ``jpeg_codec``; every ``every_n``-th frame emitted as its raw
     ``h × w × 3`` RGB buffer, ``mode="dib"``/``"mjpg"``).  Animated
-    GIF and animated PNG (APNG) composite REAL frames through their
-    from-scratch codecs (``mode="gif"`` RGB / ``"apng"`` RGBA
-    canvases, disposal + blend semantics honored).  Inter-frame
+    GIF, animated PNG (APNG), and animated lossless WebP composite
+    REAL frames through their from-scratch codecs (``mode="gif"`` RGB
+    / ``"apng"``/``"webp"`` RGBA canvases, disposal + blend semantics
+    honored — the web's three animated image formats).  Inter-frame
     codecs (H.264/VP9) need transform coders the container can't ship,
     so those payloads keep the labeled stub (fixed-size byte chunks,
     ``mode="stub"``) — swapping the stub for an ffmpeg demux changes
@@ -326,6 +327,7 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
         from ..extractors.avi_codec import decode_avi, is_avi
         from ..extractors.gif_codec import GIF_SIGS, decode_gif_frames
         from ..extractors.png_codec import PNG_SIG, decode_apng_frames
+        from ..extractors.webp_codec import decode_webp_frames, is_webp
 
         for pdf in batches:
             rows = []
@@ -351,6 +353,20 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                                          frames[idx].tobytes()))
                         continue
                     except ValueError:
+                        pass
+                if is_webp(payload) and b"ANMF" in payload:
+                    # animated lossless WebP: composited RGBA frames
+                    # (ANMF blend/dispose bits honored).  The substring
+                    # probe is a cheap pre-filter — decode_webp_frames
+                    # re-walks the chunk stream, so static or lossy
+                    # WebPs fall through to the stub.
+                    try:
+                        frames = decode_webp_frames(payload)
+                        for idx in range(0, len(frames), every_n):
+                            rows.append((url, idx, "webp",
+                                         frames[idx].tobytes()))
+                        continue
+                    except ValueError:  # UnsupportedWebP subclasses it
                         pass
                 if payload.startswith(PNG_SIG) and b"acTL" in payload:
                     # animated PNG: fully-composited RGBA frames

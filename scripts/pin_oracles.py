@@ -90,6 +90,9 @@ PINNABLE = [
     # round-5: FLAC-vs-WAV fingerprint parity through the from-scratch
     # RFC 9639 decoder — rice/LPC entropy decode isn't SQL.
     "audio_flac_decode",
+    # round-5: animated-WebP (VP8X/ANIM/ANMF) compositing across the
+    # four blend×dispose variants — VP8L decode + OVER isn't SQL.
+    "multimodal_webp_anim",
 ]
 
 _SQL_TYPES = {

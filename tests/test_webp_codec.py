@@ -360,3 +360,97 @@ def test_spark_resize_modes_and_cross_codec_dhash(spark):
     # same pixels through two independent from-scratch codecs → the
     # same perceptual hash: a cross-codec decode-correctness witness
     assert hashes["u/real.webp"] == hashes["u/real.png"]
+
+
+# --------------------------------------------------------- animation
+
+def _apng_style_over(dst, src):
+    import numpy as np
+    fa = src[:, :, 3:].astype(np.float64) / 255.0
+    ca = dst[:, :, 3:].astype(np.float64) / 255.0
+    oa = fa + ca * (1 - fa)
+    out = dst.copy()
+    out[:, :, :3] = np.rint(
+        (src[:, :, :3] * fa + dst[:, :, :3] * ca * (1 - fa))
+        / np.where(oa == 0, 1.0, oa)).astype(np.uint8)
+    out[:, :, 3:] = np.rint(oa * 255).astype(np.uint8)
+    return out
+
+
+def test_webp_anim_compositing_semantics():
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.webp_codec import (
+        decode_webp_frames, encode_webp_anim,
+    )
+
+    rng = np.random.RandomState(60)
+    base = rng.randint(0, 256, (6, 8, 4)).astype(np.uint8)
+    base[:, :, 3] = 255
+    p1 = rng.randint(0, 256, (2, 4, 4)).astype(np.uint8)
+    p2 = rng.randint(0, 256, (4, 2, 4)).astype(np.uint8)
+    blob = encode_webp_anim(
+        [(base, 0, 0, 1, 0),
+         (p1, 2, 2, 0, 1),      # alpha-blend, dispose-to-background
+         (p2, 4, 0, 1, 0)],
+        bg=(9, 8, 7, 6))
+    out = decode_webp_frames(blob)
+    assert len(out) == 3
+    assert np.array_equal(out[0], base)
+    e1 = base.copy()
+    e1[2:4, 2:6] = _apng_style_over(base[2:4, 2:6], p1)
+    assert np.array_equal(out[1], e1)
+    after = e1.copy()
+    after[2:4, 2:6] = [9, 8, 7, 6]          # ANIM background RGBA
+    e2 = after.copy()
+    e2[0:4, 4:6] = p2
+    assert np.array_equal(out[2], e2)
+
+
+def test_webp_anim_refusals_and_first_frame_convention():
+    import numpy as np
+    import pytest as _pytest
+    from document_convert_to__markdown_spark.extractors.webp_codec import (
+        UnsupportedWebP, decode_webp, decode_webp_frames, encode_webp,
+        encode_webp_anim,
+    )
+
+    rng = np.random.RandomState(61)
+    base = rng.randint(0, 256, (4, 4, 4)).astype(np.uint8)
+    with _pytest.raises(UnsupportedWebP):
+        decode_webp_frames(encode_webp(base))     # static: no ANMF
+    with _pytest.raises(ValueError, match="even"):
+        encode_webp_anim([(base, 0, 0, 1, 0), (base[:2, :2], 1, 0, 1, 0)])
+    with _pytest.raises(ValueError, match="outside canvas"):
+        encode_webp_anim([(base, 0, 0, 1, 0), (base, 2, 2, 1, 0)])
+    # static decode of an animated container returns frame 1's pixels
+    blob = encode_webp_anim([(base, 0, 0, 1, 0)])
+    px, mode = decode_webp(blob)
+    want = base if mode == "RGBA" else base[:, :, :3]
+    assert np.array_equal(px, want)
+
+
+def test_webp_anim_frame_sample_routing(spark):
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.webp_codec import (
+        decode_webp_frames, encode_webp_anim,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        video_frame_sample,
+    )
+
+    rng = np.random.RandomState(62)
+    base = rng.randint(0, 256, (6, 6, 4)).astype(np.uint8)
+    base[:, :, 3] = 255
+    anim = [(base, 0, 0, 1, 0)]
+    for f in range(4):
+        patch = rng.randint(0, 256, (2, 2, 4)).astype(np.uint8)
+        anim.append((patch, 2 * (f % 3), 2 * (f % 2), f % 2, f % 2))
+    blob = encode_webp_anim(anim)
+    df = spark.createDataFrame([("w-anim", bytearray(blob))],
+                               "url string, data binary")
+    rows = sorted(video_frame_sample(df, every_n=2).collect(),
+                  key=lambda r: r.frame_idx)
+    assert [r.mode for r in rows] == ["webp"] * 3
+    expected = decode_webp_frames(blob)
+    for r in rows:
+        assert bytes(r.frame_data) == expected[r.frame_idx].tobytes()
