@@ -24,12 +24,14 @@ output checks:
   verify) runs at 10^4 volume inside the Arrow hash kernel and must
   agree with the WAV rendition bit-for-bit through the fingerprint.
   Same exact-count/zero-distance check through the same banded join.
-- animation: ``n_scenes/5`` six-frame APNGs (dispose/blend ops cycled
-  per scene) through ``video_frame_sample``; every sampled frame's
-  crc32 must equal the one an INDEPENDENT numpy compositor (written in
-  this script, not the codec) computed at synthesis time — a bit-exact
-  10^5-frame exercise of the acTL/fcTL/fdAT walk and the Porter-Duff
-  OVER / dispose restore math.
+- animation: ``n_scenes/5`` six-frame animations, alternating APNG
+  (full dispose cycle incl. previous) and animated lossless WebP
+  (ANMF, even offsets, none/background dispose) per scene, through
+  ``video_frame_sample``; every sampled frame's crc32 must equal the
+  one an INDEPENDENT numpy compositor (written in this script, not
+  the codecs) computed at synthesis time — a bit-exact 10^5-frame
+  exercise of BOTH container walks and the shared Porter-Duff OVER /
+  dispose math.
 
 Synthesis happens executor-side in ``mapInPandas`` (the driver ships
 only a range), so the soak also measures distributed encode+decode
@@ -227,6 +229,8 @@ def main() -> None:
 
         from document_convert_to__markdown_spark.extractors.png_codec \
             import encode_apng
+        from document_convert_to__markdown_spark.extractors.webp_codec \
+            import encode_webp_anim
 
         def over(dst, src):
             # independent Porter-Duff OVER twin (NOT the codec's code)
@@ -244,26 +248,38 @@ def main() -> None:
             rows = []
             for s in pdf["id"]:
                 s = int(s)
+                # even scenes render as animated WebP (ANMF: even
+                # offsets, dispose none/background only), odd as APNG
+                # (full dispose cycle incl. previous) — the SAME
+                # independent compositor replays both
+                is_webp = s % 2 == 0
                 rng = np.random.RandomState(1 << 20 | s)
                 h, w = 6 + s % 3, 7 + s % 4
                 base = rng.randint(0, 256, (h, w, 4)).astype(np.uint8)
                 base[:, :, 3] = 255
-                anim = [(base, 0, 0, s % 3, 0)]
+                spec = []                  # (patch, x, y, dispose, blend)
                 canvas = base.copy()
+                d0 = (s % 3) if not is_webp else (s % 2)
+                spec.append((base, 0, 0, d0, 0))
                 composites = [canvas.copy()]
-                # replay dispose of frame 0 (first-frame coercion:
+                # replay dispose of frame 0 (APNG first-frame coercion:
                 # dispose PREVIOUS acts as BACKGROUND)
-                d0 = 1 if s % 3 == 2 else s % 3
-                if d0 == 1:
-                    canvas[:, :] = 0
+                if (1 if d0 == 2 else d0) == 1:
+                    canvas = np.zeros_like(canvas)
                 for f in range(5):
                     ph, pw = 2 + (s + f) % 3, 2 + (s + f) % 4
-                    x0 = (s + f) % (w - pw + 1)
-                    y0 = f % (h - ph + 1)
-                    dispose, blend = (s + f) % 3, (s + f) % 2
+                    if is_webp:
+                        x0 = 2 * ((s + f) % ((w - pw) // 2 + 1))
+                        y0 = 2 * (f % ((h - ph) // 2 + 1))
+                        dispose = (s + f) % 2
+                    else:
+                        x0 = (s + f) % (w - pw + 1)
+                        y0 = f % (h - ph + 1)
+                        dispose = (s + f) % 3
+                    blend = (s + f) % 2
                     patch = rng.randint(0, 256, (ph, pw, 4)) \
                         .astype(np.uint8)
-                    anim.append((patch, x0, y0, dispose, blend))
+                    spec.append((patch, x0, y0, dispose, blend))
                     saved = canvas.copy() if dispose == 2 else None
                     rect = canvas[y0:y0 + ph, x0:x0 + pw]
                     rect[:] = patch if blend == 0 else over(rect, patch)
@@ -272,7 +288,17 @@ def main() -> None:
                         canvas[y0:y0 + ph, x0:x0 + pw] = 0
                     elif dispose == 2:
                         canvas = saved
-                rows.append((f"a{s:07d}", bytearray(encode_apng(anim)),
+                if is_webp:
+                    # WebP bit semantics: blend bit 1 = overwrite
+                    # (SOURCE), 0 = OVER; bg (0,0,0,0) makes dispose-
+                    # to-background equal APNG's clear-to-transparent
+                    blob = encode_webp_anim(
+                        [(px, x, y, 1 - b, d)
+                         for px, x, y, d, b in spec],
+                        bg=(0, 0, 0, 0))
+                else:
+                    blob = encode_apng(spec)
+                rows.append((f"a{s:07d}", bytearray(blob),
                              f"{zlib.crc32(composites[0].tobytes()):08x}",
                              f"{zlib.crc32(composites[3].tobytes()):08x}"))
             yield pd.DataFrame(
@@ -298,14 +324,20 @@ def main() -> None:
         F.count("*").alias("n"),
         F.sum(F.when(F.col("mode") == "apng", 1).otherwise(0))
         .alias("n_apng"),
+        F.sum(F.when(F.col("mode") == "webp", 1).otherwise(0))
+        .alias("n_webp"),
         F.sum(F.when(F.col("crc") == F.col("expected"), 1).otherwise(0))
         .alias("n_crc_match")).collect()[0]
     results["n_anims"] = n_anim
     results["anim_frames_sampled"] = agg.n
+    results["anim_apng_frames"] = agg.n_apng
+    results["anim_webp_frames"] = agg.n_webp
     results["anim_frame_sec"] = round(time.time() - t0, 1)
     results["anim_frames_per_sec"] = round(
         agg.n * 3 / max(time.time() - t0, 1e-9))
-    assert agg.n == 2 * n_anim == agg.n_apng == agg.n_crc_match, results
+    assert agg.n == 2 * n_anim == agg.n_crc_match, results
+    assert agg.n_apng == 2 * (n_anim // 2), results
+    assert agg.n_webp == 2 * ((n_anim + 1) // 2), results
 
     results["checks"] = "pass"
     print(json.dumps(results))

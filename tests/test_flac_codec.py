@@ -262,3 +262,29 @@ def test_aiff_spectral_hash_and_metadata_spark(spark):
     assert meta["a.aiff"].mode == "pcm16"
     assert meta["a.aiff"].sample_rate == 16000
     assert meta["a.aiff"].n_frames == 16384
+
+
+def test_flac_every_truncation_raises_valueerror():
+    """audio_spectral_hash's fallback catches ValueError ONLY; a FLAC
+    truncated at ANY byte offset must raise ValueError (never
+    struct.error/IndexError) or decode cleanly."""
+    x = _signal(2048, 9)
+    good = encode_flac(x, 16000, block_size=512)
+    for cut in range(len(good)):
+        try:
+            decode_flac(good[:cut])
+        except ValueError:
+            pass
+
+
+def test_aiff_every_truncation_raises_valueerror():
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        decode_aiff, encode_aiff,
+    )
+    x = _signal(1024, 10)
+    good = encode_aiff(x, 16000)
+    for cut in range(len(good)):
+        try:
+            decode_aiff(good[:cut])
+        except ValueError:
+            pass

@@ -550,3 +550,22 @@ def test_trns_apng_passthrough():
     assert np.array_equal(frames[0][0, 0], [10, 20, 30, 128])
     # frame 1 overwrites (0,0) with entry 1 (opaque)
     assert np.array_equal(frames[1][0, 0], [40, 50, 60, 255])
+
+
+def test_apng_every_truncation_raises_valueerror():
+    """video_frame_sample's fallback catches ValueError ONLY; an APNG
+    truncated at ANY byte offset must raise ValueError (never
+    struct.error/IndexError/zlib.error) or decode cleanly."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        decode_apng_frames, encode_apng,
+    )
+    rng = np.random.RandomState(70)
+    base = _rand_rgba(rng, 5, 6, alpha=255)
+    good = encode_apng([(base, 0, 0, 0, 0),
+                        (base[:2, :3], 1, 1, 1, 1),
+                        (base[:3, :2], 2, 0, 2, 0)])
+    for cut in range(len(good)):
+        try:
+            decode_apng_frames(good[:cut])
+        except ValueError:
+            pass                                # the contract

@@ -454,3 +454,22 @@ def test_webp_anim_frame_sample_routing(spark):
     expected = decode_webp_frames(blob)
     for r in rows:
         assert bytes(r.frame_data) == expected[r.frame_idx].tobytes()
+
+
+def test_webp_anim_every_truncation_raises_valueerror():
+    """Animated-WebP truncated at ANY byte offset must raise ValueError
+    (never struct.error/IndexError) or decode cleanly — the
+    frame-sample fallback catches ValueError only."""
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.webp_codec import (
+        decode_webp_frames, encode_webp_anim,
+    )
+    rng = np.random.RandomState(71)
+    base = rng.randint(0, 256, (4, 6, 4)).astype(np.uint8)
+    good = encode_webp_anim([(base, 0, 0, 1, 0),
+                             (base[:2, :2], 2, 2, 0, 1)])
+    for cut in range(len(good)):
+        try:
+            decode_webp_frames(good[:cut])
+        except ValueError:
+            pass
