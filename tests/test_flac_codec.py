@@ -288,3 +288,33 @@ def test_aiff_every_truncation_raises_valueerror():
             decode_aiff(good[:cut])
         except ValueError:
             pass
+
+
+def test_fixed_orders_3_and_4_reconstruct():
+    """The encoder only emits FIXED 0-2; orders 3/4 are hand-built so
+    the cumulative-sum reconstruction is pinned against the direct
+    predictor recurrence."""
+    rng = np.random.RandomState(11)
+    x = rng.randint(-2000, 2000, 16).tolist()
+    for order, coefs in ((3, (3, -3, 1)), (4, (4, -6, 4, -1))):
+        res = []
+        for i in range(order, 16):
+            pred = sum(c * x[i - 1 - j] for j, c in enumerate(coefs))
+            res.append(x[i] - pred)
+        w = _BitWriter()
+        _frame_header(w, 16)
+        w.write(0, 1)
+        w.write(8 + order, 6)
+        w.write(0, 1)
+        for v in x[:order]:
+            w.write(v, 16)
+        w.write(0, 2)                            # method 0
+        w.write(0, 4)                            # partition order 0
+        w.write(15, 4)                           # escape
+        w.write(18, 5)                           # 18 raw bits each
+        for v in res:
+            w.write(v, 18)
+        blob = FLAC_SIG + _streaminfo(16, block=16) + _finish_frame(w)
+        y, _ = decode_flac(blob)
+        assert np.array_equal(
+            y, (np.array(x) / 32768.0).astype(np.float32)), order
