@@ -65,10 +65,12 @@ def main(argv: list[str] | None = None) -> int:
         # web scale rows have no filenames.
         from .extractors import sniffer
         formats = [sniffer.FMT_HTML, sniffer.FMT_TEXT, sniffer.FMT_CSV,
-                   sniffer.FMT_JSON, sniffer.FMT_XML, sniffer.FMT_PDF,
-                   sniffer.FMT_DOCX, sniffer.FMT_PPTX, sniffer.FMT_XLSX,
-                   sniffer.FMT_EPUB, sniffer.FMT_WAV, sniffer.FMT_MP3,
-                   *sorted(sniffer.IMAGE_FORMATS)]
+                   sniffer.FMT_TSV, sniffer.FMT_JSON, sniffer.FMT_XML,
+                   sniffer.FMT_RTF, sniffer.FMT_PDF, sniffer.FMT_DOCX,
+                   sniffer.FMT_PPTX, sniffer.FMT_XLSX, sniffer.FMT_DOC,
+                   sniffer.FMT_XLS, sniffer.FMT_PPT, sniffer.FMT_EPUB,
+                   sniffer.FMT_WAV, sniffer.FMT_AIFF, sniffer.FMT_MP3,
+                   sniffer.FMT_FLAC, *sorted(sniffer.IMAGE_FORMATS)]
         print(json.dumps({"supported_formats": formats}))
         return 0
 

@@ -175,7 +175,9 @@ def _decode_residuals(r: _Bits, block_size: int, order: int) -> np.ndarray:
     escape = (1 << param_bits) - 1
     part_order = r.read(4)
     n_parts = 1 << part_order
-    if block_size % n_parts or (block_size >> part_order) <= order:
+    # the first partition holds (block_size >> order) - order samples;
+    # ZERO is legal (a fully-warmup block), so reject only < order
+    if block_size % n_parts or (block_size >> part_order) < order:
         raise ValueError("bad FLAC partition order")
     out = np.empty(block_size - order, dtype=np.int64)
     w = 0
@@ -323,6 +325,14 @@ def decode_flac(payload: bytes) -> tuple[np.ndarray, int]:
             f"FLAC bit depth {info.bits_per_sample} outside subset")
     if info.total_samples == 0:
         raise UnsupportedFlac("FLAC with unknown total sample count")
+    if info.total_samples * info.channels > 1 << 25:
+        # decoded-size ceiling (~256 MiB of int64 samples): CONSTANT
+        # subframes amplify ~2400x, and total_samples is a 36-bit
+        # header field — without a cap a 1 MB crafted payload can
+        # demand tens of GB (the PNG/GIF/APNG/WebP decoders all carry
+        # the same class of cap).  UnsupportedFlac → callers' stub
+        # fallback, never an executor OOM.
+        raise UnsupportedFlac("FLAC decoded size beyond 32M-sample cap")
 
     r = _Bits(payload[pos:])
     # per-channel list of frame arrays, concatenated ONCE at the end —
@@ -534,7 +544,13 @@ def encode_flac(samples: np.ndarray, rate: int = 16000,
         def pick(x):
             if np.all(x == x[0]):
                 return "constant"
-            return kinds[f % len(kinds)]
+            kind = kinds[f % len(kinds)]
+            # a FIXED subframe needs at least one residual sample
+            # beyond its warmup: on a tiny tail block fall back to
+            # verbatim instead of emitting order >= block_size
+            if kind.startswith("fixed") and int(kind[-1]) >= bs:
+                return "verbatim"
+            return kind
 
         if ch_code == 0:
             for c in range(n_ch):

@@ -347,16 +347,12 @@ def encode_png(pixels: np.ndarray, mode: str | None = None,
     else:
         raw = _pack_rows(samp, depth, ch)
 
-    def chunk(tag: bytes, data: bytes) -> bytes:
-        return (struct.pack(">I", len(data)) + tag + data
-                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
-
     return (PNG_SIG
-            + chunk(b"IHDR",
-                    struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
-                                1 if interlace else 0))
-            + chunk(b"IDAT", zlib.compress(raw))
-            + chunk(b"IEND", b""))
+            + _chunk(b"IHDR",
+                     struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0,
+                                 1 if interlace else 0))
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b""))
 
 
 # ------------------------------------------------------------------ APNG
@@ -372,6 +368,23 @@ def encode_png(pixels: np.ndarray, mode: str | None = None,
 def _chunk(tag: bytes, data: bytes) -> bytes:
     return (struct.pack(">I", len(data)) + tag + data
             + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+
+def composite_over(rect: np.ndarray, rgba: np.ndarray) -> None:
+    """In-place Porter-Duff OVER of ``rgba`` onto the RGBA canvas view
+    ``rect`` — float64 with ``np.rint`` (round-half-even) so the
+    integer result is platform-independent.  Shared by the APNG and
+    animated-WebP compositors: the pinned frame CRCs in both contract
+    queries depend on this exact rounding, so the math lives in ONE
+    place."""
+    fa = rgba[:, :, 3:].astype(np.float64) / 255.0
+    ca = rect[:, :, 3:].astype(np.float64) / 255.0
+    oa = fa + ca * (1.0 - fa)
+    orgb = (rgba[:, :, :3].astype(np.float64) * fa
+            + rect[:, :, :3].astype(np.float64) * ca * (1.0 - fa))
+    safe = np.where(oa == 0.0, 1.0, oa)
+    rect[:, :, :3] = np.rint(orgb / safe).astype(np.uint8)
+    rect[:, :, 3:] = np.rint(oa * 255.0).astype(np.uint8)
 
 
 def _to_rgba(px: np.ndarray, mode: str) -> np.ndarray:
@@ -502,16 +515,7 @@ def decode_apng_frames(payload: bytes,
         if blend == 0:
             rect[:] = rgba
         else:
-            # Porter-Duff OVER in float64, np.rint (round-half-even)
-            # for a platform-independent integer result
-            fa = rgba[:, :, 3:].astype(np.float64) / 255.0
-            ca = rect[:, :, 3:].astype(np.float64) / 255.0
-            oa = fa + ca * (1.0 - fa)
-            orgb = (rgba[:, :, :3].astype(np.float64) * fa
-                    + rect[:, :, :3].astype(np.float64) * ca * (1.0 - fa))
-            safe = np.where(oa == 0.0, 1.0, oa)
-            rect[:, :, :3] = np.rint(orgb / safe).astype(np.uint8)
-            rect[:, :, 3:] = np.rint(oa * 255.0).astype(np.uint8)
+            composite_over(rect, rgba)
         out.append(canvas.copy())
         if dispose == 1:
             canvas[y0:y0 + fh, x0:x0 + fw] = 0

@@ -102,6 +102,12 @@ def _read_extended80(b: bytes) -> float:
         return 0.0
     if exp == 0x7FFF:
         raise ValueError("non-finite AIFF sample rate")
+    if not 16363 <= exp <= 16403:
+        # real sample rates live in [1, ~10^6]; a crafted exponent
+        # like 0x7FFE would make 2.0**e raise OverflowError, which
+        # escapes every caller's ValueError handling and kills the
+        # Arrow batch task — refuse it as a ValueError instead
+        raise ValueError("AIFF sample rate exponent out of range")
     return sign * mant * 2.0 ** (exp - 16383 - 63)
 
 

@@ -47,6 +47,8 @@ import struct
 
 import numpy as np
 
+from .png_codec import composite_over
+
 RIFF_SIG = b"RIFF"
 WEBP_FOURCC = b"WEBP"
 
@@ -989,7 +991,7 @@ def decode_webp_frames(payload: bytes,
             blend = (flags >> 1) & 1       # 0 = alpha blend, 1 = overwrite
             dispose = flags & 1            # 1 = fill rect with background
             sub = 16
-            rgba = None
+            vp8l = None
             while sub + 8 <= length:
                 stag = body[sub:sub + 4]
                 (slen,) = struct.unpack("<I", body[sub + 4:sub + 8])
@@ -997,15 +999,19 @@ def decode_webp_frames(payload: bytes,
                 if len(sbody) < slen:
                     raise ValueError("truncated ANMF sub-chunk")
                 if stag == b"VP8L":
-                    rgba = _decode_vp8l_rgba(sbody)
+                    vp8l = sbody
                 elif stag == b"VP8 ":
                     raise UnsupportedWebP("lossy animated WebP frame")
                 sub += 8 + slen + (slen & 1)
-            if rgba is None:
+            if vp8l is None:
                 raise ValueError("ANMF frame without image data")
-            if rgba.shape[0] != fh or rgba.shape[1] != fw:
-                raise ValueError("ANMF geometry / VP8L size mismatch")
-            frames.append((fx, fy, blend, dispose, rgba))
+            # store the bitstream, decode LAZILY in the composite
+            # loop: only the first max_frames frames (and only after
+            # the canvas cap and geometry checks) ever materialize
+            # pixels — otherwise a crafted file with thousands of
+            # tiny-on-the-wire constant-color frames allocates GBs
+            # during the walk
+            frames.append((fx, fy, fw, fh, blend, dispose, vp8l))
         pos += 8 + length + (length & 1)
     if not frames:
         raise UnsupportedWebP("WebP without ANMF frames (not animated)")
@@ -1016,22 +1022,17 @@ def decode_webp_frames(payload: bytes,
 
     canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
     out = []
-    for fx, fy, blend, dispose, rgba in frames[:max_frames]:
-        fh, fw = rgba.shape[:2]
+    for fx, fy, fw, fh, blend, dispose, vp8l in frames[:max_frames]:
         if fx + fw > canvas_w or fy + fh > canvas_h:
             raise ValueError("ANMF frame rect outside canvas")
+        rgba = _decode_vp8l_rgba(vp8l)
+        if rgba.shape[0] != fh or rgba.shape[1] != fw:
+            raise ValueError("ANMF geometry / VP8L size mismatch")
         rect = canvas[fy:fy + fh, fx:fx + fw]
         if blend == 1:
             rect[:] = rgba
         else:
-            fa = rgba[:, :, 3:].astype(np.float64) / 255.0
-            ca = rect[:, :, 3:].astype(np.float64) / 255.0
-            oa = fa + ca * (1.0 - fa)
-            orgb = (rgba[:, :, :3].astype(np.float64) * fa
-                    + rect[:, :, :3].astype(np.float64) * ca * (1.0 - fa))
-            safe = np.where(oa == 0.0, 1.0, oa)
-            rect[:, :, :3] = np.rint(orgb / safe).astype(np.uint8)
-            rect[:, :, 3:] = np.rint(oa * 255.0).astype(np.uint8)
+            composite_over(rect, rgba)
         out.append(canvas.copy())
         if dispose:
             canvas[fy:fy + fh, fx:fx + fw] = bg

@@ -318,3 +318,41 @@ def test_fixed_orders_3_and_4_reconstruct():
         y, _ = decode_flac(blob)
         assert np.array_equal(
             y, (np.array(x) / 32768.0).astype(np.float32)), order
+
+
+def test_tail_block_of_order_size_roundtrips():
+    """Regression: a final partial block with exactly `order` samples
+    used to make encode_flac emit a FIXED subframe the decoder's
+    partition check rejected (n = 3*4096 + 2, kind cycle lands on
+    fixed2 for the 2-sample tail)."""
+    x = _signal(3 * 4096 + 2, 12)
+    y, _ = decode_flac(encode_flac(x, 16000))
+    yw, _ = decode_wav(encode_wav(x, 16000))
+    assert np.array_equal(y, yw)
+
+
+def test_decoded_size_cap_refuses_bombs():
+    """A crafted STREAMINFO declaring 36-bit total_samples must die as
+    UnsupportedFlac BEFORE any frame decodes (CONSTANT subframes
+    amplify ~2400x, so without the cap a 1MB payload demands GBs)."""
+    blob = FLAC_SIG + _streaminfo((1 << 25) + 1, block=65535)
+    with pytest.raises(UnsupportedFlac, match="cap"):
+        decode_flac(blob)
+
+
+def test_aiff_hostile_exponent_is_valueerror_not_overflow():
+    """Regression: an 80-bit-float exponent of 0x7FFE (finite, passes
+    the inf/nan check) used to raise OverflowError from 2.0**e, which
+    escapes the ValueError-only handling in the Arrow kernels."""
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        _read_extended80, aiff_meta, decode_aiff, encode_aiff,
+    )
+    hostile = struct.pack(">HQ", 0x7FFE, 1 << 63)
+    with pytest.raises(ValueError):
+        _read_extended80(hostile)
+    blob = bytearray(encode_aiff(_signal(64, 13), 16000))
+    comm = bytes(blob).find(b"COMM")
+    blob[comm + 16:comm + 26] = hostile        # COMM rate field
+    with pytest.raises(ValueError):
+        decode_aiff(bytes(blob))
+    assert aiff_meta(bytes(blob)) is None      # meta probe stays None

@@ -473,3 +473,17 @@ def test_webp_anim_every_truncation_raises_valueerror():
             decode_webp_frames(good[:cut])
         except ValueError:
             pass
+
+
+def test_webp_anim_max_frames_caps_decode():
+    """Regression: frames beyond max_frames must never decode (a
+    crafted file with thousands of tiny constant-color ANMF chunks
+    used to materialize every canvas during the chunk walk)."""
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.webp_codec import (
+        decode_webp_frames, encode_webp_anim,
+    )
+    base = np.full((4, 4, 4), 200, dtype=np.uint8)
+    anim = [(base, 0, 0, 1, 0)] * 40
+    out = decode_webp_frames(encode_webp_anim(anim), max_frames=3)
+    assert len(out) == 3
