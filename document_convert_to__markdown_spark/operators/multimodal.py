@@ -583,22 +583,49 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
 def media_features(df: DataFrame, url_col: str = "url",
                    blob_col: str = "data", dim: int = 16) -> DataFrame:
     """Binary column → fixed-dim feature vector (real pixels for
-    PNG/GIF/BMP/TIFF/baseline JPEG/lossless WebP, stub grid otherwise).
+    PNG/GIF/BMP/TIFF/baseline JPEG/lossless WebP; real log-band
+    spectral energies for WAV/AIFF/FLAC audio; stub grid otherwise).
 
-    Pooled "feature": channel-averaged column means of the pixel grid,
-    cycled/truncated to ``dim`` — a deterministic stand-in for a CNN
-    embedding with the identical Spark plumbing (Arrow batches in,
-    ``array<float>`` out, one row per input row).
+    Pooled "feature": channel-averaged column means of the pixel grid
+    (or the first ``dim`` of the 65 Haitsma-Kalker log-band energies
+    for audio, log1p-compressed), cycled/truncated to ``dim`` — a
+    deterministic stand-in for a CNN/wav2vec embedding with the
+    identical Spark plumbing (Arrow batches in, ``array<float>`` out,
+    one row per input row).
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extractors.flac_codec import FLAC_SIG, decode_flac
+        from ..extractors.wav_codec import (AIFF_FORM, decode_aiff,
+                                            decode_wav)
+
         for pdf in batches:
             urls, feats = [], []
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
-                pixels, _mode = _decode_image(payload)
-                cols = pixels.astype(np.float32).mean(axis=(0, 2))
-                vec = np.resize(cols, dim).astype(np.float32)
+                audio = None
+                try:
+                    if payload.startswith(FLAC_SIG):
+                        audio, _ = decode_flac(payload)
+                    elif payload.startswith(AIFF_FORM):
+                        audio, _ = decode_aiff(payload)
+                    elif payload[:4] == b"RIFF" \
+                            and payload[8:12] == b"WAVE":
+                        audio, _ = decode_wav(payload)
+                except ValueError:
+                    audio = None
+                if audio is not None:
+                    x = audio[:_AHASH_N_FFT]
+                    if x.size < _AHASH_N_FFT:
+                        x = np.pad(x, (0, _AHASH_N_FFT - x.size))
+                    spec = np.abs(np.fft.rfft(x)) ** 2
+                    bands = np.add.reduceat(spec, _BAND_EDGES)[:-1]
+                    vec = np.resize(np.log1p(bands), dim) \
+                        .astype(np.float32)
+                else:
+                    pixels, _mode = _decode_image(payload)
+                    cols = pixels.astype(np.float32).mean(axis=(0, 2))
+                    vec = np.resize(cols, dim).astype(np.float32)
                 urls.append(url)
                 feats.append(vec.tolist())
             yield pd.DataFrame({"url": urls, "feature": feats})

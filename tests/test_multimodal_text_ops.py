@@ -564,3 +564,44 @@ def test_media_metadata_flac_row(spark):
     r = media_metadata(df).collect()[0]
     assert r.media_format == "flac" and r.mode == "flac16"
     assert r.sample_rate == 22050 and r.n_frames == 4096
+
+
+def test_media_features_real_audio_spectral(spark):
+    """WAV/FLAC/AIFF payloads featurize from REAL decoded samples: the
+    first `dim` log-band energies, identical across containers of the
+    same audio, and matching a hand-computed reference."""
+    import numpy as np
+    from document_convert_to__markdown_spark.extractors.flac_codec import (
+        encode_flac,
+    )
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        encode_aiff, encode_wav,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        _AHASH_N_FFT, _BAND_EDGES, media_features,
+    )
+
+    x = np.clip(np.sin(np.arange(16384) / 17.0)
+                + 0.1 * np.random.RandomState(50).randn(16384), -1, 1)
+    df = spark.createDataFrame(
+        [("a.wav", bytearray(encode_wav(x, 16000))),
+         ("a.flac", bytearray(encode_flac(x, 16000))),
+         ("a.aiff", bytearray(encode_aiff(x, 16000)))],
+        "url string, data binary")
+    got = {r.url: np.array(r.feature, dtype=np.float32)
+           for r in media_features(df, dim=16).collect()}
+    assert np.array_equal(got["a.wav"], got["a.flac"])
+    assert np.array_equal(got["a.wav"], got["a.aiff"])
+    # hand-computed reference over the quantized samples
+    q = np.clip(np.rint(np.asarray(x, np.float32) * 32767.0),
+                -32768, 32767).astype(np.float32) / 32768.0
+    spec = np.abs(np.fft.rfft(q[:_AHASH_N_FFT])) ** 2
+    want = np.resize(
+        np.log1p(np.add.reduceat(spec, _BAND_EDGES)[:-1]), 16) \
+        .astype(np.float32)
+    assert np.array_equal(got["a.wav"], want)
+    # a truncated container falls back to the image/stub path
+    bad = spark.createDataFrame(
+        [("x.wav", bytearray(b"RIFF\x10\x00\x00\x00WAVE"))],
+        "url string, data binary")
+    assert len(media_features(bad, dim=16).collect()) == 1
