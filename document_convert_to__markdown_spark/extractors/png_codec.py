@@ -60,7 +60,8 @@ _MODES = {0: "L", 2: "RGB", 3: "RGB", 4: "LA", 6: "RGBA"}
 
 
 class UnsupportedPNG(ValueError):
-    """Valid PNG outside the implemented subset (interlaced, 16-bit...)."""
+    """Valid PNG outside the implemented subset (decoded-size caps,
+    non-animated input to the APNG decoder)."""
 
 
 def _chunks(payload: bytes):

@@ -1,8 +1,9 @@
 """From-scratch PNG codec (extractors/png_codec.py) — pure functions,
 no Spark.  Covers: encode/decode roundtrip for every supported mode,
 all five scanline filters reversed against hand-filtered data, palette
-resolution, the synthesizer's make_png, and explicit refusal of the
-unimplemented subset (interlaced/16-bit) instead of a wrong decode.
+resolution, the synthesizer's make_png, tRNS transparency, APNG
+animation compositing, and explicit ValueError refusal of malformed or
+bomb-sized inputs instead of a wrong decode.
 """
 
 import struct
