@@ -25,14 +25,19 @@ real via ``image_extractor._webp_meta``.  Animated WebP decodes its
 first frame when that frame is lossless (the ``gif_codec``
 first-frame convention).
 
-Validation note: no libwebp exists in this container to cross-check
-against (CPython's only bundled ``.webp`` test file is lossy VP8), so
-correctness evidence is exact round-trips against the from-scratch
-encoder across all transforms, hand-crafted bitstreams for the
-LZ77 / color-cache / meta-prefix decoder paths, and hostile-input
-fuzzing — the same self-consistency standard the baseline JPEG codec
-documents.  The 120-entry distance map is transcribed from RFC 9649
-§5.2.2.
+Validation note: cross-validated against the system ``libwebp.so.7``
+(1.2.4, test oracle only — the runtime stays pure Python + numpy) in
+BOTH directions: ``encode_webp`` output decodes pixel-exactly in
+libwebp across every transform, and libwebp-encoded streams (LZ77,
+color cache, meta prefix groups) decode pixel-exactly here
+(``tests/test_libwebp_parity.py``).  That oracle caught a real
+interop bug the round-trip/fuzz evidence could not: a DEFLATE-style
+``kCodeLengthCodeOrder`` (16 last instead of between 5 and 6)
+round-trips internally and decodes every stream whose code lengths
+stop at 5, but breaks on the first length-6 prefix code.  Exact
+round-trips, hand-crafted bitstreams, and hostile-input fuzzing
+remain as secondary evidence.  The 120-entry distance map is
+transcribed from RFC 9649 §5.2.2.
 
 Reference parity note: the reference engine (HE1780) delegates all
 image handling to MarkItDown/PIL (reference ``src/config.py:37-57``
@@ -61,8 +66,12 @@ _NUM_LITERALS = 256
 _NUM_LENGTH_CODES = 24
 _NUM_DIST_CODES = 40
 
-_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8,
-              9, 10, 11, 12, 13, 14, 15, 16)
+# RFC 9649 §5.6.2 kCodeLengthCodeOrder — note 16 sits between 5 and
+# 6 (unlike DEFLATE's order).  A reordered table here decodes every
+# stream whose code lengths stop at 5 (indices 2..7 agree) and breaks
+# on the first length-6 code — caught by libwebp cross-validation.
+_CLC_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7,
+              8, 9, 10, 11, 12, 13, 14, 15)
 
 # RFC 9649 §5.2.2: distance codes 1..120 map to 2D (dx, dy) offsets
 # (dist = dx + dy * width, clamped to >= 1); codes > 120 are literal
