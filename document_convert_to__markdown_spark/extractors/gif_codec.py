@@ -22,6 +22,11 @@ training-data pipeline meets:
 Frames smaller than the logical screen are placed at their (left, top)
 offset on a canvas filled with the background color.  Malformed inputs
 raise ``ValueError``; none of the paths silently guess.
+
+Cross-validated against the system giflib (``tests/
+test_libtiff_libgif_parity.py``, test-time oracle only): every
+``encode_gif`` interlace × transparency variant decodes pixel-exactly
+in both this decoder and ``DGifSlurp``.
 """
 
 from __future__ import annotations

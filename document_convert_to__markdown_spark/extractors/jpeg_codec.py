@@ -44,6 +44,13 @@ the same two function signatures.
 
 Lossy means roundtrips are approximate: tests bound max pixel error
 as a function of quality instead of pinning bytes.
+
+Cross-validated against the system libjpeg (``tests/
+test_libjpeg_parity.py``, gcc-compiled shim, test-time oracle only):
+our decode of libjpeg-encoded streams and libjpeg's decode of our
+streams agree within ±2 levels on photo-like content across baseline/
+progressive and 4:4:4/4:2:0, with a ≤0.6-level mean — the bound two
+independent conforming T.81 decoders are allowed.
 """
 
 from __future__ import annotations

@@ -39,6 +39,12 @@ Anything outside that (illegal depth/type combos, undeclared streams)
 raises ``UnsupportedPNG``/``ValueError`` so callers can fall back to
 their stub path explicitly — never a silent wrong decode.
 
+Cross-validated against the system libpng16 (``tests/
+test_libpng_parity.py``, test-time oracle only): libpng decodes
+``encode_png`` output — gray 1/2/4/8, LA, RGB, RGBA, sequential and
+Adam7 — to the exact same 8-bit expansion this decoder produces, and
+libpng-written PNGs decode here pixel-exactly.
+
 Pure Python per-row filter loops are fine here: scanlines are
 sequential by definition (each byte depends on the previous), and the
 Up filter — the only whole-row-parallel one — uses numpy.  Decode

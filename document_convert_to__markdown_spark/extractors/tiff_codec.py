@@ -22,6 +22,11 @@ out-of-subset payload.
   single-strip little-endian TIFF at any supported compression, with
   optional predictor — the test twin, so every decoder path
   roundtrips without an external TIFF to import.
+
+Cross-validated against the system libtiff (``tests/
+test_libtiff_libgif_parity.py``, test-time oracle only): every
+``encode_tiff`` compression × predictor variant decodes pixel-exactly
+in both this decoder and ``TIFFReadRGBAImage``.
 """
 
 from __future__ import annotations

@@ -1,0 +1,263 @@
+"""Cross-validation of the TIFF and GIF codecs against system libs.
+
+Uses the container's ``libtiff.so.6`` and ``libgif.so.7`` strictly as
+independent *test oracles* — the runtime codecs stay pure
+Python + numpy.  Every ``encode_tiff`` / ``encode_gif`` variant is
+decoded by BOTH our decoder and the system library, and both must
+produce the exact source pixels: one pass validates the writer's
+bitstream against an independent reader and the two decoders against
+each other (the evidence class that caught the VP8L
+kCodeLengthCodeOrder bug — shared-constant errors are invisible to
+round-trip tests).
+
+Each oracle binds through ctypes: libtiff via a temp file +
+``TIFFReadRGBAImageOriented`` (top-left, RGBA byte order), giflib via
+``DGifOpenFileName`` + ``DGifSlurp`` (which de-interlaces) +
+``DGifSavedExtensionToGCB`` for the transparent index.  Skipped
+per-library when absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+from document_convert_to__markdown_spark.extractors.gif_codec import (
+    decode_gif,
+    encode_gif,
+)
+from document_convert_to__markdown_spark.extractors.tiff_codec import (
+    decode_tiff,
+    encode_tiff,
+)
+
+
+# ------------------------------------------------------------- libtiff
+
+def _load_libtiff():
+    try:
+        lib = ctypes.CDLL("libtiff.so.6")
+    except OSError:
+        try:
+            lib = ctypes.CDLL("libtiff.so.5")
+        except OSError:
+            return None
+    lib.TIFFOpen.restype = ctypes.c_void_p
+    lib.TIFFOpen.argtypes = [ctypes.c_char_p, ctypes.c_char_p]
+    lib.TIFFClose.argtypes = [ctypes.c_void_p]
+    lib.TIFFReadRGBAImageOriented.restype = ctypes.c_int
+    lib.TIFFReadRGBAImageOriented.argtypes = [
+        ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_int]
+    # Silence warnings (e.g. about unknown tags) during tests.
+    handler = ctypes.CFUNCTYPE(None)
+    lib.TIFFSetWarningHandler.restype = ctypes.c_void_p
+    lib.TIFFSetWarningHandler(None)
+    return lib
+
+
+def _load_libgif():
+    try:
+        return ctypes.CDLL("libgif.so.7")
+    except OSError:
+        return None
+
+
+_TIFF = _load_libtiff()
+_GIF = _load_libgif()
+
+_TAG_WIDTH, _TAG_LENGTH = 256, 257
+_ORIENTATION_TOPLEFT = 1
+
+
+def _libtiff_read_rgba(blob: bytes) -> np.ndarray:
+    fd, path = tempfile.mkstemp(suffix=".tif")
+    try:
+        os.write(fd, blob)
+        os.close(fd)
+        tif = _TIFF.TIFFOpen(path.encode(), b"r")
+        assert tif, "libtiff rejected the file"
+        try:
+            w = ctypes.c_uint32(0)
+            h = ctypes.c_uint32(0)
+            _TIFF.TIFFGetField(ctypes.c_void_p(tif),
+                               ctypes.c_uint32(_TAG_WIDTH),
+                               ctypes.byref(w))
+            _TIFF.TIFFGetField(ctypes.c_void_p(tif),
+                               ctypes.c_uint32(_TAG_LENGTH),
+                               ctypes.byref(h))
+            raster = np.empty(h.value * w.value, np.uint32)
+            ok = _TIFF.TIFFReadRGBAImageOriented(
+                tif, w.value, h.value,
+                raster.ctypes.data_as(ctypes.c_void_p),
+                _ORIENTATION_TOPLEFT, 0)
+            assert ok, "TIFFReadRGBAImage failed"
+        finally:
+            _TIFF.TIFFClose(tif)
+        # Packed ABGR words == R,G,B,A byte order on little-endian.
+        return raster.view(np.uint8).reshape(h.value, w.value, 4)
+    finally:
+        os.unlink(path)
+
+
+# -------------------------------------------------------------- giflib
+
+class _ColorMapObject(ctypes.Structure):
+    _fields_ = [("ColorCount", ctypes.c_int),
+                ("BitsPerPixel", ctypes.c_int),
+                ("SortFlag", ctypes.c_bool),
+                ("Colors", ctypes.c_void_p)]
+
+
+class _GifImageDesc(ctypes.Structure):
+    _fields_ = [("Left", ctypes.c_int), ("Top", ctypes.c_int),
+                ("Width", ctypes.c_int), ("Height", ctypes.c_int),
+                ("Interlace", ctypes.c_bool),
+                ("ColorMap", ctypes.POINTER(_ColorMapObject))]
+
+
+class _SavedImage(ctypes.Structure):
+    _fields_ = [("ImageDesc", _GifImageDesc),
+                ("RasterBits", ctypes.POINTER(ctypes.c_ubyte)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.c_void_p)]
+
+
+class _GifFileType(ctypes.Structure):
+    _fields_ = [("SWidth", ctypes.c_int), ("SHeight", ctypes.c_int),
+                ("SColorResolution", ctypes.c_int),
+                ("SBackGroundColor", ctypes.c_int),
+                ("AspectByte", ctypes.c_ubyte),
+                ("SColorMap", ctypes.POINTER(_ColorMapObject)),
+                ("ImageCount", ctypes.c_int),
+                ("Image", _GifImageDesc),
+                ("SavedImages", ctypes.POINTER(_SavedImage)),
+                ("ExtensionBlockCount", ctypes.c_int),
+                ("ExtensionBlocks", ctypes.c_void_p),
+                ("Error", ctypes.c_int),
+                ("UserData", ctypes.c_void_p),
+                ("Private", ctypes.c_void_p)]
+
+
+class _GCB(ctypes.Structure):
+    _fields_ = [("DisposalMode", ctypes.c_int),
+                ("UserInputFlag", ctypes.c_bool),
+                ("DelayTime", ctypes.c_int),
+                ("TransparentColor", ctypes.c_int)]
+
+
+def _libgif_read_rgba(blob: bytes) -> np.ndarray:
+    fd, path = tempfile.mkstemp(suffix=".gif")
+    try:
+        os.write(fd, blob)
+        os.close(fd)
+        err = ctypes.c_int(0)
+        _GIF.DGifOpenFileName.restype = ctypes.POINTER(_GifFileType)
+        gif = _GIF.DGifOpenFileName(path.encode(), ctypes.byref(err))
+        assert gif, f"giflib open error {err.value}"
+        try:
+            assert _GIF.DGifSlurp(gif) == 1, "DGifSlurp failed"
+            g = gif.contents
+            assert g.ImageCount >= 1
+            img = g.SavedImages[0]
+            desc = img.ImageDesc
+            cmap = desc.ColorMap if desc.ColorMap else g.SColorMap
+            assert cmap, "no color table"
+            n = cmap.contents.ColorCount
+            colors = np.ctypeslib.as_array(
+                ctypes.cast(cmap.contents.Colors,
+                            ctypes.POINTER(ctypes.c_ubyte)),
+                shape=(n, 3)).copy()
+            idx = np.ctypeslib.as_array(
+                img.RasterBits,
+                shape=(desc.Height, desc.Width)).copy()
+            gcb = _GCB()
+            has_gcb = _GIF.DGifSavedExtensionToGCB(
+                gif, 0, ctypes.byref(gcb)) == 1
+            out = np.empty((desc.Height, desc.Width, 4), np.uint8)
+            out[..., :3] = colors[idx]
+            out[..., 3] = 255
+            if has_gcb and gcb.TransparentColor >= 0:
+                out[idx == gcb.TransparentColor, 3] = 0
+        finally:
+            _GIF.DGifCloseFile(gif, ctypes.byref(err))
+        return out
+    finally:
+        os.unlink(path)
+
+
+def _to_rgba(arr: np.ndarray) -> np.ndarray:
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    ch = arr.shape[-1]
+    out = np.empty(arr.shape[:2] + (4,), np.uint8)
+    if ch == 1:
+        out[..., :3] = arr
+        out[..., 3] = 255
+    elif ch == 3:
+        out[..., :3] = arr
+        out[..., 3] = 255
+    else:
+        out[:] = arr
+    return out
+
+
+_RNG = np.random.default_rng(20260819)
+_GRAY = _RNG.integers(0, 256, (19, 23), np.uint8)
+_RGB = (np.cumsum(_RNG.integers(-9, 10, (21, 17, 3)), axis=1)
+        % 256).astype(np.uint8)
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not present")
+class TestTiffParity:
+    @pytest.mark.parametrize("compression,predictor", [
+        ("none", False), ("lzw", False), ("lzw", True),
+        ("deflate", False), ("deflate", True), ("packbits", False)])
+    @pytest.mark.parametrize("name,src", [("gray", _GRAY),
+                                          ("rgb", _RGB)])
+    def test_both_decoders_exact(self, name, src, compression,
+                                 predictor):
+        blob = encode_tiff(src, compression=compression,
+                           predictor=predictor)
+        ours = _to_rgba(decode_tiff(blob)[0])
+        libs = _libtiff_read_rgba(blob)
+        expect = _to_rgba(src)
+        assert (ours == expect).all()
+        assert (libs == expect).all()
+
+
+@pytest.mark.skipif(_GIF is None, reason="giflib not present")
+class TestGifParity:
+    @pytest.mark.parametrize("interlace", [False, True],
+                             ids=["seq", "interlaced"])
+    @pytest.mark.parametrize("transparent", [None, 3],
+                             ids=["opaque", "transp3"])
+    def test_both_decoders_exact(self, interlace, transparent):
+        pal = _RNG.integers(0, 256, (16, 3), np.uint8)
+        idx = _RNG.integers(0, 16, (25, 33), np.uint8)
+        blob = encode_gif(idx, pal, interlace=interlace,
+                          transparent=transparent)
+        expect = np.empty((25, 33, 4), np.uint8)
+        expect[..., :3] = pal[idx]
+        expect[..., 3] = 255
+        if transparent is not None:
+            expect[idx == transparent, 3] = 0
+        ours = _to_rgba(decode_gif(blob)[0])
+        libs = _libgif_read_rgba(blob)
+        assert (ours == expect).all()
+        assert (libs == expect).all()
+
+    def test_tiny_palette_and_full_palette(self):
+        for n in (2, 256):
+            pal = _RNG.integers(0, 256, (n, 3), np.uint8)
+            idx = _RNG.integers(0, n, (9, 11), np.uint8)
+            blob = encode_gif(idx, pal)
+            expect = np.empty((9, 11, 4), np.uint8)
+            expect[..., :3] = pal[idx]
+            expect[..., 3] = 255
+            assert (_to_rgba(decode_gif(blob)[0]) == expect).all()
+            assert (_libgif_read_rgba(blob) == expect).all()
