@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     # round-5c: ICO (favicon) container walk vs PNG pixel parity
     "multimodal_ico_decode",
     "multimodal_webp_decode",
+    "multimodal_vp8_decode",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

@@ -18,12 +18,13 @@ Specification (RFC 9649 §3-5) directly:
   optional subtract-green / predictor / cross-color / palette
   transforms) used by the synthesizer and the round-trip tests.
 
-Lossy WebP (``VP8 `` chunks — the boolean-coder DCT pipeline) is out
-of scope and raises ``UnsupportedWebP`` so callers fall back to their
-labeled stub path explicitly; header metadata for lossy files stays
-real via ``image_extractor._webp_meta``.  Animated WebP decodes its
-first frame when that frame is lossless (the ``gif_codec``
-first-frame convention).
+Lossy WebP (``VP8 `` chunks) routes to the from-scratch RFC 6386
+key-frame decoder in ``vp8_codec`` (boolean decoder, intra
+prediction, token trees, integer IDCT/WHT, loop filter — pinned
+pixel-exact against libwebp's own decodes).  Animated WebP decodes
+its first frame when that frame is lossless or lossy (the
+``gif_codec`` first-frame convention); animated *compositing*
+(``decode_webp_frames``) stays lossless-only.
 
 Validation note: cross-validated against the system ``libwebp.so.7``
 (1.2.4, test oracle only — the runtime stays pure Python + numpy) in
@@ -632,14 +633,51 @@ def _find_vp8l(payload: bytes) -> bytes:
     raise ValueError("no VP8L chunk in WebP container")
 
 
-def decode_webp(payload: bytes) -> tuple[np.ndarray, str]:
-    """Lossless WebP bytes → ``((h, w, c) uint8 array, mode)``.
+def _find_vp8(payload: bytes) -> bytes | None:
+    """First ``VP8 `` (lossy) bitstream in the container, top-level or
+    inside the first ANMF frame; None when the file is lossless."""
+    if not is_webp(payload):
+        raise ValueError("not a WebP (bad RIFF header)")
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) < length:
+            raise ValueError("truncated WebP chunk")
+        if tag == b"VP8 ":
+            return body
+        if tag == b"VP8L":
+            return None
+        if tag == b"ANMF":
+            sub = 16
+            while sub + 8 <= length:
+                stag = body[sub:sub + 4]
+                (slen,) = struct.unpack("<I", body[sub + 4:sub + 8])
+                if stag == b"VP8 ":
+                    return body[sub + 8:sub + 8 + slen]
+                if stag == b"VP8L":
+                    return None
+                sub += 8 + slen + (slen & 1)
+        pos += 8 + length + (length & 1)
+    return None
 
-    ``mode`` is ``"RGBA"`` when any decoded alpha < 255, else
-    ``"RGB"``.  Raises ``UnsupportedWebP`` for lossy/animated/oversized
-    files and ``ValueError`` for malformed ones — never a silent wrong
-    decode.
+
+def decode_webp(payload: bytes) -> tuple[np.ndarray, str]:
+    """WebP bytes → ``((h, w, c) uint8 array, mode)``.
+
+    Lossless (``VP8L``) decodes through this module; lossy (``VP8 ``)
+    routes to the from-scratch RFC 6386 key-frame decoder in
+    ``vp8_codec`` (mode ``"RGB"`` — 4:2:0 has no alpha).  ``mode`` is
+    ``"RGBA"`` when any decoded alpha < 255, else ``"RGB"``.  Raises
+    ``UnsupportedWebP`` for unsupported / oversized files and
+    ``ValueError`` for malformed ones — never a silent wrong decode.
     """
+    lossy = _find_vp8(payload)
+    if lossy is not None:
+        from .vp8_codec import decode_vp8
+        return decode_vp8(lossy), "RGB"
     br = _BitReader(_find_vp8l(payload))
     if br.read(8) != 0x2F:
         raise ValueError("bad VP8L signature byte")

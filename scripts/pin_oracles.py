@@ -93,6 +93,9 @@ PINNABLE = [
     # round-5: animated-WebP (VP8X/ANIM/ANMF) compositing across the
     # four blend×dispose variants — VP8L decode + OVER isn't SQL.
     "multimodal_webp_anim",
+    # round-5h: lossy-WebP (VP8 key frame) decode across stream
+    # layouts — the boolean-decoder DCT pipeline isn't SQL.
+    "multimodal_vp8_decode",
 ]
 
 _SQL_TYPES = {

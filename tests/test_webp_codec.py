@@ -224,16 +224,24 @@ def _lossy_vp8_container():
             + b"VP8 " + struct.pack("<I", len(body)) + body)
 
 
-def test_lossy_and_lossy_animation_refuse_cleanly():
-    with pytest.raises(UnsupportedWebP):
+def test_lossy_routes_to_vp8_and_garbage_refuses_cleanly():
+    # Lossy WebP now decodes through vp8_codec; malformed VP8 data
+    # (zero bytes = bad start code) must still raise ValueError,
+    # never a silent wrong decode.
+    with pytest.raises(ValueError):
         decode_webp(_lossy_vp8_container())
-    # lossy animation frame → UnsupportedWebP; imageless ANIM-only
-    # container → ValueError (malformed, no image data at all)
+    from document_convert_to__markdown_spark.extractors.vp8_codec \
+        import encode_webp_lossy
+    px = np.full((20, 28, 3), (90, 160, 60), np.uint8)
+    dec, mode = decode_webp(encode_webp_lossy(px, quality=90))
+    assert mode == "RGB" and dec.shape == (20, 28, 3)
+    assert int(np.abs(dec.astype(int) - px.astype(int)).max()) <= 6
+    # malformed lossy animation frame: ValueError too
     lossy_frame = b"VP8 " + struct.pack("<I", 8) + b"\0" * 8
     anmf = b"ANMF" + struct.pack("<I", 16 + len(lossy_frame)) \
         + b"\0" * 16 + lossy_frame
     cont = b"RIFF" + struct.pack("<I", 4 + len(anmf)) + b"WEBP" + anmf
-    with pytest.raises(UnsupportedWebP):
+    with pytest.raises(ValueError):
         decode_webp(cont)
     anim = (b"RIFF" + struct.pack("<I", 18) + b"WEBP"
             + b"ANIM" + struct.pack("<I", 6) + b"\0" * 6)
