@@ -633,35 +633,103 @@ def _find_vp8l(payload: bytes) -> bytes:
     raise ValueError("no VP8L chunk in WebP container")
 
 
-def _find_vp8(payload: bytes) -> bytes | None:
-    """First ``VP8 `` (lossy) bitstream in the container, top-level or
-    inside the first ANMF frame; None when the file is lossless."""
+def _find_vp8(payload: bytes):
+    """First ``VP8 `` (lossy) bitstream in the container plus its
+    sibling ``ALPH`` chunk (or None), top-level or inside the first
+    ANMF frame; (None, None) when the file is lossless."""
     if not is_webp(payload):
         raise ValueError("not a WebP (bad RIFF header)")
     pos = 12
     n = len(payload)
+    alph = None
     while pos + 8 <= n:
         tag = payload[pos:pos + 4]
         (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
         body = payload[pos + 8:pos + 8 + length]
         if len(body) < length:
             raise ValueError("truncated WebP chunk")
+        if tag == b"ALPH":
+            alph = body
         if tag == b"VP8 ":
-            return body
+            return body, alph
         if tag == b"VP8L":
-            return None
+            return None, None
         if tag == b"ANMF":
             sub = 16
             while sub + 8 <= length:
                 stag = body[sub:sub + 4]
                 (slen,) = struct.unpack("<I", body[sub + 4:sub + 8])
+                if stag == b"ALPH":
+                    alph = body[sub + 8:sub + 8 + slen]
                 if stag == b"VP8 ":
-                    return body[sub + 8:sub + 8 + slen]
+                    return body[sub + 8:sub + 8 + slen], alph
                 if stag == b"VP8L":
-                    return None
+                    return None, None
                 sub += 8 + slen + (slen & 1)
         pos += 8 + length + (length & 1)
-    return None
+    return None, None
+
+
+def _decode_alpha(alph: bytes, w: int, h: int) -> np.ndarray:
+    """``ALPH`` chunk → (h, w) uint8 alpha plane (container spec §
+    "Alpha"): header byte = 2-bit compression method (0 raw, 1
+    headless-VP8L whose green channel carries alpha), 2-bit
+    prediction filter (none / horizontal / vertical / gradient,
+    applied after decompression with the first-pixel/row
+    conventions), 2-bit pre-processing hint.  Level-reduced alpha
+    (pre-processing 1, produced only by ``alpha_quality < 100``
+    encodes) refuses rather than skipping the smoothing step —
+    never a silent wrong decode."""
+    if not alph:
+        raise ValueError("empty ALPH chunk")
+    method = alph[0] & 0x03
+    filt = (alph[0] >> 2) & 0x03
+    pre = (alph[0] >> 4) & 0x03
+    if pre == 1:
+        raise UnsupportedWebP("level-reduced (lossy) alpha plane")
+    if method == 0:
+        if len(alph) < 1 + w * h:
+            raise ValueError("truncated raw alpha plane")
+        plane = np.frombuffer(alph, np.uint8, w * h, 1).reshape(h, w)
+        plane = plane.astype(np.int32)
+    elif method == 1:
+        br = _BitReader(alph[1:])
+        argb = _decode_image_stream(br, w, h, True)
+        plane = ((argb >> 8) & 0xFF).astype(np.int32)   # green
+    else:
+        raise ValueError(f"bad alpha compression method {method}")
+    if filt == 0:
+        return plane.astype(np.uint8)
+    if filt == 1:                                        # horizontal
+        # first column chains off the pixel ABOVE; rows left-chain —
+        # i.e. a row-wise cumsum seeded by a column-wise cumsum.
+        first = np.cumsum(plane[:, 0], dtype=np.int64)
+        acc = plane.copy()
+        acc[:, 0] = first
+        return np.cumsum(acc, axis=1,
+                         dtype=np.int64).astype(np.uint8).reshape(h, w)
+    if filt == 2:                                        # vertical
+        # row 0 left-chains (the horizontal rule); columns top-chain.
+        acc = plane.copy()
+        acc[0] = np.cumsum(plane[0], dtype=np.int64) & 0xFF
+        return np.cumsum(acc, axis=0,
+                         dtype=np.int64).astype(np.uint8).reshape(h, w)
+    out = np.zeros((h, w), np.int32)                     # gradient
+    out[0] = np.cumsum(plane[0], dtype=np.int64) & 0xFF
+    for y in range(1, h):
+        row_out = out[y]
+        row_in = plane[y]
+        prev = out[y - 1]
+        left = int(prev[0])
+        top_left = left
+        for x in range(w):
+            top = int(prev[x])
+            g = left + top - top_left
+            pred = 0 if g < 0 else 255 if g > 255 else g
+            left = (int(row_in[x]) + pred) & 0xFF
+            top_left = top
+            row_out[x] = left
+    return out.astype(np.uint8)
 
 
 def decode_webp(payload: bytes) -> tuple[np.ndarray, str]:
@@ -669,15 +737,23 @@ def decode_webp(payload: bytes) -> tuple[np.ndarray, str]:
 
     Lossless (``VP8L``) decodes through this module; lossy (``VP8 ``)
     routes to the from-scratch RFC 6386 key-frame decoder in
-    ``vp8_codec`` (mode ``"RGB"`` — 4:2:0 has no alpha).  ``mode`` is
-    ``"RGBA"`` when any decoded alpha < 255, else ``"RGB"``.  Raises
-    ``UnsupportedWebP`` for unsupported / oversized files and
-    ``ValueError`` for malformed ones — never a silent wrong decode.
+    ``vp8_codec``, with a sibling ``ALPH`` chunk decoded into the
+    alpha channel (raw or headless-VP8L, all three prediction
+    filters).  ``mode`` is ``"RGBA"`` when any decoded alpha < 255,
+    else ``"RGB"``.  Raises ``UnsupportedWebP`` for unsupported /
+    oversized files and ``ValueError`` for malformed ones — never a
+    silent wrong decode.
     """
-    lossy = _find_vp8(payload)
+    lossy, alph = _find_vp8(payload)
     if lossy is not None:
         from .vp8_codec import decode_vp8
-        return decode_vp8(lossy), "RGB"
+        rgb = decode_vp8(lossy)
+        if alph is None:
+            return rgb, "RGB"
+        a = _decode_alpha(alph, rgb.shape[1], rgb.shape[0])
+        if bool((a == 255).all()):
+            return rgb, "RGB"
+        return np.dstack([rgb, a]), "RGBA"
     br = _BitReader(_find_vp8l(payload))
     if br.read(8) != 0x2F:
         raise ValueError("bad VP8L signature byte")

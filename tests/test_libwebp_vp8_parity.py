@@ -426,3 +426,105 @@ def test_tables_match_library():
         bytes(T.COEFF_PROBS[:33]), bmode_off)
     assert coeff_off > 0
     assert tuple(data[coeff_off:coeff_off + 1056]) == T.COEFF_PROBS
+
+
+def _chunk(tag: bytes, data: bytes) -> bytes:
+    return (tag + len(data).to_bytes(4, "little") + data
+            + (b"\x00" if len(data) & 1 else b""))
+
+
+def _alpha_container(frame: bytes, alph: bytes, w: int,
+                     h: int) -> bytes:
+    vp8x = _chunk(b"VP8X", bytes([0x10, 0, 0, 0])
+                  + (w - 1).to_bytes(4, "little")[:3]
+                  + (h - 1).to_bytes(4, "little")[:3])
+    body = vp8x + _chunk(b"ALPH", alph) + _chunk(b"VP8 ", frame)
+    return (b"RIFF" + (4 + len(body)).to_bytes(4, "little")
+            + b"WEBP" + body)
+
+
+def _lib_rgba(blob: bytes) -> np.ndarray:
+    _LIB.WebPDecodeRGBA.restype = ctypes.c_void_p
+    _LIB.WebPDecodeRGBA.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = _LIB.WebPDecodeRGBA(blob, len(blob), ctypes.byref(w),
+                            ctypes.byref(h))
+    assert p, "libwebp rejected the container"
+    try:
+        return np.ctypeslib.as_array(
+            ctypes.cast(p, ctypes.POINTER(ctypes.c_uint8)),
+            shape=(h.value, w.value, 4)).copy()
+    finally:
+        _LIB.WebPFree(p)
+
+
+class TestAlphaPlane:
+    """ALPH chunk (lossy WebP with transparency): the alpha channel
+    is lossless at default settings, so it compares EXACTLY."""
+
+    @pytest.mark.parametrize("knobs", [
+        {}, dict(alpha_filtering=2), dict(alpha_compression=0),
+    ], ids=["default", "best-filter", "raw"])
+    def test_libwebp_alpha_streams(self, knobs):
+        from document_convert_to__markdown_spark.extractors import (
+            webp_codec,
+        )
+        rng = np.random.default_rng(5)
+        yy, xx = np.mgrid[0:40, 0:56]
+        for alpha in (rng.integers(0, 256, (40, 56), dtype=np.uint8),
+                      (xx * 255 // 55).astype(np.uint8),
+                      np.where((xx // 8 + yy // 8) % 2 == 0, 255,
+                               40).astype(np.uint8)):
+            img = np.dstack(
+                [rng.integers(0, 256, (40, 56, 3), dtype=np.uint8),
+                 alpha])
+            blob = _lib_encode_cfg(img, 75.0, **knobs)
+            dec, mode = webp_codec.decode_webp(blob)
+            assert mode == "RGBA"
+            assert (dec[..., 3] == _lib_rgba(blob)[..., 3]).all()
+
+    @pytest.mark.parametrize("filt", [1, 2, 3],
+                             ids=["horizontal", "vertical", "gradient"])
+    def test_crafted_alpha_filters(self, filt):
+        # libwebp 1.2.4's encoder only ever emits filters 0/1, so
+        # vertical and gradient are pinned with hand-filtered raw
+        # planes, libwebp decoding them as the oracle.
+        from document_convert_to__markdown_spark.extractors import (
+            webp_codec,
+        )
+        rng = np.random.default_rng(8)
+        h, w = 24, 33
+        frame = encode_vp8(
+            rng.integers(0, 256, (h, w, 3), dtype=np.uint8),
+            quality=85)
+        yy, xx = np.mgrid[0:h, 0:w]
+        alpha = ((yy * 255 // (h - 1)).astype(np.uint8)
+                 ^ (xx * 3).astype(np.uint8))
+        res = np.zeros((h, w), np.int32)
+        a32 = alpha.astype(np.int32)
+        for y in range(h):
+            for x in range(w):
+                if y == 0 and x == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = a32[0, x - 1]
+                elif x == 0:
+                    pred = a32[y - 1, 0]
+                elif filt == 1:
+                    pred = a32[y, x - 1]
+                elif filt == 2:
+                    pred = a32[y - 1, x]
+                else:
+                    pred = min(255, max(0, int(a32[y, x - 1])
+                                        + int(a32[y - 1, x])
+                                        - int(a32[y - 1, x - 1])))
+                res[y, x] = (a32[y, x] - pred) & 0xFF
+        alph = bytes([filt << 2]) + res.astype(np.uint8).tobytes()
+        blob = _alpha_container(frame, alph, w, h)
+        dec, mode = webp_codec.decode_webp(blob)
+        assert mode == "RGBA"
+        assert (dec[..., 3] == alpha).all()
+        assert (dec[..., 3] == _lib_rgba(blob)[..., 3]).all()
