@@ -21,10 +21,10 @@ Specification (RFC 9649 §3-5) directly:
 Lossy WebP (``VP8 `` chunks) routes to the from-scratch RFC 6386
 key-frame decoder in ``vp8_codec`` (boolean decoder, intra
 prediction, token trees, integer IDCT/WHT, loop filter — pinned
-pixel-exact against libwebp's own decodes).  Animated WebP decodes
-its first frame when that frame is lossless or lossy (the
-``gif_codec`` first-frame convention); animated *compositing*
-(``decode_webp_frames``) stays lossless-only.
+pixel-exact against libwebp's own decodes), with ``ALPH``
+transparency planes decoded for both stills and animation frames.
+``decode_webp_frames`` composites lossless AND lossy ANMF frames
+onto the shared canvas.
 
 Validation note: cross-validated against the system ``libwebp.so.7``
 (1.2.4, test oracle only — the runtime stays pure Python + numpy) in
@@ -1075,9 +1075,11 @@ def decode_webp_frames(payload: bytes,
     Porter-Duff OVER arithmetic to the APNG compositor); blend bit 1
     overwrites the rectangle.  Dispose bit 1 fills the rectangle with
     the ANIM background color (BGRA in the file) after the frame
-    renders.  Raises ``UnsupportedWebP`` for a static WebP (no ANMF)
-    or lossy frames, ``ValueError`` for malformed containers (frame
-    rect outside the canvas, truncated chunks).
+    renders.  Frames may be lossless (VP8L) or lossy (VP8 + optional
+    ALPH transparency plane, via the RFC 6386 decoder).  Raises
+    ``UnsupportedWebP`` for a static WebP (no ANMF), ``ValueError``
+    for malformed containers (frame rect outside the canvas,
+    truncated chunks).
     """
     if not is_webp(payload):
         raise ValueError("not a WebP (bad RIFF header)")
@@ -1114,7 +1116,9 @@ def decode_webp_frames(payload: bytes,
             blend = (flags >> 1) & 1       # 0 = alpha blend, 1 = overwrite
             dispose = flags & 1            # 1 = fill rect with background
             sub = 16
-            vp8l = None
+            stream = None
+            lossy = False
+            alph = None
             while sub + 8 <= length:
                 stag = body[sub:sub + 4]
                 (slen,) = struct.unpack("<I", body[sub + 4:sub + 8])
@@ -1122,11 +1126,15 @@ def decode_webp_frames(payload: bytes,
                 if len(sbody) < slen:
                     raise ValueError("truncated ANMF sub-chunk")
                 if stag == b"VP8L":
-                    vp8l = sbody
+                    stream = sbody
+                    lossy = False
                 elif stag == b"VP8 ":
-                    raise UnsupportedWebP("lossy animated WebP frame")
+                    stream = sbody
+                    lossy = True
+                elif stag == b"ALPH":
+                    alph = sbody
                 sub += 8 + slen + (slen & 1)
-            if vp8l is None:
+            if stream is None:
                 raise ValueError("ANMF frame without image data")
             # store the bitstream, decode LAZILY in the composite
             # loop: only the first max_frames frames (and only after
@@ -1134,7 +1142,8 @@ def decode_webp_frames(payload: bytes,
             # pixels — otherwise a crafted file with thousands of
             # tiny-on-the-wire constant-color frames allocates GBs
             # during the walk
-            frames.append((fx, fy, fw, fh, blend, dispose, vp8l))
+            frames.append((fx, fy, fw, fh, blend, dispose,
+                           stream, lossy, alph))
         pos += 8 + length + (length & 1)
     if not frames:
         raise UnsupportedWebP("WebP without ANMF frames (not animated)")
@@ -1145,12 +1154,22 @@ def decode_webp_frames(payload: bytes,
 
     canvas = np.zeros((canvas_h, canvas_w, 4), dtype=np.uint8)
     out = []
-    for fx, fy, fw, fh, blend, dispose, vp8l in frames[:max_frames]:
+    for (fx, fy, fw, fh, blend, dispose, stream, lossy,
+         alph) in frames[:max_frames]:
         if fx + fw > canvas_w or fy + fh > canvas_h:
             raise ValueError("ANMF frame rect outside canvas")
-        rgba = _decode_vp8l_rgba(vp8l)
+        if lossy:
+            from .vp8_codec import decode_vp8
+            rgb = decode_vp8(stream)
+            rgba = np.empty(rgb.shape[:2] + (4,), np.uint8)
+            rgba[..., :3] = rgb
+            rgba[..., 3] = (_decode_alpha(alph, rgb.shape[1],
+                                          rgb.shape[0])
+                            if alph is not None else 255)
+        else:
+            rgba = _decode_vp8l_rgba(stream)
         if rgba.shape[0] != fh or rgba.shape[1] != fw:
-            raise ValueError("ANMF geometry / VP8L size mismatch")
+            raise ValueError("ANMF geometry / bitstream size mismatch")
         rect = canvas[fy:fy + fh, fx:fx + fw]
         if blend == 1:
             rect[:] = rgba

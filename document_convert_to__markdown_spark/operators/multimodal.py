@@ -355,11 +355,12 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
                     except ValueError:
                         pass
                 if is_webp(payload) and b"ANMF" in payload:
-                    # animated lossless WebP: composited RGBA frames
-                    # (ANMF blend/dispose bits honored).  The substring
-                    # probe is a cheap pre-filter — decode_webp_frames
-                    # re-walks the chunk stream, so static or lossy
-                    # WebPs fall through to the stub.
+                    # animated WebP (lossless VP8L or lossy VP8+ALPH
+                    # frames): composited RGBA canvases, ANMF
+                    # blend/dispose bits honored.  The substring probe
+                    # is a cheap pre-filter — decode_webp_frames
+                    # re-walks the chunk stream, so static WebPs fall
+                    # through to the stub.
                     try:
                         frames = decode_webp_frames(payload)
                         for idx in range(0, len(frames), every_n):

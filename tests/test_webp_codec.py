@@ -495,3 +495,61 @@ def test_webp_anim_max_frames_caps_decode():
     anim = [(base, 0, 0, 1, 0)] * 40
     out = decode_webp_frames(encode_webp_anim(anim), max_frames=3)
     assert len(out) == 3
+
+
+def test_animated_mixed_lossless_lossy_frames():
+    """ANMF frames may be VP8L or VP8(+ALPH); the compositor blends
+    both onto the shared canvas.  Expected canvases are computed by
+    an independent numpy compositing of the independently-decoded
+    frame pixels."""
+    from document_convert_to__markdown_spark.extractors.vp8_codec \
+        import decode_vp8, encode_vp8
+
+    from document_convert_to__markdown_spark.extractors.webp_codec \
+        import decode_webp_frames
+
+    rng = np.random.default_rng(3)
+    cw, ch = 32, 24
+    f0 = rng.integers(0, 256, (ch, cw, 4), dtype=np.uint8)
+    f0[..., 3] = 255
+    f1_rgb = rng.integers(0, 256, (8, 16, 3), dtype=np.uint8)
+    alpha = np.where(np.mgrid[0:8, 0:16][1] < 8, 255,
+                     30).astype(np.uint8)
+    vp8_1 = encode_vp8(f1_rgb, quality=90)
+    alph_1 = bytes([0]) + alpha.tobytes()
+
+    def chunk(tag, data):
+        return (tag + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+
+    def anmf(x, y, w, h, flags, sub):
+        params = (struct.pack("<I", x // 2)[:3]
+                  + struct.pack("<I", y // 2)[:3]
+                  + struct.pack("<I", w - 1)[:3]
+                  + struct.pack("<I", h - 1)[:3]
+                  + b"\x00\x00\x00" + bytes([flags]))
+        return chunk(b"ANMF", params + sub)
+
+    vp8l0 = encode_webp(f0)
+    (ln,) = struct.unpack("<I", vp8l0[16:20])
+    vp8l0_chunk = vp8l0[12:20 + ln + (ln & 1)]
+    body = (chunk(b"VP8X", bytes([0x12, 0, 0, 0])
+                  + struct.pack("<I", cw - 1)[:3]
+                  + struct.pack("<I", ch - 1)[:3])
+            + chunk(b"ANIM", b"\x00" * 6)
+            + anmf(0, 0, cw, ch, 0, vp8l0_chunk)
+            + anmf(4, 8, 16, 8, 0,
+                   chunk(b"ALPH", alph_1) + chunk(b"VP8 ", vp8_1)))
+    cont = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+    frames = decode_webp_frames(cont)
+    assert len(frames) == 2
+    assert (frames[0] == f0).all()
+    expected = f0.copy()
+    lossy = np.dstack([decode_vp8(vp8_1), alpha])
+    rect = expected[8:16, 4:20]
+    a = lossy[..., 3:].astype(np.uint16)
+    rect[..., :3] = ((lossy[..., :3].astype(np.uint16) * a
+                      + rect[..., :3].astype(np.uint16) * (255 - a)
+                      + 127) // 255).astype(np.uint8)
+    assert (frames[1] == expected).all()
