@@ -339,6 +339,79 @@ def main() -> None:
     assert agg.n_apng == 2 * (n_anim // 2), results
     assert agg.n_webp == 2 * ((n_anim + 1) // 2), results
 
+    # --- lossy VP8: decode determinism at volume ---------------------
+    # dHash under a lossy codec is approximate BY DESIGN (quantization
+    # flips near-tie gradient bits), so the volume invariant here is
+    # decode determinism: each scene pairs the VP8 bitstream with a
+    # PNG of its OWN decoded pixels — the executor-side decode in the
+    # hash kernel must reproduce the synthesis-side decode exactly, so
+    # every pair sits at Hamming 0 with zero cross-scene pairs.
+    # Stream layouts cycle quality 60/75/85/95 x partitions 1/2/4/8 x
+    # normal/simple loop filter.
+    n_vp8 = max(n_scenes // 10, 100)
+
+    def gen_vp8(batches):
+        import numpy as np
+        import pandas as pd
+
+        from document_convert_to__markdown_spark.extractors.png_codec \
+            import encode_png
+        from document_convert_to__markdown_spark.extractors.vp8_codec \
+            import encode_webp_lossy
+        from document_convert_to__markdown_spark.extractors.webp_codec \
+            import decode_webp
+
+        quals = (60, 75, 85, 95)
+        parts = (1, 2, 4, 8)
+        for pdf in batches:
+            urls, blobs = [], []
+            for s in pdf["id"]:
+                s = int(s)
+                rng = np.random.RandomState(s)
+                yy, xx = np.mgrid[0:32, 0:32]
+                base = (120 + 70 * np.sin(xx / (4 + s % 7) + s)
+                        * np.cos(yy / (6 + s % 5)))[..., None] \
+                    + rng.randint(-6, 7, (32, 32, 3))
+                img = np.clip(base, 0, 255).astype(np.uint8)
+                blob = encode_webp_lossy(
+                    img, quality=quals[s % 4],
+                    filter_level=(0 if s % 3 == 0 else 16),
+                    filter_simple=(s % 6 >= 3),
+                    n_partitions=parts[(s >> 2) % 4])
+                ref = decode_webp(blob)[0]
+                urls.append(f"v{s:07d}/a")
+                blobs.append(encode_png(ref))
+                urls.append(f"v{s:07d}/b")
+                blobs.append(blob)
+            yield pd.DataFrame({"url": urls, "data": blobs})
+
+    vimgs = spark.range(n_vp8).repartition(64) \
+        .mapInPandas(gen_vp8, IMG_SCHEMA)
+    t0 = time.time()
+    vhashes = image_dhash(vimgs).localCheckpoint()
+    n_vimgs = vhashes.count()
+    t_vhash = time.time() - t0
+    results["n_vp8_scenes"] = n_vp8
+    results["vp8_hash_sec"] = round(t_vhash, 1)
+    results["vp8_imgs_per_sec"] = round(n_vimgs / t_vhash)
+    vpairs = image_neardup_pairs(vhashes, max_hamming=3, n_bands=4) \
+        .localCheckpoint()
+    results["vp8_pairs"] = vpairs.count()
+    vsame = vpairs.filter(F.substring("id_a", 1, 8)
+                          == F.substring("id_b", 1, 8)) \
+        .localCheckpoint()
+    results["vp8_same_scene_pairs"] = vsame.count()
+    results["vp8_same_scene_h0"] = vsame.filter("hamming = 0").count()
+    # cross-scene pairs are benign hash coincidences between DIFFERENT
+    # smooth scenes (a 64-bit dHash of low-frequency content), reported
+    # but not asserted; the determinism invariant is exact: every
+    # scene's (vp8, png-of-decoded-vp8) pair exists at Hamming 0.
+    results["vp8_cross_scene_pairs"] = (results["vp8_pairs"]
+                                        - results["vp8_same_scene_pairs"])
+    assert n_vimgs == 2 * n_vp8, results
+    assert results["vp8_same_scene_pairs"] == n_vp8 \
+        == results["vp8_same_scene_h0"], results
+
     results["checks"] = "pass"
     print(json.dumps(results))
 
