@@ -32,6 +32,15 @@ forward WHT/DCT + the spec's token encoder through the boolean
 encoder of §8) used by the synthesizer and tests, so the decoder is
 exercisable without libwebp at runtime.
 
+Performance posture (same as ``jpeg_codec``): the boolean decoder is
+per-token Python and the loop filter runs per-edge numpy — ~3 ms for
+a 32×32 thumbnail, ~0.8 s for 320×256, capped at 512k pixels.  Fine
+for the fixture/thumbnail scale this container processes; a
+production swap-in is libwebp behind the same two function
+signatures.  The loop filter gathers each edge's 8 taps as one
+(n, 8) window — per-line numpy calls, not arithmetic, dominated the
+first profile.
+
 Reference parity note: the reference engine (HE1780) delegates image
 handling to MarkItDown/PIL (reference ``src/config.py:37-57``); this
 codec exists for the multimodal training-data operators.
@@ -863,94 +872,81 @@ def decode_vp8_planes(data: bytes, loop_filter: bool = True):
 
 # -------------------------------------------------------- loop filter
 
-def _sclip(v, lo, hi):
-    return np.clip(v, lo, hi)
-
-
-def _u8(v):
-    return np.clip(v, 0, 255)
-
-
-def _gather(plane, horiz, pos, start, n, k):
-    """Sample line k relative to an edge: vertical edge at column
-    ``pos`` (horiz=False) gathers plane[start:start+n, pos+k];
-    horizontal edge at row ``pos`` gathers plane[pos+k, start:start+n].
-    Returns int32 vector."""
-    if horiz:
-        return plane[pos + k, start:start + n].astype(np.int32)
-    return plane[start:start + n, pos + k].astype(np.int32)
-
-
-def _scatter(plane, horiz, pos, start, n, k, v):
-    if horiz:
-        plane[pos + k, start:start + n] = v.astype(np.uint8)
-    else:
-        plane[start:start + n, pos + k] = v.astype(np.uint8)
-
-
 def _filter_edge(plane, horiz, pos, start, n, limit, ilevel,
                  hev_t, mb_edge, simple):
     """One 4/6/8-tap loop-filter pass along an edge (§15.2-15.4),
     vectorized across its ``n`` lines.  ``limit`` is the f_limit
     (already +4 on macroblock edges), ``simple`` selects the 2-tap
-    simple filter."""
-    g = lambda k: _gather(plane, horiz, pos, start, n, k)
-    p1, p0, q0, q1 = g(-2), g(-1), g(0), g(1)
+    simple filter.  The 8 taps move as ONE (n, 8) window — a single
+    gather and a single scatter — because per-line numpy calls, not
+    arithmetic, dominated the first profile of this filter."""
+    if horiz:
+        win = plane[pos - 4:pos + 4, start:start + n].T.astype(np.int32)
+    else:
+        win = plane[start:start + n, pos - 4:pos + 4].astype(np.int32)
+    p1 = win[:, 2]
+    p0 = win[:, 3]
+    q0 = win[:, 4]
+    q1 = win[:, 5]
+    mn, mx = np.minimum, np.maximum
     thresh2 = 2 * limit + 1
     if simple:
         mask = (4 * np.abs(p0 - q0) + np.abs(p1 - q1)) <= thresh2
         if not mask.any():
             return
-        a = 3 * (q0 - p0) + _sclip(p1 - q1, -128, 127)
-        a1 = _sclip((a + 4) >> 3, -16, 15)
-        a2 = _sclip((a + 3) >> 3, -16, 15)
-        _scatter(plane, horiz, pos, start, n, -1,
-                 np.where(mask, _u8(p0 + a2), p0))
-        _scatter(plane, horiz, pos, start, n, 0,
-                 np.where(mask, _u8(q0 - a1), q0))
-        return
-    p3, p2, q2, q3 = g(-4), g(-3), g(2), g(3)
-    needs = (4 * np.abs(p0 - q0) + np.abs(p1 - q1)) <= thresh2
-    for a, b in ((p3, p2), (p2, p1), (p1, p0),
-                 (q3, q2), (q2, q1), (q1, q0)):
-        needs &= np.abs(a - b) <= ilevel
-    if not needs.any():
-        return
-    hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
-    out = {k: g(k) for k in (-3, -2, -1, 0, 1, 2)}
-    # hev path: DoFilter2 (both edge kinds)
-    m2 = needs & hev
-    a = 3 * (q0 - p0) + _sclip(p1 - q1, -128, 127)
-    f1 = _sclip((a + 4) >> 3, -16, 15)
-    f2 = _sclip((a + 3) >> 3, -16, 15)
-    out[-1] = np.where(m2, _u8(p0 + f2), out[-1])
-    out[0] = np.where(m2, _u8(q0 - f1), out[0])
-    m = needs & ~hev
-    if mb_edge:
-        # DoFilter6
-        w = _sclip(3 * (q0 - p0) + _sclip(p1 - q1, -128, 127),
-                   -128, 127)
-        a1 = (27 * w + 63) >> 7
-        a2 = (18 * w + 63) >> 7
-        a3 = (9 * w + 63) >> 7
-        out[-3] = np.where(m, _u8(p2 + a3), out[-3])
-        out[-2] = np.where(m, _u8(p1 + a2), out[-2])
-        out[-1] = np.where(m, _u8(p0 + a1), out[-1])
-        out[0] = np.where(m, _u8(q0 - a1), out[0])
-        out[1] = np.where(m, _u8(q1 - a2), out[1])
-        out[2] = np.where(m, _u8(q2 - a3), out[2])
+        a = 3 * (q0 - p0) + mx(mn(p1 - q1, 127), -128)
+        a1 = mx(mn((a + 4) >> 3, 15), -16)
+        a2 = mx(mn((a + 3) >> 3, 15), -16)
+        win[:, 3] = np.where(mask, mx(mn(p0 + a2, 255), 0), p0)
+        win[:, 4] = np.where(mask, mx(mn(q0 - a1, 255), 0), q0)
     else:
-        # DoFilter4 (no p1/q1 adjust under hev; a without p1-q1 term)
-        a = 3 * (q0 - p0)
-        f1 = _sclip((a + 4) >> 3, -16, 15)
-        f2 = _sclip((a + 3) >> 3, -16, 15)
-        f3 = (f1 + 1) >> 1
-        out[-2] = np.where(m, _u8(p1 + f3), out[-2])
-        out[-1] = np.where(m, _u8(p0 + f2), out[-1])
-        out[0] = np.where(m, _u8(q0 - f1), out[0])
-        out[1] = np.where(m, _u8(q1 - f3), out[1])
-    for k, v in out.items():
-        _scatter(plane, horiz, pos, start, n, k, v)
+        p3, p2, q2, q3 = win[:, 0], win[:, 1], win[:, 6], win[:, 7]
+        needs = (4 * np.abs(p0 - q0) + np.abs(p1 - q1)) <= thresh2
+        needs &= np.abs(p3 - p2) <= ilevel
+        needs &= np.abs(p2 - p1) <= ilevel
+        needs &= np.abs(p1 - p0) <= ilevel
+        needs &= np.abs(q3 - q2) <= ilevel
+        needs &= np.abs(q2 - q1) <= ilevel
+        needs &= np.abs(q1 - q0) <= ilevel
+        if not needs.any():
+            return
+        hev = (np.abs(p1 - p0) > hev_t) | (np.abs(q1 - q0) > hev_t)
+        # hev path: DoFilter2 (both edge kinds)
+        m2 = needs & hev
+        a = 3 * (q0 - p0) + mx(mn(p1 - q1, 127), -128)
+        f1 = mx(mn((a + 4) >> 3, 15), -16)
+        f2 = mx(mn((a + 3) >> 3, 15), -16)
+        out_p0 = np.where(m2, mx(mn(p0 + f2, 255), 0), p0)
+        out_q0 = np.where(m2, mx(mn(q0 - f1, 255), 0), q0)
+        m = needs & ~hev
+        if mb_edge:
+            # DoFilter6
+            w = mx(mn(3 * (q0 - p0) + mx(mn(p1 - q1, 127), -128),
+                      127), -128)
+            a1 = (27 * w + 63) >> 7
+            a2 = (18 * w + 63) >> 7
+            a3 = (9 * w + 63) >> 7
+            win[:, 1] = np.where(m, mx(mn(p2 + a3, 255), 0), p2)
+            win[:, 2] = np.where(m, mx(mn(p1 + a2, 255), 0), p1)
+            win[:, 3] = np.where(m, mx(mn(p0 + a1, 255), 0), out_p0)
+            win[:, 4] = np.where(m, mx(mn(q0 - a1, 255), 0), out_q0)
+            win[:, 5] = np.where(m, mx(mn(q1 - a2, 255), 0), q1)
+            win[:, 6] = np.where(m, mx(mn(q2 - a3, 255), 0), q2)
+        else:
+            # DoFilter4 (no p1/q1 adjust under hev; a lacks p1-q1)
+            a = 3 * (q0 - p0)
+            f1 = mx(mn((a + 4) >> 3, 15), -16)
+            f2 = mx(mn((a + 3) >> 3, 15), -16)
+            f3 = (f1 + 1) >> 1
+            win[:, 2] = np.where(m, mx(mn(p1 + f3, 255), 0), p1)
+            win[:, 3] = np.where(m, mx(mn(p0 + f2, 255), 0), out_p0)
+            win[:, 4] = np.where(m, mx(mn(q0 - f1, 255), 0), out_q0)
+            win[:, 5] = np.where(m, mx(mn(q1 - f3, 255), 0), q1)
+    if horiz:
+        plane[pos - 4:pos + 4, start:start + n] = \
+            win.T.astype(np.uint8)
+    else:
+        plane[start:start + n, pos - 4:pos + 4] = win.astype(np.uint8)
 
 
 def _loop_filter(Y, U, V, hdr, lf_info, mb_w, mb_h) -> None:
