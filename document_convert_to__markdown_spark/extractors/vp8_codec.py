@@ -204,8 +204,13 @@ class _BoolWriter:
                 while i >= 0 and self._out[i] == 0xFF:
                     self._out[i] = 0
                     i -= 1
-                if i >= 0:
-                    self._out[i] += 1
+                if i < 0:
+                    # a carry past the stream start would corrupt the
+                    # partition silently; never observed (directed
+                    # fuzzing included), but refuse rather than emit
+                    raise ValueError(
+                        "bool-coder carry past stream start")
+                self._out[i] += 1
             self._low = (self._low << 1) & 0xFFFFFFFF
             self._count += 1
             if self._count == 0:
@@ -721,7 +726,6 @@ def decode_vp8_planes(data: bytes, loop_filter: bool = True):
     # per-MB loop-filter info: (inner, segment, is_b)
     lf_info = np.zeros((mb_h, mb_w, 3), np.int32)
 
-    coeffs_buf = [0] * 16
     for mb_y in range(mb_h):
         token_br = parts[mb_y % n_parts]
         left_bmodes = [_B_DC] * 4

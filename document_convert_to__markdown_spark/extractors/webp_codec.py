@@ -633,10 +633,16 @@ def _find_vp8l(payload: bytes) -> bytes:
     raise ValueError("no VP8L chunk in WebP container")
 
 
-def _find_vp8(payload: bytes):
-    """First ``VP8 `` (lossy) bitstream in the container plus its
-    sibling ``ALPH`` chunk (or None), top-level or inside the first
-    ANMF frame; (None, None) when the file is lossless."""
+def _find_stream(payload: bytes):
+    """First still-image bitstream in the container, top-level or
+    inside the first ANMF frame: ``(kind, stream, alph)`` with
+    ``kind`` in {"lossless", "lossy"} and ``alph`` the sibling
+    ``ALPH`` chunk (lossy only, else None).  The single shared
+    container walk for ``decode_webp`` — every sub-chunk length is
+    bounds-checked so a truncated file raises instead of handing the
+    boolean decoder a silently-short stream (its 8-virtual-zero-byte
+    end tolerance would otherwise absorb the loss and decode wrong
+    pixels)."""
     if not is_webp(payload):
         raise ValueError("not a WebP (bad RIFF header)")
     pos = 12
@@ -651,23 +657,26 @@ def _find_vp8(payload: bytes):
         if tag == b"ALPH":
             alph = body
         if tag == b"VP8 ":
-            return body, alph
+            return "lossy", body, alph
         if tag == b"VP8L":
-            return None, None
+            return "lossless", body, None
         if tag == b"ANMF":
             sub = 16
             while sub + 8 <= length:
                 stag = body[sub:sub + 4]
                 (slen,) = struct.unpack("<I", body[sub + 4:sub + 8])
+                sbody = body[sub + 8:sub + 8 + slen]
+                if len(sbody) < slen:
+                    raise ValueError("truncated ANMF sub-chunk")
                 if stag == b"ALPH":
-                    alph = body[sub + 8:sub + 8 + slen]
+                    alph = sbody
                 if stag == b"VP8 ":
-                    return body[sub + 8:sub + 8 + slen], alph
+                    return "lossy", sbody, alph
                 if stag == b"VP8L":
-                    return None, None
+                    return "lossless", sbody, None
                 sub += 8 + slen + (slen & 1)
         pos += 8 + length + (length & 1)
-    return None, None
+    raise ValueError("no VP8/VP8L chunk in WebP container")
 
 
 def _decode_alpha(alph: bytes, w: int, h: int) -> np.ndarray:
@@ -744,17 +753,17 @@ def decode_webp(payload: bytes) -> tuple[np.ndarray, str]:
     oversized files and ``ValueError`` for malformed ones — never a
     silent wrong decode.
     """
-    lossy, alph = _find_vp8(payload)
-    if lossy is not None:
+    kind, stream, alph = _find_stream(payload)
+    if kind == "lossy":
         from .vp8_codec import decode_vp8
-        rgb = decode_vp8(lossy)
+        rgb = decode_vp8(stream)
         if alph is None:
             return rgb, "RGB"
         a = _decode_alpha(alph, rgb.shape[1], rgb.shape[0])
         if bool((a == 255).all()):
             return rgb, "RGB"
         return np.dstack([rgb, a]), "RGBA"
-    br = _BitReader(_find_vp8l(payload))
+    br = _BitReader(stream)
     if br.read(8) != 0x2F:
         raise ValueError("bad VP8L signature byte")
     w = br.read(14) + 1

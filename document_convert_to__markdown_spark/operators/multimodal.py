@@ -196,8 +196,8 @@ def media_metadata(df: DataFrame, url_col: str = "url",
 
 def _decode_image_stub(payload: bytes) -> np.ndarray:
     """STUB: deterministic fake decode for formats outside the
-    from-scratch codecs (lossy-DCT WebP, arithmetic/CMYK JPEG,
-    JPEG-in-TIFF...).
+    from-scratch codecs (arithmetic/CMYK JPEG, JPEG-in-TIFF,
+    inter-frame video...).
 
     Real implementation would be ``PIL.Image.open(io.BytesIO(payload))``;
     this returns a seeded pseudo-pixel array derived from the bytes so
@@ -210,11 +210,12 @@ def _decode_image_stub(payload: bytes) -> np.ndarray:
 def _decode_image(payload: bytes) -> tuple[np.ndarray, str]:
     """payload → ``((h, w, c) uint8-ish array, mode)``.
 
-    PNG, GIF, BMP, TIFF, baseline AND progressive JPEG, lossless WebP,
+    PNG, GIF, BMP, TIFF, baseline AND progressive JPEG, lossless AND
+    lossy WebP (VP8L and VP8+ALPH via ``vp8_codec``),
     and ICO (favicons — PNG or double-height-DIB entries) decode for
     real (the from-scratch ``*_codec`` modules); anything else — or a
     file outside the implemented subset (truncated LZW, BI_BITFIELDS
-    BMP, arithmetic-coded JPEG, lossy-DCT WebP, JPEG-in-TIFF) — falls back
+    BMP, arithmetic-coded JPEG, JPEG-in-TIFF) — falls back
     to the deterministic stub
     with ``mode="stub"`` so callers and audits can tell real pixels
     from fakes.  Never raises on garbage: the pipeline contract is one
@@ -277,8 +278,8 @@ def media_resize(df: DataFrame, width: int = 16, height: int = 16,
                  url_col: str = "url", blob_col: str = "data") -> DataFrame:
     """Binary column → nearest-neighbor-resized pixel bytes.
 
-    PNG/GIF/BMP/TIFF/baseline-JPEG/lossless-WebP payloads resize REAL
-    decoded pixels
+    PNG/GIF/BMP/TIFF/JPEG/WebP (lossless and lossy) payloads resize
+    REAL decoded pixels
     (the from-scratch codecs); other formats resample the
     deterministic stub grid (mode
     column says which).  Output ``data`` is the raw ``height × width
@@ -311,7 +312,8 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
     reversal + BGR→RGB, or per-frame baseline-JPEG decode through
     ``jpeg_codec``; every ``every_n``-th frame emitted as its raw
     ``h × w × 3`` RGB buffer, ``mode="dib"``/``"mjpg"``).  Animated
-    GIF, animated PNG (APNG), and animated lossless WebP composite
+    GIF, animated PNG (APNG), and animated WebP (lossless VP8L or
+    lossy VP8+ALPH frames) composite
     REAL frames through their from-scratch codecs (``mode="gif"`` RGB
     / ``"apng"``/``"webp"`` RGBA canvases, disposal + blend semantics
     honored — the web's three animated image formats).  Inter-frame
@@ -418,8 +420,8 @@ def image_dhash(df: DataFrame, url_col: str = "url",
     re-encoding, and locally sensitive — small edits flip few bits, so
     near-duplicates sit at small Hamming distance.
 
-    PNG/GIF/BMP/TIFF/JPEG/lossless-WebP payloads hash REAL decoded
-    pixels (the from-scratch codecs); other formats
+    PNG/GIF/BMP/TIFF/JPEG/WebP (lossless and lossy) payloads hash
+    REAL decoded pixels (the from-scratch codecs); other formats
     hash the deterministic stub grid (``mode`` records which).  One
     Arrow-batched ``mapInPandas`` pass, no shuffle; the hash is a
     signed BIGINT so it shuffles/joins JVM-side downstream.
@@ -584,7 +586,7 @@ def audio_spectral_hash(df: DataFrame, url_col: str = "url",
 def media_features(df: DataFrame, url_col: str = "url",
                    blob_col: str = "data", dim: int = 16) -> DataFrame:
     """Binary column → fixed-dim feature vector (real pixels for
-    PNG/GIF/BMP/TIFF/baseline JPEG/lossless WebP; real log-band
+    PNG/GIF/BMP/TIFF/JPEG/WebP incl. lossy VP8; real log-band
     spectral energies for WAV/AIFF/FLAC audio; stub grid otherwise).
 
     Pooled "feature": channel-averaged column means of the pixel grid

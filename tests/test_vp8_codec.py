@@ -155,3 +155,40 @@ def test_hostile_inputs_raise_valueerror_only():
             decode_vp8_planes(bytes(mut))
         except ValueError:
             pass
+
+
+def test_truncated_anmf_lossy_subchunk_raises():
+    """Review regression: an ANMF body that ends before its declared
+    VP8/ALPH sub-chunk size must raise, not hand the boolean decoder
+    a silently-short stream (its end-of-stream tolerance would decode
+    wrong pixels)."""
+    from document_convert_to__markdown_spark.extractors.webp_codec \
+        import decode_webp
+
+    frame = encode_vp8(_photo(24, 32), quality=85)
+
+    def chunk(tag, data):
+        return (tag + struct.pack("<I", len(data)) + data
+                + (b"\x00" if len(data) & 1 else b""))
+
+    # 16-byte ANMF params: x(3) y(3) w-1(3) h-1(3) delay(3) flags(1)
+    params = (struct.pack("<I", 0)[:3] + struct.pack("<I", 0)[:3]
+              + struct.pack("<I", 31)[:3] + struct.pack("<I", 23)[:3]
+              + b"\x00\x00\x00" + b"\x00")
+    anmf_body = params + chunk(b"VP8 ", frame)
+    body = (chunk(b"VP8X", bytes([0x02, 0, 0, 0])
+                  + struct.pack("<I", 31)[:3]
+                  + struct.pack("<I", 23)[:3])
+            + chunk(b"ANIM", b"\x00" * 6)
+            + b"ANMF" + struct.pack("<I", len(anmf_body)) + anmf_body)
+    cont = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+    # sanity: the intact container decodes
+    full = decode_webp(cont)[0]
+    assert full.shape == (24, 32, 3)
+    # cut 1..24 bytes off the ANMF sub-chunk: every cut must raise
+    for cut in range(1, 25):
+        hostile = cont[:-cut]
+        # fix up the RIFF + ANMF declared sizes to claim the ORIGINAL
+        # lengths (the attack: sizes promise more bytes than exist)
+        with pytest.raises(ValueError):
+            decode_webp(hostile)
