@@ -4,29 +4,41 @@ Sixth member of the codec family: TIFF 6.0 images at the compressions
 real archives carry — ``Compression=1`` (none), ``5`` (LZW, TIFF
 §13: MSB-first variable-width 9→12-bit codes with the TIFF
 "early change" width bump, Clear/EOI), ``8``/``32946`` (zlib
-deflate), and ``32773`` (PackBits byte RLE, §9) — optionally behind
-``Predictor=2`` horizontal differencing (§14, undone per row per
-sample channel).  JPEG-in-TIFF and other exotic compressions raise
-``UnsupportedTiff`` and take the labeled stub, like every other
-out-of-subset payload.
+deflate), ``32773`` (PackBits byte RLE, §9), and ``7`` (new-style
+JPEG-in-TIFF per TIFF Technical Note #2: each strip is a complete
+T.81 interchange or abbreviated stream, shared tables optionally
+hoisted into the ``JPEGTables`` tag 347 as an SOI…tables…EOI stream
+merged ahead of every strip's own segments; routed through the
+sibling ``jpeg_codec``) — the byte-packed compressions optionally
+behind ``Predictor=2`` horizontal differencing (§14, undone per row
+per sample channel).  Old-style JPEG (``Compression=6``, deprecated
+by TTN2) and other exotic compressions raise ``UnsupportedTiff`` and
+take the labeled stub, like every other out-of-subset payload.
 
 - ``decode_tiff``: II/MM byte orders, first IFD, 8-bit grayscale
   (Photometric 0/1, including the 0=WhiteIsZero inversion) and 8-bit
   RGB/RGBA (ExtraSamples alpha kept), multi-strip assembly via
   StripOffsets/StripByteCounts/RowsPerStrip with per-strip
-  decompression.  Planar, tiled, palette, and non-8-bit depths are
-  refused explicitly.  Malformed input raises ``ValueError`` and
-  nothing else (the multimodal kernels' stub fallback catches
-  ValueError only).
+  decompression; JPEG strips additionally accept Photometric 6
+  (YCbCr — ``decode_jpeg`` performs the JFIF YCbCr→RGB step, the
+  same convention libtiff's JPEGCOLORMODE_RGB applies).  Planar,
+  tiled, palette, and non-8-bit depths are refused explicitly.
+  Malformed input raises ``ValueError`` and nothing else (the
+  multimodal kernels' stub fallback catches ValueError only).
 - ``encode_tiff``: ``(h, w)`` gray or ``(h, w, 3)`` RGB array →
-  single-strip little-endian TIFF at any supported compression, with
-  optional predictor — the test twin, so every decoder path
-  roundtrips without an external TIFF to import.
+  little-endian TIFF at any supported compression, with optional
+  predictor — the test twin, so every decoder path roundtrips
+  without an external TIFF to import.  ``compression="jpeg"`` also
+  drives multi-strip layouts (``rows_per_strip``) and the tag-347
+  tables hoist (``jpeg_tables=True``), so both TTN2 stream shapes
+  are exercised from our own writer.
 
 Cross-validated against the system libtiff (``tests/
 test_libtiff_libgif_parity.py``, test-time oracle only): every
-``encode_tiff`` compression × predictor variant decodes pixel-exactly
-in both this decoder and ``TIFFReadRGBAImage``.
+lossless ``encode_tiff`` compression × predictor variant decodes
+pixel-exactly in both this decoder and ``TIFFReadRGBAImage``; the
+JPEG variants agree within the ±2-level bound two conforming T.81
+decoders are allowed (libtiff decodes through libjpeg).
 """
 
 from __future__ import annotations
@@ -35,6 +47,8 @@ import struct
 import zlib
 
 import numpy as np
+
+from .jpeg_codec import decode_jpeg, encode_jpeg
 
 TIFF_SIGS = (b"II*\x00", b"MM\x00*")
 
@@ -51,8 +65,9 @@ def _read_ifd(payload: bytes, order: str) -> dict[int, list[int]]:
     (n_entries,) = struct.unpack(
         order + "H", payload[ifd_off:ifd_off + 2])
     tags: dict[int, list[int]] = {}
-    type_size = {1: 1, 2: 1, 3: 2, 4: 4}        # BYTE ASCII SHORT LONG
-    type_fmt = {1: "B", 3: "H", 4: "I"}
+    # BYTE ASCII SHORT LONG UNDEFINED (7 carries JPEGTables payloads)
+    type_size = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}
+    type_fmt = {1: "B", 3: "H", 4: "I", 7: "B"}
     pos = ifd_off + 2
     for _ in range(n_entries):
         if pos + 12 > len(payload):
@@ -228,6 +243,85 @@ def _inflate_capped(data: bytes, max_out: int) -> bytes:
     return raw
 
 
+def _split_jpeg_segments(
+        stream: bytes) -> tuple[list[tuple[int, bytes]], bytes]:
+    """T.81 stream → (marker segments before SOS, SOS+entropy tail).
+
+    Each segment tuple is ``(marker, raw_bytes)`` including the FF
+    prefix and the length field, so streams reassemble by plain
+    concatenation after SOI.
+    """
+    if stream[:2] != b"\xff\xd8":
+        raise ValueError("JPEG stream missing SOI")
+    segs: list[tuple[int, bytes]] = []
+    i = 2
+    n = len(stream)
+    while i + 4 <= n:
+        if stream[i] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = stream[i + 1]
+        if marker == 0xDA:                      # SOS starts the tail
+            return segs, stream[i:]
+        seg_len = struct.unpack(">H", stream[i + 2:i + 4])[0]
+        if seg_len < 2 or i + 2 + seg_len > n:
+            raise ValueError("truncated JPEG segment")
+        segs.append((marker, stream[i:i + 2 + seg_len]))
+        i += 2 + seg_len
+    raise ValueError("JPEG stream has no SOS")
+
+
+def _decode_jpeg_strips(payload: bytes, tags: dict[int, list[int]],
+                        offsets: list[int], counts: list[int],
+                        rows_per_strip: int, width: int, height: int,
+                        mode: str) -> np.ndarray:
+    """TTN2 new-style JPEG strips → assembled ``(h, w[, 3])`` pixels.
+
+    Each strip is its own T.81 stream; when the ``JPEGTables`` tag
+    (347, an SOI…DQT/DHT…EOI abbreviated stream) is present its table
+    segments are spliced in ahead of every strip's own markers, which
+    is exactly how libtiff's jpeg codec feeds libjpeg.
+    """
+    tables_body = b""
+    raw_tables = tags.get(347)
+    if raw_tables:
+        tables = bytes(raw_tables)
+        if len(tables) < 4 or tables[:2] != b"\xff\xd8" \
+                or tables[-2:] != b"\xff\xd9":
+            raise ValueError("bad JPEGTables stream")
+        tables_body = tables[2:-2]
+    want = "L" if mode == "L" else "RGB"
+    strips_px: list[np.ndarray] = []
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        if off + cnt > len(payload):
+            raise ValueError("TIFF strip beyond file")
+        strip_rows = min(rows_per_strip, height - s * rows_per_strip)
+        if strip_rows <= 0:
+            break
+        chunk = payload[off:off + cnt]
+        if chunk[:2] != b"\xff\xd8":
+            raise ValueError("JPEG strip missing SOI")
+        stream = b"\xff\xd8" + tables_body + chunk[2:] \
+            if tables_body else chunk
+        # UnsupportedJpeg subclasses ValueError, so out-of-subset
+        # strips (progressive-in-TIFF, CMYK) fall to the labeled stub
+        # exactly like UnsupportedTiff does.
+        px, jmode = decode_jpeg(stream)
+        if jmode != want:
+            raise ValueError(
+                f"JPEG strip decoded {jmode}, photometric says {want}")
+        if px.ndim == 2:
+            px = px[:, :, None]
+        # strips may be padded up to an MCU multiple; never short
+        if px.shape[0] < strip_rows or px.shape[1] < width:
+            raise ValueError("JPEG strip smaller than declared")
+        strips_px.append(px[:strip_rows, :width])
+    if sum(p.shape[0] for p in strips_px) != height:
+        raise ValueError("JPEG strip data short for declared size")
+    full = strips_px[0] if len(strips_px) == 1 \
+        else np.concatenate(strips_px, axis=0)
+    return (full[:, :, 0] if mode == "L" else full).copy()
+
+
 def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
     """TIFF bytes → ``((h, w) gray | (h, w, 3|4) RGB(A) uint8, mode)``."""
     if len(payload) < 8 or payload[:4] not in TIFF_SIGS:
@@ -248,11 +342,17 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
     if width <= 0 or height <= 0 or width * height > 1 << 28:
         raise ValueError("bad TIFF dimensions")
     comp = one(259, 1)
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp == 6:
+        raise UnsupportedTiff(
+            "old-style JPEG-in-TIFF (compression 6, deprecated by "
+            "TTN2) unsupported")
+    if comp not in (1, 5, 7, 8, 32946, 32773):
         raise UnsupportedTiff(f"TIFF compression {comp} unsupported")
     predictor = one(317, 1)
     if predictor not in (1, 2):
         raise UnsupportedTiff(f"TIFF predictor {predictor} unsupported")
+    if comp == 7 and predictor != 1:
+        raise UnsupportedTiff("predictor with JPEG-in-TIFF is invalid")
     photometric = one(262, 1)
     spp = one(277, 1)
     if one(284, 1) != 1:
@@ -267,9 +367,20 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
             raise UnsupportedTiff("gray TIFF with extra samples")
         mode = "L"
     elif photometric == 2:
+        if comp == 7:
+            # TTN2 allows it but nothing writes RGB-in-JPEG strips;
+            # decode_jpeg always applies YCbCr->RGB on 3 components,
+            # so honoring this would silently double-convert.
+            raise UnsupportedTiff("RGB-in-JPEG TIFF unsupported")
         if spp not in (3, 4):
             raise UnsupportedTiff(f"RGB TIFF with {spp} samples")
         mode = "RGB" if spp == 3 else "RGBA"
+    elif photometric == 6:
+        if comp != 7:
+            raise UnsupportedTiff("YCbCr TIFF without JPEG compression")
+        if spp != 3:
+            raise UnsupportedTiff(f"YCbCr TIFF with {spp} samples")
+        mode = "RGB"
     else:
         raise UnsupportedTiff(f"TIFF photometric {photometric}")
 
@@ -280,6 +391,12 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
     rows_per_strip = one(278, height)
     if rows_per_strip <= 0:
         raise ValueError("bad TIFF RowsPerStrip")
+    if comp == 7:
+        px = _decode_jpeg_strips(payload, t, offsets, counts,
+                                 rows_per_strip, width, height, mode)
+        if photometric == 0:                    # WhiteIsZero: invert
+            px = 255 - px
+        return px, mode
     need = width * height * spp
     parts = []
     got = 0
@@ -321,16 +438,40 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
     return (px[:, :, 0] if spp == 1 else px).copy(), mode
 
 
-_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773}
+_COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,
+               "jpeg": 7}
+
+
+def _hoist_jpeg_tables(strips: list[bytes]) -> tuple[bytes, list[bytes]]:
+    """Move every strip's DQT/DHT segments into one TTN2 tables
+    stream (SOI…tables…EOI); strips keep their other segments.  All
+    strips come from the same ``encode_jpeg`` quality, so strip 0's
+    tables serve them all."""
+    tables = b""
+    bare: list[bytes] = []
+    for idx, strip in enumerate(strips):
+        segs, tail = _split_jpeg_segments(strip)
+        if idx == 0:
+            body = b"".join(raw for m, raw in segs if m in (0xDB, 0xC4))
+            tables = b"\xff\xd8" + body + b"\xff\xd9"
+        kept = b"".join(raw for m, raw in segs if m not in (0xDB, 0xC4))
+        bare.append(b"\xff\xd8" + kept + tail)
+    return tables, bare
 
 
 def encode_tiff(pixels: np.ndarray, compression: str = "none",
-                predictor: bool = False) -> bytes:
-    """``(h, w)`` gray or ``(h, w, 3)`` RGB → single-strip TIFF bytes.
+                predictor: bool = False, quality: int = 90,
+                rows_per_strip: int | None = None,
+                jpeg_tables: bool = False) -> bytes:
+    """``(h, w)`` gray or ``(h, w, 3)`` RGB → little-endian TIFF bytes.
 
-    ``compression``: none | lzw | deflate | packbits.  ``predictor``
-    applies §14 horizontal differencing before compression (valid for
-    lzw/deflate per the spec; refused otherwise).
+    ``compression``: none | lzw | deflate | packbits | jpeg.
+    ``predictor`` applies §14 horizontal differencing before
+    compression (valid for lzw/deflate per the spec; refused
+    otherwise).  The byte-packed compressions write a single strip;
+    ``jpeg`` honors ``rows_per_strip`` (each strip its own T.81
+    stream at ``quality``) and ``jpeg_tables`` (hoist shared DQT/DHT
+    into tag 347 per TTN2).
     """
     arr = np.ascontiguousarray(pixels, dtype=np.uint8)
     if arr.ndim == 2:
@@ -347,6 +488,9 @@ def encode_tiff(pixels: np.ndarray, compression: str = "none",
     h, w = arr.shape[0], arr.shape[1]
     if h == 0 or w == 0:
         raise ValueError("need non-empty pixel array")
+    if compression == "jpeg":
+        return _encode_jpeg_tiff(arr, spp, quality,
+                                 rows_per_strip or h, jpeg_tables)
     samp = arr.reshape(h, w, spp)
     if predictor:
         # forward differencing per row per channel (mod 256)
@@ -398,4 +542,87 @@ def encode_tiff(pixels: np.ndarray, compression: str = "none",
     out += struct.pack("<I", 0)                 # next-IFD pointer
     out += bps_extra
     out += data
+    return bytes(out)
+
+
+def _encode_jpeg_tiff(arr: np.ndarray, spp: int, quality: int,
+                      rows_per_strip: int, jpeg_tables: bool) -> bytes:
+    """TTN2 new-style JPEG TIFF writer: one T.81 stream per strip,
+    DQT/DHT optionally hoisted into tag 347.  Photometric is 6
+    (YCbCr) for RGB — what every real writer emits — with
+    YCbCrSubSampling (1, 1) matching ``encode_jpeg``'s 4:4:4."""
+    h, w = arr.shape[0], arr.shape[1]
+    if rows_per_strip <= 0:
+        raise ValueError("bad rows_per_strip")
+    strips = [encode_jpeg(arr[y:y + rows_per_strip], quality=quality)
+              for y in range(0, h, rows_per_strip)]
+    tables = b""
+    if jpeg_tables:
+        tables, strips = _hoist_jpeg_tables(strips)
+    n_strips = len(strips)
+
+    # (tag, vtype, count, inline_value, blob) — blob entries store an
+    # offset into the post-IFD data area, assigned below
+    entries: list[tuple[int, int, int, object, bytes | None]] = [
+        (256, 3, 1, w, None),
+        (257, 3, 1, h, None),
+        (259, 3, 1, 7, None),
+        (262, 3, 1, 1 if spp == 1 else 6, None),
+        (277, 3, 1, spp, None),
+        (278, 3, 1, min(rows_per_strip, h), None),
+    ]
+    if spp == 3:
+        entries.append((258, 3, 3, None, struct.pack("<HHH", 8, 8, 8)))
+        entries.append((530, 3, 2, (1, 1), None))
+    else:
+        entries.append((258, 3, 1, 8, None))
+    if tables:
+        entries.append((347, 7, len(tables), None, tables))
+    if n_strips == 1:
+        entries.append((279, 4, 1, len(strips[0]), None))
+    else:
+        entries.append((279, 4, n_strips, None, struct.pack(
+            "<" + "I" * n_strips, *(len(s) for s in strips))))
+    # StripOffsets placeholder so the IFD size is final before layout
+    entries.append((273, 4, n_strips, None,
+                    b"\0" * 4 * n_strips if n_strips > 1 else None))
+    entries.sort(key=lambda e: e[0])
+
+    # layout: header | IFD | blobs (tag order, word-aligned) | strips
+    pos = 8 + 2 + 12 * len(entries) + 4
+    blob_offs: dict[int, int] = {}
+    for tag, _, _, _, blob in entries:
+        if blob is not None:
+            blob_offs[tag] = pos
+            pos += len(blob) + (len(blob) & 1)
+    strip_offs = []
+    for s in strips:
+        strip_offs.append(pos)
+        pos += len(s) + (len(s) & 1)
+    entries = [
+        (273, 4, n_strips,
+         strip_offs[0] if n_strips == 1 else None,
+         struct.pack("<" + "I" * n_strips, *strip_offs)
+         if n_strips > 1 else None)
+        if tag == 273 else (tag, vtype, count, val, blob)
+        for tag, vtype, count, val, blob in entries]
+
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(entries))
+    for tag, vtype, count, val, blob in entries:
+        out += struct.pack("<HHI", tag, vtype, count)
+        if blob is not None:
+            out += struct.pack("<I", blob_offs[tag])
+        elif vtype == 4:
+            out += struct.pack("<I", val)
+        elif count == 2:
+            out += struct.pack("<HH", *val)
+        else:
+            out += struct.pack("<HH", val, 0)
+    out += struct.pack("<I", 0)                 # next-IFD pointer
+    for tag, _, _, _, blob in entries:
+        if blob is not None:
+            out += blob + b"\0" * (len(blob) & 1)
+    for s in strips:
+        out += s + b"\0" * (len(s) & 1)
     return bytes(out)

@@ -21,7 +21,10 @@ Decode status by format (round 5 — VERDICT r4 item 4):
   IFDs and assembles 8-bit gray/RGB/RGBA strips at the archive
   compressions — none, LZW (§13 early-change variable-width codes),
   deflate, PackBits — with §14 horizontal-differencing predictor
-  support; JPEG-in-TIFF refuses to the stub.
+  support, plus new-style JPEG-in-TIFF (compression 7, TTN2:
+  per-strip T.81 streams with the shared-``JPEGTables`` merge,
+  YCbCr photometric) through the sibling ``jpeg_codec``; old-style
+  compression-6 JPEG refuses to the stub.
 - **WAV: REAL samples.**  PCM 8/16-bit mono/stereo decode via the
   RIFF walk in ``extractors/wav_codec.py`` feeds
   ``audio_spectral_hash`` actual audio.

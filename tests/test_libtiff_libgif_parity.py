@@ -261,3 +261,109 @@ class TestGifParity:
             expect[..., 3] = 255
             assert (_to_rgba(decode_gif(blob)[0]) == expect).all()
             assert (_libgif_read_rgba(blob) == expect).all()
+
+
+# ------------------------------------------------ JPEG-in-TIFF parity
+
+_TIFFTAG = {"width": 256, "length": 257, "bits": 258, "compression": 259,
+            "photometric": 262, "samples": 277, "rows_per_strip": 278,
+            "planar": 284, "ycbcrsubsampling": 530,
+            "jpegquality": 65537, "jpegcolormode": 65538}
+_COMPRESSION_JPEG = 7
+_PHOTOMETRIC_YCBCR = 6
+_JPEGCOLORMODE_RGB = 1
+
+# photo-like smooth field: JPEG parity bounds assume no synthetic
+# hard edges (same convention as tests/test_libjpeg_parity.py) — a
+# sinusoidal surface, wrap-free so no % seam rings the DCT
+_SY, _SX = np.mgrid[0:48, 0:41]
+_SMOOTH = np.stack([
+    128 + 90 * np.sin(_SX / 6.0) * np.cos(_SY / 7.0),
+    128 + 90 * np.sin((_SX + _SY) / 9.0),
+    128 + 90 * np.cos(_SX / 5.0 - _SY / 8.0)],
+    axis=-1).round().astype(np.uint8)
+
+
+def _libtiff_has_jpeg() -> bool:
+    try:
+        _libtiff_read_rgba(encode_tiff(
+            _SMOOTH[:8, :8], compression="jpeg"))
+        return True
+    except AssertionError:
+        return False
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not present")
+class TestTiffJpegParity:
+    @pytest.mark.parametrize("kw", [
+        dict(), dict(rows_per_strip=16),
+        dict(rows_per_strip=16, jpeg_tables=True)],
+        ids=["onestrip", "strips", "strips+tables"])
+    def test_libtiff_reads_our_jpeg_tiff(self, kw):
+        if not _libtiff_has_jpeg():
+            pytest.skip("libtiff built without jpeg")
+        blob = encode_tiff(_SMOOTH, compression="jpeg", quality=95,
+                           **kw)
+        ours = decode_tiff(blob)[0]
+        libs = _libtiff_read_rgba(blob)[:, :, :3]
+        # two conforming T.81 decoders of the same stream: the same
+        # ±2-level / ≤0.6-mean bound test_libjpeg_parity.py pins
+        diff = np.abs(ours.astype(int) - libs.astype(int))
+        assert diff.max() <= 2 and diff.mean() <= 0.6
+
+    def test_our_decoder_reads_libtiff_authored_jpeg_tiff(self):
+        """libtiff WRITES the file (its own strip layout, JPEGTables
+        mode, libjpeg 4:2:0 entropy streams) — the independent-writer
+        direction our own encoder can't provide."""
+        if not _libtiff_has_jpeg():
+            pytest.skip("libtiff built without jpeg")
+        src = _SMOOTH
+        h, w = src.shape[:2]
+        fd, path = tempfile.mkstemp(suffix=".tif")
+        os.close(fd)
+        try:
+            tif = _TIFF.TIFFOpen(path.encode(), b"w")
+            assert tif, "libtiff TIFFOpen(w) failed"
+            # TIFFSetField is variadic; integer varargs bind fine
+            setf = _TIFF.TIFFSetField
+            setf.restype = ctypes.c_int
+            tifp = ctypes.c_void_p(tif)
+            for tag, val in [("width", w), ("length", h),
+                             ("bits", 8), ("samples", 3),
+                             ("rows_per_strip", 16), ("planar", 1),
+                             ("compression", _COMPRESSION_JPEG),
+                             ("photometric", _PHOTOMETRIC_YCBCR),
+                             ("jpegcolormode", _JPEGCOLORMODE_RGB),
+                             ("jpegquality", 95)]:
+                ok = setf(tifp, ctypes.c_uint32(_TIFFTAG[tag]),
+                          ctypes.c_int(val))
+                if not ok:
+                    pytest.skip(f"libtiff refused tag {tag}")
+            # 4:4:4 — libjpeg's default fancy upsampling and our
+            # pixel replication diverge on subsampled chroma (the
+            # known filter-choice gap test_libjpeg_parity.py
+            # documents), so keep chroma full-res here
+            ok = setf(tifp, ctypes.c_uint32(
+                _TIFFTAG["ycbcrsubsampling"]),
+                ctypes.c_int(1), ctypes.c_int(1))
+            if not ok:
+                pytest.skip("libtiff refused ycbcrsubsampling")
+            _TIFF.TIFFWriteScanline.restype = ctypes.c_int
+            row = np.empty((w, 3), np.uint8)
+            for y in range(h):
+                row[:] = src[y]
+                ok = _TIFF.TIFFWriteScanline(
+                    tifp, row.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.c_uint32(y), ctypes.c_uint16(0))
+                if ok != 1:
+                    pytest.skip("libtiff TIFFWriteScanline failed")
+            _TIFF.TIFFClose(tif)
+            with open(path, "rb") as f:
+                blob = f.read()
+            ours, mode = decode_tiff(blob)
+            assert mode == "RGB" and ours.shape == src.shape
+            libs = _libtiff_read_rgba(blob)[:, :, :3]
+            diff = np.abs(ours.astype(int) - libs.astype(int))
+            assert diff.max() <= 2 and diff.mean() <= 0.6
+        finally:
+            os.unlink(path)

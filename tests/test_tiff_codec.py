@@ -242,3 +242,73 @@ def test_tiff_multistrip_lzw_with_predictor():
     out += strips[0] + strips[1]
     got, mode = decode_tiff(bytes(out))
     assert mode == "RGB" and np.array_equal(got, img)
+
+
+# ------------------------------------------------- JPEG-in-TIFF (TTN2)
+
+def _gradient_rgb(h=40, w=37):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack([(x * 3) % 256, (y * 5) % 256,
+                     ((x + y) * 2) % 256], axis=-1).astype(np.uint8)
+
+
+def test_tiff_jpeg_roundtrip_all_layouts():
+    rgb = _gradient_rgb()
+    for kw in (dict(), dict(rows_per_strip=16),
+               dict(rows_per_strip=16, jpeg_tables=True)):
+        blob = encode_tiff(rgb, compression="jpeg", quality=95, **kw)
+        tags = _tag_offsets(blob)
+        assert (347 in tags) == bool(kw.get("jpeg_tables"))
+        n_strips = struct.unpack(
+            "<I", blob[tags[273] + 4:tags[273] + 8])[0]
+        assert n_strips == (3 if kw.get("rows_per_strip") else 1)
+        got, mode = decode_tiff(blob)
+        assert mode == "RGB" and got.shape == rgb.shape
+        assert np.abs(got.astype(int) - rgb.astype(int)).max() <= 2
+
+
+def test_tiff_jpeg_gray_roundtrip():
+    # wrap-free gradient: a % 256 seam inside a block rings > 2 levels
+    g = (np.arange(40)[:, None] * 3 + np.arange(37)).astype(np.uint8)
+    blob = encode_tiff(g, compression="jpeg", quality=95,
+                       rows_per_strip=8, jpeg_tables=True)
+    got, mode = decode_tiff(blob)
+    assert mode == "L" and got.shape == g.shape
+    assert np.abs(got.astype(int) - g.astype(int)).max() <= 2
+
+
+def test_tiff_jpeg_tables_hoist_is_lossless():
+    # the tag-347 layout must decode byte-identically to the
+    # interchange layout: hoisting tables cannot change entropy data
+    rgb = _gradient_rgb()
+    plain = decode_tiff(encode_tiff(
+        rgb, compression="jpeg", quality=80, rows_per_strip=16))[0]
+    hoisted = decode_tiff(encode_tiff(
+        rgb, compression="jpeg", quality=80, rows_per_strip=16,
+        jpeg_tables=True))[0]
+    assert np.array_equal(plain, hoisted)
+
+
+def test_tiff_jpeg_refusals_and_truncation():
+    rgb = _gradient_rgb(24, 16)
+    blob = encode_tiff(rgb, compression="jpeg", quality=90,
+                       rows_per_strip=16, jpeg_tables=True)
+    for cut in range(0, len(blob), 17):
+        try:
+            decode_tiff(blob[:cut])
+        except ValueError:
+            pass                    # ValueError (incl. subclasses) only
+    tags = _tag_offsets(blob)
+    old = bytearray(blob)           # relabel as old-style JPEG (comp 6)
+    old[tags[259] + 8:tags[259] + 10] = (6).to_bytes(2, "little")
+    with pytest.raises(UnsupportedTiff):
+        decode_tiff(bytes(old))
+    rgbjpeg = bytearray(blob)       # RGB-in-JPEG photometric refused
+    rgbjpeg[tags[262] + 8:tags[262] + 10] = (2).to_bytes(2, "little")
+    with pytest.raises(UnsupportedTiff):
+        decode_tiff(bytes(rgbjpeg))
+    ycc = bytearray(encode_tiff(rgb))   # YCbCr without JPEG refused
+    t2 = _tag_offsets(bytes(ycc))
+    ycc[t2[262] + 8:t2[262] + 10] = (6).to_bytes(2, "little")
+    with pytest.raises(UnsupportedTiff):
+        decode_tiff(bytes(ycc))
