@@ -15,14 +15,21 @@ per sample channel).  Old-style JPEG (``Compression=6``, deprecated
 by TTN2) and other exotic compressions raise ``UnsupportedTiff`` and
 take the labeled stub, like every other out-of-subset payload.
 
-- ``decode_tiff``: II/MM byte orders, first IFD, 8-bit grayscale
-  (Photometric 0/1, including the 0=WhiteIsZero inversion) and 8-bit
-  RGB/RGBA (ExtraSamples alpha kept), multi-strip assembly via
-  StripOffsets/StripByteCounts/RowsPerStrip with per-strip
-  decompression; JPEG strips additionally accept Photometric 6
-  (YCbCr — ``decode_jpeg`` performs the JFIF YCbCr→RGB step, the
-  same convention libtiff's JPEGCOLORMODE_RGB applies).  Planar,
-  tiled, palette, and non-8-bit depths are refused explicitly.
+- ``decode_tiff``: II/MM byte orders, first IFD, grayscale
+  (Photometric 0/1 at 1/2/4/8/16 bits, including the 0=WhiteIsZero
+  inversion), RGB/RGBA at 8/16 bits (ExtraSamples alpha kept),
+  palette (Photometric 3, 1-8 bit indices, 8- or full-range 16-bit
+  ColorMap reduced via libtiff's ``>> 8`` convention), in any of the
+  three layouts real files carry: chunky strips, planar
+  (PlanarConfiguration=2) strips — all of plane 0's strips, then
+  plane 1's, … — and tiled (tags 322-325, left-to-right
+  top-to-bottom full-size edge-padded tiles, chunky or planar).
+  16→8-bit reduction matches ``TIFFReadRGBAImage`` exactly per
+  photometric: gray takes the high byte, RGB rounds /257
+  (``Bitdepth16To8``).  JPEG strips additionally accept
+  Photometric 6 (YCbCr — ``decode_jpeg`` performs the JFIF
+  YCbCr→RGB step, the same convention libtiff's JPEGCOLORMODE_RGB
+  applies); JPEG-in-TIFF stays strip-chunky-8-bit only.
   Malformed input raises ``ValueError`` and nothing else (the
   multimodal kernels' stub fallback catches ValueError only).
 - ``encode_tiff``: ``(h, w)`` gray or ``(h, w, 3)`` RGB array →
@@ -38,7 +45,11 @@ test_libtiff_libgif_parity.py``, test-time oracle only): every
 lossless ``encode_tiff`` compression × predictor variant decodes
 pixel-exactly in both this decoder and ``TIFFReadRGBAImage``; the
 JPEG variants agree within the ±2-level bound two conforming T.81
-decoders are allowed (libtiff decodes through libjpeg).
+decoders are allowed (libtiff decodes through libjpeg).  The
+layouts ``encode_tiff`` cannot write — tiled, planar, palette,
+sub-byte and 16-bit — are libtiff-AUTHORED in the parity suite and
+decode pixel-identical to ``TIFFReadRGBAImage`` three ways (source
+array = this decoder = libtiff).
 """
 
 from __future__ import annotations
@@ -355,13 +366,31 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
         raise UnsupportedTiff("predictor with JPEG-in-TIFF is invalid")
     photometric = one(262, 1)
     spp = one(277, 1)
-    if one(284, 1) != 1:
-        raise UnsupportedTiff("planar TIFF not supported")
-    if 322 in t or 323 in t:
-        raise UnsupportedTiff("tiled TIFF not supported")
-    bits = t.get(258, [8])
-    if any(b != 8 for b in bits):
-        raise UnsupportedTiff(f"TIFF bit depths {bits} (only 8)")
+    planar = one(284, 1)
+    if planar not in (1, 2):
+        raise ValueError(f"bad TIFF PlanarConfiguration {planar}")
+    tiled = 322 in t or 323 in t
+    bits_list = t.get(258, [8])
+    if len(set(bits_list)) != 1:
+        raise UnsupportedTiff(f"mixed TIFF bit depths {bits_list}")
+    bit = bits_list[0]
+    if bit not in (1, 2, 4, 8, 16):
+        raise UnsupportedTiff(f"TIFF bit depth {bit}")
+    if comp == 7:
+        if bit != 8:
+            raise UnsupportedTiff("JPEG-in-TIFF requires 8-bit samples")
+        if planar == 2:
+            raise UnsupportedTiff("planar JPEG-in-TIFF unsupported")
+        if tiled:
+            raise UnsupportedTiff("tiled JPEG-in-TIFF unsupported")
+    if predictor == 2 and bit != 8:
+        # §14 allows 16-bit differencing but nothing in the web-crawl
+        # corpus writes it; sub-byte predictor is invalid outright.
+        raise UnsupportedTiff(f"predictor at depth {bit} unsupported")
+    if bit < 8 and spp != 1:
+        raise UnsupportedTiff("sub-byte TIFF with multiple samples")
+
+    cmap = None
     if photometric in (0, 1):
         if spp != 1:
             raise UnsupportedTiff("gray TIFF with extra samples")
@@ -375,6 +404,24 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
         if spp not in (3, 4):
             raise UnsupportedTiff(f"RGB TIFF with {spp} samples")
         mode = "RGB" if spp == 3 else "RGBA"
+    elif photometric == 3:
+        if spp != 1:
+            raise UnsupportedTiff("palette TIFF with extra samples")
+        if bit == 16:
+            raise UnsupportedTiff("16-bit palette TIFF")
+        raw_map = t.get(320)
+        n_pal = 1 << bit
+        if not raw_map or len(raw_map) != 3 * n_pal:
+            raise ValueError("palette TIFF missing/short ColorMap")
+        cm = np.asarray(raw_map, np.uint32).reshape(3, n_pal).T
+        if cm.max() > 255:
+            # libtiff's checkcmap()/cvtcmap(): full-range 16-bit
+            # entries reduce via CVT(x) = x >> 8 (high byte) —
+            # verified empirically against libtiff.so.6 in
+            # tests/test_libtiff_libgif_parity.py::test_palette
+            cm = cm >> 8
+        cmap = cm.astype(np.uint8)
+        mode = "RGB"
     elif photometric == 6:
         if comp != 7:
             raise UnsupportedTiff("YCbCr TIFF without JPEG compression")
@@ -384,58 +431,219 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
     else:
         raise UnsupportedTiff(f"TIFF photometric {photometric}")
 
-    offsets = t.get(273)
-    counts = t.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF missing strip offsets/counts")
-    rows_per_strip = one(278, height)
-    if rows_per_strip <= 0:
-        raise ValueError("bad TIFF RowsPerStrip")
     if comp == 7:
+        offsets, counts = t.get(273), t.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF missing strip offsets/counts")
+        rows_per_strip = one(278, height)
+        if rows_per_strip <= 0:
+            raise ValueError("bad TIFF RowsPerStrip")
         px = _decode_jpeg_strips(payload, t, offsets, counts,
                                  rows_per_strip, width, height, mode)
         if photometric == 0:                    # WhiteIsZero: invert
             px = 255 - px
         return px, mode
-    need = width * height * spp
-    parts = []
-    got = 0
-    for s, (off, cnt) in enumerate(zip(offsets, counts)):
-        if off + cnt > len(payload):
-            raise ValueError("TIFF strip beyond file")
-        strip_rows = min(rows_per_strip, height - s * rows_per_strip)
-        if strip_rows <= 0:
-            break
-        strip_need = strip_rows * width * spp
-        chunk = payload[off:off + cnt]
-        if comp == 1:
-            dec = chunk[:strip_need]
-        elif comp == 5:
-            dec = _lzw_decode(chunk, strip_need)
-        elif comp == 32773:
-            dec = _packbits_decode(chunk, strip_need)
-        else:                                   # 8 / 32946: deflate
-            try:
-                dec = _inflate_capped(chunk, strip_need)
-            except zlib.error as exc:
-                raise ValueError(
-                    f"corrupt TIFF deflate strip: {exc}") from None
-        take = min(len(dec), need - got)
-        parts.append(dec[:take])
-        got += take
-        if got >= need:
-            break
-    if got < need:
+
+    if tiled:
+        px = _assemble_tiles(payload, t, order, comp, predictor,
+                             width, height, spp, bit, planar,
+                             hi16=photometric in (0, 1))
+    elif planar == 2:
+        px = _assemble_planar_strips(payload, t, order, comp, predictor,
+                                     width, height, spp, bit,
+                                     hi16=photometric in (0, 1))
+    else:
+        px = _assemble_strips(payload, t, order, comp, predictor,
+                              width, height, spp, bit,
+                              hi16=photometric in (0, 1))
+
+    if photometric in (0, 1):
+        g = px[:, :, 0]
+        if bit < 8:
+            # exact integer expansion: 255/(2^bit - 1) is 255/85/17
+            g = (g.astype(np.uint16)
+                 * (255 // ((1 << bit) - 1))).astype(np.uint8)
+        if photometric == 0:                    # WhiteIsZero: invert
+            g = 255 - g
+        return g.copy(), mode
+    if photometric == 3:
+        return cmap[px[:, :, 0]].copy(), mode
+    return px.copy(), mode
+
+
+def _unit_bytes(payload: bytes, comp: int, off: int, cnt: int,
+                need: int) -> bytes:
+    """One compressed strip/tile → exactly ``need`` decoded bytes."""
+    if off < 0 or cnt < 0 or off + cnt > len(payload):
+        raise ValueError("TIFF strip/tile beyond file")
+    chunk = payload[off:off + cnt]
+    if comp == 1:
+        dec = chunk
+    elif comp == 5:
+        dec = _lzw_decode(chunk, need)
+    elif comp == 32773:
+        dec = _packbits_decode(chunk, need)
+    else:                                       # 8 / 32946: deflate
+        try:
+            dec = _inflate_capped(chunk, need)
+        except zlib.error as exc:
+            raise ValueError(
+                f"corrupt TIFF deflate strip: {exc}") from None
+    if len(dec) < need:
         raise ValueError("TIFF strip data short for declared size")
-    raw = np.frombuffer(b"".join(parts), dtype=np.uint8)
-    px = raw.reshape(height, width, spp)
-    if predictor == 2:
-        # §14 horizontal differencing: undo via cumulative sum per
-        # row per sample channel, mod 256
-        px = np.cumsum(px.astype(np.uint32), axis=1).astype(np.uint8)
-    if photometric == 0:                        # WhiteIsZero: invert
-        px = 255 - px
-    return (px[:, :, 0] if spp == 1 else px).copy(), mode
+    return dec[:need]
+
+
+def _unit_samples(dec: bytes, rows: int, cols: int, bit: int,
+                  order: str, hi16: bool = False) -> np.ndarray:
+    """Decoded unit bytes → ``(rows, cols)`` uint8 sample grid.
+
+    ``cols`` counts samples per row; each row starts byte-aligned
+    (TIFF packs rows independently).  Depth 16 reduces exactly as
+    libtiff's RGBA reader does (verified against libtiff.so.6 in
+    tests/test_libtiff_libgif_parity.py): RGB samples through
+    ``Bitdepth16To8`` — rounded division by 257 — while grayscale
+    (``hi16=True``) indexes the BWmap by the HIGH BYTE, i.e. ``>> 8``.
+    Sub-byte rows unpack MSB-first and return RAW values (scaling to
+    0..255 or palette lookup is the caller's photometric step).
+    """
+    rb = (cols * bit + 7) // 8
+    if bit == 8:
+        return np.frombuffer(dec, np.uint8).reshape(rows, rb)[:, :cols]
+    if bit == 16:
+        dt = np.dtype(np.uint16).newbyteorder(order)
+        v = np.frombuffer(dec, dt).reshape(rows, cols).astype(np.uint32)
+        if hi16:
+            return (v >> 8).astype(np.uint8)
+        return ((v + 128) // 257).astype(np.uint8)
+    a = np.frombuffer(dec, np.uint8).reshape(rows, rb)
+    ub = np.unpackbits(a, axis=1)
+    if bit == 1:
+        return ub[:, :cols]
+    grp = ub[:, :(rb * 8 // bit) * bit].reshape(rows, -1, bit)
+    w = (1 << np.arange(bit - 1, -1, -1)).astype(np.uint8)
+    return (grp * w).sum(axis=2, dtype=np.uint16) \
+        .astype(np.uint8)[:, :cols]
+
+
+def _undo_predictor(block: np.ndarray) -> np.ndarray:
+    """§14 horizontal differencing: cumulative sum per row per sample
+    channel, mod 256.  Differencing restarts at every row of every
+    compressed unit, so strips concatenate first, tiles undo per
+    tile."""
+    return np.cumsum(block.astype(np.uint32), axis=1).astype(np.uint8)
+
+
+def _assemble_strips(payload: bytes, t: dict, order: str, comp: int,
+                     predictor: int, width: int, height: int,
+                     spp: int, bit: int,
+                     hi16: bool = False) -> np.ndarray:
+    """Chunky (PlanarConfiguration=1) strips → ``(h, w, spp)``."""
+    offsets, counts = t.get(273), t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/counts")
+    rows_per_strip = t.get(278, [height])[0]
+    if rows_per_strip <= 0:
+        raise ValueError("bad TIFF RowsPerStrip")
+    rb = (width * spp * bit + 7) // 8
+    parts = []
+    got_rows = 0
+    for s, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rows_per_strip, height - s * rows_per_strip)
+        if rows <= 0:
+            break
+        dec = _unit_bytes(payload, comp, off, cnt, rb * rows)
+        parts.append(
+            _unit_samples(dec, rows, width * spp, bit, order, hi16)
+            .reshape(rows, width, spp))
+        got_rows += rows
+    if got_rows < height:
+        raise ValueError("TIFF strip data short for declared size")
+    px = parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
+    return _undo_predictor(px) if predictor == 2 else px
+
+
+def _assemble_planar_strips(payload: bytes, t: dict, order: str,
+                            comp: int, predictor: int, width: int,
+                            height: int, spp: int, bit: int,
+                            hi16: bool = False) -> np.ndarray:
+    """PlanarConfiguration=2 strips → ``(h, w, spp)``.
+
+    All of plane 0's strips come first, then plane 1's, … (TIFF 6.0
+    §"PlanarConfiguration"); each strip carries one sample only, so
+    the predictor undoes with channel width 1.
+    """
+    offsets, counts = t.get(273), t.get(279)
+    if not offsets or not counts or len(offsets) != len(counts):
+        raise ValueError("TIFF missing strip offsets/counts")
+    rows_per_strip = t.get(278, [height])[0]
+    if rows_per_strip <= 0:
+        raise ValueError("bad TIFF RowsPerStrip")
+    per_plane = -(-height // rows_per_strip)
+    if len(offsets) < per_plane * spp:
+        raise ValueError("planar TIFF short of strips")
+    rb = (width * bit + 7) // 8
+    planes = []
+    for p in range(spp):
+        parts = []
+        for s in range(per_plane):
+            rows = min(rows_per_strip, height - s * rows_per_strip)
+            i = p * per_plane + s
+            dec = _unit_bytes(payload, comp, offsets[i], counts[i],
+                              rb * rows)
+            parts.append(
+                _unit_samples(dec, rows, width, bit, order, hi16))
+        pl = parts[0] if len(parts) == 1 \
+            else np.concatenate(parts, axis=0)
+        planes.append(_undo_predictor(pl) if predictor == 2 else pl)
+    return np.stack(planes, axis=2)
+
+
+def _assemble_tiles(payload: bytes, t: dict, order: str, comp: int,
+                    predictor: int, width: int, height: int, spp: int,
+                    bit: int, planar: int,
+                    hi16: bool = False) -> np.ndarray:
+    """Tiled layout (tags 322-325) → ``(h, w, spp)``.
+
+    Tiles traverse left-to-right, top-to-bottom; every tile is a full
+    ``tw × th`` block (edge tiles padded by the writer, cropped
+    here).  Planar tiled adds one full tile grid per plane, planes in
+    sample order — same ordering rule as planar strips.
+    """
+    tw = t.get(322, [0])[0]
+    th = t.get(323, [0])[0]
+    if tw <= 0 or th <= 0 or tw % 16 or th % 16:
+        raise ValueError("bad TIFF tile geometry")
+    offsets, counts = t.get(324), t.get(325)
+    across = -(-width // tw)
+    down = -(-height // th)
+    n_planes = spp if planar == 2 else 1
+    n_tiles = across * down * n_planes
+    if not offsets or not counts or len(offsets) != len(counts) \
+            or len(offsets) < n_tiles:
+        raise ValueError("TIFF missing tile offsets/counts")
+    tile_spp = 1 if planar == 2 else spp
+    rb = (tw * tile_spp * bit + 7) // 8
+    out = np.zeros((height, width, spp), np.uint8)
+    for p in range(n_planes):
+        for ty in range(down):
+            for tx in range(across):
+                i = (p * down + ty) * across + tx
+                dec = _unit_bytes(payload, comp, offsets[i], counts[i],
+                                  rb * th)
+                s = _unit_samples(dec, th, tw * tile_spp, bit,
+                                  order, hi16) \
+                    .reshape(th, tw, tile_spp)
+                if predictor == 2:
+                    s = _undo_predictor(s)
+                y0, x0 = ty * th, tx * tw
+                hh = min(th, height - y0)
+                ww = min(tw, width - x0)
+                if planar == 2:
+                    out[y0:y0 + hh, x0:x0 + ww, p] = s[:hh, :ww, 0]
+                else:
+                    out[y0:y0 + hh, x0:x0 + ww] = s[:hh, :ww]
+    return out
 
 
 _COMP_CODES = {"none": 1, "lzw": 5, "deflate": 8, "packbits": 32773,

@@ -367,3 +367,232 @@ class TestTiffJpegParity:
             assert diff.max() <= 2 and diff.mean() <= 0.6
         finally:
             os.unlink(path)
+
+
+# ------------------------------------- round-5i layout parity (libtiff
+# authors tiled / planar / palette / sub-byte / 16-bit files our own
+# encoder cannot write; our decoder must match TIFFReadRGBAImage)
+
+_TIFFTAG.update({"predictor": 317, "colormap": 320,
+                 "tilewidth": 322, "tilelength": 323})
+
+
+def _pack_row_msb(row: np.ndarray, bit: int) -> np.ndarray:
+    """Pack one row of sub-byte samples MSB-first, byte-aligned."""
+    if bit == 8:
+        return np.ascontiguousarray(row)
+    ub = np.unpackbits(row[:, None], axis=1)[:, 8 - bit:]
+    flat = ub.reshape(-1)
+    pad = (-len(flat)) % 8
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad, np.uint8)])
+    return np.packbits(flat)
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not present")
+class TestTiffLayoutParity:
+    """libtiff AUTHORS the file; pixel-exact three-way check: our
+    decoder vs the source array vs TIFFReadRGBAImage."""
+
+    def _author(self, w, h, fields, write_cb):
+        fd, path = tempfile.mkstemp(suffix=".tif")
+        os.close(fd)
+        try:
+            tif = _TIFF.TIFFOpen(path.encode(), b"w")
+            assert tif, "libtiff TIFFOpen(w) failed"
+            tifp = ctypes.c_void_p(tif)
+            setf = _TIFF.TIFFSetField
+            setf.restype = ctypes.c_int
+            for tag, val in [("width", w), ("length", h)] + fields:
+                if not setf(tifp, ctypes.c_uint32(_TIFFTAG[tag]),
+                            ctypes.c_int(val)):
+                    pytest.skip(f"libtiff refused tag {tag}={val}")
+            write_cb(tifp)
+            _TIFF.TIFFClose(tif)
+            with open(path, "rb") as f:
+                return f.read()
+        finally:
+            os.unlink(path)
+
+    @staticmethod
+    def _scanline_writer(rows):
+        """rows: iterable of (uint8-array, y, sample)."""
+        def write(tifp):
+            _TIFF.TIFFWriteScanline.restype = ctypes.c_int
+            for buf, y, s in rows:
+                arr = np.ascontiguousarray(buf)
+                ok = _TIFF.TIFFWriteScanline(
+                    tifp, arr.ctypes.data_as(ctypes.c_void_p),
+                    ctypes.c_uint32(y), ctypes.c_uint16(s))
+                if ok != 1:
+                    pytest.skip("libtiff TIFFWriteScanline failed")
+        return write
+
+    @pytest.mark.parametrize("comp,pred", [(1, 1), (5, 2), (8, 1)],
+                             ids=["none", "lzw+pred", "deflate"])
+    def test_tiled_rgb(self, comp, pred):
+        rng = np.random.default_rng(0x5109)
+        h, w, tw, th = 53, 70, 16, 16
+        src = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        fields = [("bits", 8), ("samples", 3), ("photometric", 2),
+                  ("planar", 1), ("compression", comp),
+                  ("tilewidth", tw), ("tilelength", th)]
+        if pred == 2:
+            fields.append(("predictor", 2))
+        pad = np.zeros((-(-h // th) * th, -(-w // tw) * tw, 3),
+                       np.uint8)
+        pad[:h, :w] = src
+
+        def write(tifp):
+            wt = _TIFF.TIFFWriteTile
+            wt.restype = ctypes.c_int64
+            wt.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_uint32, ctypes.c_uint32,
+                           ctypes.c_uint32, ctypes.c_uint16]
+            for ty in range(0, pad.shape[0], th):
+                for tx in range(0, pad.shape[1], tw):
+                    tile = np.ascontiguousarray(
+                        pad[ty:ty + th, tx:tx + tw])
+                    ok = wt(tifp,
+                            tile.ctypes.data_as(ctypes.c_void_p),
+                            tx, ty, 0, 0)
+                    if ok <= 0:
+                        pytest.skip("libtiff TIFFWriteTile failed")
+
+        blob = self._author(w, h, fields, write)
+        ours, mode = decode_tiff(blob)
+        assert mode == "RGB"
+        assert np.array_equal(ours, src)
+        assert np.array_equal(ours, _libtiff_read_rgba(blob)[:, :, :3])
+
+    @pytest.mark.parametrize("comp,pred", [(1, 1), (5, 2)],
+                             ids=["none", "lzw+pred"])
+    def test_planar_rgb_strips(self, comp, pred):
+        rng = np.random.default_rng(0x5110)
+        h, w = 37, 29
+        src = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        fields = [("bits", 8), ("samples", 3), ("photometric", 2),
+                  ("planar", 2), ("compression", comp),
+                  ("rows_per_strip", 8)]
+        if pred == 2:
+            fields.append(("predictor", 2))
+        rows = [(src[y, :, s], y, s)
+                for s in range(3) for y in range(h)]
+        blob = self._author(w, h, fields, self._scanline_writer(rows))
+        ours, mode = decode_tiff(blob)
+        assert mode == "RGB"
+        assert np.array_equal(ours, src)
+        assert np.array_equal(ours, _libtiff_read_rgba(blob)[:, :, :3])
+
+    def test_tiled_planar_rgb(self):
+        rng = np.random.default_rng(0x5111)
+        h, w, tw, th = 40, 45, 16, 16
+        src = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        fields = [("bits", 8), ("samples", 3), ("photometric", 2),
+                  ("planar", 2), ("compression", 8),
+                  ("tilewidth", tw), ("tilelength", th)]
+        pad = np.zeros((-(-h // th) * th, -(-w // tw) * tw, 3),
+                       np.uint8)
+        pad[:h, :w] = src
+
+        def write(tifp):
+            wt = _TIFF.TIFFWriteTile
+            wt.restype = ctypes.c_int64
+            wt.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                           ctypes.c_uint32, ctypes.c_uint32,
+                           ctypes.c_uint32, ctypes.c_uint16]
+            for s in range(3):
+                for ty in range(0, pad.shape[0], th):
+                    for tx in range(0, pad.shape[1], tw):
+                        tile = np.ascontiguousarray(
+                            pad[ty:ty + th, tx:tx + tw, s])
+                        ok = wt(tifp,
+                                tile.ctypes.data_as(ctypes.c_void_p),
+                                tx, ty, 0, s)
+                        if ok <= 0:
+                            pytest.skip("TIFFWriteTile failed")
+
+        blob = self._author(w, h, fields, write)
+        ours, mode = decode_tiff(blob)
+        assert mode == "RGB"
+        assert np.array_equal(ours, src)
+        assert np.array_equal(ours, _libtiff_read_rgba(blob)[:, :, :3])
+
+    @pytest.mark.parametrize("bit", [4, 8])
+    def test_palette(self, bit):
+        rng = np.random.default_rng(0x5112 + bit)
+        h, w, n = 21, 33, 1 << bit
+        idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+        cmap16 = rng.integers(0, 65536, (3, n), dtype=np.uint16)
+        fields = [("bits", bit), ("samples", 1), ("photometric", 3),
+                  ("planar", 1), ("compression", 1)]
+
+        rows = [(_pack_row_msb(idx[y], bit), y, 0) for y in range(h)]
+        line_writer = self._scanline_writer(rows)
+
+        def write(tifp):
+            setf = _TIFF.TIFFSetField
+            chans = [np.ascontiguousarray(cmap16[i]) for i in range(3)]
+            ok = setf(tifp, ctypes.c_uint32(_TIFFTAG["colormap"]),
+                      *[c.ctypes.data_as(ctypes.c_void_p)
+                        for c in chans])
+            if not ok:
+                pytest.skip("libtiff refused ColorMap")
+            line_writer(tifp)
+
+        blob = self._author(w, h, fields, write)
+        ours, mode = decode_tiff(blob)
+        assert mode == "RGB"
+        # libtiff checkcmap/cvtcmap: full-range entries CVT via >> 8
+        lut = (cmap16 >> 8).astype(np.uint8).T
+        assert np.array_equal(ours, lut[idx])
+        assert np.array_equal(ours, _libtiff_read_rgba(blob)[:, :, :3])
+
+    @pytest.mark.parametrize("bit", [1, 2, 4])
+    @pytest.mark.parametrize("photometric", [0, 1],
+                             ids=["white0", "black0"])
+    def test_subbyte_gray(self, bit, photometric):
+        rng = np.random.default_rng(0x5113 + bit)
+        h, w = 19, 26
+        idx = rng.integers(0, 1 << bit, (h, w), dtype=np.uint8)
+        fields = [("bits", bit), ("samples", 1),
+                  ("photometric", photometric), ("planar", 1),
+                  ("compression", 8), ("rows_per_strip", 5)]
+        rows = [(_pack_row_msb(idx[y], bit), y, 0) for y in range(h)]
+        blob = self._author(w, h, fields, self._scanline_writer(rows))
+        ours, mode = decode_tiff(blob)
+        assert mode == "L"
+        want = (idx * (255 // ((1 << bit) - 1))).astype(np.uint8)
+        if photometric == 0:
+            want = 255 - want
+        assert np.array_equal(ours, want)
+        assert np.array_equal(ours, _libtiff_read_rgba(blob)[:, :, 0])
+
+    @pytest.mark.parametrize("spp", [1, 3], ids=["gray16", "rgb16"])
+    def test_16bit(self, spp):
+        rng = np.random.default_rng(0x5114 + spp)
+        h, w = 23, 31
+        src = rng.integers(0, 65536, (h, w, spp), dtype=np.uint16)
+        fields = [("bits", 16), ("samples", spp),
+                  ("photometric", 1 if spp == 1 else 2),
+                  ("planar", 1), ("compression", 8),
+                  ("rows_per_strip", 7)]
+        rows = [(src[y].reshape(-1).view(np.uint8), y, 0)
+                for y in range(h)]
+        blob = self._author(w, h, fields, self._scanline_writer(rows))
+        ours, mode = decode_tiff(blob)
+        if spp == 1:
+            # gray16: libtiff's BWmap indexes by the high byte
+            assert mode == "L"
+            assert np.array_equal(ours, (src[:, :, 0] >> 8)
+                                  .astype(np.uint8))
+            assert np.array_equal(
+                ours, _libtiff_read_rgba(blob)[:, :, 0])
+        else:
+            # rgb16: libtiff's Bitdepth16To8 — rounded division by 257
+            assert mode == "RGB"
+            want = ((src.astype(np.uint32) + 128) // 257) \
+                .astype(np.uint8)
+            assert np.array_equal(ours, want)
+            assert np.array_equal(
+                ours, _libtiff_read_rgba(blob)[:, :, :3])

@@ -2,7 +2,7 @@
 functions plus the media_resize real path.  Covers: gray and RGB
 roundtrips, the synthesizer's TIFF, WhiteIsZero inversion, big-endian
 (MM) byte order, multi-strip assembly, every-byte-offset truncation
-raising ValueError, compressed/tiled/planar refusals, and
+raising ValueError, out-of-subset refusals, and
 TIFF-vs-PNG pixel parity through the Spark resize kernel.
 """
 
@@ -98,9 +98,9 @@ def test_tiff_refusals_valueerror_only():
     jpg[tags[259] + 8:tags[259] + 10] = (6).to_bytes(2, "little")
     with pytest.raises(UnsupportedTiff):
         decode_tiff(bytes(jpg))
-    pal = bytearray(full)                       # palette photometric
+    pal = bytearray(full)                       # palette w/o ColorMap:
     pal[tags[262] + 8:tags[262] + 10] = (3).to_bytes(2, "little")
-    with pytest.raises(UnsupportedTiff):
+    with pytest.raises(ValueError):             # corrupt, not unsupported
         decode_tiff(bytes(pal))
     huge = bytearray(full)
     huge[tags[256] + 8:tags[256] + 10] = (0xFFFF).to_bytes(2, "little")
