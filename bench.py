@@ -144,6 +144,8 @@ BENCH_QUERIES = [
     "multimodal_ico_decode",
     "multimodal_webp_decode",
     "multimodal_vp8_decode",
+    # round-5i: tiled/planar/palette/sub-byte/16-bit TIFF layouts
+    "multimodal_tiff_layouts",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

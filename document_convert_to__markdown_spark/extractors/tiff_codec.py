@@ -191,6 +191,12 @@ def _lzw_encode(data: bytes) -> bytes:
         w = bytes([b])
     if w:
         emit(table[w], width)
+        # the decoder APPENDS an entry for this final code and then
+        # applies its slot-(2^w - 1) early change before reading EOI;
+        # mirror that bump or EOI desyncs by one bit-width whenever
+        # the table boundary lands exactly on the last data code
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1
     emit(_LZW_EOI, width)
     if nacc:
         out.append((acc << (8 - nacc)) & 0xFF)
@@ -833,4 +839,180 @@ def _encode_jpeg_tiff(arr: np.ndarray, spp: int, quality: int,
             out += blob + b"\0" * (len(blob) & 1)
     for s in strips:
         out += s + b"\0" * (len(s) & 1)
+    return bytes(out)
+
+
+def encode_tiff_layout(pixels: np.ndarray, *, compression: str = "none",
+                       predictor: bool = False,
+                       rows_per_strip: int | None = None,
+                       tile: tuple[int, int] | None = None,
+                       planar: int = 1,
+                       bit_depth: int | None = None,
+                       palette: np.ndarray | None = None) -> bytes:
+    """General little-endian TIFF writer for the layouts the compact
+    ``encode_tiff`` never emits — the deterministic pure-Python twin
+    of every round-5i decoder path, so contract queries and tests can
+    author tiled / planar / palette / sub-byte / 16-bit files without
+    an external library.
+
+    - ``pixels``: ``(h, w)`` gray (uint8, or uint16 for 16-bit;
+      sub-byte values must fit ``bit_depth``), ``(h, w, 3)`` RGB
+      (uint8/uint16), or ``(h, w)`` palette INDICES with ``palette``
+      a ``(2^bit, 3)`` uint16 full-range ColorMap.
+    - ``tile=(tw, th)`` switches to the tiled layout (multiples of
+      16); otherwise strips of ``rows_per_strip`` (default: whole
+      image).  ``planar=2`` writes PlanarConfiguration=2 (RGB only):
+      all of plane 0's units, then plane 1's, …
+    - ``compression``: none | lzw | deflate | packbits, applied per
+      strip/tile; ``predictor`` (§14, 8-bit lzw/deflate only)
+      differences per unit row per channel.
+    """
+    if compression not in ("none", "lzw", "deflate", "packbits"):
+        raise ValueError(f"compression {compression!r} unsupported here")
+    arr = np.asarray(pixels)
+    if palette is not None:
+        if arr.ndim != 2:
+            raise ValueError("palette TIFF needs (h, w) indices")
+        bit = bit_depth or 8
+        if bit not in (1, 2, 4, 8):
+            raise ValueError(f"palette bit depth {bit}")
+        pal = np.ascontiguousarray(palette, dtype=np.uint16)
+        if pal.shape != (1 << bit, 3):
+            raise ValueError(f"palette must be ({1 << bit}, 3)")
+        if arr.max(initial=0) >= 1 << bit:
+            raise ValueError("palette index out of range")
+        photometric, spp = 3, 1
+        samp = arr.astype(np.uint16)[:, :, None]
+    elif arr.ndim == 2:
+        bit = 16 if arr.dtype == np.uint16 else (bit_depth or 8)
+        if bit not in (1, 2, 4, 8, 16):
+            raise ValueError(f"gray bit depth {bit}")
+        if bit < 8 and arr.max(initial=0) >= 1 << bit:
+            raise ValueError("gray sample exceeds bit depth")
+        photometric, spp = 1, 1
+        samp = arr.astype(np.uint16)[:, :, None]
+    elif arr.ndim == 3 and arr.shape[2] == 3:
+        bit = 16 if arr.dtype == np.uint16 else 8
+        photometric, spp = 2, 3
+        samp = arr.astype(np.uint16)
+    else:
+        raise ValueError(f"bad pixel shape {arr.shape}")
+    h, w = samp.shape[0], samp.shape[1]
+    if h == 0 or w == 0:
+        raise ValueError("need non-empty pixel array")
+    if planar not in (1, 2) or (planar == 2 and spp == 1):
+        raise ValueError("planar=2 needs 3 samples")
+    if predictor and (bit != 8 or compression not in ("lzw", "deflate")):
+        raise ValueError("predictor needs 8-bit lzw/deflate")
+    if tile is not None and (tile[0] % 16 or tile[1] % 16
+                             or tile[0] <= 0 or tile[1] <= 0):
+        raise ValueError("tile dims must be positive multiples of 16")
+
+    def block_bytes(block: np.ndarray) -> bytes:
+        """(rows, cols, ch) sample block → packed unit payload."""
+        if predictor:
+            d = block.astype(np.int32)
+            d[:, 1:] = d[:, 1:] - d[:, :-1]
+            block = (d & 0xFF).astype(np.uint16)
+        rows = block.shape[0]
+        flat = block.reshape(rows, -1)          # interleave channels
+        if bit == 8:
+            raw = flat.astype(np.uint8).tobytes()
+        elif bit == 16:
+            raw = flat.astype("<u2").tobytes()
+        else:
+            ub = np.unpackbits(
+                flat.astype(np.uint8)[:, :, None], axis=2)[:, :, 8 - bit:]
+            ub = ub.reshape(rows, -1)
+            pad = (-ub.shape[1]) % 8
+            if pad:
+                ub = np.concatenate(
+                    [ub, np.zeros((rows, pad), np.uint8)], axis=1)
+            raw = np.packbits(ub, axis=1).tobytes()
+        if compression == "none":
+            return raw
+        if compression == "lzw":
+            return _lzw_encode(raw)
+        if compression == "packbits":
+            return _packbits_encode(raw)
+        return zlib.compress(raw)
+
+    units: list[bytes] = []
+    if tile is not None:
+        tw, th = tile
+        pad = np.zeros((-(-h // th) * th, -(-w // tw) * tw, spp),
+                       np.uint16)
+        pad[:h, :w] = samp
+        planes = ([pad[:, :, p:p + 1] for p in range(spp)]
+                  if planar == 2 else [pad])
+        for pl in planes:
+            for ty in range(0, pad.shape[0], th):
+                for tx in range(0, pad.shape[1], tw):
+                    units.append(block_bytes(pl[ty:ty + th, tx:tx + tw]))
+    else:
+        rps = rows_per_strip or h
+        if rps <= 0:
+            raise ValueError("bad rows_per_strip")
+        planes = ([samp[:, :, p:p + 1] for p in range(spp)]
+                  if planar == 2 else [samp])
+        for pl in planes:
+            for y in range(0, h, rps):
+                units.append(block_bytes(pl[y:y + rps]))
+
+    entries: dict[int, tuple[int, list[int]]] = {
+        256: (3, [w]), 257: (3, [h]),
+        258: (3, [bit] * spp),
+        259: (3, [_COMP_CODES[compression]]),
+        262: (3, [photometric]),
+        277: (3, [spp]),
+        284: (3, [planar]),
+    }
+    if predictor:
+        entries[317] = (3, [2])
+    if palette is not None:
+        entries[320] = (3, [int(v) for ch in pal.T for v in ch])
+    if tile is not None:
+        entries[322] = (3, [tile[0]])
+        entries[323] = (3, [tile[1]])
+        off_tag, cnt_tag = 324, 325
+    else:
+        entries[278] = (3, [rows_per_strip or h])
+        off_tag, cnt_tag = 273, 279
+    entries[cnt_tag] = (4, [len(u) for u in units])
+    entries[off_tag] = (4, [0] * len(units))    # placeholder
+
+    tags = sorted(entries)
+    pos = 8 + 2 + 12 * len(tags) + 4
+    blob_pos: dict[int, int] = {}
+    for tag in tags:
+        vt, vals = entries[tag]
+        total = (2 if vt == 3 else 4) * len(vals)
+        if total > 4:
+            blob_pos[tag] = pos
+            pos += total + (total & 1)
+    unit_offs = []
+    for u in units:
+        unit_offs.append(pos)
+        pos += len(u) + (len(u) & 1)
+    entries[off_tag] = (4, unit_offs)
+
+    fmt = {3: "H", 4: "I"}
+    out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+    out += struct.pack("<H", len(tags))
+    for tag in tags:
+        vt, vals = entries[tag]
+        out += struct.pack("<HHI", tag, vt, len(vals))
+        if tag in blob_pos:
+            out += struct.pack("<I", blob_pos[tag])
+        else:
+            out += struct.pack(
+                "<" + fmt[vt] * len(vals), *vals).ljust(4, b"\0")
+    out += struct.pack("<I", 0)                 # next-IFD pointer
+    for tag in tags:
+        if tag in blob_pos:
+            vt, vals = entries[tag]
+            blob = struct.pack("<" + fmt[vt] * len(vals), *vals)
+            out += blob + b"\0" * (len(blob) & 1)
+    for u in units:
+        out += u + b"\0" * (len(u) & 1)
     return bytes(out)

@@ -96,6 +96,9 @@ PINNABLE = [
     # round-5h: lossy-WebP (VP8 key frame) decode across stream
     # layouts — the boolean-decoder DCT pipeline isn't SQL.
     "multimodal_vp8_decode",
+    # round-5i: tiled/planar/palette/sub-byte/16-bit TIFF layouts vs
+    # PNG pixel parity — the layout assembly isn't SQL.
+    "multimodal_tiff_layouts",
 ]
 
 _SQL_TYPES = {

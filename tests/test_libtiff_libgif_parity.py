@@ -596,3 +596,56 @@ class TestTiffLayoutParity:
             assert np.array_equal(ours, want)
             assert np.array_equal(
                 ours, _libtiff_read_rgba(blob)[:, :, :3])
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not present")
+class TestTiffLayoutWriterParity:
+    """Reverse direction: OUR general layout writer authors the file
+    and libtiff must read it — the interop proof that
+    ``encode_tiff_layout``'s IFD/tile/planar/palette byte layout is
+    spec-conformant, not merely self-consistent."""
+
+    @pytest.mark.parametrize("desc,kw", [
+        ("tiled_lzw_pred", dict(tile=(16, 16), compression="lzw",
+                                predictor=True)),
+        ("planar_strips", dict(planar=2, rows_per_strip=8,
+                               compression="deflate")),
+        ("tiled_planar", dict(planar=2, tile=(16, 16))),
+        ("strips_packbits", dict(rows_per_strip=6,
+                                 compression="packbits")),
+    ])
+    def test_libtiff_reads_our_rgb_layouts(self, desc, kw):
+        from document_convert_to__markdown_spark.extractors.tiff_codec \
+            import encode_tiff_layout
+        rng = np.random.default_rng(0x5120)
+        src = rng.integers(0, 256, (45, 38, 3), dtype=np.uint8)
+        blob = encode_tiff_layout(src, **kw)
+        assert np.array_equal(_libtiff_read_rgba(blob)[:, :, :3], src)
+
+    def test_libtiff_reads_our_palette_and_subbyte(self):
+        from document_convert_to__markdown_spark.extractors.tiff_codec \
+            import encode_tiff_layout
+        rng = np.random.default_rng(0x5121)
+        idx = rng.integers(0, 16, (17, 23), dtype=np.uint8)
+        pal = rng.integers(0, 65536, (16, 3), dtype=np.uint16)
+        blob = encode_tiff_layout(idx, palette=pal, bit_depth=4)
+        assert np.array_equal(_libtiff_read_rgba(blob)[:, :, :3],
+                              (pal >> 8).astype(np.uint8)[idx])
+        g = rng.integers(0, 4, (19, 21), dtype=np.uint8)
+        blob = encode_tiff_layout(g, bit_depth=2,
+                                  compression="deflate")
+        assert np.array_equal(_libtiff_read_rgba(blob)[:, :, 0],
+                              (g * 85).astype(np.uint8))
+
+    def test_libtiff_reads_our_16bit(self):
+        from document_convert_to__markdown_spark.extractors.tiff_codec \
+            import encode_tiff_layout
+        rng = np.random.default_rng(0x5122)
+        g16 = rng.integers(0, 65536, (13, 27), dtype=np.uint16)
+        blob = encode_tiff_layout(g16, rows_per_strip=4)
+        assert np.array_equal(_libtiff_read_rgba(blob)[:, :, 0],
+                              (g16 >> 8).astype(np.uint8))
+        rgb16 = rng.integers(0, 65536, (13, 27, 3), dtype=np.uint16)
+        blob = encode_tiff_layout(rgb16, compression="deflate")
+        want = ((rgb16.astype(np.uint32) + 128) // 257).astype(np.uint8)
+        assert np.array_equal(_libtiff_read_rgba(blob)[:, :, :3], want)

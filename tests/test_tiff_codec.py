@@ -312,3 +312,89 @@ def test_tiff_jpeg_refusals_and_truncation():
     ycc[t2[262] + 8:t2[262] + 10] = (6).to_bytes(2, "little")
     with pytest.raises(UnsupportedTiff):
         decode_tiff(bytes(ycc))
+
+
+def test_lzw_eoi_width_at_table_boundary():
+    """Regression: when the decoder's table hits the early-change
+    boundary exactly at the FINAL data code, it widens before reading
+    EOI; the encoder must mirror that bump or EOI desyncs and junk
+    bytes trail the payload.  bytes(range(254)) lands the boundary on
+    the last code deterministically (253 loop emissions -> decoder
+    table 511 == 2^9 - 1)."""
+    data = bytes(range(254))
+    assert _lzw_decode(_lzw_encode(data), len(data)) == data
+    # exhaustive length sweep across the 512 boundary
+    rs = np.random.RandomState(3)
+    big = rs.randint(0, 256, 700).astype(np.uint8).tobytes()
+    for n in range(200, 400):
+        assert _lzw_decode(_lzw_encode(big[:n]), n) == big[:n]
+
+
+# --- general layout writer (round 5i) ----------------------------------------
+
+from document_convert_to__markdown_spark.extractors.tiff_codec import (  # noqa: E402
+    encode_tiff_layout,
+)
+
+
+@pytest.mark.parametrize("desc,shape,dtype,kw", [
+    ("tiled_lzw_pred", (53, 70, 3), np.uint8,
+     dict(tile=(16, 16), compression="lzw", predictor=True)),
+    ("planar_deflate", (37, 29, 3), np.uint8,
+     dict(planar=2, rows_per_strip=8, compression="deflate")),
+    ("tiled_planar", (40, 45, 3), np.uint8,
+     dict(planar=2, tile=(16, 16))),
+    ("gray4_packbits", (19, 26), np.uint8,
+     dict(bit_depth=4, rows_per_strip=5, compression="packbits")),
+    ("gray1_tiled", (33, 50), np.uint8,
+     dict(bit_depth=1, tile=(16, 16))),
+    ("gray16_deflate", (23, 31), np.uint16,
+     dict(compression="deflate", rows_per_strip=7)),
+    ("rgb16_tiled", (20, 22, 3), np.uint16,
+     dict(tile=(16, 16), compression="deflate")),
+])
+def test_layout_writer_roundtrips(desc, shape, dtype, kw):
+    rng = np.random.default_rng(hash(desc) % 2**31)
+    hi = 65536 if dtype == np.uint16 else (1 << kw.get("bit_depth", 8))
+    src = rng.integers(0, hi, shape, dtype=dtype)
+    got, mode = decode_tiff(encode_tiff_layout(src, **kw))
+    if dtype == np.uint16:
+        want = ((src >> 8).astype(np.uint8) if len(shape) == 2 else
+                ((src.astype(np.uint32) + 128) // 257).astype(np.uint8))
+    elif len(shape) == 2:
+        bit = kw.get("bit_depth", 8)
+        want = (src * (255 // ((1 << bit) - 1))).astype(np.uint8)
+    else:
+        want = src
+    assert np.array_equal(got, want)
+
+
+def test_layout_writer_palette_roundtrips():
+    rng = np.random.default_rng(99)
+    idx = rng.integers(0, 16, (21, 33), dtype=np.uint8)
+    pal = rng.integers(0, 65536, (16, 3), dtype=np.uint16)
+    want = (pal >> 8).astype(np.uint8)[idx]
+    for kw in [dict(), dict(tile=(16, 16)),
+               dict(compression="lzw", rows_per_strip=4)]:
+        got, mode = decode_tiff(
+            encode_tiff_layout(idx, palette=pal, bit_depth=4, **kw))
+        assert mode == "RGB" and np.array_equal(got, want), kw
+
+
+def test_layout_writer_refusals():
+    g8 = np.zeros((4, 4), np.uint8)
+    rgb = np.zeros((4, 4, 3), np.uint8)
+    with pytest.raises(ValueError):
+        encode_tiff_layout(rgb, compression="jpeg")
+    with pytest.raises(ValueError):
+        encode_tiff_layout(g8, planar=2)            # gray can't be planar
+    with pytest.raises(ValueError):
+        encode_tiff_layout(rgb, tile=(10, 16))      # not multiple of 16
+    with pytest.raises(ValueError):
+        encode_tiff_layout(g8, bit_depth=4,
+                           predictor=True, compression="lzw")
+    with pytest.raises(ValueError):
+        encode_tiff_layout(np.full((4, 4), 9, np.uint8), bit_depth=2)
+    with pytest.raises(ValueError):
+        encode_tiff_layout(g8, palette=np.zeros((8, 3), np.uint16),
+                           bit_depth=4)             # wrong palette size
