@@ -9,8 +9,10 @@ output checks:
   rendered twice (base PNG; +10 brightness — dHash-invariant — cycled
   by scene across EVERY lossless decode path: plain PNG, Adam7-
   interlaced PNG, 16-bit PNG, LZW TIFF, deflate+predictor TIFF,
-  PackBits TIFF, RLE8 BMP with an identity gray palette, and VP8L
-  WebP cycling the encoder transforms — so each from-scratch codec
+  PackBits TIFF, RLE8 BMP with an identity gray palette, VP8L WebP
+  cycling the encoder transforms, and — round 5i — the four TIFF
+  layout paths (tiled, 16-bit gray, full-range-ColorMap palette,
+  planar RGB strips with predictor) — so each from-scratch codec
   decodes at 10^4-10^5 volume inside the Arrow kernel).  Pairs found
   must be EXACTLY n_scenes, all at Hamming 0: every within-scene pair
   recalled, and random 64-bit codes put the expected cross-scene
@@ -87,15 +89,19 @@ def main() -> None:
         from document_convert_to__markdown_spark.extractors.png_codec \
             import encode_png
         from document_convert_to__markdown_spark.extractors.tiff_codec \
-            import encode_tiff
+            import encode_tiff, encode_tiff_layout
         from document_convert_to__markdown_spark.extractors.webp_codec \
             import encode_webp
 
         transforms = (None, "subtract_green", "predictor", "palette")
         gray_pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+        # full-range identity ColorMap: v*257 >> 8 == v, so the
+        # palette TIFF decodes back to the exact gray values
+        gray_pal16 = np.stack(
+            [np.arange(256, dtype=np.uint16) * 257] * 3, axis=1)
 
         def rendition(s, img):
-            k = s % 8
+            k = s % 12
             if k == 0:          # VP8L WebP, transform cycle
                 return encode_webp(img, transform=transforms[(s >> 3) % 4],
                                    predictor_mode=s % 14)
@@ -112,9 +118,25 @@ def main() -> None:
                                    predictor=True)
             if k == 6:
                 return encode_tiff(img, compression="packbits")
-            # k == 7: RLE8 BMP, identity gray palette (equal channels
-            # keep the dHash channel-mean exact)
-            return encode_bmp_rle8(img, gray_pal)
+            if k == 7:      # RLE8 BMP, identity gray palette (equal
+                # channels keep the dHash channel-mean exact)
+                return encode_bmp_rle8(img, gray_pal)
+            # round-5i layout paths (encode_tiff_layout):
+            if k == 8:          # tiled gray (one edge-cropped tile)
+                return encode_tiff_layout(img, tile=(16, 16),
+                                          compression="deflate")
+            if k == 9:          # 16-bit gray, v*257 >> 8 == v exact
+                return encode_tiff_layout(
+                    img.astype(np.uint16) * 257, rows_per_strip=3,
+                    compression="lzw")
+            if k == 10:         # palette TIFF, identity 16-bit map
+                return encode_tiff_layout(img, palette=gray_pal16,
+                                          bit_depth=8,
+                                          compression="packbits")
+            # k == 11: planar RGB strips (equal channels), predictor
+            return encode_tiff_layout(
+                np.stack([img] * 3, axis=2), planar=2,
+                rows_per_strip=2, compression="lzw", predictor=True)
 
         for pdf in batches:
             urls, blobs = [], []
@@ -136,7 +158,7 @@ def main() -> None:
     n_imgs = hashes.count()
     t_hash = time.time() - t0
     results["n_images"] = n_imgs
-    results["renditions_per_codec_path"] = n_scenes // 8
+    results["renditions_per_codec_path"] = n_scenes // 12
     results["img_hash_sec"] = round(t_hash, 1)
     results["img_hash_docs_per_sec"] = round(n_imgs / t_hash)
 
