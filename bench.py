@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "multimodal_vp8_decode",
     # round-5i: tiled/planar/palette/sub-byte/16-bit TIFF layouts
     "multimodal_tiff_layouts",
+    # round-5i: EXIF parse + orientation-normalized dHash
+    "image_exif_orientation",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

@@ -848,7 +848,8 @@ def encode_tiff_layout(pixels: np.ndarray, *, compression: str = "none",
                        tile: tuple[int, int] | None = None,
                        planar: int = 1,
                        bit_depth: int | None = None,
-                       palette: np.ndarray | None = None) -> bytes:
+                       palette: np.ndarray | None = None,
+                       orientation: int = 1) -> bytes:
     """General little-endian TIFF writer for the layouts the compact
     ``encode_tiff`` never emits — the deterministic pure-Python twin
     of every round-5i decoder path, so contract queries and tests can
@@ -866,6 +867,9 @@ def encode_tiff_layout(pixels: np.ndarray, *, compression: str = "none",
     - ``compression``: none | lzw | deflate | packbits, applied per
       strip/tile; ``predictor`` (§14, 8-bit lzw/deflate only)
       differences per unit row per channel.
+    - ``orientation``: EXIF/TIFF tag 274 (1-8), written verbatim;
+      pixels are stored as given (callers author rotated fixtures by
+      storing ``exif.invert_orientation(img, o)`` with tag ``o``).
     """
     if compression not in ("none", "lzw", "deflate", "packbits"):
         raise ValueError(f"compression {compression!r} unsupported here")
@@ -969,6 +973,10 @@ def encode_tiff_layout(pixels: np.ndarray, *, compression: str = "none",
     }
     if predictor:
         entries[317] = (3, [2])
+    if orientation != 1:
+        if orientation not in range(1, 9):
+            raise ValueError(f"bad orientation {orientation}")
+        entries[274] = (3, [orientation])
     if palette is not None:
         entries[320] = (3, [int(v) for ch in pal.T for v in ch])
     if tile is not None:

@@ -74,8 +74,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
-    ArrayType, BinaryType, FloatType, IntegerType, LongType, StringType,
-    StructField, StructType,
+    ArrayType, BinaryType, BooleanType, FloatType, IntegerType, LongType,
+    StringType, StructField, StructType,
 )
 
 from ..extractors.image_extractor import image_meta
@@ -278,7 +278,8 @@ FRAME_SCHEMA = StructType([
 
 
 def media_resize(df: DataFrame, width: int = 16, height: int = 16,
-                 url_col: str = "url", blob_col: str = "data") -> DataFrame:
+                 url_col: str = "url", blob_col: str = "data",
+                 orient: bool = False) -> DataFrame:
     """Binary column → nearest-neighbor-resized pixel bytes.
 
     PNG/GIF/BMP/TIFF/JPEG/WebP (lossless and lossy) payloads resize
@@ -288,7 +289,13 @@ def media_resize(df: DataFrame, width: int = 16, height: int = 16,
     column says which).  Output ``data`` is the raw ``height × width
     × channels`` uint8 buffer (channels per ``mode``: L=1, LA=2,
     RGB=3, RGBA=4, stub=1).  One row in, one row out, Arrow-batched.
+
+    ``orient=True`` normalizes EXIF/TIFF orientation (tag 274,
+    JPEG APP1 or TIFF first-IFD) to display coordinates before the
+    resample — opt-in so the pinned default outputs stay
+    byte-identical (``extractors/exif.py``).
     """
+    from ..extractors.exif import apply_orientation, image_exif
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,6 +303,9 @@ def media_resize(df: DataFrame, width: int = 16, height: int = 16,
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
                 pixels, mode = _decode_image(payload)
+                if orient and mode != "stub":
+                    pixels = apply_orientation(
+                        pixels, image_exif(payload).orientation)
                 ys = np.linspace(0, pixels.shape[0] - 1, height).astype(int)
                 xs = np.linspace(0, pixels.shape[1] - 1, width).astype(int)
                 resized = pixels[np.ix_(ys, xs)].astype(np.uint8)
@@ -399,6 +409,46 @@ def video_frame_sample(df: DataFrame, every_n: int = 4, frame_bytes: int = 256,
     return df.select(url_col, blob_col).mapInPandas(sample, FRAME_SCHEMA)
 
 
+EXIF_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("orientation", IntegerType(), False),
+    StructField("make", StringType(), True),
+    StructField("model", StringType(), True),
+    StructField("exif_datetime", StringType(), True),
+    StructField("has_gps", BooleanType(), False),
+])
+
+
+def media_exif(df: DataFrame, url_col: str = "url",
+               blob_col: str = "data") -> DataFrame:
+    """Binary image column → EXIF provenance columns, header-only.
+
+    Parses the APP1/Exif TIFF block in JPEGs and the first IFD in
+    TIFFs (``extractors/exif.py``, CIPA DC-008 grammar): orientation
+    (1-8), Make/Model/DateTime (the provenance triple licensing and
+    dedup audits ask for), and ``has_gps`` — presence of the GPS-IFD
+    pointer (tag 34853), i.e. location PII, surfaced as a cheap flag
+    for the scrub layer without parsing coordinates.  Formats without
+    EXIF (PNG/GIF/BMP/WebP) and malformed blocks yield the neutral
+    row (orientation 1, nulls, false): one row in, one row out, no
+    pixel decode — this scans headers at crawl scale.
+    """
+    from ..extractors.exif import image_exif
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                info = image_exif(payload)
+                rows.append((url, info.orientation, info.make,
+                             info.model, info.datetime, info.has_gps))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in EXIF_SCHEMA])
+
+    return df.select(url_col, blob_col).mapInPandas(kernel, EXIF_SCHEMA)
+
+
 DHASH_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("mode", StringType(), False),
@@ -413,7 +463,7 @@ def _pack_bits_to_bigint(bits: np.ndarray) -> int:
 
 
 def image_dhash(df: DataFrame, url_col: str = "url",
-                blob_col: str = "data") -> DataFrame:
+                blob_col: str = "data", orient: bool = False) -> DataFrame:
     """Binary image column → 64-bit difference hash (dHash).
 
     The standard perceptual fingerprint for image near-dup at corpus
@@ -428,7 +478,14 @@ def image_dhash(df: DataFrame, url_col: str = "url",
     hash the deterministic stub grid (``mode`` records which).  One
     Arrow-batched ``mapInPandas`` pass, no shuffle; the hash is a
     signed BIGINT so it shuffles/joins JVM-side downstream.
+
+    ``orient=True`` normalizes EXIF/TIFF orientation first (dHash is
+    NOT rotation-invariant: a camera-rotated photo and its upright
+    twin otherwise land 30+ Hamming bits apart and near-dup recall
+    silently drops on mobile-heavy crawls) — opt-in so pinned
+    default hashes stay stable.
     """
+    from ..extractors.exif import apply_orientation, image_exif
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -436,6 +493,9 @@ def image_dhash(df: DataFrame, url_col: str = "url",
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
                 px, mode = _decode_image(payload)
+                if orient and mode != "stub":
+                    px = apply_orientation(
+                        px, image_exif(payload).orientation)
                 gray = px.astype(np.float32).mean(axis=2)
                 ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
                 xs = np.linspace(0, gray.shape[1] - 1, 9).astype(int)

@@ -99,6 +99,9 @@ PINNABLE = [
     # round-5i: tiled/planar/palette/sub-byte/16-bit TIFF layouts vs
     # PNG pixel parity — the layout assembly isn't SQL.
     "multimodal_tiff_layouts",
+    # round-5i: EXIF APP1/IFD parse + orientation-normalized dHash —
+    # binary header parse isn't SQL.
+    "image_exif_orientation",
 ]
 
 _SQL_TYPES = {

@@ -1,0 +1,170 @@
+"""EXIF metadata + orientation (extractors/exif.py, round 5i).
+
+Covers: the eight orientation transforms (inverse round-trip + the
+spec table pinned on an asymmetric grid), APP1 build/splice/parse
+round-trip incl. Make/Model/DateTime/GPS-IFD, big-endian (MM) blocks,
+TIFF tag-274 authoring through encode_tiff_layout, garbage safety,
+and the Spark operators: media_exif columns, orient=True
+normalization in media_resize/image_dhash (rotated twins hash
+identically; default stays byte-stable).  libtiff cross-validation of
+orientations 1-4 lives in tests/test_libtiff_libgif_parity.py
+(TIFFReadRGBAImageOriented only approximates the transposed codes).
+"""
+
+import numpy as np
+import pytest
+
+from document_convert_to__markdown_spark.extractors.exif import (
+    EMPTY_EXIF, apply_orientation, build_exif_app1, image_exif,
+    invert_orientation, jpeg_exif, parse_exif, splice_jpeg_exif,
+)
+from document_convert_to__markdown_spark.extractors.jpeg_codec import (
+    encode_jpeg,
+)
+from document_convert_to__markdown_spark.extractors.tiff_codec import (
+    encode_tiff_layout,
+)
+
+
+def test_orientation_transform_table():
+    """Pin each code's geometry on a tiny asymmetric grid (values
+    chosen so every transform yields a distinct array)."""
+    px = np.array([[1, 2, 3],
+                   [4, 5, 6]], np.uint8)
+    want = {
+        1: [[1, 2, 3], [4, 5, 6]],
+        2: [[3, 2, 1], [6, 5, 4]],                # mirror horizontal
+        3: [[6, 5, 4], [3, 2, 1]],                # rotate 180
+        4: [[4, 5, 6], [1, 2, 3]],                # mirror vertical
+        5: [[1, 4], [2, 5], [3, 6]],              # transpose
+        6: [[4, 1], [5, 2], [6, 3]],              # rotate 90 CW
+        7: [[6, 3], [5, 2], [4, 1]],              # transverse
+        8: [[3, 6], [2, 5], [1, 4]],              # rotate 90 CCW
+    }
+    for o, exp in want.items():
+        got = apply_orientation(px, o)
+        assert got.tolist() == exp, o
+        # 3-channel variant transforms identically per channel
+        got3 = apply_orientation(np.stack([px] * 3, axis=2), o)
+        assert got3[:, :, 1].tolist() == exp, o
+
+
+def test_orientation_inverse_roundtrip():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    for o in range(1, 9):
+        assert np.array_equal(
+            apply_orientation(invert_orientation(img, o), o), img), o
+
+
+def test_app1_build_splice_parse():
+    img = np.random.RandomState(1).randint(0, 256, (8, 9, 3)) \
+        .astype(np.uint8)
+    j = encode_jpeg(img)
+    j2 = splice_jpeg_exif(j, orientation=6, make="ACME", model="X100",
+                          datetime="2020:01:02 03:04:05", gps=True)
+    info = jpeg_exif(j2)
+    assert info.orientation == 6
+    assert info.make == "ACME" and info.model == "X100"
+    assert info.datetime == "2020:01:02 03:04:05"
+    assert info.has_gps
+    # plain JPEG has no EXIF; splice leaves the entropy stream intact
+    assert jpeg_exif(j) == EMPTY_EXIF
+    from document_convert_to__markdown_spark.extractors.jpeg_codec \
+        import decode_jpeg
+    assert np.array_equal(decode_jpeg(j)[0], decode_jpeg(j2)[0])
+    # minimal segment: orientation only, no GPS
+    info2 = jpeg_exif(splice_jpeg_exif(j, orientation=3))
+    assert info2.orientation == 3 and not info2.has_gps
+    assert info2.make is None
+
+
+def test_big_endian_exif_block():
+    """MM-order block: same tags, big-endian packing."""
+    import struct
+    entries = [(274, 3, 1, struct.pack(">HH", 8, 0))]
+    block = bytearray(b"MM\x00*" + struct.pack(">I", 8))
+    block += struct.pack(">H", len(entries))
+    for tag, vt, count, val in entries:
+        block += struct.pack(">HHI", tag, vt, count) + val
+    block += struct.pack(">I", 0)
+    assert parse_exif(bytes(block)).orientation == 8
+
+
+def test_tiff_orientation_tag_authoring():
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (6, 9, 3), dtype=np.uint8)
+    for o in range(1, 9):
+        blob = encode_tiff_layout(invert_orientation(img, o),
+                                  orientation=o)
+        info = image_exif(blob)
+        assert info.orientation == o and not info.has_gps
+    with pytest.raises(ValueError):
+        encode_tiff_layout(img, orientation=9)
+
+
+def test_garbage_safety():
+    for junk in [b"", b"\xff\xd8", b"\xff\xd8\xff\xe1\x00\x04Ex",
+                 bytes(100), b"II*\x00" + b"\xff" * 4,
+                 b"\xff\xd8" + b"\xff\xe1\x00\x08Exif\x00\x00"]:
+        assert image_exif(junk) == EMPTY_EXIF
+
+
+# --- Spark operators ----------------------------------------------------------
+
+def test_media_exif_columns(spark):
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_exif,
+    )
+
+    img = np.random.RandomState(2).randint(0, 256, (8, 9, 3)) \
+        .astype(np.uint8)
+    j = encode_jpeg(img)
+    rows = [
+        ("cam", bytearray(splice_jpeg_exif(
+            j, orientation=6, make="ACME", model="X100", gps=True))),
+        ("plain", bytearray(j)),
+        ("tiff", bytearray(encode_tiff_layout(img, orientation=3))),
+        ("junk", bytearray(b"not an image")),
+    ]
+    df = spark.createDataFrame(rows, "url string, data binary")
+    got = {r["url"]: r for r in media_exif(df).collect()}
+    assert got["cam"]["orientation"] == 6 and got["cam"]["has_gps"]
+    assert got["cam"]["make"] == "ACME"
+    assert got["plain"]["orientation"] == 1
+    assert not got["plain"]["has_gps"]
+    assert got["tiff"]["orientation"] == 3
+    assert got["junk"]["orientation"] == 1
+    assert got["junk"]["make"] is None
+
+
+def test_orient_normalizes_dhash_and_resize(spark):
+    """A rotated-with-tag twin hashes/resizes identically to the
+    upright base under orient=True, and differently (for the 90°
+    codes) under the default — the recall argument for the knob."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        image_dhash, media_resize,
+    )
+
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 256, (10, 14, 3)).astype(np.uint8)
+    rows = [("base", bytearray(encode_png(base)))]
+    for o in range(2, 9):
+        rows.append((f"o{o}", bytearray(encode_tiff_layout(
+            invert_orientation(base, o), orientation=o))))
+    df = spark.createDataFrame(rows, "url string, data binary")
+
+    oriented = {r["url"]: r["dhash"]
+                for r in image_dhash(df, orient=True).collect()}
+    assert all(h == oriented["base"] for h in oriented.values())
+
+    plain = {r["url"]: r["dhash"] for r in image_dhash(df).collect()}
+    assert plain["o6"] != plain["base"]         # rotation moves dHash
+
+    res = {r["url"]: bytes(r["data"])
+           for r in media_resize(df, width=6, height=5,
+                                 orient=True).collect()}
+    assert all(v == res["base"] for v in res.values())

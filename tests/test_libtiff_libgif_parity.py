@@ -649,3 +649,26 @@ class TestTiffLayoutWriterParity:
         blob = encode_tiff_layout(rgb16, compression="deflate")
         want = ((rgb16.astype(np.uint32) + 128) // 257).astype(np.uint8)
         assert np.array_equal(_libtiff_read_rgba(blob)[:, :, :3], want)
+
+
+@pytest.mark.skipif(_TIFF is None, reason="libtiff not present")
+def test_tiff_orientation_flips_match_libtiff():
+    """Orientation tag 274, codes 1-4: our apply_orientation and
+    libtiff's TIFFReadRGBAImageOriented(TOPLEFT) must both recover
+    the upright image from stored-rotated pixels.  (libtiff only
+    warns-and-approximates the transposed codes 5-8, so those are
+    pinned spec-side in tests/test_exif.py instead.)"""
+    from document_convert_to__markdown_spark.extractors.exif import (
+        apply_orientation, invert_orientation,
+    )
+    from document_convert_to__markdown_spark.extractors.tiff_codec \
+        import decode_tiff, encode_tiff_layout
+    rng = np.random.default_rng(0x5130)
+    img = rng.integers(0, 256, (21, 34, 3), dtype=np.uint8)
+    for o in (1, 2, 3, 4):
+        blob = encode_tiff_layout(invert_orientation(img, o),
+                                  orientation=o)
+        ours = apply_orientation(decode_tiff(blob)[0], o)
+        assert np.array_equal(ours, img), o
+        assert np.array_equal(_libtiff_read_rgba(blob)[:, :, :3],
+                              img), o
