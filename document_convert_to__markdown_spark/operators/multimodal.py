@@ -463,7 +463,8 @@ def _pack_bits_to_bigint(bits: np.ndarray) -> int:
 
 
 def image_dhash(df: DataFrame, url_col: str = "url",
-                blob_col: str = "data", orient: bool = False) -> DataFrame:
+                blob_col: str = "data", orient: bool = False,
+                canonical: bool = False) -> DataFrame:
     """Binary image column → 64-bit difference hash (dHash).
 
     The standard perceptual fingerprint for image near-dup at corpus
@@ -484,8 +485,27 @@ def image_dhash(df: DataFrame, url_col: str = "url",
     twin otherwise land 30+ Hamming bits apart and near-dup recall
     silently drops on mobile-heavy crawls) — opt-in so pinned
     default hashes stay stable.
+
+    ``canonical=True`` handles rotated/mirrored copies that carry NO
+    orientation tag (the re-upload/meme case): hash all eight
+    dihedral transforms of the decoded pixels and keep the unsigned
+    minimum, so every member of an image's rotation/mirror orbit
+    maps to the same value.  Exact for true dihedral copies; for
+    merely-near duplicates the orbit argmin can differ between the
+    two copies, so canonical hashes trade some near-dup Hamming
+    locality for orbit invariance — use it as an additional blocking
+    key next to the plain hash, not a replacement.  Subsumes
+    ``orient`` (the tagged rotation is one of the eight).
     """
     from ..extractors.exif import apply_orientation, image_exif
+
+    def one_hash(px: np.ndarray) -> int:
+        gray = px.astype(np.float32).mean(axis=2)
+        ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
+        xs = np.linspace(0, gray.shape[1] - 1, 9).astype(int)
+        g = gray[np.ix_(ys, xs)]
+        bits = (g[:, 1:] > g[:, :-1]).reshape(-1)       # 8x8 = 64
+        return _pack_bits_to_bigint(bits)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -493,17 +513,19 @@ def image_dhash(df: DataFrame, url_col: str = "url",
             for url, blob in zip(pdf[url_col], pdf[blob_col]):
                 payload = bytes(blob) if blob is not None else b""
                 px, mode = _decode_image(payload)
-                if orient and mode != "stub":
-                    px = apply_orientation(
-                        px, image_exif(payload).orientation)
-                gray = px.astype(np.float32).mean(axis=2)
-                ys = np.linspace(0, gray.shape[0] - 1, 8).astype(int)
-                xs = np.linspace(0, gray.shape[1] - 1, 9).astype(int)
-                g = gray[np.ix_(ys, xs)]
-                bits = (g[:, 1:] > g[:, :-1]).reshape(-1)   # 8x8 = 64
+                if canonical and mode != "stub":
+                    h = min((one_hash(apply_orientation(px, o))
+                             & 0xFFFFFFFFFFFFFFFF
+                             for o in range(1, 9)))
+                    h = h - (1 << 64) if h >= 1 << 63 else h
+                else:
+                    if orient and mode != "stub":
+                        px = apply_orientation(
+                            px, image_exif(payload).orientation)
+                    h = one_hash(px)
                 urls.append(url)
                 modes.append(mode)
-                hashes.append(_pack_bits_to_bigint(bits))
+                hashes.append(h)
             yield pd.DataFrame({"url": urls, "mode": modes,
                                 "dhash": hashes})
 

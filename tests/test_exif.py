@@ -168,3 +168,41 @@ def test_orient_normalizes_dhash_and_resize(spark):
            for r in media_resize(df, width=6, height=5,
                                  orient=True).collect()}
     assert all(v == res["base"] for v in res.values())
+
+
+def test_canonical_dhash_orbit_invariance(spark):
+    """Untagged rotated/mirrored copies (no EXIF at all — plain PNGs)
+    collapse to one canonical hash; distinct scenes stay distinct;
+    and the canonical value is exactly the unsigned min over the
+    eight plain orbit hashes."""
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        image_dhash,
+    )
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for scene in range(6):
+        base = rng.randint(0, 256, (12, 16, 3)).astype(np.uint8)
+        for o in range(1, 9):
+            rows.append((f"s{scene}/o{o}", bytearray(
+                encode_png(apply_orientation(base, o)))))
+    df = spark.createDataFrame(rows, "url string, data binary")
+
+    canon = {r["url"]: r["dhash"]
+             for r in image_dhash(df, canonical=True).collect()}
+    plain = {r["url"]: r["dhash"] for r in image_dhash(df).collect()}
+
+    per_scene = {}
+    for url, h in canon.items():
+        per_scene.setdefault(url.split("/")[0], set()).add(h)
+    assert all(len(v) == 1 for v in per_scene.values()), per_scene
+    assert len({next(iter(v)) for v in per_scene.values()}) == 6
+
+    for scene in range(6):
+        orbit = [plain[f"s{scene}/o{o}"] & 0xFFFFFFFFFFFFFFFF
+                 for o in range(1, 9)]
+        got = next(iter(per_scene[f"s{scene}"])) & 0xFFFFFFFFFFFFFFFF
+        assert got == min(orbit), scene
