@@ -1487,6 +1487,92 @@ def _q_multimodal_webp_decode(spark, sf):
             .orderBy("variant"))
 
 
+def _q_audio_tags_scan(spark, sf):
+    """Audio provenance tags (round 5i: extractors/audio_tags.py — the
+    audio twin of EXIF: ID3v2.3/2.4 leads and ID3v1 trailers on MP3s,
+    FLAC VORBIS_COMMENT blocks per RFC 9639 §8.6, RIFF LIST-INFO
+    chunks on WAVs, all normalized to title/artist/album/date +
+    ``tag_how``; operators/multimodal.py:media_tags is the header-only
+    Arrow scan — licensing audits and cross-container catalog dedup
+    key on these).  Proof shape: 30 scenes cycling five renditions —
+    ID3v2.4 (UTF-8 syncsafe), ID3v2.3 (latin-1), ID3v1 trailer,
+    Vorbis-commented FLAC, INFO-chunked WAV — plus an untagged twin
+    per scene; per-grammar counts of rows whose parsed title AND
+    artist match the authored values, with the untagged rows pinned
+    to ``none``.  Binary tag grammar isn't SQL — pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.audio_tags import (
+        append_id3v1, build_id3v2, flac_add_vorbis_comment,
+        wav_add_info,
+    )
+    from document_convert_to__markdown_spark.extractors.flac_codec import (
+        encode_flac,
+    )
+    from document_convert_to__markdown_spark.extractors.wav_codec import (
+        encode_wav,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_tags,
+    )
+
+    import numpy as np
+
+    hows = ("id3v2", "id3v2_v3", "id3v1", "vorbis", "riff_info")
+    rows = []
+    for s in range(30):
+        how = hows[s % 5]
+        rng = np.random.default_rng(5400 + s)
+        pcm = (rng.standard_normal(800) * 0.2).astype(np.float32)
+        title, artist = f"Title{s}", f"Artist{s}"
+        wav = encode_wav(pcm, rate=8000)
+        if how == "id3v2":
+            blob = build_id3v2(title=title, artist=artist,
+                               date="2021") + b"\xff\xfb" + bytes(64)
+            bare = b"\xff\xfb" + bytes(64)
+        elif how == "id3v2_v3":
+            blob = build_id3v2(title=title, artist=artist,
+                               version=3) + b"\xff\xfb" + bytes(64)
+            bare = b"\xff\xfb" + bytes(64)
+        elif how == "id3v1":
+            blob = append_id3v1(b"\xff\xfb" + bytes(64), title=title,
+                                artist=artist, year="1999")
+            bare = b"\xff\xfb" + bytes(64)
+        elif how == "vorbis":
+            flac = encode_flac((pcm * 32767).astype(np.int16),
+                               rate=8000)
+            blob = flac_add_vorbis_comment(flac, title=title,
+                                           artist=artist)
+            bare = flac
+        else:
+            blob = wav_add_info(wav, title=title, artist=artist)
+            bare = wav
+        rows.append((f"s{s:03d}", how, title, artist, "tagged",
+                     bytearray(blob)))
+        rows.append((f"s{s:03d}", how, title, artist, "bare",
+                     bytearray(bare)))
+    df = spark.createDataFrame(
+        rows, "scene string, grammar string, want_title string, "
+              "want_artist string, kind string, data binary") \
+        .withColumn("url", F.concat_ws("/", "scene", "kind"))
+
+    parsed = media_tags(df).withColumn(
+        "scene", F.substring_index("url", "/", 1)).withColumn(
+        "kind", F.substring_index("url", "/", -1))
+    meta = df.select("scene", "grammar", "want_title",
+                     "want_artist").distinct()
+    return (parsed.join(meta, "scene")
+            .groupBy("grammar")
+            .agg(F.sum(F.when((F.col("kind") == "tagged")
+                              & (F.col("title") == F.col("want_title"))
+                              & (F.col("artist")
+                                 == F.col("want_artist")), 1)
+                       .otherwise(0)).alias("n_parsed"),
+                 F.sum(F.when((F.col("kind") == "bare")
+                              & (F.col("tag_how") == "none"), 1)
+                       .otherwise(0)).alias("n_bare_none"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("grammar"))
+
+
 def _q_image_exif_orientation(spark, sf):
     """EXIF provenance + orientation normalization (round 5i:
     extractors/exif.py parses the CIPA DC-008 APP1/TIFF-IFD grammar —
@@ -3919,6 +4005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_vp8_decode": _q_multimodal_vp8_decode,  # new round 5h
         "multimodal_tiff_layouts": _q_multimodal_tiff_layouts,  # new r5i
         "image_exif_orientation": _q_image_exif_orientation,  # new r5i
+        "audio_tags_scan": _q_audio_tags_scan,            # new r5i
         "quality_classifier": _q_quality_classifier,  # r5: one-scan epochs
         "multimodal_apng_decode": _q_multimodal_apng_decode,  # new round 5
         "stream_dedup_ingest": _q_stream_dedup_ingest,   # new round 4
@@ -3942,7 +4029,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wet_datasource_scan": _q_wet_datasource_scan,   # new round 4b
         "stream_stream_outer_join": _q_stream_stream_outer_join,  # 4b
         "cdx_ingest": _q_cdx_ingest,                     # new round 4b
-        "cdx_selective_fetch": _q_cdx_selective_fetch,   # new round 4b
         # --- r03-green entries filling the rest of the window ---
         # structured streaming (drained availableNow)
         "stream_window_events": _q_stream_window_events,
@@ -3972,11 +4058,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ORDERING INVARIANT: everything below this line held a
         # green verdict in an earlier round and its code is unchanged
         # (or changed only in ways already re-verified above).
-        # sitemap_discovery and charset_decode rotated out in r5i
-        # (green r04, untouched) to make room for
-        # multimodal_tiff_layouts and image_exif_orientation.
+        # sitemap_discovery, charset_decode and cdx_selective_fetch
+        # rotated out in r5i (green r04, untouched) to make room for
+        # multimodal_tiff_layouts, image_exif_orientation and
+        # audio_tags_scan.
         "sitemap_discovery": _q_sitemap_discovery,       # green r04
         "charset_decode": _q_charset_decode,             # green r04
+        "cdx_selective_fetch": _q_cdx_selective_fetch,   # green r04
         # ^ position 50 (multimodal_frame_sample — r5-touched: the
         # mode column gained mjpg provenance, so it stays inside the
         # window for a fresh verdict).  The r04 cut landed at

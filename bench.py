@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "multimodal_tiff_layouts",
     # round-5i: EXIF parse + orientation-normalized dHash
     "image_exif_orientation",
+    # round-5i: ID3/Vorbis/RIFF-INFO audio provenance tags
+    "audio_tags_scan",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

@@ -449,6 +449,45 @@ def media_exif(df: DataFrame, url_col: str = "url",
     return df.select(url_col, blob_col).mapInPandas(kernel, EXIF_SCHEMA)
 
 
+TAGS_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("title", StringType(), True),
+    StructField("artist", StringType(), True),
+    StructField("album", StringType(), True),
+    StructField("tag_date", StringType(), True),
+    StructField("tag_how", StringType(), False),
+])
+
+
+def media_tags(df: DataFrame, url_col: str = "url",
+               blob_col: str = "data") -> DataFrame:
+    """Binary audio column → embedded provenance tags, header-only.
+
+    The audio twin of ``media_exif`` (``extractors/audio_tags.py``):
+    ID3v2.3/2.4 leads and ID3v1 trailers on MP3s, FLAC VORBIS_COMMENT
+    blocks (RFC 9639 §8.6), RIFF LIST-INFO chunks on WAVs — all
+    normalized to the title/artist/album/date quadruple with
+    ``tag_how`` recording which grammar produced it (``none`` when
+    absent).  Licensing audits and catalog dedup (the same recording
+    re-encoded across containers) key on these.  No PCM decode; one
+    row in, one row out.
+    """
+    from ..extractors.audio_tags import audio_tags
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                t = audio_tags(payload)
+                rows.append((url, t.title, t.artist, t.album,
+                             t.date, t.tag_how))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in TAGS_SCHEMA])
+
+    return df.select(url_col, blob_col).mapInPandas(kernel, TAGS_SCHEMA)
+
+
 DHASH_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("mode", StringType(), False),

@@ -102,6 +102,9 @@ PINNABLE = [
     # round-5i: EXIF APP1/IFD parse + orientation-normalized dHash —
     # binary header parse isn't SQL.
     "image_exif_orientation",
+    # round-5i: ID3/Vorbis/RIFF-INFO audio provenance tags — binary
+    # tag grammar isn't SQL.
+    "audio_tags_scan",
 ]
 
 _SQL_TYPES = {

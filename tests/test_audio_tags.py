@@ -1,0 +1,111 @@
+"""Audio provenance tags (extractors/audio_tags.py, round 5i).
+
+Covers: ID3v2.4 (syncsafe sizes, UTF-8) and ID3v2.3 (plain sizes,
+latin-1) leads, the ID3v1 trailer fallback, FLAC VORBIS_COMMENT
+insertion after STREAMINFO (audio decode must stay bit-identical),
+RIFF LIST-INFO appends (RIFF size patched, PCM untouched), v2-beats-v1
+precedence, UTF-16 text frames, garbage safety, and the media_tags
+Spark operator.
+"""
+
+import numpy as np
+
+from document_convert_to__markdown_spark.extractors.audio_tags import (
+    EMPTY_TAGS, append_id3v1, audio_tags, build_id3v2,
+    flac_add_vorbis_comment, parse_id3v2, wav_add_info,
+)
+from document_convert_to__markdown_spark.extractors.flac_codec import (
+    decode_flac, encode_flac, flac_meta,
+)
+from document_convert_to__markdown_spark.extractors.wav_codec import (
+    decode_wav, encode_wav,
+)
+
+
+def _pcm(n=1600, seed=3):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(n) * 0.2).astype(np.float32)
+
+
+def test_id3v2_both_versions_and_v1_fallback():
+    body = b"\xff\xfb" + bytes(120)             # MPEG frame stand-in
+    v4 = build_id3v2(title="Söng", artist="Ärtist", album="Al",
+                     date="2021") + body
+    assert audio_tags(v4) == ("Söng", "Ärtist", "Al", "2021", "id3v2")
+    v3 = build_id3v2(title="T3", artist="A3", version=3) + body
+    got = audio_tags(v3)
+    assert got.title == "T3" and got.tag_how == "id3v2"
+    v1 = append_id3v1(body, title="Old", artist="One", year="1999")
+    assert audio_tags(v1) == ("Old", "One", None, "1999", "id3v1")
+    # v2 wins when both are present
+    both = append_id3v1(v4, title="Loser", year="1900")
+    assert audio_tags(both).title == "Söng"
+
+
+def test_id3v2_utf16_text_frame():
+    """Hand-build a UTF-16-with-BOM TIT2 frame (encoding byte 1)."""
+    text = "Naïve ✓".encode("utf-16")           # BOM-led
+    frame_body = b"\x01" + text
+    sz = bytes(((len(frame_body) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    frames = b"TIT2" + sz + b"\x00\x00" + frame_body
+    size = bytes(((len(frames) >> s) & 0x7F) for s in (21, 14, 7, 0))
+    blob = b"ID3\x04\x00\x00" + size + frames
+    assert parse_id3v2(blob).title == "Naïve ✓"
+
+
+def test_flac_vorbis_comment_roundtrip():
+    flac = encode_flac((_pcm() * 32767).astype(np.int16), rate=16000)
+    tagged = flac_add_vorbis_comment(flac, title="FT", artist="FA",
+                                     album="FB", date="2020-01-01")
+    assert audio_tags(tagged) == ("FT", "FA", "FB", "2020-01-01",
+                                  "vorbis")
+    s1, r1 = decode_flac(flac)
+    s2, r2 = decode_flac(tagged)
+    assert r1 == r2 and np.array_equal(s1, s2)
+    assert flac_meta(tagged) == flac_meta(flac)
+    assert audio_tags(flac) == EMPTY_TAGS       # untagged → none
+
+
+def test_wav_info_roundtrip():
+    wav = encode_wav(_pcm(), rate=16000)
+    tagged = wav_add_info(wav, title="WT", artist="WA", album="WB",
+                          date="2019")
+    assert audio_tags(tagged) == ("WT", "WA", "WB", "2019",
+                                  "riff_info")
+    a1, _ = decode_wav(wav)
+    a2, _ = decode_wav(tagged)
+    assert np.array_equal(a1, a2)
+    assert audio_tags(wav) == EMPTY_TAGS
+
+
+def test_garbage_safety():
+    for junk in [b"", b"ID3", b"ID3\x04\x00\x80" + bytes(20),
+                 b"ID3\x02\x00\x00" + bytes(20),     # v2.2: out of scope
+                 b"RIFF" + bytes(20), b"fLaC" + bytes(3), bytes(200),
+                 b"TAG" + bytes(10)]:
+        assert audio_tags(junk) == EMPTY_TAGS
+
+
+def test_media_tags_operator(spark):
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_tags,
+    )
+
+    wav = encode_wav(_pcm(), rate=16000)
+    flac = encode_flac((_pcm() * 32767).astype(np.int16), rate=16000)
+    rows = [
+        ("mp3", bytearray(build_id3v2(title="M", artist="A")
+                          + b"\xff\xfb" + bytes(64))),
+        ("flac", bytearray(flac_add_vorbis_comment(flac, title="F"))),
+        ("wav", bytearray(wav_add_info(wav, artist="W"))),
+        ("bare", bytearray(wav)),
+        ("junk", bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, "url string, data binary")
+    got = {r["url"]: r for r in media_tags(df).collect()}
+    assert got["mp3"]["title"] == "M" and got["mp3"]["tag_how"] == "id3v2"
+    assert got["flac"]["title"] == "F" and got["flac"]["tag_how"] == "vorbis"
+    assert got["wav"]["artist"] == "W" and got["wav"]["tag_how"] == "riff_info"
+    assert got["bare"]["tag_how"] == "none"
+    assert got["junk"]["tag_how"] == "none"
+    assert got["junk"]["title"] is None
