@@ -109,3 +109,23 @@ def test_media_tags_operator(spark):
     assert got["bare"]["tag_how"] == "none"
     assert got["junk"]["tag_how"] == "none"
     assert got["junk"]["title"] is None
+
+
+def test_every_prefix_truncation_never_raises():
+    """The never-raise contract, byte-by-byte: every prefix of every
+    tagged rendition parses to SOME AudioTags (mostly empty), no
+    exception — the same evidence class the codec fuzz tests pin."""
+    wav = encode_wav(_pcm(400), rate=8000)
+    flac = encode_flac((_pcm(400) * 32767).astype(np.int16), rate=8000)
+    blobs = [
+        build_id3v2(title="T", artist="A", date="2021")
+        + b"\xff\xfb" + bytes(32),
+        build_id3v2(title="T", version=3) + b"\xff\xfb" + bytes(32),
+        append_id3v1(b"\xff\xfb" + bytes(32), title="T", year="1999"),
+        flac_add_vorbis_comment(flac, title="T", artist="A"),
+        wav_add_info(wav, title="T", artist="A"),
+    ]
+    for blob in blobs:
+        for cut in range(len(blob) + 1):
+            got = audio_tags(blob[:cut])
+            assert isinstance(got.tag_how, str)

@@ -206,3 +206,20 @@ def test_canonical_dhash_orbit_invariance(spark):
                  for o in range(1, 9)]
         got = next(iter(per_scene[f"s{scene}"])) & 0xFFFFFFFFFFFFFFFF
         assert got == min(orbit), scene
+
+
+def test_every_prefix_truncation_never_raises():
+    """image_exif's never-raise contract, byte-by-byte over a fully
+    loaded EXIF JPEG and an orientation-tagged TIFF."""
+    img = np.random.RandomState(4).randint(0, 256, (6, 7, 3)) \
+        .astype(np.uint8)
+    blobs = [
+        splice_jpeg_exif(encode_jpeg(img), orientation=6, make="M",
+                         model="X", datetime="2020:01:01 00:00:00",
+                         gps=True),
+        encode_tiff_layout(img, orientation=7),
+    ]
+    for blob in blobs:
+        for cut in range(len(blob) + 1):
+            info = image_exif(blob[:cut])
+            assert 1 <= info.orientation <= 8
