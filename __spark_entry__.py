@@ -1487,6 +1487,66 @@ def _q_multimodal_webp_decode(spark, sf):
             .orderBy("variant"))
 
 
+def _q_caption_cues_scan(spark, sf):
+    """SRT/WebVTT timed-text ingestion (round 5i:
+    extractors/captions.py — SubRip numbered blocks and the W3C
+    WebVTT grammar (header, NOTE/STYLE blocks, cue ids, cue settings,
+    optional hours, inline-tag strip + entity unescape), the 26th/27th
+    sniffed formats with transcript markdown in the extraction
+    dispatch, and operators/multimodal.py:caption_cues exploding one
+    row per cue — transcript alignment and caption-audio pairing for
+    the speech/video training path).  Proof shape: 24 deterministic
+    caption docs alternating SRT/VTT with known per-doc cue counts,
+    timings and text, plus one non-caption twin per doc (must yield
+    the kind='none' no-silent-drops row).  Per-kind aggregates: doc
+    and cue counts, exact start/end sums, total text chars, and the
+    none-row count.  The grammar isn't SQL — pinned oracle."""
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        caption_cues,
+    )
+
+    rows = []
+    for s in range(24):
+        n_cues = 2 + s % 4
+        if s % 2 == 0:                          # SRT
+            parts = []
+            for c in range(n_cues):
+                t0 = (s * 60 + c * 5) * 1000
+                parts.append(f"{c + 1}\n"
+                             f"00:{s:02d}:{c * 5:02d},000 --> "
+                             f"00:{s:02d}:{c * 5 + 3:02d},500\n"
+                             f"Cue {s}-{c} <i>text</i>\n")
+            blob = "\n".join(parts).encode()
+        else:                                   # VTT
+            parts = ["WEBVTT - doc", "", "NOTE generated", ""]
+            for c in range(n_cues):
+                parts.append(f"{s:02d}:{c * 5:02d}.000 --> "
+                             f"{s:02d}:{c * 5 + 3:02d}.500 align:start")
+                parts.append(f"<v Spk>Cue {s}-{c} &amp; more")
+                parts.append("")
+            blob = "\n".join(parts).encode()
+        rows.append((f"s{s:03d}/cap", bytearray(blob)))
+        rows.append((f"s{s:03d}/plain",
+                     bytearray(f"plain text {s}".encode())))
+    df = spark.createDataFrame(rows, "url string, data binary")
+    cues = caption_cues(df)
+    return (cues
+            .groupBy("kind")
+            .agg(F.countDistinct("url").alias("n_docs"),
+                 F.count("*").alias("n_rows"),
+                 # coalesce: the kind='none' group aggregates all-null
+                 # cue fields, and a literal 0 hashes identically in
+                 # Spark and the DuckDB VALUES oracle (NULL is the one
+                 # value the pandas-hash compare can normalize apart)
+                 F.coalesce(F.sum("start_ms"), F.lit(0))
+                 .alias("sum_start_ms"),
+                 F.coalesce(F.sum("end_ms"), F.lit(0))
+                 .alias("sum_end_ms"),
+                 F.coalesce(F.sum(F.length("text")), F.lit(0))
+                 .alias("n_text_chars"))
+            .orderBy("kind"))
+
+
 def _q_audio_tags_scan(spark, sf):
     """Audio provenance tags (round 5i: extractors/audio_tags.py — the
     audio twin of EXIF: ID3v2.3/2.4 leads and ID3v1 trailers on MP3s,
@@ -4006,6 +4066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_tiff_layouts": _q_multimodal_tiff_layouts,  # new r5i
         "image_exif_orientation": _q_image_exif_orientation,  # new r5i
         "audio_tags_scan": _q_audio_tags_scan,            # new r5i
+        "caption_cues_scan": _q_caption_cues_scan,        # new r5i
         "quality_classifier": _q_quality_classifier,  # r5: one-scan epochs
         "multimodal_apng_decode": _q_multimodal_apng_decode,  # new round 5
         "stream_dedup_ingest": _q_stream_dedup_ingest,   # new round 4
@@ -4026,7 +4087,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_prune_join": _q_bloom_prune_join,         # new round 4b
         "hybrid_rrf_retrieval": _q_hybrid_rrf_retrieval,  # new round 4b
         "wet_ingest": _q_wet_ingest,                     # new round 4b
-        "wet_datasource_scan": _q_wet_datasource_scan,   # new round 4b
         "stream_stream_outer_join": _q_stream_stream_outer_join,  # 4b
         "cdx_ingest": _q_cdx_ingest,                     # new round 4b
         # --- r03-green entries filling the rest of the window ---
@@ -4058,13 +4118,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ORDERING INVARIANT: everything below this line held a
         # green verdict in an earlier round and its code is unchanged
         # (or changed only in ways already re-verified above).
-        # sitemap_discovery, charset_decode and cdx_selective_fetch
-        # rotated out in r5i (green r04, untouched) to make room for
-        # multimodal_tiff_layouts, image_exif_orientation and
-        # audio_tags_scan.
+        # sitemap_discovery, charset_decode, cdx_selective_fetch and
+        # wet_datasource_scan rotated out in r5i (green r04,
+        # untouched) to make room for multimodal_tiff_layouts,
+        # image_exif_orientation, audio_tags_scan and
+        # caption_cues_scan.
         "sitemap_discovery": _q_sitemap_discovery,       # green r04
         "charset_decode": _q_charset_decode,             # green r04
         "cdx_selective_fetch": _q_cdx_selective_fetch,   # green r04
+        "wet_datasource_scan": _q_wet_datasource_scan,   # green r04
         # ^ position 50 (multimodal_frame_sample — r5-touched: the
         # mode column gained mjpg provenance, so it stays inside the
         # window for a fresh verdict).  The r04 cut landed at

@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "image_exif_orientation",
     # round-5i: ID3/Vorbis/RIFF-INFO audio provenance tags
     "audio_tags_scan",
+    # round-5i: SRT/WebVTT cue explosion
+    "caption_cues_scan",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

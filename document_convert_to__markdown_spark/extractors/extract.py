@@ -212,6 +212,20 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, 0, "flac_metadata", [])
 
+        if fmt in (sniffer.FMT_VTT, sniffer.FMT_SRT):
+            # timed text (beyond reference, like FLAC/AIFF): cue
+            # transcript markdown via extractors/captions.py
+            from .captions import captions_to_markdown
+
+            content = captions_to_markdown(payload, doc_name)
+            if content is None:
+                return ExtractedDocument(url, doc_name, fmt,
+                                         STATUS_UNSUPPORTED, None, None, 0,
+                                         "none", [])
+            markdown = clean_markdown_content(content, is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "caption_transcript", [])
+
         if fmt == sniffer.FMT_AIFF:
             from .audio_extractor import aiff_to_markdown
 

@@ -35,6 +35,8 @@ FMT_WAV = "wav"
 FMT_MP3 = "mp3"
 FMT_FLAC = "flac"
 FMT_AIFF = "aiff"
+FMT_VTT = "vtt"    # WebVTT timed text (beyond reference, like FLAC)
+FMT_SRT = "srt"    # SubRip timed text (beyond reference)
 FMT_EPUB = "epub"
 FMT_RTF = "rtf"
 FMT_DOC = "doc"    # legacy OLE2 Word (reference config.py:40)
@@ -135,6 +137,16 @@ def sniff_format(payload: bytes) -> str:
         return FMT_FLAC
     if head.startswith(b"FORM") and payload[8:12] in (b"AIFF", b"AIFC"):
         return FMT_AIFF
+
+    # timed text: WEBVTT magic / SRT counter+timestamp signature —
+    # before the HTML/text heuristics, which would claim these
+    from .captions import sniff_captions
+
+    cap = sniff_captions(payload)
+    if cap == "vtt":
+        return FMT_VTT
+    if cap == "srt":
+        return FMT_SRT
 
     lowered = head.lstrip()[:64].lower()
     for marker in _HTML_MARKERS:

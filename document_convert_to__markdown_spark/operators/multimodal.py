@@ -449,6 +449,48 @@ def media_exif(df: DataFrame, url_col: str = "url",
     return df.select(url_col, blob_col).mapInPandas(kernel, EXIF_SCHEMA)
 
 
+CUE_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("kind", StringType(), False),    # vtt | srt | none
+    StructField("cue_idx", IntegerType(), True),
+    StructField("start_ms", LongType(), True),
+    StructField("end_ms", LongType(), True),
+    StructField("text", StringType(), True),
+])
+
+
+def caption_cues(df: DataFrame, url_col: str = "url",
+                 blob_col: str = "data") -> DataFrame:
+    """Binary caption column → one row per timed cue.
+
+    SRT / WebVTT payloads (``extractors/captions.py``) explode to
+    (kind, cue_idx, start_ms, end_ms, text) rows — transcript
+    alignment, caption-audio pairing, and per-cue dedup key on these.
+    Inline markup stripped, NOTE/STYLE blocks skipped, malformed
+    blocks dropped.  A payload neither grammar claims yields ONE
+    ``kind='none'`` row with null cue fields (the no-silent-drops
+    invariant: every input url appears in the output).
+    """
+    from ..extractors.captions import parse_captions
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                kind, cues = parse_captions(payload)
+                if not cues:
+                    rows.append((url, "none", None, None, None, None))
+                    continue
+                for c in cues:
+                    rows.append((url, kind, c.index, c.start_ms,
+                                 c.end_ms, c.text))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in CUE_SCHEMA])
+
+    return df.select(url_col, blob_col).mapInPandas(kernel, CUE_SCHEMA)
+
+
 TAGS_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("title", StringType(), True),

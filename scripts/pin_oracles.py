@@ -105,6 +105,9 @@ PINNABLE = [
     # round-5i: ID3/Vorbis/RIFF-INFO audio provenance tags — binary
     # tag grammar isn't SQL.
     "audio_tags_scan",
+    # round-5i: SRT/WebVTT cue explosion — the timed-text grammar
+    # isn't SQL.
+    "caption_cues_scan",
 ]
 
 _SQL_TYPES = {
