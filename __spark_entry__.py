@@ -1487,6 +1487,73 @@ def _q_multimodal_webp_decode(spark, sf):
             .orderBy("variant"))
 
 
+def _q_page_metadata_scan(spark, sf):
+    """Structured page metadata (round 5i: extractors/page_meta.py —
+    OpenGraph meta, JSON-LD blocks incl. @graph/@type lists/{"@id"}
+    license form, rel=canonical/license links, the published-time
+    precedence chain article:published_time > JSON-LD datePublished >
+    meta[name=date]; operators/pagemeta.py:page_metadata is the Arrow
+    scan.  Canonical urls are the publisher's own dedup key, dates
+    feed temporal filters, license feeds CC-corpus audits, og_type/
+    jsonld_types route page kinds — the standard webtext-curation
+    enrichment).  Proof shape: 30 deterministic pages cycling five
+    variants (og-full, jsonld-only, canonical+license-links-only,
+    title-fallback, metadata-free); per-variant counts of recovered
+    fields — each variant's row must recover exactly the fields it
+    authored and nothing else.  DOM/JSON parse isn't SQL — pinned
+    oracle."""
+    from document_convert_to__markdown_spark.operators.pagemeta import (
+        page_metadata,
+    )
+
+    variants = ("og_full", "jsonld_only", "links_only",
+                "title_only", "bare")
+    rows = []
+    for s in range(30):
+        v = variants[s % 5]
+        if v == "og_full":
+            html = (f"<html><head><title>T{s}</title>"
+                    f'<meta property="og:title" content="OG{s}">'
+                    f'<meta property="og:type" content="article">'
+                    f'<meta property="article:published_time" '
+                    f'content="2023-0{s % 9 + 1}-01">'
+                    f'<link rel="canonical" href="https://ex.com/{s}">'
+                    f"</head><body><p>x</p></body></html>")
+        elif v == "jsonld_only":
+            html = (f'<html><head><script type="application/ld+json">'
+                    f'{{"@type":"NewsArticle","headline":"H{s}",'
+                    f'"datePublished":"2020-01-{s % 28 + 1:02d}",'
+                    f'"license":"CC-BY-4.0"}}</script>'
+                    f"</head><body><p>x</p></body></html>")
+        elif v == "links_only":
+            html = (f'<html><head>'
+                    f'<link rel="canonical" href="https://ex.com/c{s}">'
+                    f'<link rel="license" href="https://cc.org/by">'
+                    f"</head><body><p>x</p></body></html>")
+        elif v == "title_only":
+            html = (f"<html><head><title>Only {s}</title></head>"
+                    f"<body><p>x</p></body></html>")
+        else:
+            html = f"<html><body><p>plain {s}</p></body></html>"
+        rows.append((f"s{s:03d}", v, html))
+    df = spark.createDataFrame(rows,
+                               "url string, variant string, html string")
+    meta = page_metadata(df)
+    return (meta.join(df.select("url", "variant"), "url")
+            .groupBy("variant")
+            .agg(F.count("*").alias("n_pages"),
+                 F.sum(F.when(F.col("title").isNotNull(), 1)
+                       .otherwise(0)).alias("n_title"),
+                 F.sum(F.when(F.col("canonical_url").isNotNull(), 1)
+                       .otherwise(0)).alias("n_canonical"),
+                 F.sum(F.when(F.col("published_time").isNotNull(), 1)
+                       .otherwise(0)).alias("n_published"),
+                 F.sum(F.when(F.col("license").isNotNull(), 1)
+                       .otherwise(0)).alias("n_license"),
+                 F.sum(F.size("jsonld_types")).alias("n_ld_types"))
+            .orderBy("variant"))
+
+
 def _q_caption_cues_scan(spark, sf):
     """SRT/WebVTT timed-text ingestion (round 5i:
     extractors/captions.py — SubRip numbered blocks and the W3C
@@ -4067,6 +4134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_exif_orientation": _q_image_exif_orientation,  # new r5i
         "audio_tags_scan": _q_audio_tags_scan,            # new r5i
         "caption_cues_scan": _q_caption_cues_scan,        # new r5i
+        "page_metadata_scan": _q_page_metadata_scan,      # new r5i
         "quality_classifier": _q_quality_classifier,  # r5: one-scan epochs
         "multimodal_apng_decode": _q_multimodal_apng_decode,  # new round 5
         "stream_dedup_ingest": _q_stream_dedup_ingest,   # new round 4
@@ -4086,7 +4154,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_salted_join": _q_skew_salted_join,         # new round 4b
         "bloom_prune_join": _q_bloom_prune_join,         # new round 4b
         "hybrid_rrf_retrieval": _q_hybrid_rrf_retrieval,  # new round 4b
-        "wet_ingest": _q_wet_ingest,                     # new round 4b
         "stream_stream_outer_join": _q_stream_stream_outer_join,  # 4b
         "cdx_ingest": _q_cdx_ingest,                     # new round 4b
         # --- r03-green entries filling the rest of the window ---
@@ -4118,15 +4185,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- ORDERING INVARIANT: everything below this line held a
         # green verdict in an earlier round and its code is unchanged
         # (or changed only in ways already re-verified above).
-        # sitemap_discovery, charset_decode, cdx_selective_fetch and
-        # wet_datasource_scan rotated out in r5i (green r04,
-        # untouched) to make room for multimodal_tiff_layouts,
-        # image_exif_orientation, audio_tags_scan and
-        # caption_cues_scan.
+        # sitemap_discovery, charset_decode, cdx_selective_fetch,
+        # wet_datasource_scan and wet_ingest rotated out in r5i
+        # (green r04, untouched) to make room for
+        # multimodal_tiff_layouts, image_exif_orientation,
+        # audio_tags_scan, caption_cues_scan and page_metadata_scan.
         "sitemap_discovery": _q_sitemap_discovery,       # green r04
         "charset_decode": _q_charset_decode,             # green r04
         "cdx_selective_fetch": _q_cdx_selective_fetch,   # green r04
         "wet_datasource_scan": _q_wet_datasource_scan,   # green r04
+        "wet_ingest": _q_wet_ingest,                     # green r04
         # ^ position 50 (multimodal_frame_sample — r5-touched: the
         # mode column gained mjpg provenance, so it stays inside the
         # window for a fresh verdict).  The r04 cut landed at

@@ -152,6 +152,8 @@ BENCH_QUERIES = [
     "audio_tags_scan",
     # round-5i: SRT/WebVTT cue explosion
     "caption_cues_scan",
+    # round-5i: OpenGraph/JSON-LD/canonical page-metadata enrichment
+    "page_metadata_scan",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

@@ -108,6 +108,9 @@ PINNABLE = [
     # round-5i: SRT/WebVTT cue explosion — the timed-text grammar
     # isn't SQL.
     "caption_cues_scan",
+    # round-5i: OpenGraph/JSON-LD/canonical page metadata — the
+    # DOM/JSON parse isn't SQL.
+    "page_metadata_scan",
 ]
 
 _SQL_TYPES = {
