@@ -1622,11 +1622,12 @@ def _q_audio_tags_scan(spark, sf):
     ``tag_how``; operators/multimodal.py:media_tags is the header-only
     Arrow scan — licensing audits and cross-container catalog dedup
     key on these).  Proof shape: 30 scenes cycling five renditions —
-    ID3v2.4 (UTF-8 syncsafe), ID3v2.3 (latin-1), ID3v1 trailer,
-    Vorbis-commented FLAC, INFO-chunked WAV — plus an untagged twin
-    per scene; per-grammar counts of rows whose parsed title AND
-    artist match the authored values, with the untagged rows pinned
-    to ``none``.  Binary tag grammar isn't SQL — pinned oracle."""
+    ID3v2.4 (UTF-8 syncsafe), ID3v2.3 (latin-1), ID3v2.2 (the
+    3-byte-frame iTunes-era layout), ID3v1 trailer, Vorbis-commented
+    FLAC, INFO-chunked WAV — plus an untagged twin per scene;
+    per-grammar counts of rows whose parsed title AND artist match
+    the authored values, with the untagged rows pinned to ``none``.
+    Binary tag grammar isn't SQL — pinned oracle."""
     from document_convert_to__markdown_spark.extractors.audio_tags import (
         append_id3v1, build_id3v2, flac_add_vorbis_comment,
         wav_add_info,
@@ -1643,10 +1644,11 @@ def _q_audio_tags_scan(spark, sf):
 
     import numpy as np
 
-    hows = ("id3v2", "id3v2_v3", "id3v1", "vorbis", "riff_info")
+    hows = ("id3v2", "id3v2_v3", "id3v2_v2", "id3v1", "vorbis",
+            "riff_info")
     rows = []
     for s in range(30):
-        how = hows[s % 5]
+        how = hows[s % 6]
         rng = np.random.default_rng(5400 + s)
         pcm = (rng.standard_normal(800) * 0.2).astype(np.float32)
         title, artist = f"Title{s}", f"Artist{s}"
@@ -1658,6 +1660,10 @@ def _q_audio_tags_scan(spark, sf):
         elif how == "id3v2_v3":
             blob = build_id3v2(title=title, artist=artist,
                                version=3) + b"\xff\xfb" + bytes(64)
+            bare = b"\xff\xfb" + bytes(64)
+        elif how == "id3v2_v2":
+            blob = build_id3v2(title=title, artist=artist,
+                               version=2) + b"\xff\xfb" + bytes(64)
             bare = b"\xff\xfb" + bytes(64)
         elif how == "id3v1":
             blob = append_id3v1(b"\xff\xfb" + bytes(64), title=title,
@@ -1707,18 +1713,23 @@ def _q_image_exif_orientation(spark, sf):
     PII flag — and operators/multimodal.py gains ``media_exif`` plus
     an ``orient=True`` knob on media_resize/image_dhash; flips 1-4
     cross-validated against libtiff's TIFFReadRGBAImageOriented,
-    transposes 5-8 spec-pinned in tests/test_exif.py).  Proof shape:
-    24 scenes × the eight orientation codes; each scene renders an
-    upright base PNG, a TIFF storing the inverse-rotated pixels with
-    tag 274, and a JPEG with a spliced EXIF APP1 (orientation +
-    Make/Model + GPS on even codes).  Per-orientation counts: both
-    parsers must report the authored code, the GPS flag must track
-    its authoring rule, and the TIFF's orientation-NORMALIZED dHash
+    transposes 5-8 spec-pinned in tests/test_exif.py; round-5i also
+    covers the PNG third-edition eXIf chunk and the WebP VP8X EXIF
+    chunk — all four carriers real crawls use).  Proof shape: 24
+    scenes × the eight orientation codes; each scene renders an
+    upright base PNG, then a TIFF (tag 274), a PNG (eXIf chunk), and
+    a lossless WebP (VP8X EXIF chunk) each storing the
+    inverse-rotated pixels with the orientation code, plus a JPEG
+    with a spliced EXIF APP1 (orientation + Make/Model + GPS on even
+    codes).  Per-orientation counts: every carrier's parser must
+    report the authored code, the GPS flag must track its authoring
+    rule, and each lossless carrier's orientation-NORMALIZED dHash
     must equal the upright base's (the near-dup recall argument: a
     camera-rotated photo and its upright twin are the same image).
     Binary parse isn't SQL — pinned oracle."""
     from document_convert_to__markdown_spark.extractors.exif import (
-        invert_orientation, splice_jpeg_exif,
+        invert_orientation, png_add_exif, splice_jpeg_exif,
+        webp_add_exif,
     )
     from document_convert_to__markdown_spark.extractors.jpeg_codec import (
         encode_jpeg,
@@ -1728,6 +1739,9 @@ def _q_image_exif_orientation(spark, sf):
     )
     from document_convert_to__markdown_spark.extractors.tiff_codec import (
         encode_tiff_layout,
+    )
+    from document_convert_to__markdown_spark.extractors.webp_codec import (
+        encode_webp,
     )
     from document_convert_to__markdown_spark.operators.multimodal import (
         image_dhash, media_exif,
@@ -1741,11 +1755,15 @@ def _q_image_exif_orientation(spark, sf):
         rng = np.random.RandomState(5300 + s)
         base = rng.randint(0, 256, (10 + s % 5, 12 + s % 7, 3)) \
             .astype(np.uint8)
+        stored = invert_orientation(base, o)
         rows.append((f"s{s:03d}", o, "base",
                      bytearray(encode_png(base))))
         rows.append((f"s{s:03d}", o, "tiff", bytearray(
-            encode_tiff_layout(invert_orientation(base, o),
-                               orientation=o))))
+            encode_tiff_layout(stored, orientation=o))))
+        rows.append((f"s{s:03d}", o, "png", bytearray(
+            png_add_exif(encode_png(stored), orientation=o))))
+        rows.append((f"s{s:03d}", o, "webp", bytearray(
+            webp_add_exif(encode_webp(stored), orientation=o))))
         rows.append((f"s{s:03d}", o, "jpeg", bytearray(
             splice_jpeg_exif(encode_jpeg(base, quality=90),
                              orientation=o, make=f"Maker{o}",
@@ -1768,6 +1786,12 @@ def _q_image_exif_orientation(spark, sf):
               F.sum(F.when((F.col("codec") == "tiff")
                            & (F.col("orientation") == F.col("o")), 1)
                     .otherwise(0)).alias("n_tiff_parsed"),
+              F.sum(F.when((F.col("codec") == "png")
+                           & (F.col("orientation") == F.col("o")), 1)
+                    .otherwise(0)).alias("n_png_parsed"),
+              F.sum(F.when((F.col("codec") == "webp")
+                           & (F.col("orientation") == F.col("o")), 1)
+                    .otherwise(0)).alias("n_webp_parsed"),
               F.sum(F.when(F.col("has_gps"), 1).otherwise(0))
               .alias("n_gps")))
 
@@ -1776,14 +1800,17 @@ def _q_image_exif_orientation(spark, sf):
         "codec", F.substring_index("url", "/", -1))
     base_h = hashes.filter("codec = 'base'").select(
         "scene", F.col("dhash").alias("base_hash"))
-    tiff_h = hashes.filter("codec = 'tiff'").select("scene", "dhash")
-    m = (tiff_h.join(base_h, "scene").join(meta, "scene")
+    loss_h = hashes.filter(
+        F.col("codec").isin("tiff", "png", "webp")) \
+        .select("scene", "dhash")
+    m = (loss_h.join(base_h, "scene").join(meta, "scene")
          .groupBy("o")
          .agg(F.sum(F.when(F.col("dhash") == F.col("base_hash"), 1)
                     .otherwise(0)).alias("n_hash_match"),
-              F.count("*").alias("n_scenes")))
+              F.count("*").alias("n_lossless")))
     return (p.join(m, "o").orderBy("o")
-            .select("o", "n_scenes", "n_jpeg_parsed", "n_tiff_parsed",
+            .select("o", "n_lossless", "n_jpeg_parsed",
+                    "n_tiff_parsed", "n_png_parsed", "n_webp_parsed",
                     "n_gps", "n_hash_match"))
 
 

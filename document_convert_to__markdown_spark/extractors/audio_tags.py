@@ -11,10 +11,10 @@ date — for licensing audits, catalog dedup (same recording re-encoded
 across containers), and provenance filters, plus ``tag_how`` saying
 which grammar produced it.
 
-Scope honesty: ID3v2.2 (3-byte frame IDs) and unsynchronized ID3v2
-payloads are rare in web audio and parse as absent; text encodings
-cover the four ID3 encoding bytes (latin-1, UTF-16 with BOM,
-UTF-16BE, UTF-8).  Parsing is header/trailer-only (no PCM decode),
+Scope honesty: unsynchronized ID3v2 payloads are rare in web audio
+and parse as absent; ID3v2.2 (the 3-byte-frame iTunes-era layout) is
+supported alongside v2.3/v2.4; text encodings cover the four ID3
+encoding bytes (latin-1, UTF-16 with BOM, UTF-16BE, UTF-8).  Parsing is header/trailer-only (no PCM decode),
 malformed input returns the empty result — one output row per input
 row, never an exception.
 
@@ -30,7 +30,10 @@ import struct
 from typing import NamedTuple, Optional
 
 ID3V2_FRAME_KEYS = {"TIT2": "title", "TPE1": "artist",
-                    "TALB": "album", "TDRC": "date", "TYER": "date"}
+                    "TALB": "album", "TDRC": "date", "TYER": "date",
+                    # v2.2 three-byte ids
+                    "TT2": "title", "TP1": "artist", "TAL": "album",
+                    "TYE": "date"}
 VORBIS_KEYS = {"TITLE": "title", "ARTIST": "artist",
                "ALBUM": "album", "DATE": "date"}
 RIFF_INFO_KEYS = {b"INAM": "title", b"IART": "artist",
@@ -74,39 +77,47 @@ def _id3_text(body: bytes) -> Optional[str]:
 
 
 def parse_id3v2(payload: bytes) -> AudioTags:
-    """Leading ID3v2.3/2.4 header → tags.  Never raises."""
+    """Leading ID3v2.2/2.3/2.4 header → tags.  Never raises."""
     if payload[:3] != b"ID3" or len(payload) < 10:
         return EMPTY_TAGS
     ver = payload[3]
     flags = payload[5]
-    if ver not in (3, 4) or flags & 0x80:       # v2.2 / unsynchronized
+    if ver not in (2, 3, 4) or flags & 0x80:    # unsynchronized: skip
         return EMPTY_TAGS
     size = _syncsafe(payload[6:10])
     end = min(10 + size, len(payload))
     pos = 10
-    if flags & 0x40 and pos + 4 <= end:         # extended header
+    if ver != 2 and flags & 0x40 and pos + 4 <= end:  # extended header
         ext = (_syncsafe(payload[pos:pos + 4]) if ver == 4
                else struct.unpack(">I", payload[pos:pos + 4])[0] + 4)
         pos += ext
+    id_len = 3 if ver == 2 else 4               # v2.2: 3-byte frames
+    hdr_len = 6 if ver == 2 else 10
     fields: dict[str, str] = {}
-    while pos + 10 <= end:
-        fid = payload[pos:pos + 4]
-        if fid == b"\x00\x00\x00\x00":
+    while pos + hdr_len <= end:
+        fid = payload[pos:pos + id_len]
+        if fid == b"\x00" * id_len:
             break                               # padding
-        raw_sz = payload[pos + 4:pos + 8]
-        fsz = _syncsafe(raw_sz) if ver == 4 \
-            else struct.unpack(">I", raw_sz)[0]
-        if fsz < 0 or pos + 10 + fsz > end:
+        raw_sz = payload[pos + id_len:pos + id_len + (3 if ver == 2
+                                                      else 4)]
+        if ver == 2:
+            fsz = int.from_bytes(raw_sz, "big")
+        elif ver == 4:
+            fsz = _syncsafe(raw_sz)
+        else:
+            fsz = struct.unpack(">I", raw_sz)[0]
+        if fsz < 0 or pos + hdr_len + fsz > end:
             break
         try:
             key = ID3V2_FRAME_KEYS.get(fid.decode("ascii"))
         except UnicodeDecodeError:
             break
         if key and key not in fields:
-            val = _id3_text(payload[pos + 10:pos + 10 + fsz])
+            val = _id3_text(
+                payload[pos + hdr_len:pos + hdr_len + fsz])
             if val:
                 fields[key] = val
-        pos += 10 + fsz
+        pos += hdr_len + fsz
     if not fields:
         return EMPTY_TAGS
     return AudioTags(fields.get("title"), fields.get("artist"),
@@ -239,15 +250,24 @@ def audio_tags(payload: bytes) -> AudioTags:
 def build_id3v2(title: str | None = None, artist: str | None = None,
                 album: str | None = None, date: str | None = None,
                 version: int = 4) -> bytes:
-    """A complete ID3v2.3/2.4 header block (UTF-8 text frames for v4,
-    latin-1 for v3 — both grammars exercised)."""
-    if version not in (3, 4):
+    """A complete ID3v2.2/2.3/2.4 header block (UTF-8 text frames
+    for v4, latin-1 for v3/v2.2 — all three grammars exercised)."""
+    if version not in (2, 3, 4):
         raise ValueError(f"ID3v2.{version} unsupported")
     frames = b""
-    pairs = [("TIT2", title), ("TPE1", artist), ("TALB", album),
-             ("TDRC" if version == 4 else "TYER", date)]
+    if version == 2:
+        pairs = [("TT2", title), ("TP1", artist), ("TAL", album),
+                 ("TYE", date)]
+    else:
+        pairs = [("TIT2", title), ("TPE1", artist), ("TALB", album),
+                 ("TDRC" if version == 4 else "TYER", date)]
     for fid, val in pairs:
         if val is None:
+            continue
+        if version == 2:
+            body = b"\x00" + val.encode("latin-1")
+            frames += (fid.encode("ascii")
+                       + len(body).to_bytes(3, "big") + body)
             continue
         if version == 4:
             body = b"\x03" + val.encode("utf-8")

@@ -4,7 +4,10 @@ Real crawl images carry EXIF (CIPA DC-008 / JEITA CP-3451, whose tag
 structure IS the TIFF 6.0 IFD grammar): JPEGs in an APP1 segment
 whose payload is ``Exif\\0\\0`` + a complete little- or big-endian
 TIFF header/IFD block (offsets relative to that block), TIFFs in the
-first IFD itself.  Two behaviors matter to a training-data pipeline:
+first IFD itself, PNGs in the third-edition ``eXIf`` chunk (raw TIFF
+block), and WebPs in the VP8X container's ``EXIF`` chunk (raw block,
+though some writers keep the JPEG-style ``Exif\\0\\0`` prefix —
+both accepted).  Two behaviors matter to a training-data pipeline:
 
 - **Orientation (tag 274)**: cameras store sensor-native pixels and a
   1-8 code telling viewers how to transform for display.  A pipeline
@@ -157,14 +160,63 @@ def jpeg_exif(payload: bytes) -> ExifInfo:
     return EMPTY_EXIF
 
 
+def png_exif(payload: bytes) -> ExifInfo:
+    """PNG chunk walk → the ``eXIf`` chunk (PNG 3rd ed. §11.3.6.4;
+    its payload is a raw TIFF block).  Never raises."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return EMPTY_EXIF
+    pos = 8
+    n = len(payload)
+    while pos + 8 <= n:
+        try:
+            (length,) = struct.unpack(">I", payload[pos:pos + 4])
+        except struct.error:
+            return EMPTY_EXIF
+        ctype = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if ctype == b"eXIf" and len(body) == length:
+            return parse_exif(body)
+        if ctype == b"IEND":
+            return EMPTY_EXIF
+        pos += 12 + length                       # len+type+data+crc
+    return EMPTY_EXIF
+
+
+def webp_exif(payload: bytes) -> ExifInfo:
+    """WebP RIFF walk → the ``EXIF`` chunk (RFC 9649 §2.5.5).  The
+    chunk body is a raw TIFF block; the JPEG-style ``Exif\\0\\0``
+    prefix some writers keep is tolerated.  Never raises."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WEBP":
+        return EMPTY_EXIF
+    pos = 12
+    n = len(payload)
+    while pos + 8 <= n:
+        tag = payload[pos:pos + 4]
+        try:
+            (length,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        except struct.error:
+            return EMPTY_EXIF
+        body = payload[pos + 8:pos + 8 + length]
+        if tag == b"EXIF" and len(body) == length:
+            block = body[6:] if body[:6] == EXIF_HEADER else body
+            return parse_exif(block)
+        pos += 8 + length + (length & 1)
+    return EMPTY_EXIF
+
+
 def image_exif(payload: bytes) -> ExifInfo:
-    """Format-sniffing front door: JPEG APP1 or TIFF first-IFD.
-    Other formats (PNG/GIF/BMP/WebP carry no EXIF in the subset real
-    crawls mostly use) → EMPTY_EXIF."""
+    """Format-sniffing front door: JPEG APP1, TIFF first-IFD, PNG
+    eXIf chunk, or WebP EXIF chunk.  Other formats (GIF/BMP have no
+    EXIF carrier) → EMPTY_EXIF."""
     if payload[:2] == b"\xff\xd8":
         return jpeg_exif(payload)
     if payload[:4] in TIFF_SIGS:
         return parse_exif(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_exif(payload)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return webp_exif(payload)
     return EMPTY_EXIF
 
 
@@ -199,14 +251,15 @@ def invert_orientation(px: np.ndarray, orientation: int) -> np.ndarray:
     return apply_orientation(px, inverse[orientation])
 
 
-def build_exif_app1(orientation: int = 1, make: str | None = None,
-                    model: str | None = None,
-                    datetime: str | None = None,
-                    gps: bool = False) -> bytes:
-    """A complete JPEG APP1 segment (marker + length + Exif block) —
-    the fixture twin of ``jpeg_exif``.  Little-endian TIFF block,
-    single IFD, inline or appended ASCII values, optional minimal GPS
-    IFD (version tag only) so ``has_gps`` has a true case."""
+def build_exif_block(orientation: int = 1, make: str | None = None,
+                     model: str | None = None,
+                     datetime: str | None = None,
+                     gps: bool = False) -> bytes:
+    """A bare little-endian TIFF/EXIF block — the payload every
+    container wraps (APP1 after ``Exif\\0\\0``, PNG ``eXIf``, WebP
+    ``EXIF``): single IFD, inline or appended ASCII values, optional
+    minimal GPS IFD (version tag only) so ``has_gps`` has a true
+    case."""
     if orientation not in range(1, 9):
         raise ValueError(f"bad orientation {orientation}")
     entries: list[tuple[int, int, int, bytes | int]] = [
@@ -251,8 +304,59 @@ def build_exif_app1(orientation: int = 1, make: str | None = None,
         block += struct.pack("<H", 1)
         block += struct.pack("<HHI", 0, 1, 4) + bytes((2, 3, 0, 0))
         block += struct.pack("<I", 0)
-    payload = EXIF_HEADER + bytes(block)
+    return bytes(block)
+
+
+def build_exif_app1(**kw) -> bytes:
+    """A complete JPEG APP1 segment (marker + length + Exif block) —
+    the fixture twin of ``jpeg_exif``."""
+    payload = EXIF_HEADER + build_exif_block(**kw)
     return b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
+
+
+def png_add_exif(png: bytes, **kw) -> bytes:
+    """Insert an ``eXIf`` chunk right after IHDR (the 3rd-edition
+    placement rule: before IDAT) — no pixel re-encode."""
+    import zlib as _zlib
+    if png[:8] != b"\x89PNG\r\n\x1a\n" or png[12:16] != b"IHDR":
+        raise ValueError("not a PNG")
+    (ihdr_len,) = struct.unpack(">I", png[8:12])
+    cut = 8 + 12 + ihdr_len                      # end of IHDR chunk
+    body = build_exif_block(**kw)
+    chunk = struct.pack(">I", len(body)) + b"eXIf" + body
+    chunk += struct.pack(">I", _zlib.crc32(b"eXIf" + body))
+    return png[:cut] + chunk + png[cut:]
+
+
+def webp_add_exif(webp: bytes, **kw) -> bytes:
+    """Append an ``EXIF`` chunk, upgrading a simple lossless file to
+    the VP8X extended container (EXIF flag 0x08, canvas dims read
+    from the VP8L stream header) when needed — no pixel re-encode."""
+    if len(webp) < 12 or webp[:4] != b"RIFF" or webp[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    body = build_exif_block(**kw)
+    exif_chunk = b"EXIF" + struct.pack("<I", len(body)) + body
+    exif_chunk += b"\0" * (len(body) & 1)
+    chunks = webp[12:]
+    if chunks[:4] == b"VP8X":
+        flags = chunks[8] | 0x08                 # set the EXIF bit
+        chunks = chunks[:8] + bytes((flags,)) + chunks[9:]
+        out_body = chunks + exif_chunk
+    elif chunks[:4] == b"VP8L":
+        vp8l = chunks[8:]
+        if not vp8l or vp8l[0] != 0x2F or len(vp8l) < 5:
+            raise ValueError("bad VP8L stream header")
+        bits = int.from_bytes(vp8l[1:5], "little")
+        w = (bits & 0x3FFF) + 1
+        h = ((bits >> 14) & 0x3FFF) + 1
+        vp8x = (bytes([0x08, 0, 0, 0]) + (w - 1).to_bytes(3, "little")
+                + (h - 1).to_bytes(3, "little"))
+        vp8x_chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
+        out_body = vp8x_chunk + chunks + exif_chunk
+    else:
+        raise ValueError("unsupported WebP layout for EXIF insert")
+    return (b"RIFF" + struct.pack("<I", len(out_body) + 4)
+            + b"WEBP" + out_body)
 
 
 def splice_jpeg_exif(jpeg: bytes, **kw) -> bytes:

@@ -129,3 +129,14 @@ def test_every_prefix_truncation_never_raises():
         for cut in range(len(blob) + 1):
             got = audio_tags(blob[:cut])
             assert isinstance(got.tag_how, str)
+
+
+def test_id3v22_three_byte_frames():
+    """The iTunes-era v2.2 layout: 3-byte frame ids, 3-byte sizes,
+    no frame flags."""
+    blob = build_id3v2(title="Old Song", artist="Band", album="LP",
+                       date="1997", version=2) + b"\xff\xfb" + bytes(64)
+    assert audio_tags(blob) == ("Old Song", "Band", "LP", "1997",
+                                "id3v2")
+    for cut in range(len(blob) + 1):
+        audio_tags(blob[:cut])

@@ -223,3 +223,43 @@ def test_every_prefix_truncation_never_raises():
         for cut in range(len(blob) + 1):
             info = image_exif(blob[:cut])
             assert 1 <= info.orientation <= 8
+
+
+def test_png_and_webp_exif_carriers():
+    """PNG eXIf chunk (3rd ed.) and WebP VP8X EXIF chunk: authored by
+    the splicers, parsed by image_exif, pixels untouched; the WebP
+    path also upgrades a simple lossless file to the extended
+    container (flag 0x08, canvas dims from the VP8L header)."""
+    from document_convert_to__markdown_spark.extractors.exif import (
+        png_add_exif, webp_add_exif,
+    )
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        decode_png, encode_png,
+    )
+    from document_convert_to__markdown_spark.extractors.webp_codec import (
+        decode_webp, encode_webp,
+    )
+
+    img = np.random.RandomState(12).randint(0, 256, (9, 12, 3)) \
+        .astype(np.uint8)
+    png = encode_png(img)
+    png2 = png_add_exif(png, orientation=6, make="PM", gps=True)
+    info = image_exif(png2)
+    assert (info.orientation, info.make, info.has_gps) == (6, "PM",
+                                                           True)
+    assert np.array_equal(decode_png(png)[0], decode_png(png2)[0])
+    assert image_exif(png) == EMPTY_EXIF
+
+    webp = encode_webp(img)
+    webp2 = webp_add_exif(webp, orientation=8, model="WX")
+    info2 = image_exif(webp2)
+    assert (info2.orientation, info2.model) == (8, "WX")
+    assert np.array_equal(decode_webp(webp)[0], decode_webp(webp2)[0])
+    assert image_exif(webp) == EMPTY_EXIF
+    # VP8X-already case: flag set, chunk appended, still parses
+    assert image_exif(webp_add_exif(webp2, orientation=3)) \
+        .orientation == 8                       # first EXIF chunk wins
+    # prefix fuzz over both carriers
+    for blob in (png2, webp2):
+        for cut in range(len(blob) + 1):
+            assert 1 <= image_exif(blob[:cut]).orientation <= 8
