@@ -307,3 +307,28 @@ def test_substring_span_dedup_broadcasts_dups_and_prunes_text(spark, sf):
         head = ex[:60]
         if "h#" in head:
             assert "w#" not in head and "text#" not in head, p
+
+
+def test_provenance_scans_are_exchange_free(spark, sf):
+    """Round-5i header scans (media_exif / media_tags / caption_cues /
+    page_metadata) must stay one narrow mapInPandas pass: scan →
+    project → Arrow eval, NO Exchange — at 10^9 rows any shuffle here
+    would dominate the job for what is a per-row header parse."""
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        caption_cues, media_exif, media_tags,
+    )
+    from document_convert_to__markdown_spark.operators.pagemeta import (
+        page_metadata,
+    )
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet") \
+        .selectExpr("cast(doc_id as string) as url",
+                    "cast(text as binary) as data",
+                    "text as html")
+    for op, col in ((media_exif, None), (media_tags, None),
+                    (caption_cues, None), (page_metadata, "html")):
+        out = op(docs) if col is None else op(docs, html_col=col)
+        plan = plan_str(out)
+        assert "Exchange" not in plan, (op.__name__, plan)
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, \
+            (op.__name__, plan)
