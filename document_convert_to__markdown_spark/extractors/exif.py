@@ -79,18 +79,11 @@ class ExifInfo(NamedTuple):
 EMPTY_EXIF = ExifInfo(1, None, None, None, False)
 
 
-def _read_ascii(block: bytes, order: str, entry: bytes) -> Optional[str]:
-    """One IFD entry of type ASCII(2) → stripped str (or None)."""
-    vtype, count = struct.unpack(order + "HI", entry[2:8])
-    if vtype != 2 or count == 0 or count > 1 << 16:
-        return None
-    if count <= 4:
-        raw = entry[8:8 + count]
-    else:
-        (off,) = struct.unpack(order + "I", entry[8:12])
-        raw = block[off:off + count]
-        if len(raw) != count:
-            return None
+def _ascii_tag(tags: dict, tag: int) -> Optional[str]:
+    """ASCII entry (raw bytes from ``_read_ifd``) → stripped str."""
+    raw = tags.get(tag)
+    if not isinstance(raw, (bytes, bytearray)):
+        return None                  # absent, or mistyped as integer
     try:
         return raw.split(b"\0", 1)[0].decode("ascii").strip() or None
     except UnicodeDecodeError:
@@ -99,7 +92,11 @@ def _read_ascii(block: bytes, order: str, entry: bytes) -> Optional[str]:
 
 def parse_exif(block: bytes) -> ExifInfo:
     """A TIFF header/IFD block (what follows ``Exif\\0\\0`` in APP1,
-    or a whole TIFF file) → ``ExifInfo``.  Never raises."""
+    or a whole TIFF file) → ``ExifInfo``.  Never raises.
+
+    One ``_read_ifd`` walk (shared with the TIFF pixel decoder)
+    supplies both the integer tags and the ASCII provenance triple.
+    """
     if len(block) < 8 or block[:4] not in TIFF_SIGS:
         return EMPTY_EXIF
     order = "<" if block[:2] == b"II" else ">"
@@ -107,31 +104,15 @@ def parse_exif(block: bytes) -> ExifInfo:
         tags = _read_ifd(block, order)
     except (ValueError, struct.error):
         return EMPTY_EXIF
-    orientation = tags.get(_TAG_ORIENTATION, [1])[0]
-    if orientation not in range(1, 9):
+    orientation = tags.get(_TAG_ORIENTATION, [1])
+    orientation = orientation[0] if orientation else 1
+    if not isinstance(orientation, int) \
+            or orientation not in range(1, 9):
         orientation = 1
     has_gps = bool(tags.get(_TAG_GPS_IFD))
-    # ASCII tags need a second, type-aware walk (``_read_ifd`` is the
-    # integer-tag reader the TIFF decoder uses)
-    make = model = dt = None
-    try:
-        (ifd_off,) = struct.unpack(order + "I", block[4:8])
-        (n,) = struct.unpack(order + "H", block[ifd_off:ifd_off + 2])
-        for i in range(n):
-            pos = ifd_off + 2 + 12 * i
-            entry = block[pos:pos + 12]
-            if len(entry) < 12:
-                break
-            (tag,) = struct.unpack(order + "H", entry[:2])
-            if tag == _TAG_MAKE:
-                make = _read_ascii(block, order, entry)
-            elif tag == _TAG_MODEL:
-                model = _read_ascii(block, order, entry)
-            elif tag == _TAG_DATETIME:
-                dt = _read_ascii(block, order, entry)
-    except (ValueError, struct.error):
-        pass
-    return ExifInfo(orientation, make, model, dt, has_gps)
+    return ExifInfo(orientation, _ascii_tag(tags, _TAG_MAKE),
+                    _ascii_tag(tags, _TAG_MODEL),
+                    _ascii_tag(tags, _TAG_DATETIME), has_gps)
 
 
 def jpeg_exif(payload: bytes) -> ExifInfo:
@@ -144,12 +125,16 @@ def jpeg_exif(payload: bytes) -> ExifInfo:
     n = len(payload)
     while i + 4 <= n:
         if payload[i] != 0xFF:
-            return EMPTY_EXIF                   # desynced: give up
+            i += 1       # tolerate fill bytes / garbage between
+            continue     # markers, same as decode_jpeg (T.81 B.1.1.2)
         marker = payload[i + 1]
-        if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+        if marker == 0xFF:
+            i += 1       # fill byte: the next 0xFF may be the marker
+            continue
+        if marker in (0x00, 0x01) or 0xD0 <= marker <= 0xD8:
             i += 2
             continue
-        if marker == 0xDA:                      # SOS
+        if marker in (0xDA, 0xD9):              # SOS / EOI
             return EMPTY_EXIF
         (seg_len,) = struct.unpack(">H", payload[i + 2:i + 4])
         if seg_len < 2:

@@ -990,7 +990,10 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, str]:
             i += 1       # tolerate fill bytes / garbage between markers
             continue
         marker = payload[i + 1]
-        if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD7:
+        if marker == 0xFF:
+            i += 1       # fill byte: the next 0xFF may be the marker
+            continue
+        if marker in (0x00, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
         if marker == 0xD9:                  # EOI

@@ -72,20 +72,35 @@ class _MetaScan(HTMLParser):
         self.links: list[dict] = []
         self.title_parts: list[str] = []
         self._in_title = False
+        self._title_done = False      # only the first document title —
+        self._svg_depth = 0           # inline-SVG <title> is a tooltip
 
     def handle_starttag(self, tag, attrs):
         if tag == "meta":
             self.metas.append(dict(attrs))
         elif tag == "link":
             self.links.append(dict(attrs))
-        elif tag == "title":
+        elif tag == "svg":
+            self._svg_depth += 1
+        elif (tag == "title" and not self._title_done
+                and self._svg_depth == 0):
             self._in_title = True
 
-    handle_startendtag = handle_starttag
+    def handle_startendtag(self, tag, attrs):
+        # self-closing: meta/link still collected; <svg/> and
+        # <title/> enclose nothing, so no state change
+        if tag == "meta":
+            self.metas.append(dict(attrs))
+        elif tag == "link":
+            self.links.append(dict(attrs))
 
     def handle_endtag(self, tag):
         if tag == "title":
+            if self._in_title:
+                self._title_done = True
             self._in_title = False
+        elif tag == "svg" and self._svg_depth > 0:
+            self._svg_depth -= 1
 
     def handle_data(self, data):
         if self._in_title:
@@ -154,13 +169,14 @@ def extract_page_meta(html_text: str) -> PageMeta:
         elif prop == "date" and meta_date is None:
             meta_date = content
     for attrs in scan.links:
-        rel = (attrs.get("rel") or "").strip().lower()
+        # rel is a space-separated token list (HTML spec §4.6.6.10)
+        rel = set((attrs.get("rel") or "").lower().split())
         href = (attrs.get("href") or "").strip()
         if not href:
             continue
-        if rel == "canonical" and canonical is None:
+        if "canonical" in rel and canonical is None:
             canonical = href
-        elif rel == "license" and license_url is None:
+        elif "license" in rel and license_url is None:
             license_url = href
 
     items = _jsonld_blocks(html_text)

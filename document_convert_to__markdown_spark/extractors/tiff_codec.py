@@ -68,17 +68,20 @@ class UnsupportedTiff(ValueError):
     """Valid TIFF outside the baseline-uncompressed subset."""
 
 
-def _read_ifd(payload: bytes, order: str) -> dict[int, list[int]]:
-    """First IFD → {tag: [values]} with offset-indirection resolved."""
+def _read_ifd(payload: bytes, order: str) -> dict:
+    """First IFD → {tag: [ints]} with offset-indirection resolved.
+    ASCII (type 2) entries are surfaced as raw ``bytes`` (NUL and
+    padding included) so EXIF provenance readers share this walk —
+    the decoder below only reads integer tags and never sees them."""
     (ifd_off,) = struct.unpack(order + "I", payload[4:8])
     if ifd_off + 2 > len(payload):
         raise ValueError("truncated TIFF IFD offset")
     (n_entries,) = struct.unpack(
         order + "H", payload[ifd_off:ifd_off + 2])
-    tags: dict[int, list[int]] = {}
+    tags: dict = {}
     # BYTE ASCII SHORT LONG UNDEFINED (7 carries JPEGTables payloads)
     type_size = {1: 1, 2: 1, 3: 2, 4: 4, 7: 1}
-    type_fmt = {1: "B", 3: "H", 4: "I", 7: "B"}
+    type_fmt = {1: "B", 2: None, 3: "H", 4: "I", 7: "B"}
     pos = ifd_off + 2
     for _ in range(n_entries):
         if pos + 12 > len(payload):
@@ -94,8 +97,9 @@ def _read_ifd(payload: bytes, order: str) -> dict[int, list[int]]:
                     order + "I", payload[pos + 8:pos + 12])
                 src = payload[off:off + total]
             if len(src) == total:
-                tags[tag] = list(struct.unpack(
-                    order + type_fmt[vtype] * count, src))
+                fmt = type_fmt[vtype]
+                tags[tag] = src if fmt is None else list(
+                    struct.unpack(order + fmt * count, src))
         pos += 12
     return tags
 
@@ -382,6 +386,13 @@ def decode_tiff(payload: bytes) -> tuple[np.ndarray, str]:
     bit = bits_list[0]
     if bit not in (1, 2, 4, 8, 16):
         raise UnsupportedTiff(f"TIFF bit depth {bit}")
+    # SampleFormat (339): only unsigned (1) or undefined (4, which
+    # TIFF 6.0 §19 says to read as unsigned) may take the integer
+    # paths below — signed/float samples through the >>8 / /257
+    # reductions would be garbage mislabeled as real pixels.
+    if any(sf not in (1, 4) for sf in t.get(339, [1])):
+        raise UnsupportedTiff(
+            f"TIFF SampleFormat {t[339]} unsupported (unsigned only)")
     if comp == 7:
         if bit != 8:
             raise UnsupportedTiff("JPEG-in-TIFF requires 8-bit samples")

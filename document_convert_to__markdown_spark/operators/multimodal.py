@@ -423,15 +423,17 @@ def media_exif(df: DataFrame, url_col: str = "url",
                blob_col: str = "data") -> DataFrame:
     """Binary image column → EXIF provenance columns, header-only.
 
-    Parses the APP1/Exif TIFF block in JPEGs and the first IFD in
-    TIFFs (``extractors/exif.py``, CIPA DC-008 grammar): orientation
-    (1-8), Make/Model/DateTime (the provenance triple licensing and
-    dedup audits ask for), and ``has_gps`` — presence of the GPS-IFD
-    pointer (tag 34853), i.e. location PII, surfaced as a cheap flag
-    for the scrub layer without parsing coordinates.  Formats without
-    EXIF (PNG/GIF/BMP/WebP) and malformed blocks yield the neutral
-    row (orientation 1, nulls, false): one row in, one row out, no
-    pixel decode — this scans headers at crawl scale.
+    Parses every EXIF carrier ``extractors/exif.py`` knows (CIPA
+    DC-008 grammar): the JPEG APP1/Exif TIFF block, the TIFF first
+    IFD itself, the PNG ``eXIf`` chunk (3rd edition), and the WebP
+    VP8X ``EXIF`` chunk — orientation (1-8), Make/Model/DateTime (the
+    provenance triple licensing and dedup audits ask for), and
+    ``has_gps`` — presence of the GPS-IFD pointer (tag 34853), i.e.
+    location PII, surfaced as a cheap flag for the scrub layer
+    without parsing coordinates.  Formats with no EXIF carrier
+    (GIF/BMP) and malformed blocks yield the neutral row (orientation
+    1, nulls, false): one row in, one row out, no pixel decode — this
+    scans headers at crawl scale.
     """
     from ..extractors.exif import image_exif
 

@@ -11,6 +11,8 @@ orientations 1-4 lives in tests/test_libtiff_libgif_parity.py
 (TIFFReadRGBAImageOriented only approximates the transposed codes).
 """
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -263,3 +265,21 @@ def test_png_and_webp_exif_carriers():
     for blob in (png2, webp2):
         for cut in range(len(blob) + 1):
             assert 1 <= image_exif(blob[:cut]).orientation <= 8
+
+
+def test_jpeg_fill_bytes_before_app1():
+    """T.81 B.1.1.2 permits 0xFF fill bytes (and real crawls carry
+    garbage) between markers; the EXIF walk must stay aligned with
+    decode_jpeg's tolerance rather than silently dropping EXIF from
+    JPEGs whose pixels decode fine (round-5 review regression)."""
+    app1 = build_exif_app1(orientation=6, make="FB")
+    tail = b"\xff\xdb" + struct.pack(">H", 3) + b"\x00"
+    # fill bytes right after SOI
+    blob = b"\xff\xd8" + b"\xff\xff\xff" + app1 + tail
+    assert jpeg_exif(blob).orientation == 6
+    # non-0xFF garbage between segments, EXIF after it
+    blob2 = b"\xff\xd8" + b"\x00\x12\x34" + app1 + tail
+    info = jpeg_exif(blob2)
+    assert (info.orientation, info.make) == (6, "FB")
+    # EOI terminates the walk without raising
+    assert jpeg_exif(b"\xff\xd8\xff\xd9" + app1) == EMPTY_EXIF

@@ -99,3 +99,30 @@ def test_page_metadata_operator(spark):
     assert got["c"]["title"] is None
     assert got["d"]["title"] is None and got["d"]["jsonld_types"] == []
     assert len(got) == 4                        # no silent drops
+
+
+def test_title_scoping():
+    """Only the FIRST document title counts: inline-SVG <title> is a
+    tooltip (ubiquitous accessible-icon markup), and any later
+    <title> is noise (round-5 review regression)."""
+    m = extract_page_meta(
+        "<head><title>Page</title></head><body>"
+        "<svg><title>star icon</title><path/></svg>"
+        "<svg/><title>late noise</title></body>")
+    assert m.title == "Page"
+    # svg-first page still falls through to the real head title
+    m2 = extract_page_meta(
+        "<body><svg><title>icon</title></svg></body>"
+        "<head><title>Real</title></head>")
+    assert m2.title == "icon" or m2.title == "Real"  # first non-svg
+    assert m2.title == "Real"
+
+
+def test_link_rel_token_list():
+    """rel is a space-separated token list (HTML §4.6.6.10):
+    multi-token rel values must still surface canonical/license."""
+    m = extract_page_meta(
+        '<link rel="canonical nofollow" href="https://x/1">'
+        '<link rel="CC license" href="https://x/lic">')
+    assert m.canonical_url == "https://x/1"
+    assert m.license == "https://x/lic"

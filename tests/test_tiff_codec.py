@@ -398,3 +398,33 @@ def test_layout_writer_refusals():
     with pytest.raises(ValueError):
         encode_tiff_layout(g8, palette=np.zeros((8, 3), np.uint16),
                            bit_depth=4)             # wrong palette size
+
+
+def test_sample_format_gate():
+    """SampleFormat (339) != unsigned must refuse: signed/float
+    16-bit samples through the unsigned >>8 / /257 reductions would
+    be garbage mislabeled as real pixels (round-5 review
+    regression).  Undefined (4) reads as unsigned per TIFF 6.0 §19."""
+    def tiny_tiff16(sample_format: int) -> bytes:
+        tags = [(256, 3, 1, 2), (257, 3, 1, 2), (258, 3, 1, 16),
+                (259, 3, 1, 1), (262, 3, 1, 1), (273, 4, 1, 0),
+                (277, 3, 1, 1), (278, 3, 1, 2), (279, 4, 1, 8),
+                (339, 3, 1, sample_format)]
+        data_off = 8 + 2 + 12 * len(tags) + 4
+        out = bytearray(b"II*\x00" + struct.pack("<I", 8))
+        out += struct.pack("<H", len(tags))
+        for tag, vt, count, val in tags:
+            if tag == 273:
+                val = data_off
+            out += struct.pack("<HHII", tag, vt, count, val)
+        out += struct.pack("<I", 0)
+        out += struct.pack("<4H", 0, 257, 514, 65535)   # 2x2 16-bit
+        return bytes(out)
+
+    px, mode = decode_tiff(tiny_tiff16(1))              # unsigned ok
+    assert mode == "L" and px.shape == (2, 2)
+    assert (px == np.array([[0, 1], [2, 255]], np.uint8)).all()
+    assert np.array_equal(decode_tiff(tiny_tiff16(4))[0], px)
+    for sf in (2, 3, 5, 6):
+        with pytest.raises(UnsupportedTiff):
+            decode_tiff(tiny_tiff16(sf))
