@@ -1706,6 +1706,98 @@ def _q_audio_tags_scan(spark, sf):
             .orderBy("grammar"))
 
 
+def _q_video_container_meta(spark, sf):
+    """Video-container metadata scan (round 5j:
+    extractors/video_meta.py parses the three web video container
+    grammars header-only — ISO-BMFF box walk per ISO/IEC 14496-12
+    (ftyp brand, mvhd duration + 1904-epoch creation time, per-trak
+    tkhd dims / stsd fourcc / stsz sample count, v0+v1+largesize),
+    Matroska/WebM per RFC 8794/9559 (DocType, TimestampScale-scaled
+    float Duration, track CodecIDs/dims/rate, unknown-size Segments),
+    Ogg per RFC 3533 (identification-header codec, last-page granule
+    duration); operators/multimodal.py:media_video is the Arrow scan
+    — duration/dims/codec/provenance at crawl scale with no frame
+    decode).  Proof shape: 24 scenes cycling six container variants —
+    ISO-BMFF v0 (avc1+mp4a), v1-epoch video-only (hev1), audio-only
+    M4A, WebM (V_VP9+A_OPUS), unknown-size-Segment Matroska
+    (H.264+AAC), Ogg Vorbis — with per-scene authored duration/dims/
+    rate, plus a 9-byte truncated twin per scene.  Per-variant
+    counts: full rows must parse every authored field back
+    (null-safe), truncated rows must yield the all-null row (one row
+    in, one row out, no silent drops).  Binary container grammar
+    isn't SQL — pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.video_meta import (
+        build_mp4, build_ogg, build_webm,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_video,
+    )
+
+    variants = ("mp4_v0", "mp4_v1", "m4a", "webm", "mkv", "ogg")
+    rows = []
+    for s in range(24):
+        how = variants[s % 6]
+        dur = 1000 + 250 * s
+        w, h = 320 + 16 * s, 180 + 9 * s
+        rate = 8000 * (1 + s % 3)
+        if how == "mp4_v0":
+            blob = build_mp4(duration_ms=dur,
+                             video=("avc1", w, h, 10 + s),
+                             audio=("mp4a", rate))
+            want = ("mp4", dur, w, h, "avc1", "mp4a")
+        elif how == "mp4_v1":
+            blob = build_mp4(mvhd_v1=True, brand="mp42",
+                             duration_ms=dur,
+                             video=("hev1", w, h, 10 + s), audio=None)
+            want = ("mp4", dur, w, h, "hev1", None)
+        elif how == "m4a":
+            blob = build_mp4(brand="M4A ", duration_ms=dur,
+                             video=None, audio=("mp4a", rate))
+            want = ("mp4", dur, None, None, None, "mp4a")
+        elif how == "webm":
+            blob = build_webm(duration_ms=dur,
+                              video=("V_VP9", w, h),
+                              audio=("A_OPUS", 48000))
+            want = ("webm", dur, w, h, "V_VP9", "A_OPUS")
+        elif how == "mkv":
+            blob = build_webm(doctype="matroska", duration_ms=dur,
+                              video=("V_MPEG4/ISO/AVC", w, h),
+                              audio=("A_AAC", rate),
+                              unknown_segment_size=True)
+            want = ("mkv", dur, w, h, "V_MPEG4/ISO/AVC", "A_AAC")
+        else:
+            n = dur * rate // 1000       # exact-ms granule
+            blob = build_ogg(codec="vorbis", rate=rate, channels=2,
+                             n_samples=n)
+            want = ("ogg", dur, None, None, None, "vorbis")
+        rows.append((f"s{s:03d}/full", how, "full", *want,
+                     bytearray(blob)))
+        rows.append((f"s{s:03d}/cut", how, "cut", *want,
+                     bytearray(blob[:9])))
+    df = spark.createDataFrame(
+        rows, "url string, grammar string, kind string, "
+              "want_container string, want_dur long, want_w int, "
+              "want_h int, want_vc string, want_ac string, "
+              "data binary")
+    parsed = media_video(df.select("url", "data"))
+    joined = parsed.join(df.drop("data"), "url")
+    full_ok = ((F.col("kind") == "full")
+               & (F.col("container") == F.col("want_container"))
+               & (F.col("duration_ms") == F.col("want_dur"))
+               & F.col("width").eqNullSafe(F.col("want_w"))
+               & F.col("height").eqNullSafe(F.col("want_h"))
+               & F.col("video_codec").eqNullSafe(F.col("want_vc"))
+               & F.col("audio_codec").eqNullSafe(F.col("want_ac")))
+    return (joined.groupBy("grammar")
+            .agg(F.sum(F.when(full_ok, 1).otherwise(0))
+                 .alias("n_parsed"),
+                 F.sum(F.when((F.col("kind") == "cut")
+                              & F.col("container").isNull(), 1)
+                       .otherwise(0)).alias("n_cut_null"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("grammar"))
+
+
 def _q_image_exif_orientation(spark, sf):
     """EXIF provenance + orientation normalization (round 5i:
     extractors/exif.py parses the CIPA DC-008 APP1/TIFF-IFD grammar —
@@ -4158,6 +4250,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r02-r04 verdict (see ORDERING INVARIANT at the cut).
         "multimodal_vp8_decode": _q_multimodal_vp8_decode,  # new round 5h
         "multimodal_tiff_layouts": _q_multimodal_tiff_layouts,  # new r5i
+        "video_container_meta": _q_video_container_meta,  # new r5j
         "image_exif_orientation": _q_image_exif_orientation,  # new r5i
         "audio_tags_scan": _q_audio_tags_scan,            # new r5i
         "caption_cues_scan": _q_caption_cues_scan,        # new r5i

@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "caption_cues_scan",
     # round-5i: OpenGraph/JSON-LD/canonical page-metadata enrichment
     "page_metadata_scan",
+    # round-5j: ISO-BMFF/EBML/Ogg video-container metadata scan
+    "video_container_meta",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

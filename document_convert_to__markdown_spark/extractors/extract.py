@@ -238,6 +238,20 @@ def extract_document(url: str, payload: Optional[bytes]) -> ExtractedDocument:
             return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
                                      markdown, 0, "aiff_metadata", [])
 
+        if fmt in (sniffer.FMT_MP4, sniffer.FMT_WEBM, sniffer.FMT_OGG):
+            # video containers (beyond reference, like FLAC/AIFF):
+            # header-only metadata markdown, no sample decode
+            from .video_meta import video_to_markdown
+
+            content = video_to_markdown(payload, doc_name)
+            if content is None:
+                return ExtractedDocument(url, doc_name, fmt,
+                                         STATUS_UNSUPPORTED, None, None, 0,
+                                         "none", [])
+            markdown = clean_markdown_content(content, is_pdf=False)
+            return ExtractedDocument(url, doc_name, fmt, STATUS_OK, None,
+                                     markdown, 0, "video_metadata", [])
+
         if fmt == sniffer.FMT_CSV:
             markdown = clean_markdown_content(
                 csv_to_markdown(payload, doc_name), is_pdf=False)

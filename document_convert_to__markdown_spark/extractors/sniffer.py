@@ -37,6 +37,9 @@ FMT_FLAC = "flac"
 FMT_AIFF = "aiff"
 FMT_VTT = "vtt"    # WebVTT timed text (beyond reference, like FLAC)
 FMT_SRT = "srt"    # SubRip timed text (beyond reference)
+FMT_MP4 = "mp4"    # ISO-BMFF video container (beyond reference)
+FMT_WEBM = "webm"  # EBML/Matroska family incl. .mkv (beyond reference)
+FMT_OGG = "ogg"    # Ogg container (Vorbis/Opus/Theora streams)
 FMT_EPUB = "epub"
 FMT_RTF = "rtf"
 FMT_DOC = "doc"    # legacy OLE2 Word (reference config.py:40)
@@ -137,6 +140,13 @@ def sniff_format(payload: bytes) -> str:
         return FMT_FLAC
     if head.startswith(b"FORM") and payload[8:12] in (b"AIFF", b"AIFC"):
         return FMT_AIFF
+    # video containers (ISO/IEC 14496-12, RFC 8794/9559, RFC 3533)
+    if len(payload) >= 12 and head[4:8] == b"ftyp":
+        return FMT_MP4
+    if head.startswith(b"\x1aE\xdf\xa3"):
+        return FMT_WEBM
+    if head.startswith(b"OggS"):
+        return FMT_OGG
 
     # timed text: WEBVTT magic / SRT counter+timestamp signature —
     # before the HTML/text heuristics, which would claim these

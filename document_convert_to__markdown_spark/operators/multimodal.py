@@ -125,6 +125,7 @@ def media_metadata(df: DataFrame, url_col: str = "url",
         from ..extractors.ico_codec import ico_meta, is_ico
         from ..extractors.wav_codec import aiff_meta
         from ..extractors.png_codec import apng_frame_count
+        from ..extractors.video_meta import video_meta
 
         for pdf in batches:
             rows = []
@@ -190,6 +191,18 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                         continue
                     except ValueError:
                         pass
+                if fmt in ("mp4", "webm", "ogg"):
+                    vm = video_meta(payload)
+                    if vm is not None:
+                        # media_format surfaces the parsed container
+                        # (distinguishes mkv within the EBML family);
+                        # mode carries the leading codec
+                        rows.append((url, vm.container,
+                                     _i32(vm.width), _i32(vm.height),
+                                     vm.video_codec or vm.audio_codec,
+                                     vm.sample_rate, vm.n_frames,
+                                     len(payload)))
+                        continue
                 rows.append((url, fmt, None, None, None, None, None,
                              len(payload)))
             yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_META_SCHEMA])
@@ -530,6 +543,63 @@ def media_tags(df: DataFrame, url_col: str = "url",
                                columns=[f.name for f in TAGS_SCHEMA])
 
     return df.select(url_col, blob_col).mapInPandas(kernel, TAGS_SCHEMA)
+
+
+VIDEO_META_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("container", StringType(), True),   # mp4|webm|mkv|ogg
+    StructField("brand", StringType(), True),       # ftyp/DocType/codec
+    StructField("duration_ms", LongType(), True),
+    StructField("width", IntegerType(), True),
+    StructField("height", IntegerType(), True),
+    StructField("video_codec", StringType(), True),
+    StructField("audio_codec", StringType(), True),
+    # LongType: container-declared uint32/float fields, unvalidated
+    StructField("sample_rate", LongType(), True),
+    StructField("n_frames", LongType(), True),
+    StructField("creation_time", StringType(), True),
+    StructField("n_bytes", LongType(), False),
+])
+
+
+def media_video(df: DataFrame, url_col: str = "url",
+                blob_col: str = "data") -> DataFrame:
+    """Binary video column → container metadata rows, header-only.
+
+    The video sibling of ``media_exif``/``media_tags``
+    (``extractors/video_meta.py``): ISO-BMFF box walk (ftyp brand,
+    mvhd duration + 1904-epoch creation time, per-trak dims/fourcc/
+    sample count), Matroska/WebM EBML walk (DocType, Info duration,
+    track CodecIDs/dims/rate), and Ogg page scan (identification
+    header codec + last-page granule duration).  No frame decode —
+    duration/dims/codec/provenance at crawl scale from a few KB of
+    header bytes.  Non-video and malformed payloads yield the
+    all-null row: one row in, one row out.
+    """
+    from ..extractors.video_meta import video_meta
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                m = video_meta(payload)
+                if m is None:
+                    rows.append((url, None, None, None, None, None,
+                                 None, None, None, None, None,
+                                 len(payload)))
+                else:
+                    rows.append((url, m.container, m.brand,
+                                 m.duration_ms, _i32(m.width),
+                                 _i32(m.height), m.video_codec,
+                                 m.audio_codec, m.sample_rate,
+                                 m.n_frames, m.creation_time,
+                                 len(payload)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_META_SCHEMA])
+
+    return df.select(url_col, blob_col).mapInPandas(
+        kernel, VIDEO_META_SCHEMA)
 
 
 DHASH_SCHEMA = StructType([

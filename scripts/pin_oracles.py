@@ -111,6 +111,9 @@ PINNABLE = [
     # round-5i: OpenGraph/JSON-LD/canonical page metadata — the
     # DOM/JSON parse isn't SQL.
     "page_metadata_scan",
+    # round-5j: ISO-BMFF/EBML/Ogg container grammars aren't SQL; the
+    # builders and authored values are fully deterministic.
+    "video_container_meta",
 ]
 
 _SQL_TYPES = {
