@@ -111,15 +111,19 @@ MEDIA_FEATURE_SCHEMA = StructType([
 def media_metadata(df: DataFrame, url_col: str = "url",
                    blob_col: str = "data") -> DataFrame:
     """Binary column → typed metadata rows (real header parse, no
-    decode) across all four modalities: image width/height/mode, WAV
-    sample rate / frame count / PCM depth, AVI dimensions / fps /
+    decode) across all four modalities: image width/height/mode, WAV/
+    FLAC/AIFF sample rate / frame count / depth, MP3 first-frame
+    bitrate + rate (mode ``"mp3_<kbps>kbps"``), AVI dimensions / fps /
     declared frame count / codec fourcc-or-RGB24, ICO best-entry
     dimensions / bit depth (mode ``"<n>bpp"``) / directory entry
-    count (in ``n_frames``).  Header-only — safe and cheap even on
-    payloads the pixel decoders refuse."""
+    count (in ``n_frames``), and the MP4/WebM-Matroska/Ogg video
+    containers (``media_format`` surfaces the parsed container, mode
+    the leading codec — see ``media_video`` for the full schema).
+    Header-only — safe and cheap even on payloads the pixel decoders
+    refuse."""
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..extractors.audio_extractor import wav_meta
+        from ..extractors.audio_extractor import mp3_meta, wav_meta
         from ..extractors.avi_codec import MJPG_FOURCC, avi_meta, is_avi
         from ..extractors.flac_codec import flac_meta
         from ..extractors.ico_codec import ico_meta, is_ico
@@ -169,6 +173,14 @@ def media_metadata(df: DataFrame, url_col: str = "url",
                         rows.append((url, fmt, None, None,
                                      f"pcm{bits}", int(rate),
                                      int(n_frames), len(payload)))
+                        continue
+                if fmt == "mp3":
+                    mm = mp3_meta(payload)
+                    if mm is not None:
+                        rows.append((url, fmt, None, None,
+                                     f"mp3_{mm.bitrate_kbps}kbps",
+                                     int(mm.sample_rate), None,
+                                     len(payload)))
                         continue
                 if is_avi(payload):
                     try:

@@ -12,14 +12,17 @@ closed-form check the multimodal soak pins for codecs:
 - ``caption_cues`` over alternating SRT/WebVTT docs with a known
   per-doc cue count: total cue rows are closed-form;
 - ``page_metadata`` over OpenGraph/JSON-LD pages: canonical,
-  published-time and @type counts are closed-form.
+  published-time and @type counts are closed-form;
+- ``media_video`` (round 5j) over MP4 (v0+v1 mvhd) / WebM / unknown-
+  size Matroska / Ogg Vorbis+Opus blobs: every row must report its
+  authored duration, all four parsed containers must appear.
 
 Synthesis happens executor-side in ``mapInPandas`` (the driver ships
 a range); every authored blob round-trips through the real splicers +
 codecs, so the soak also measures distributed author+parse
 throughput.  Usage: ``python scripts/soak_round5i_provenance.py
 [n_scenes]`` (default 50_000; each scene emits 4 image + 6 audio +
-2 caption + 2 html rows).
+2 caption + 2 html + 3 video rows).
 """
 
 from __future__ import annotations
@@ -40,7 +43,7 @@ def main() -> int:
                                    StructField, StructType)
 
     from document_convert_to__markdown_spark.operators.multimodal import (
-        caption_cues, media_exif, media_tags,
+        caption_cues, media_exif, media_tags, media_video,
     )
     from document_convert_to__markdown_spark.operators.pagemeta import (
         page_metadata,
@@ -243,6 +246,61 @@ def main() -> int:
     assert agg["n"] == n_scenes, agg
     assert agg["n_canon"] == n_scenes == agg["n_pub"], agg
     assert agg["n_types"] == n_scenes, agg
+
+    VID_SCHEMA = StructType([
+        StructField("url", StringType(), False),
+        StructField("want_dur", IntegerType(), False),
+        StructField("data", BinaryType(), False)])
+
+    def gen_video(batches):
+        import pandas as pd
+
+        from document_convert_to__markdown_spark.extractors.video_meta \
+            import build_mp4, build_ogg, build_webm
+
+        for pdf in batches:
+            urls, durs, blobs = [], [], []
+            for s in pdf["id"]:
+                s = int(s)
+                dur = 1000 + (s % 100) * 40
+                blobs.append(build_mp4(
+                    duration_ms=dur, mvhd_v1=s % 2 == 1,
+                    video=("avc1", 320 + s % 64, 180, 24)))
+                blobs.append(build_webm(
+                    duration_ms=dur,
+                    doctype="webm" if s % 2 == 0 else "matroska",
+                    unknown_segment_size=s % 3 == 0))
+                if s % 2 == 0:       # vorbis granule = input-rate pcm
+                    blobs.append(build_ogg(codec="vorbis", rate=8000,
+                                           n_samples=dur * 8))
+                else:                # opus granule clock is 48 kHz
+                    blobs.append(build_ogg(codec="opus", rate=8000,
+                                           n_samples=dur * 48))
+                for k in ("mp4", "ebml", "ogg"):
+                    urls.append(f"s{s:07d}/{k}")
+                    durs.append(dur)
+            yield pd.DataFrame({"url": urls, "want_dur": durs,
+                                "data": blobs})
+
+    vids = spark.range(n_scenes).repartition(2 * cores) \
+        .mapInPandas(gen_video, VID_SCHEMA)
+    t0 = time.time()
+    vm = media_video(vids).join(vids.select("url", "want_dur"), "url")
+    agg = vm.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("duration_ms") == F.col("want_dur"), 1)
+              .otherwise(0)).alias("n_dur_ok"),
+        F.countDistinct("container").alias("n_containers"),
+        F.sum(F.when(F.col("container").isNull(), 1)
+              .otherwise(0)).alias("n_null")).collect()[0]
+    results["video_rows"] = agg["n"]
+    results["video_sec"] = round(time.time() - t0, 1)
+    results["video_rows_per_sec"] = int(agg["n"] / max(
+        time.time() - t0, 1e-9))
+    assert agg["n"] == 3 * n_scenes, agg
+    assert agg["n_dur_ok"] == 3 * n_scenes, agg
+    assert agg["n_containers"] == 4, agg      # mp4/webm/mkv/ogg
+    assert agg["n_null"] == 0, agg
 
     results["checks"] = "pass"
     print(json.dumps(results))

@@ -175,3 +175,21 @@ def test_media_video_operator(spark):
     assert meta["u2"]["media_format"] == "mkv"  # parsed > sniffed
     assert meta["u3"]["media_format"] == "ogg"
     assert meta["u3"]["sample_rate"] == 16000
+
+
+def test_media_metadata_mp3_rows(spark):
+    """MP3s get stream properties, not the null row: first-frame
+    bitrate/rate via the existing mp3_meta (round-5j wiring)."""
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_metadata,
+    )
+
+    # minimal MPEG1 Layer III frame header: sync, 128 kbps, 44.1 kHz
+    frame = b"\xff\xfb\x90\x00" + bytes(413)
+    df = spark.createDataFrame(
+        [("m1", bytearray(b"ID3" + bytes(7) + frame * 3))],
+        "url string, data binary")
+    row = media_metadata(df).collect()[0]
+    assert row["media_format"] == "mp3"
+    assert row["mode"] == "mp3_128kbps"
+    assert row["sample_rate"] == 44100
