@@ -72,6 +72,13 @@ def _iso(dt: datetime) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%SZ")
 
 
+def _i64(v) -> Optional[int]:
+    """Clamp container-declared durations/counts to int64: a hostile
+    header must yield a null field, never an Arrow out-of-range task
+    kill downstream (same contract as the image _i32 clamp)."""
+    return int(v) if v is not None and 0 <= int(v) < 1 << 63 else None
+
+
 def _ascii4(raw: bytes) -> Optional[str]:
     try:
         s = raw.decode("ascii").strip()
@@ -182,7 +189,10 @@ def mp4_meta(payload: bytes) -> Optional[VideoMeta]:
                             ">IIII", payload[mb + 4:mb + 20])
                     else:
                         ctime = ts = dur = 0
-                    if ts:
+                    # all-ones duration = "cannot be determined"
+                    # (ISO 14496-12 §8.2.2.3)
+                    unknown = (1 << (64 if ver == 1 else 32)) - 1
+                    if ts and dur != unknown:
                         duration_ms = dur * 1000 // ts
                     if 0 < ctime < 1 << 40:      # plausible epoch secs
                         created = _iso(_MP4_EPOCH
@@ -202,9 +212,10 @@ def mp4_meta(payload: bytes) -> Optional[VideoMeta]:
                         rate = tr.get("sample_rate") or rate
         if brand is None:
             return None
-        return VideoMeta("mp4", brand, duration_ms, width or None,
-                         height or None, vcodec, acodec, rate or None,
-                         n_frames, created)
+        return VideoMeta("mp4", brand, _i64(duration_ms),
+                         width or None, height or None, vcodec,
+                         acodec, _i64(rate or None), _i64(n_frames),
+                         created)
     except Exception:
         return None
 
@@ -358,11 +369,14 @@ def webm_meta(payload: bytes) -> Optional[VideoMeta]:
         if doctype is None:
             return None
         duration_ms = None
-        if duration_units is not None and duration_units >= 0:
+        if duration_units is not None and 0 <= duration_units < 1e15:
+            # finite-and-bounded: a crafted inf/NaN/astronomical float
+            # must cost one field, not the whole row
             duration_ms = int(duration_units * ts_scale / 1e6)
         container = "webm" if doctype == "webm" else "mkv"
-        return VideoMeta(container, doctype, duration_ms, width,
-                         height, vcodec, acodec, rate, None, created)
+        return VideoMeta(container, doctype, _i64(duration_ms), width,
+                         height, vcodec, acodec, _i64(rate), None,
+                         created)
     except Exception:
         return None
 
@@ -435,10 +449,12 @@ def ogg_meta(payload: bytes) -> Optional[VideoMeta]:
         if last_granule is not None and granule_rate:
             n_frames = last_granule
             duration_ms = last_granule * 1000 // granule_rate
-        return VideoMeta("ogg", codec, duration_ms, width, height,
+        return VideoMeta("ogg", codec, _i64(duration_ms), width,
+                         height,
                          "theora" if codec == "theora" else None,
                          codec if codec != "theora" else None,
-                         int(rate) if rate else None, n_frames, None)
+                         _i64(rate if rate else None),
+                         _i64(n_frames), None)
     except Exception:
         return None
 

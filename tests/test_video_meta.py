@@ -104,6 +104,27 @@ def test_never_raises_on_fuzz():
             video_meta(bytes(flipped))       # must not raise
 
 
+def test_hostile_values_clamp_to_null_fields():
+    """Crafted numeric fields cost one null field, never the row (or
+    an int64-overflow Arrow task kill downstream): ISO-BMFF all-ones
+    'unknown duration', EBML inf/NaN/astronomical Duration floats."""
+    blob = bytearray(build_mp4(audio=None))
+    i = blob.find(b"mvhd") + 4 + 16          # v0 duration field
+    blob[i:i + 4] = b"\xff\xff\xff\xff"
+    m = mp4_meta(bytes(blob))
+    assert m is not None and m.duration_ms is None
+    assert m.video_codec == "avc1"           # rest of the row intact
+
+    for evil in (float("inf"), float("nan"), 1e300):
+        wb = bytearray(build_webm(audio=None, date_utc=None))
+        j = wb.find(struct.pack(">d", 4000.0))
+        assert j > 0
+        wb[j:j + 8] = struct.pack(">d", evil)
+        w = webm_meta(bytes(wb))
+        assert w is not None and w.duration_ms is None, evil
+        assert w.video_codec == "V_VP9", evil
+
+
 def test_hostile_sizes_refused():
     giant = struct.pack(">I", 0xFFFFFFF0) + b"ftypisom" + bytes(64)
     assert video_meta(giant) is None         # box overruns buffer
