@@ -1798,6 +1798,53 @@ def _q_video_container_meta(spark, sf):
             .orderBy("grammar"))
 
 
+def _q_heif_image_meta(spark, sf):
+    """HEIF/AVIF still-image routing + dims (round 5j:
+    ISO/IEC 23008-12 images share the ISO-BMFF container with MP4 —
+    `extractors/sniffer.py` routes them to the IMAGE family by ftyp
+    major brand (the mislabel a brand-blind ftyp sniff makes is real:
+    every avif on the web would otherwise read as video), and
+    `video_meta.heif_meta` reads width/height from the largest
+    ``ispe`` item property, header-only, thumbnails/alpha ignored —
+    AV1/HEVC pixel decode stays out of scope by container
+    constraint).  Proof shape: 18 scenes cycling avif / heic /
+    avif-with-thumbnail with per-scene authored dims; media_metadata
+    per-format counts of exact dims recovery, plus an mp4-brand
+    control row per scene that must KEEP routing to the video family.
+    Binary box grammar isn't SQL — pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.video_meta import (
+        build_heif, build_mp4,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        media_metadata,
+    )
+
+    rows = []
+    for s in range(18):
+        w, h = 320 + 32 * s, 240 + 24 * s
+        if s % 3 == 0:
+            blob = build_heif(brand="avif", width=w, height=h)
+        elif s % 3 == 1:
+            blob = build_heif(brand="heic", width=w, height=h)
+        else:
+            blob = build_heif(brand="avif", width=w, height=h,
+                              thumb=(w // 4, h // 4))
+        rows.append((f"s{s:03d}/img", w, h, bytearray(blob)))
+        rows.append((f"s{s:03d}/vid", w, h,
+                     bytearray(build_mp4(video=("avc1", w, h, 8),
+                                         audio=None))))
+    df = spark.createDataFrame(
+        rows, "url string, want_w int, want_h int, data binary")
+    meta = media_metadata(df).join(
+        df.select("url", "want_w", "want_h"), "url")
+    return (meta.groupBy("media_format")
+            .agg(F.sum(F.when((F.col("width") == F.col("want_w"))
+                              & (F.col("height") == F.col("want_h")),
+                              1).otherwise(0)).alias("n_dims_ok"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("media_format"))
+
+
 def _q_image_exif_orientation(spark, sf):
     """EXIF provenance + orientation normalization (round 5i:
     extractors/exif.py parses the CIPA DC-008 APP1/TIFF-IFD grammar —
@@ -4251,6 +4298,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_vp8_decode": _q_multimodal_vp8_decode,  # new round 5h
         "multimodal_tiff_layouts": _q_multimodal_tiff_layouts,  # new r5i
         "video_container_meta": _q_video_container_meta,  # new r5j
+        "heif_image_meta": _q_heif_image_meta,            # new r5j
         "image_exif_orientation": _q_image_exif_orientation,  # new r5i
         "audio_tags_scan": _q_audio_tags_scan,            # new r5i
         "caption_cues_scan": _q_caption_cues_scan,        # new r5i

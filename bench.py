@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "page_metadata_scan",
     # round-5j: ISO-BMFF/EBML/Ogg video-container metadata scan
     "video_container_meta",
+    # round-5j: HEIF/AVIF brand routing + ispe dims
+    "heif_image_meta",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

@@ -146,6 +146,18 @@ def _tiff_meta(payload: bytes) -> ImageMeta:
     return ImageMeta(width, height, "TIFF", mode)
 
 
+def _heif_meta(payload: bytes) -> ImageMeta:
+    """HEIF/AVIF (ISO-BMFF still images): dims from the largest
+    ``ispe`` item property — see ``video_meta.heif_meta``."""
+    from .video_meta import heif_meta
+
+    got = heif_meta(payload)
+    if got is None:
+        return ImageMeta(None, None, None, None)
+    fam, w, h = got
+    return ImageMeta(w, h, fam.upper(), None)
+
+
 _PARSERS = {
     "png": _png_meta,
     "jpeg": _jpeg_meta,
@@ -153,10 +165,13 @@ _PARSERS = {
     "bmp": _bmp_meta,
     "webp": _webp_meta,
     "tiff": _tiff_meta,
+    "avif": _heif_meta,
+    "heic": _heif_meta,
 }
 
 _EXTENSIONS = {"png": ".png", "jpeg": ".jpg", "gif": ".gif",
-               "bmp": ".bmp", "webp": ".webp", "tiff": ".tiff"}
+               "bmp": ".bmp", "webp": ".webp", "tiff": ".tiff",
+               "avif": ".avif", "heic": ".heic"}
 
 
 def image_meta(payload: bytes, fmt: str) -> ImageMeta:

@@ -40,6 +40,8 @@ FMT_SRT = "srt"    # SubRip timed text (beyond reference)
 FMT_MP4 = "mp4"    # ISO-BMFF video container (beyond reference)
 FMT_WEBM = "webm"  # EBML/Matroska family incl. .mkv (beyond reference)
 FMT_OGG = "ogg"    # Ogg container (Vorbis/Opus/Theora streams)
+FMT_AVIF = "avif"  # ISO-BMFF still image, AV1 payload (brand-routed)
+FMT_HEIC = "heic"  # ISO-BMFF still image, HEVC payload (brand-routed)
 FMT_EPUB = "epub"
 FMT_RTF = "rtf"
 FMT_DOC = "doc"    # legacy OLE2 Word (reference config.py:40)
@@ -49,7 +51,7 @@ FMT_EMPTY = "empty"
 FMT_UNKNOWN = "unknown"
 
 IMAGE_FORMATS = frozenset({FMT_PNG, FMT_JPEG, FMT_GIF, FMT_BMP, FMT_WEBP,
-                           FMT_TIFF})
+                           FMT_TIFF, FMT_AVIF, FMT_HEIC})
 
 _HTML_MARKERS = (
     b"<!doctype html",
@@ -140,8 +142,18 @@ def sniff_format(payload: bytes) -> str:
         return FMT_FLAC
     if head.startswith(b"FORM") and payload[8:12] in (b"AIFF", b"AIFC"):
         return FMT_AIFF
-    # video containers (ISO/IEC 14496-12, RFC 8794/9559, RFC 3533)
+    # ISO-BMFF: HEIF still images route by ftyp major brand
+    # (ISO/IEC 23008-12); every other brand is the video container
+    # family (ISO/IEC 14496-12).  Then RFC 8794/9559 EBML and
+    # RFC 3533 Ogg.
     if len(payload) >= 12 and head[4:8] == b"ftyp":
+        from .video_meta import heif_brand
+
+        fam = heif_brand(payload)
+        if fam == "avif":
+            return FMT_AVIF
+        if fam == "heic":
+            return FMT_HEIC
         return FMT_MP4
     if head.startswith(b"\x1aE\xdf\xa3"):
         return FMT_WEBM

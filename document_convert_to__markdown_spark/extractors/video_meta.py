@@ -459,6 +459,80 @@ def ogg_meta(payload: bytes) -> Optional[VideoMeta]:
         return None
 
 
+# --------------------------------------------------- HEIF / AVIF images
+
+# ISO/IEC 23008-12 (HEIF) / AOM AVIF: still images in the ISO-BMFF
+# container.  Brand sets per the specs' §B/§4 registrations.
+AVIF_BRANDS = frozenset({b"avif", b"avis"})
+HEIC_BRANDS = frozenset({b"heic", b"heix", b"heim", b"heis", b"hevc",
+                         b"hevx", b"mif1", b"msf1"})
+
+
+def heif_brand(payload: bytes) -> Optional[str]:
+    """``"avif"`` / ``"heic"`` when the ftyp major brand marks a HEIF
+    still image, else None (cheap — reads 12 bytes)."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        return None
+    brand = payload[8:12]
+    if brand in AVIF_BRANDS:
+        return "avif"
+    if brand in HEIC_BRANDS:
+        return "heic"
+    return None
+
+
+def heif_meta(payload: bytes) -> Optional[tuple]:
+    """HEIF/AVIF bytes → ``(brand, width, height)`` (dims of the
+    largest ``ispe`` item property — the primary image; thumbnails
+    and alpha planes are smaller).  Header-only; no AV1/HEVC decode.
+    Returns None when not HEIF or too broken to read.  Never raises.
+    """
+    fam = heif_brand(payload)
+    if fam is None:
+        return None
+    try:
+        best = None
+        meta = _bmff_find(payload, 0, len(payload), b"meta")
+        if meta is not None:
+            # meta is a FullBox: children start after version/flags
+            b, e = meta[0] + 4, meta[1]
+            iprp = _bmff_find(payload, b, e, b"iprp")
+            ipco = iprp and _bmff_find(payload, iprp[0], iprp[1],
+                                       b"ipco")
+            if ipco:
+                for t, bb, ee in _walk_boxes(payload, ipco[0],
+                                             ipco[1]):
+                    if t == b"ispe" and ee - bb >= 12:
+                        w, h = struct.unpack(
+                            ">II", payload[bb + 4:bb + 12])
+                        if 0 < w * h <= 1 << 32 and (
+                                best is None
+                                or w * h > best[0] * best[1]):
+                            best = (w, h)
+        if best is None:
+            return (fam, None, None)
+        return (fam, best[0], best[1])
+    except Exception:
+        return (fam, None, None)
+
+
+def build_heif(*, brand: str = "avif", width: int = 512,
+               height: int = 384, thumb: tuple | None = None) -> bytes:
+    """Deterministic minimal HEIF/AVIF: ftyp + meta(hdlr pict +
+    iprp/ipco/ispe[s]) + empty mdat.  ``thumb`` adds a second,
+    smaller ispe (the parser must keep the larger primary)."""
+    major = {"avif": b"avif", "heic": b"heic"}[brand]
+    compat = major + b"mif1miaf"
+    ispe = _full(b"ispe", 0, struct.pack(">II", width, height))
+    if thumb is not None:
+        ispe += _full(b"ispe", 0, struct.pack(">II", *thumb))
+    ipco = _box(b"ipco", ispe)
+    hdlr = _full(b"hdlr", 0, b"\0" * 4 + b"pict" + b"\0" * 13)
+    meta = _full(b"meta", 0, hdlr + _box(b"iprp", ipco))
+    return (_box(b"ftyp", major + struct.pack(">I", 0) + compat)
+            + meta + _box(b"mdat", b""))
+
+
 def video_meta(payload: bytes) -> Optional[VideoMeta]:
     """Sniffing front door over the three container families."""
     if len(payload) >= 12 and payload[4:8] == b"ftyp":

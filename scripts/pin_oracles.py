@@ -114,6 +114,7 @@ PINNABLE = [
     # round-5j: ISO-BMFF/EBML/Ogg container grammars aren't SQL; the
     # builders and authored values are fully deterministic.
     "video_container_meta",
+    "heif_image_meta",
 ]
 
 _SQL_TYPES = {

@@ -15,8 +15,8 @@ import struct
 import pytest
 
 from document_convert_to__markdown_spark.extractors.video_meta import (
-    _ogg_crc, build_mp4, build_ogg, build_webm, mp4_meta, ogg_meta,
-    video_meta, video_to_markdown, webm_meta,
+    _ogg_crc, build_heif, build_mp4, build_ogg, build_webm, heif_meta,
+    mp4_meta, ogg_meta, video_meta, video_to_markdown, webm_meta,
 )
 
 
@@ -165,6 +165,46 @@ def test_sniffer_and_extract_document():
     assert extract_document("http://v/a.mp4", mp4) == doc
 
 
+def test_heif_avif_images():
+    """HEIF/AVIF are ISO-BMFF STILL IMAGES and must route to the
+    image family, not the mp4 video path (round-5j mislabel fix):
+    brand-based sniff, largest-ispe dims (thumbnails ignored),
+    image-passthrough extraction with the real dimensions."""
+    from document_convert_to__markdown_spark.extractors import (
+        extract_document,
+    )
+    from document_convert_to__markdown_spark.extractors.image_extractor \
+        import image_meta
+    from document_convert_to__markdown_spark.extractors.sniffer import (
+        sniff_format,
+    )
+
+    a = build_heif(brand="avif", width=800, height=600,
+                   thumb=(160, 120))
+    h = build_heif(brand="heic", width=4032, height=3024)
+    assert sniff_format(a) == "avif" and sniff_format(h) == "heic"
+    assert heif_meta(a) == ("avif", 800, 600)      # thumb ignored
+    assert heif_meta(h) == ("heic", 4032, 3024)
+    m = image_meta(a, "avif")
+    assert (m.width, m.height, m.format) == (800, 600, "AVIF")
+
+    doc = extract_document("http://i/x.avif", a)
+    assert doc.status == "ok"
+    assert doc.extractor_used == "image_passthrough"
+    assert "800 x 600" in doc.markdown and "AVIF" in doc.markdown
+    assert doc.n_images == 1
+    assert extract_document("http://i/x.avif", a) == doc
+
+    # mp4 brands still route to the video path
+    assert sniff_format(build_mp4()) == "mp4"
+    assert heif_meta(build_mp4()) is None
+    # prefix fuzz: sniff + parse never raise
+    for blob in (a, h):
+        for cut in range(len(blob) + 1):
+            sniff_format(blob[:cut])
+            heif_meta(blob[:cut])
+
+
 def test_media_video_operator(spark):
     from document_convert_to__markdown_spark.operators.multimodal import (
         media_metadata, media_video,
@@ -175,10 +215,12 @@ def test_media_video_operator(spark):
             ("u3", bytearray(build_ogg(codec="opus", rate=16000,
                                        n_samples=48000))),
             ("u4", bytearray(b"not a video")),
-            ("u5", None)]
+            ("u5", None),
+            ("u6", bytearray(build_heif(brand="avif", width=640,
+                                        height=480)))]
     df = spark.createDataFrame(rows, "url string, data binary")
     got = {r["url"]: r for r in media_video(df).collect()}
-    assert len(got) == 5                     # no silent drops
+    assert len(got) == 6                     # no silent drops
     assert got["u1"]["container"] == "mp4"
     assert got["u1"]["video_codec"] == "avc1"
     assert got["u1"]["duration_ms"] == 4000
@@ -196,6 +238,8 @@ def test_media_video_operator(spark):
     assert meta["u2"]["media_format"] == "mkv"  # parsed > sniffed
     assert meta["u3"]["media_format"] == "ogg"
     assert meta["u3"]["sample_rate"] == 16000
+    assert meta["u6"]["media_format"] == "avif"   # image family row
+    assert (meta["u6"]["width"], meta["u6"]["height"]) == (640, 480)
 
 
 def test_media_metadata_mp3_rows(spark):
