@@ -158,6 +158,8 @@ BENCH_QUERIES = [
     "video_container_meta",
     # round-5j: HEIF/AVIF brand routing + ispe dims
     "heif_image_meta",
+    # round-5j: XMP rights/licensing scan across four carriers
+    "xmp_rights_scan",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

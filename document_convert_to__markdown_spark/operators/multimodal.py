@@ -443,6 +443,45 @@ EXIF_SCHEMA = StructType([
     StructField("has_gps", BooleanType(), False),
 ])
 
+XMP_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("creator", StringType(), True),
+    StructField("rights", StringType(), True),
+    StructField("title", StringType(), True),
+    StructField("create_date", StringType(), True),
+    StructField("marked", BooleanType(), True),
+    StructField("license_url", StringType(), True),
+])
+
+
+def media_xmp(df: DataFrame, url_col: str = "url",
+              blob_col: str = "data") -> DataFrame:
+    """Binary image column → XMP rights/licensing columns, header-only.
+
+    The licensing twin of ``media_exif`` (``extractors/xmp.py``, ISO
+    16684-1): dc:creator / dc:rights / dc:title, the verbatim
+    xmp:CreateDate claim, the explicit xmpRights:Marked flag, and the
+    license URL (xmpRights:WebStatement > cc:license — the Creative
+    Commons discovery chain) — from the JPEG APP1, PNG iTXt, TIFF
+    tag-700, or WebP ``XMP `` carrier.  Element and attribute RDF
+    serializations both parse.  Payloads without a packet yield the
+    all-null row: one row in, one row out, no pixel decode.
+    """
+    from ..extractors.xmp import image_xmp
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                x = image_xmp(payload)
+                rows.append((url, x.creator, x.rights, x.title,
+                             x.create_date, x.marked, x.license_url))
+            yield pd.DataFrame(rows,
+                               columns=[f.name for f in XMP_SCHEMA])
+
+    return df.select(url_col, blob_col).mapInPandas(kernel, XMP_SCHEMA)
+
 
 def media_exif(df: DataFrame, url_col: str = "url",
                blob_col: str = "data") -> DataFrame:

@@ -115,6 +115,8 @@ PINNABLE = [
     # builders and authored values are fully deterministic.
     "video_container_meta",
     "heif_image_meta",
+    # round-5j: the RDF/XML XMP packet grammar isn't SQL.
+    "xmp_rights_scan",
 ]
 
 _SQL_TYPES = {

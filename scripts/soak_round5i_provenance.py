@@ -15,7 +15,10 @@ closed-form check the multimodal soak pins for codecs:
   published-time and @type counts are closed-form;
 - ``media_video`` (round 5j) over MP4 (v0+v1 mvhd) / WebM / unknown-
   size Matroska / Ogg Vorbis+Opus blobs: every row must report its
-  authored duration, all four parsed containers must appear.
+  authored duration, all four parsed containers must appear;
+- ``media_xmp`` (round 5j) over JPEG-APP1 XMP packets alternating
+  element/attribute RDF form: every row must recover its authored
+  creator + license URL and Marked flag.
 
 Synthesis happens executor-side in ``mapInPandas`` (the driver ships
 a range); every authored blob round-trips through the real splicers +
@@ -43,7 +46,7 @@ def main() -> int:
                                    StructField, StructType)
 
     from document_convert_to__markdown_spark.operators.multimodal import (
-        caption_cues, media_exif, media_tags, media_video,
+        caption_cues, media_exif, media_tags, media_video, media_xmp,
     )
     from document_convert_to__markdown_spark.operators.pagemeta import (
         page_metadata,
@@ -301,6 +304,52 @@ def main() -> int:
     assert agg["n_dur_ok"] == 3 * n_scenes, agg
     assert agg["n_containers"] == 4, agg      # mp4/webm/mkv/ogg
     assert agg["n_null"] == 0, agg
+
+    XMP_SCHEMA_ = StructType([
+        StructField("url", StringType(), False),
+        StructField("want_creator", StringType(), False),
+        StructField("data", BinaryType(), False)])
+
+    def gen_xmp(batches):
+        import numpy as np
+        import pandas as pd
+
+        from document_convert_to__markdown_spark.extractors.jpeg_codec \
+            import encode_jpeg
+        from document_convert_to__markdown_spark.extractors.xmp import (
+            splice_jpeg_xmp,
+        )
+
+        for pdf in batches:
+            urls, creators, blobs = [], [], []
+            for s in pdf["id"]:
+                s = int(s)
+                img = np.random.RandomState(s).randint(
+                    0, 256, (6, 8, 3)).astype(np.uint8)
+                creator = f"C{s}"
+                blobs.append(splice_jpeg_xmp(
+                    encode_jpeg(img), creator=creator,
+                    license_url=f"https://l/{s}", marked=s % 2 == 0,
+                    attribute_form=s % 2 == 1))
+                urls.append(f"s{s:07d}")
+                creators.append(creator)
+            yield pd.DataFrame({"url": urls, "want_creator": creators,
+                                "data": blobs})
+
+    xmps = spark.range(n_scenes).repartition(2 * cores) \
+        .mapInPandas(gen_xmp, XMP_SCHEMA_)
+    t0 = time.time()
+    xm = media_xmp(xmps).join(xmps.select("url", "want_creator"),
+                              "url")
+    agg = xm.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when((F.col("creator") == F.col("want_creator"))
+                     & F.col("license_url").isNotNull()
+                     & F.col("marked").isNotNull(), 1)
+              .otherwise(0)).alias("n_ok")).collect()[0]
+    results["xmp_rows"] = agg["n"]
+    results["xmp_sec"] = round(time.time() - t0, 1)
+    assert agg["n"] == n_scenes == agg["n_ok"], agg
 
     results["checks"] = "pass"
     print(json.dumps(results))

@@ -315,7 +315,7 @@ def test_provenance_scans_are_exchange_free(spark, sf):
     project → Arrow eval, NO Exchange — at 10^9 rows any shuffle here
     would dominate the job for what is a per-row header parse."""
     from document_convert_to__markdown_spark.operators.multimodal import (
-        caption_cues, media_exif, media_tags, media_video,
+        caption_cues, media_exif, media_tags, media_video, media_xmp,
     )
     from document_convert_to__markdown_spark.operators.pagemeta import (
         page_metadata,
@@ -327,7 +327,7 @@ def test_provenance_scans_are_exchange_free(spark, sf):
                     "text as html")
     for op, col in ((media_exif, None), (media_tags, None),
                     (caption_cues, None), (media_video, None),
-                    (page_metadata, "html")):
+                    (media_xmp, None), (page_metadata, "html")):
         out = op(docs) if col is None else op(docs, html_col=col)
         plan = plan_str(out)
         assert "Exchange" not in plan, (op.__name__, plan)
