@@ -1931,6 +1931,86 @@ def _q_xmp_rights_scan(spark, sf):
             .orderBy("grammar"))
 
 
+def _q_audio_cover_art_dedup(spark, sf):
+    """Cross-container cover-art dedup (round 5j:
+    extractors/audio_tags.py:audio_cover_art pulls the embedded
+    picture out of ID3v2 APIC frames — all three ID3v2 grammars,
+    incl. v2.2's 3-byte PIC form and UTF-16 description terminators —
+    and the FLAC PICTURE block per RFC 9639 §8.8;
+    operators/multimodal.py:media_cover_art surfaces it as a plain
+    binary column so the IMAGE pipeline runs on it unchanged.  The
+    point: the same recording re-encoded across containers carries
+    the same art, so `image_dhash(media_cover_art(df),
+    blob_col="art")` is a cross-container blocking key no audio
+    fingerprint gives you).  Proof shape: 20 scenes, each rendering
+    its own PNG art embedded in four renditions (ID3v2.4 / v2.3 /
+    v2.2-PIC / FLAC PICTURE) plus an art-free bare rendition; the
+    extracted art's dHash must equal the scene's source-art dHash for
+    every tagged row (REAL decoded pixels), bare rows must be null.
+    Binary frame grammar + pixel decode aren't SQL — pinned oracle."""
+    from document_convert_to__markdown_spark.extractors.audio_tags import (
+        build_id3v2, flac_add_picture,
+    )
+    from document_convert_to__markdown_spark.extractors.flac_codec import (
+        encode_flac,
+    )
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        image_dhash, media_cover_art,
+    )
+
+    import numpy as np
+
+    hows = ("id3v24", "id3v23", "id3v22", "flac_pic")
+    rows = []
+    for s in range(20):
+        rng = np.random.RandomState(6200 + s)
+        art = encode_png(rng.randint(0, 256, (12, 12, 3))
+                         .astype(np.uint8))
+        pcm = (rng.standard_normal(400) * 8000).astype(np.int16)
+        flac = encode_flac(pcm, rate=8000)
+        mpeg = b"\xff\xfb" + bytes(48)
+        for how in hows:
+            if how == "id3v24":
+                blob = build_id3v2(title=f"T{s}", version=4,
+                                   picture=art) + mpeg
+            elif how == "id3v23":
+                blob = build_id3v2(title=f"T{s}", version=3,
+                                   picture=art) + mpeg
+            elif how == "id3v22":
+                blob = build_id3v2(title=f"T{s}", version=2,
+                                   picture=art) + mpeg
+            else:
+                blob = flac_add_picture(flac, art, width=12,
+                                        height=12)
+            rows.append((f"s{s:03d}/{how}", s, how, bytearray(blob)))
+        rows.append((f"s{s:03d}/bare", s, "bare", bytearray(mpeg)))
+        rows.append((f"art{s:03d}", s, "art", bytearray(art)))
+    df = spark.createDataFrame(
+        rows, "url string, scene int, grammar string, data binary")
+    audio = df.filter(F.col("grammar") != "art")
+    arts = media_cover_art(audio)
+    hashed = image_dhash(arts.filter(F.col("art").isNotNull()),
+                         blob_col="art") \
+        .withColumnRenamed("dhash", "art_dhash").drop("mode")
+    want = image_dhash(df.filter(F.col("grammar") == "art")) \
+        .join(df.select("url", "scene"), "url") \
+        .select("scene", F.col("dhash").alias("want_dhash"))
+    joined = (arts.join(audio.select("url", "scene", "grammar"), "url")
+              .join(hashed, "url", "left")
+              .join(want, "scene"))
+    return (joined.groupBy("grammar")
+            .agg(F.sum(F.when(F.col("art_dhash")
+                              == F.col("want_dhash"), 1)
+                       .otherwise(0)).alias("n_hash_match"),
+                 F.sum(F.when(F.col("art").isNull(), 1)
+                       .otherwise(0)).alias("n_no_art"),
+                 F.count("*").alias("n_rows"))
+            .orderBy("grammar"))
+
+
 def _q_image_exif_orientation(spark, sf):
     """EXIF provenance + orientation normalization (round 5i:
     extractors/exif.py parses the CIPA DC-008 APP1/TIFF-IFD grammar —
@@ -4386,6 +4466,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_container_meta": _q_video_container_meta,  # new r5j
         "heif_image_meta": _q_heif_image_meta,            # new r5j
         "xmp_rights_scan": _q_xmp_rights_scan,            # new r5j
+        "audio_cover_art_dedup": _q_audio_cover_art_dedup,  # new r5j
         "image_exif_orientation": _q_image_exif_orientation,  # new r5i
         "audio_tags_scan": _q_audio_tags_scan,            # new r5i
         "caption_cues_scan": _q_caption_cues_scan,        # new r5i

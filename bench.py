@@ -160,6 +160,8 @@ BENCH_QUERIES = [
     "heif_image_meta",
     # round-5j: XMP rights/licensing scan across four carriers
     "xmp_rights_scan",
+    # round-5j: ID3/FLAC cover-art extraction -> image dHash dedup
+    "audio_cover_art_dedup",
     # round-5g: animated-PNG compositing (acTL/fcTL/fdAT, Porter-Duff
     # OVER, dispose background/previous)
     "multimodal_apng_decode",

@@ -76,14 +76,17 @@ def _id3_text(body: bytes) -> Optional[str]:
     return s.split("\x00", 1)[0].strip() or None
 
 
-def parse_id3v2(payload: bytes) -> AudioTags:
-    """Leading ID3v2.2/2.3/2.4 header → tags.  Never raises."""
+def _id3v2_frames(payload: bytes):
+    """Leading ID3v2.2/2.3/2.4 header → yields ``(version, frame_id
+    str, body bytes)``.  One walk shared by the text-tag reader and
+    the cover-art reader.  Stops (never raises) on any malformation.
+    """
     if payload[:3] != b"ID3" or len(payload) < 10:
-        return EMPTY_TAGS
+        return
     ver = payload[3]
     flags = payload[5]
     if ver not in (2, 3, 4) or flags & 0x80:    # unsynchronized: skip
-        return EMPTY_TAGS
+        return
     size = _syncsafe(payload[6:10])
     end = min(10 + size, len(payload))
     pos = 10
@@ -93,7 +96,6 @@ def parse_id3v2(payload: bytes) -> AudioTags:
         pos += ext
     id_len = 3 if ver == 2 else 4               # v2.2: 3-byte frames
     hdr_len = 6 if ver == 2 else 10
-    fields: dict[str, str] = {}
     while pos + hdr_len <= end:
         fid = payload[pos:pos + id_len]
         if fid == b"\x00" * id_len:
@@ -109,15 +111,22 @@ def parse_id3v2(payload: bytes) -> AudioTags:
         if fsz < 0 or pos + hdr_len + fsz > end:
             break
         try:
-            key = ID3V2_FRAME_KEYS.get(fid.decode("ascii"))
+            fid_s = fid.decode("ascii")
         except UnicodeDecodeError:
             break
+        yield ver, fid_s, payload[pos + hdr_len:pos + hdr_len + fsz]
+        pos += hdr_len + fsz
+
+
+def parse_id3v2(payload: bytes) -> AudioTags:
+    """Leading ID3v2.2/2.3/2.4 header → tags.  Never raises."""
+    fields: dict[str, str] = {}
+    for _ver, fid, body in _id3v2_frames(payload):
+        key = ID3V2_FRAME_KEYS.get(fid)
         if key and key not in fields:
-            val = _id3_text(
-                payload[pos + hdr_len:pos + hdr_len + fsz])
+            val = _id3_text(body)
             if val:
                 fields[key] = val
-        pos += hdr_len + fsz
     if not fields:
         return EMPTY_TAGS
     return AudioTags(fields.get("title"), fields.get("artist"),
@@ -247,9 +256,95 @@ def audio_tags(payload: bytes) -> AudioTags:
 
 # ----------------------------------------------------------------- authoring
 
+def _apic_data(ver: int, body: bytes) -> Optional[bytes]:
+    """APIC (v2.3/2.4) / PIC (v2.2) frame body → picture bytes.
+    Layout per id3.org: encoding, mime (NUL-term latin-1; v2.2 uses a
+    fixed 3-byte format code), picture type, description (terminated
+    by NUL, or NUL-NUL for the UTF-16 encodings), then the data."""
+    if not body:
+        return None
+    enc = body[0]
+    if ver == 2:
+        pos = 1 + 3                              # 3-byte image format
+    else:
+        cut = body.find(b"\x00", 1)
+        if cut < 0:
+            return None
+        pos = cut + 1
+    pos += 1                                     # picture type byte
+    if enc in (1, 2):                            # UTF-16: NUL-NUL term
+        cut = body.find(b"\x00\x00", pos)
+        if cut < 0:
+            return None
+        # keep 16-bit alignment (the terminator is a 2-byte unit)
+        if (cut - pos) % 2:
+            cut += 1
+        pos = cut + 2
+    else:
+        cut = body.find(b"\x00", pos)
+        if cut < 0:
+            return None
+        pos = cut + 1
+    return body[pos:] or None
+
+
+def _flac_picture(payload: bytes) -> Optional[bytes]:
+    """FLAC METADATA_BLOCK_PICTURE (type 6, RFC 9639 §8.8) → picture
+    bytes.  Big-endian lengths throughout."""
+    if payload[:4] != b"fLaC":
+        return None
+    pos = 4
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        length = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + length]
+        if hdr & 0x7F == 6 and len(body) == length:
+            try:
+                p = 4                            # picture type
+                (mlen,) = struct.unpack(">I", body[p:p + 4])
+                p += 4 + mlen
+                (dlen,) = struct.unpack(">I", body[p:p + 4])
+                p += 4 + dlen
+                p += 16                          # w/h/depth/colors
+                (n,) = struct.unpack(">I", body[p:p + 4])
+                data = body[p + 4:p + 4 + n]
+                return data if len(data) == n and n else None
+            except struct.error:
+                return None
+        pos += 4 + length
+        if hdr & 0x80:
+            break                                # last metadata block
+    return None
+
+
+def audio_cover_art(payload: bytes) -> Optional[bytes]:
+    """Embedded cover art from an audio container (or None): ID3v2
+    APIC/PIC frames on MP3s, the FLAC PICTURE block.  Returns the
+    raw picture bytes (PNG/JPEG/...) so the image pipeline —
+    ``media_metadata``, ``image_dhash``, near-dup joins — runs on
+    them unchanged: the same recording re-encoded across containers
+    usually carries the same art, which makes art a cross-container
+    blocking key.  Never raises."""
+    try:
+        if payload[:3] == b"ID3":
+            for ver, fid, body in _id3v2_frames(payload):
+                if fid in ("APIC", "PIC"):
+                    data = _apic_data(ver, body)
+                    if data:
+                        return data
+            return None
+        if payload[:4] == b"fLaC":
+            return _flac_picture(payload)
+    except Exception:
+        pass
+    return None
+
+
 def build_id3v2(title: str | None = None, artist: str | None = None,
                 album: str | None = None, date: str | None = None,
-                version: int = 4) -> bytes:
+                version: int = 4,
+                picture: bytes | None = None,
+                picture_mime: str = "image/png") -> bytes:
     """A complete ID3v2.2/2.3/2.4 header block (UTF-8 text frames
     for v4, latin-1 for v3/v2.2 — all three grammars exercised)."""
     if version not in (2, 3, 4):
@@ -276,6 +371,20 @@ def build_id3v2(title: str | None = None, artist: str | None = None,
             body = b"\x00" + val.encode("latin-1")
             sz = struct.pack(">I", len(body))
         frames += fid.encode("ascii") + sz + b"\x00\x00" + body
+    if picture is not None:
+        if version == 2:
+            fmt = b"PNG" if picture[:4] == b"\x89PNG" else b"JPG"
+            body = b"\x00" + fmt + b"\x03" + b"\x00" + picture
+            frames += b"PIC" + len(body).to_bytes(3, "big") + body
+        else:
+            body = (b"\x00" + picture_mime.encode("latin-1") + b"\x00"
+                    + b"\x03" + b"Cover\x00" + picture)
+            if version == 4:
+                sz = bytes(((len(body) >> s) & 0x7F)
+                           for s in (21, 14, 7, 0))
+            else:
+                sz = struct.pack(">I", len(body))
+            frames += b"APIC" + sz + b"\x00\x00" + body
     size = bytes(((len(frames) >> s) & 0x7F) for s in (21, 14, 7, 0))
     return b"ID3" + bytes((version, 0, 0)) + size + frames
 
@@ -306,6 +415,30 @@ def flac_add_vorbis_comment(flac: bytes, **tags: str) -> bytes:
         body += struct.pack("<I", len(c)) + c
     last = hdr0 & 0x80                          # inherit last-block flag
     block = bytes((4 | last,)) + len(body).to_bytes(3, "big") + body
+    return (flac[:4] + bytes((hdr0 & 0x7F,)) + flac[5:8]
+            + flac[8:8 + length] + block + flac[8 + length:])
+
+
+def flac_add_picture(flac: bytes, picture: bytes,
+                     mime: str = "image/png",
+                     width: int = 0, height: int = 0) -> bytes:
+    """Insert a PICTURE block (type 6, RFC 9639 §8.8) after
+    STREAMINFO — no audio re-encode, same splice shape as
+    ``flac_add_vorbis_comment``."""
+    if flac[:4] != b"fLaC" or len(flac) < 8:
+        raise ValueError("not a FLAC stream")
+    hdr0 = flac[4]
+    length = int.from_bytes(flac[5:8], "big")
+    if hdr0 & 0x7F != 0:
+        raise ValueError("FLAC must lead with STREAMINFO")
+    m = mime.encode("latin-1")
+    body = (struct.pack(">I", 3)                 # front cover
+            + struct.pack(">I", len(m)) + m
+            + struct.pack(">I", 0)               # empty description
+            + struct.pack(">IIII", width, height, 24, 0)
+            + struct.pack(">I", len(picture)) + picture)
+    last = hdr0 & 0x80
+    block = bytes((6 | last,)) + len(body).to_bytes(3, "big") + body
     return (flac[:4] + bytes((hdr0 & 0x7F,)) + flac[5:8]
             + flac[8:8 + length] + block + flac[8 + length:])
 

@@ -596,6 +596,48 @@ def media_tags(df: DataFrame, url_col: str = "url",
     return df.select(url_col, blob_col).mapInPandas(kernel, TAGS_SCHEMA)
 
 
+COVER_ART_SCHEMA = StructType([
+    StructField("url", StringType(), False),
+    StructField("art", BinaryType(), True),
+    StructField("art_format", StringType(), True),   # sniffed
+    StructField("art_bytes", LongType(), True),
+])
+
+
+def media_cover_art(df: DataFrame, url_col: str = "url",
+                    blob_col: str = "data") -> DataFrame:
+    """Binary audio column → embedded cover art, header-only.
+
+    Pulls the picture bytes out of ID3v2 APIC/PIC frames (all three
+    ID3v2 grammars) and FLAC PICTURE blocks (RFC 9639 §8.8) —
+    ``extractors/audio_tags.py:audio_cover_art``.  The art comes back
+    as a plain binary column so the IMAGE pipeline runs on it
+    unchanged: ``image_dhash(media_cover_art(df), blob_col="art")``
+    gives art-keyed blocking — the same recording re-encoded across
+    containers usually carries the same art, which no audio
+    fingerprint survives but the art hash does.  Art-free and
+    non-audio payloads yield the null row: one row in, one row out.
+    """
+    from ..extractors.audio_tags import audio_cover_art
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for url, blob in zip(pdf[url_col], pdf[blob_col]):
+                payload = bytes(blob) if blob is not None else b""
+                art = audio_cover_art(payload)
+                if art is None:
+                    rows.append((url, None, None, None))
+                else:
+                    rows.append((url, art, sniff_format(art),
+                                 len(art)))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in COVER_ART_SCHEMA])
+
+    return df.select(url_col, blob_col).mapInPandas(
+        kernel, COVER_ART_SCHEMA)
+
+
 VIDEO_META_SCHEMA = StructType([
     StructField("url", StringType(), False),
     StructField("container", StringType(), True),   # mp4|webm|mkv|ogg

@@ -117,6 +117,8 @@ PINNABLE = [
     "heif_image_meta",
     # round-5j: the RDF/XML XMP packet grammar isn't SQL.
     "xmp_rights_scan",
+    # round-5j: ID3/FLAC picture frames + pixel dHash aren't SQL.
+    "audio_cover_art_dedup",
 ]
 
 _SQL_TYPES = {

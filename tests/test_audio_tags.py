@@ -140,3 +140,91 @@ def test_id3v22_three_byte_frames():
                                 "id3v2")
     for cut in range(len(blob) + 1):
         audio_tags(blob[:cut])
+
+
+def test_cover_art_all_grammars():
+    """APIC (v2.3/2.4), PIC (v2.2) and the FLAC PICTURE block must
+    return the exact embedded picture bytes; audio/tags untouched
+    (round 5j)."""
+    from document_convert_to__markdown_spark.extractors.audio_tags import (
+        audio_cover_art, flac_add_picture,
+    )
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+
+    art = encode_png(np.random.RandomState(4).randint(
+        0, 256, (8, 8, 3)).astype(np.uint8))
+    for v in (2, 3, 4):
+        blob = build_id3v2(title="T", artist="A", version=v,
+                           picture=art) + b"\xff\xfb" + bytes(32)
+        assert audio_cover_art(blob) == art, v
+        t = audio_tags(blob)
+        assert (t.title, t.artist) == ("T", "A"), v
+
+    flac = encode_flac((_pcm() * 32767).astype(np.int16), rate=8000)
+    f2 = flac_add_vorbis_comment(flac_add_picture(flac, art,
+                                                  width=8, height=8),
+                                 title="FT")
+    assert audio_cover_art(f2) == art
+    assert audio_tags(f2).title == "FT"
+    assert np.array_equal(decode_flac(f2)[0], decode_flac(flac)[0])
+
+    # UTF-16 description: APIC terminator is the 2-byte NUL unit
+    import struct
+    body = (b"\x01" + b"image/png\x00" + b"\x03"
+            + "desc".encode("utf-16") + b"\x00\x00" + art)
+    hdr = b"APIC" + bytes(((len(body) >> s) & 0x7F)
+                          for s in (21, 14, 7, 0)) + b"\x00\x00"
+    frames = hdr + body
+    blob = b"ID3" + bytes((4, 0, 0)) + bytes(
+        ((len(frames) >> s) & 0x7F) for s in (21, 14, 7, 0)) + frames
+    assert audio_cover_art(blob) == art
+
+    # art-free and non-audio payloads
+    assert audio_cover_art(build_id3v2(title="x") + b"\xff\xfb") is None
+    assert audio_cover_art(flac) is None
+    assert audio_cover_art(b"") is None
+    # truncation fuzz
+    full = build_id3v2(picture=art) + b"\xff\xfb"
+    for cut in range(len(full) + 1):
+        audio_cover_art(full[:cut])
+
+
+def test_media_cover_art_feeds_image_pipeline(spark):
+    """The cross-container art-dedup composition: cover art extracted
+    from mp3 AND flac renditions of the same recording must produce
+    the SAME image_dhash as the standalone art file — the blocking
+    key no audio fingerprint gives you (round 5j)."""
+    from document_convert_to__markdown_spark.extractors.audio_tags import (
+        flac_add_picture,
+    )
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    from document_convert_to__markdown_spark.operators.multimodal import (
+        image_dhash, media_cover_art,
+    )
+
+    art = encode_png(np.random.RandomState(11).randint(
+        0, 256, (16, 16, 3)).astype(np.uint8))
+    flac = encode_flac((_pcm() * 32767).astype(np.int16), rate=8000)
+    rows = [("u_mp3", bytearray(build_id3v2(picture=art)
+                                + b"\xff\xfb" + bytes(32))),
+            ("u_flac", bytearray(flac_add_picture(flac, art))),
+            ("u_bare", bytearray(b"\xff\xfb" + bytes(32))),
+            ("u_art", bytearray(art))]
+    df = spark.createDataFrame(rows, "url string, data binary")
+    arts = media_cover_art(df.filter("url != 'u_art'"))
+    got = {r["url"]: r for r in arts.collect()}
+    assert len(got) == 3                     # no silent drops
+    assert got["u_mp3"]["art_format"] == "png"
+    assert got["u_flac"]["art_bytes"] == len(art)
+    assert got["u_bare"]["art"] is None
+
+    hashed = image_dhash(arts.filter("art is not null"),
+                         blob_col="art")
+    want = image_dhash(df.filter("url = 'u_art'")).collect()[0]
+    vals = {r["url"]: (r["dhash"], r["mode"]) for r in hashed.collect()}
+    assert vals["u_mp3"] == (want["dhash"], want["mode"])
+    assert vals["u_flac"] == (want["dhash"], want["mode"])
