@@ -62,6 +62,9 @@ class VideoMeta(NamedTuple):
     sample_rate: Optional[int]       # audio hz (container-declared)
     n_frames: Optional[int]          # video samples / pcm samples
     creation_time: Optional[str]     # ISO-8601 Z, container epoch fixed
+    language: Optional[str]          # explicit track language claim:
+                                     # mdhd packed ISO-639 / Matroska
+                                     # Language; audio track preferred
 
 
 _MP4_EPOCH = datetime(1904, 1, 1)        # ISO 14496-12 §8.2.2.1
@@ -145,6 +148,20 @@ def _parse_trak(buf: bytes, start: int, end: int) -> dict:
     hdlr = _bmff_find(buf, mdia[0], mdia[1], b"hdlr")
     if hdlr is not None and hdlr[1] - hdlr[0] >= 12:
         out["handler"] = buf[hdlr[0] + 8:hdlr[0] + 12]
+    mdhd = _bmff_find(buf, mdia[0], mdia[1], b"mdhd")
+    if mdhd is not None and mdhd[1] - mdhd[0] >= 4:
+        b, e = mdhd
+        # language: 3 packed 5-bit chars + 0x60 (ISO 14496-12
+        # §8.4.2.3), after the v0 16-byte / v1 28-byte time fields
+        off = b + 4 + (28 if buf[b] == 1 else 16)
+        if off + 2 <= e:
+            (packed,) = struct.unpack(">H", buf[off:off + 2])
+            chars = bytes((((packed >> s) & 0x1F) + 0x60)
+                          for s in (10, 5, 0))
+            if all(0x61 <= c <= 0x7A for c in chars):
+                lang = chars.decode("ascii")
+                if lang != "und":
+                    out["language"] = lang
     minf = _bmff_find(buf, mdia[0], mdia[1], b"minf")
     stbl = minf and _bmff_find(buf, minf[0], minf[1], b"stbl")
     if not stbl:
@@ -173,6 +190,7 @@ def mp4_meta(payload: bytes) -> Optional[VideoMeta]:
     try:
         brand = duration_ms = created = None
         width = height = vcodec = acodec = rate = n_frames = None
+        vlang = alang = None
         for btype, b, e in _walk_boxes(payload, 0, len(payload)):
             if btype == b"ftyp" and e - b >= 4:
                 brand = _ascii4(payload[b:b + 4])
@@ -205,17 +223,19 @@ def mp4_meta(payload: bytes) -> Optional[VideoMeta]:
                         width = tr.get("width") or width
                         height = tr.get("height") or height
                         vcodec = tr.get("fourcc") or vcodec
+                        vlang = tr.get("language") or vlang
                         if tr.get("n_samples"):
                             n_frames = tr["n_samples"]
                     elif tr.get("handler") == b"soun":
                         acodec = tr.get("fourcc") or acodec
                         rate = tr.get("sample_rate") or rate
+                        alang = tr.get("language") or alang
         if brand is None:
             return None
         return VideoMeta("mp4", brand, _i64(duration_ms),
                          width or None, height or None, vcodec,
                          acodec, _i64(rate or None), _i64(n_frames),
-                         created)
+                         created, alang or vlang)
     except Exception:
         return None
 
@@ -239,6 +259,9 @@ _ID_PIX_W = 0xB0
 _ID_PIX_H = 0xBA
 _ID_AUDIO = 0xE1
 _ID_SAMP_FREQ = 0xB5
+_ID_LANGUAGE = 0x22B59C          # ISO 639-2, explicit only (the
+_ID_LANG_BCP47 = 0x22B59D        # spec DEFAULT eng is not synthesized
+                                 # — pipelines want the file's claim)
 
 _EBML_MASTERS = {_ID_SEGMENT, _ID_INFO, _ID_TRACKS, _ID_TRACK_ENTRY,
                  _ID_VIDEO, _ID_AUDIO}
@@ -308,10 +331,11 @@ def webm_meta(payload: bytes) -> Optional[VideoMeta]:
         ts_scale = 1_000_000                     # ns, RFC 9559 default
         duration_units = created = None
         width = height = vcodec = acodec = rate = None
+        vlang = alang = None
 
         def track_entry(b: int, e: int):
-            nonlocal width, height, vcodec, acodec, rate
-            ttype, codec = None, None
+            nonlocal width, height, vcodec, acodec, rate, vlang, alang
+            ttype, codec, lang = None, None, None
             vid: dict = {}
             freq = None
             for eid, bb, ee in _walk_ebml(payload, b, e):
@@ -319,6 +343,8 @@ def webm_meta(payload: bytes) -> Optional[VideoMeta]:
                     ttype = _ebml_uint(payload, bb, ee)
                 elif eid == _ID_CODEC_ID:
                     codec = _ascii4(payload[bb:ee][:32])
+                elif eid in (_ID_LANGUAGE, _ID_LANG_BCP47):
+                    lang = _ascii4(payload[bb:ee][:16]) or lang
                 elif eid == _ID_VIDEO:
                     for e2, b3, e3 in _walk_ebml(payload, bb, ee):
                         if e2 == _ID_PIX_W:
@@ -333,8 +359,10 @@ def webm_meta(payload: bytes) -> Optional[VideoMeta]:
                 width = vid.get("w") or width
                 height = vid.get("h") or height
                 vcodec = codec or vcodec
+                vlang = lang or vlang
             elif ttype == 2:                     # audio
                 acodec = codec or acodec
+                alang = lang or alang
                 if freq and freq > 0:
                     rate = int(round(freq))
 
@@ -376,7 +404,7 @@ def webm_meta(payload: bytes) -> Optional[VideoMeta]:
         container = "webm" if doctype == "webm" else "mkv"
         return VideoMeta(container, doctype, _i64(duration_ms), width,
                          height, vcodec, acodec, _i64(rate), None,
-                         created)
+                         created, alang or vlang)
     except Exception:
         return None
 
@@ -454,7 +482,7 @@ def ogg_meta(payload: bytes) -> Optional[VideoMeta]:
                          "theora" if codec == "theora" else None,
                          codec if codec != "theora" else None,
                          _i64(rate if rate else None),
-                         _i64(n_frames), None)
+                         _i64(n_frames), None, None)
     except Exception:
         return None
 
@@ -570,6 +598,8 @@ def video_to_markdown(payload: bytes, doc_name: str) -> Optional[str]:
         lines.append(f"- 采样率: {meta.sample_rate} Hz")
     if meta.duration_ms is not None:
         lines.append(f"- 时长: {meta.duration_ms / 1000:.2f} 秒")
+    if meta.language:
+        lines.append(f"- 语言: {meta.language}")
     if meta.creation_time:
         lines.append(f"- 创建时间: {meta.creation_time}")
     lines.append(f"- 文件大小: {len(payload)} 字节")
@@ -591,13 +621,27 @@ def build_mp4(*, brand: str = "isom", timescale: int = 1000,
               creation: str = "2021-03-04T05:06:07",
               video: tuple | None = ("avc1", 640, 360, 96),
               audio: tuple | None = ("mp4a", 48000),
-              mvhd_v1: bool = False) -> bytes:
+              mvhd_v1: bool = False,
+              language: str | None = None) -> bytes:
     """Deterministic minimal ISO-BMFF file: ``ftyp`` + ``moov`` (mvhd
     + one trak per declared track) + empty ``mdat``.  ``video`` is
-    ``(fourcc, w, h, n_frames)``; ``audio`` is ``(fourcc, rate)``."""
+    ``(fourcc, w, h, n_frames)``; ``audio`` is ``(fourcc, rate)``;
+    ``language`` writes the packed ISO-639 mdhd code on each track."""
     ctime = int((datetime.strptime(creation, "%Y-%m-%dT%H:%M:%S")
                  - _MP4_EPOCH).total_seconds())
     dur = duration_ms * timescale // 1000
+    if language is None:
+        packed_lang = 0x55C4                     # 'und'
+    else:
+        if len(language) != 3:
+            raise ValueError("language must be 3 ISO-639 letters")
+        a, b_, c = (ord(ch) - 0x60 for ch in language.lower())
+        packed_lang = (a << 10) | (b_ << 5) | c
+
+    def mdhd() -> bytes:
+        return _full(b"mdhd", 0, struct.pack(
+            ">IIII H H", ctime, ctime, timescale, dur,
+            packed_lang, 0))
 
     def tkhd(track_id: int, w: int, h: int) -> bytes:
         return _full(b"tkhd", 0, struct.pack(
@@ -616,7 +660,7 @@ def build_mp4(*, brand: str = "isom", timescale: int = 1000,
              entry: bytes, n_samples: int) -> bytes:
         hdlr = _full(b"hdlr", 0, b"\0" * 4 + handler + b"\0" * 13)
         minf = _box(b"minf", stbl(entry, n_samples))
-        mdia = _box(b"mdia", hdlr + minf)
+        mdia = _box(b"mdia", mdhd() + hdlr + minf)
         return _box(b"trak", tkhd(track_id, w, h) + mdia)
 
     traks = b""
@@ -668,7 +712,8 @@ def build_webm(*, doctype: str = "webm", duration_ms: int = 4000,
                video: tuple | None = ("V_VP9", 1280, 720),
                audio: tuple | None = ("A_OPUS", 48000),
                date_utc: str | None = "2022-11-12T13:14:15",
-               unknown_segment_size: bool = False) -> bytes:
+               unknown_segment_size: bool = False,
+               language: str | None = None) -> bytes:
     """Deterministic minimal Matroska/WebM: EBML header + Segment
     (Info + Tracks).  ``video`` is ``(codec_id, w, h)``; ``audio`` is
     ``(codec_id, hz)``.  ``unknown_segment_size`` writes the all-ones
@@ -689,18 +734,24 @@ def build_webm(*, doctype: str = "webm", duration_ms: int = 4000,
     tracks = b""
     if video is not None:
         codec, w, h = video
+        lang_el = (b"" if language is None else
+                   _el(_ID_LANGUAGE, language.encode("ascii")))
         tracks += _el(_ID_TRACK_ENTRY,
                       _el_uint(0xD7, 1)          # TrackNumber
                       + _el_uint(_ID_TRACK_TYPE, 1)
                       + _el(_ID_CODEC_ID, codec.encode("ascii"))
+                      + lang_el
                       + _el(_ID_VIDEO, _el_uint(_ID_PIX_W, w)
                             + _el_uint(_ID_PIX_H, h)))
     if audio is not None:
         codec, hz = audio
+        lang_el = (b"" if language is None else
+                   _el(_ID_LANGUAGE, language.encode("ascii")))
         tracks += _el(_ID_TRACK_ENTRY,
                       _el_uint(0xD7, 2)
                       + _el_uint(_ID_TRACK_TYPE, 2)
                       + _el(_ID_CODEC_ID, codec.encode("ascii"))
+                      + lang_el
                       + _el(_ID_AUDIO, _el(_ID_SAMP_FREQ,
                                            struct.pack(">f", hz))))
     seg_body = _el(_ID_INFO, info) + _el(_ID_TRACKS, tracks)

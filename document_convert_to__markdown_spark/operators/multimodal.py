@@ -651,6 +651,7 @@ VIDEO_META_SCHEMA = StructType([
     StructField("sample_rate", LongType(), True),
     StructField("n_frames", LongType(), True),
     StructField("creation_time", StringType(), True),
+    StructField("language", StringType(), True),
     StructField("n_bytes", LongType(), False),
 ])
 
@@ -679,7 +680,7 @@ def media_video(df: DataFrame, url_col: str = "url",
                 m = video_meta(payload)
                 if m is None:
                     rows.append((url, None, None, None, None, None,
-                                 None, None, None, None, None,
+                                 None, None, None, None, None, None,
                                  len(payload)))
                 else:
                     rows.append((url, m.container, m.brand,
@@ -687,7 +688,7 @@ def media_video(df: DataFrame, url_col: str = "url",
                                  _i32(m.height), m.video_codec,
                                  m.audio_codec, m.sample_rate,
                                  m.n_frames, m.creation_time,
-                                 len(payload)))
+                                 m.language, len(payload)))
             yield pd.DataFrame(
                 rows, columns=[f.name for f in VIDEO_META_SCHEMA])
 

@@ -44,6 +44,10 @@ def test_mp4_roundtrip_v0_and_v1():
     assert audio_only.width is None and audio_only.video_codec is None
     assert audio_only.sample_rate == 44100
 
+    # mdhd packed ISO-639 language; 'und' and absent both -> None
+    assert video_meta(build_mp4(language="fra")).language == "fra"
+    assert video_meta(build_mp4()).language is None
+
 
 def test_webm_and_mkv_roundtrip():
     m = video_meta(build_webm())
@@ -64,6 +68,11 @@ def test_webm_and_mkv_roundtrip():
     assert mkv.sample_rate == 44100
     assert mkv.duration_ms == 90000          # scale-independent ms
     assert mkv.creation_time is None
+
+    # explicit Matroska Language element; the spec DEFAULT eng is
+    # NOT synthesized when absent — pipelines want the file's claim
+    assert video_meta(build_webm(language="deu")).language == "deu"
+    assert video_meta(build_webm()).language is None
 
 
 def test_ogg_three_codecs():
