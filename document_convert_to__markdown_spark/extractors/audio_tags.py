@@ -273,11 +273,19 @@ def _apic_data(ver: int, body: bytes) -> Optional[bytes]:
         pos = cut + 1
     pos += 1                                     # picture type byte
     if enc in (1, 2):                            # UTF-16: NUL-NUL term
-        cut = body.find(b"\x00\x00", pos)
-        if cut < 0:
-            return None
-        # keep 16-bit alignment (the terminator is a 2-byte unit)
-        if (cut - pos) % 2:
+        # the terminator is a 2-byte UNIT: only an even offset from
+        # the description start counts.  An odd-offset 00 00 (a
+        # codepoint's low byte next to the following char's high
+        # byte) is description content — search on, don't bump, or
+        # the returned picture grows a 2-byte prefix and loses its
+        # magic bytes.
+        cut = pos
+        while True:
+            cut = body.find(b"\x00\x00", cut)
+            if cut < 0:
+                return None
+            if (cut - pos) % 2 == 0:
+                break
             cut += 1
         pos = cut + 2
     else:

@@ -313,20 +313,22 @@ def png_add_exif(png: bytes, **kw) -> bytes:
     return png[:cut] + chunk + png[cut:]
 
 
-def webp_add_exif(webp: bytes, **kw) -> bytes:
-    """Append an ``EXIF`` chunk, upgrading a simple lossless file to
-    the VP8X extended container (EXIF flag 0x08, canvas dims read
-    from the VP8L stream header) when needed — no pixel re-encode."""
+def webp_splice_chunk(webp: bytes, fourcc: bytes, body: bytes,
+                      flag_bit: int) -> bytes:
+    """Append a metadata chunk to a WebP, setting its VP8X feature
+    flag — upgrading a simple VP8L file to the VP8X extended
+    container (canvas dims read from the VP8L stream header) when
+    needed.  No pixel re-encode.  Shared by the EXIF (flag 0x08) and
+    XMP (flag 0x04) splicers."""
     if len(webp) < 12 or webp[:4] != b"RIFF" or webp[8:12] != b"WEBP":
         raise ValueError("not a WebP")
-    body = build_exif_block(**kw)
-    exif_chunk = b"EXIF" + struct.pack("<I", len(body)) + body
-    exif_chunk += b"\0" * (len(body) & 1)
+    chunk = fourcc + struct.pack("<I", len(body)) + body
+    chunk += b"\0" * (len(body) & 1)
     chunks = webp[12:]
     if chunks[:4] == b"VP8X":
-        flags = chunks[8] | 0x08                 # set the EXIF bit
+        flags = chunks[8] | flag_bit
         chunks = chunks[:8] + bytes((flags,)) + chunks[9:]
-        out_body = chunks + exif_chunk
+        out_body = chunks + chunk
     elif chunks[:4] == b"VP8L":
         vp8l = chunks[8:]
         if not vp8l or vp8l[0] != 0x2F or len(vp8l) < 5:
@@ -334,14 +336,23 @@ def webp_add_exif(webp: bytes, **kw) -> bytes:
         bits = int.from_bytes(vp8l[1:5], "little")
         w = (bits & 0x3FFF) + 1
         h = ((bits >> 14) & 0x3FFF) + 1
-        vp8x = (bytes([0x08, 0, 0, 0]) + (w - 1).to_bytes(3, "little")
+        vp8x = (bytes([flag_bit, 0, 0, 0])
+                + (w - 1).to_bytes(3, "little")
                 + (h - 1).to_bytes(3, "little"))
         vp8x_chunk = b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
-        out_body = vp8x_chunk + chunks + exif_chunk
+        out_body = vp8x_chunk + chunks + chunk
     else:
-        raise ValueError("unsupported WebP layout for EXIF insert")
+        raise ValueError(
+            f"unsupported WebP layout for {fourcc!r} insert")
     return (b"RIFF" + struct.pack("<I", len(out_body) + 4)
             + b"WEBP" + out_body)
+
+
+def webp_add_exif(webp: bytes, **kw) -> bytes:
+    """Append an ``EXIF`` chunk (VP8X flag 0x08) — no pixel
+    re-encode."""
+    return webp_splice_chunk(webp, b"EXIF", build_exif_block(**kw),
+                             0x08)
 
 
 def splice_jpeg_exif(jpeg: bytes, **kw) -> bytes:

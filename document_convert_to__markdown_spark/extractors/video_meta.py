@@ -212,7 +212,10 @@ def mp4_meta(payload: bytes) -> Optional[VideoMeta]:
                     unknown = (1 << (64 if ver == 1 else 32)) - 1
                     if ts and dur != unknown:
                         duration_ms = dur * 1000 // ts
-                    if 0 < ctime < 1 << 40:      # plausible epoch secs
+                    # clamp to what the 1904 epoch can represent
+                    # (datetime year 9999 ≈ 2.55e11 s): an absurd
+                    # ctime costs this field, never the whole row
+                    if 0 < ctime < 255_000_000_000:
                         created = _iso(_MP4_EPOCH
                                        + timedelta(seconds=ctime))
                 for t2, b2, e2 in _walk_boxes(payload, b, e):
@@ -263,10 +266,6 @@ _ID_LANGUAGE = 0x22B59C          # ISO 639-2, explicit only (the
 _ID_LANG_BCP47 = 0x22B59D        # spec DEFAULT eng is not synthesized
                                  # — pipelines want the file's claim)
 
-_EBML_MASTERS = {_ID_SEGMENT, _ID_INFO, _ID_TRACKS, _ID_TRACK_ENTRY,
-                 _ID_VIDEO, _ID_AUDIO}
-
-
 def _vint(buf: bytes, pos: int, keep_marker: bool):
     """EBML varint at ``pos`` → ``(value, next_pos)`` or None.
     ``keep_marker=True`` reads element IDs (marker bit retained);
@@ -290,7 +289,9 @@ def _vint(buf: bytes, pos: int, keep_marker: bool):
 
 def _walk_ebml(buf: bytes, start: int, end: int):
     """Yield ``(id, body_start, body_end)``; unknown-size elements
-    run to ``end`` (legal only for masters we then descend into)."""
+    run to ``end`` — correct for the streamed-Segment case this
+    walker exists for, and harmless elsewhere (the walk just ends
+    at that element; no guard list is kept)."""
     pos = start
     while pos < end:
         got = _vint(buf, pos, True)
@@ -444,6 +445,7 @@ def ogg_meta(payload: bytes) -> Optional[VideoMeta]:
         codec = None
         width = height = rate = channels = None
         granule_rate = None                      # granule units per sec
+        pre_skip = 0
         if pkt.startswith(b"\x01vorbis") and len(pkt) >= 16:
             codec = "vorbis"
             channels = pkt[11]
@@ -452,6 +454,7 @@ def ogg_meta(payload: bytes) -> Optional[VideoMeta]:
         elif pkt.startswith(b"OpusHead") and len(pkt) >= 19:
             codec = "opus"
             channels = pkt[9]
+            (pre_skip,) = struct.unpack("<H", pkt[10:12])
             (rate,) = struct.unpack("<I", pkt[12:16])
             granule_rate = 48_000                # RFC 7845 §4
         elif pkt.startswith(b"\x80theora") and len(pkt) >= 42:
@@ -475,8 +478,12 @@ def ogg_meta(payload: bytes) -> Optional[VideoMeta]:
                 break
         duration_ms = n_frames = None
         if last_granule is not None and granule_rate:
-            n_frames = last_granule
-            duration_ms = last_granule * 1000 // granule_rate
+            # RFC 7845 §4.2: the Opus granule position INCLUDES the
+            # pre-skip samples a decoder discards — subtract them so
+            # duration is playable audio, not stream samples
+            playable = max(0, last_granule - pre_skip)
+            n_frames = playable
+            duration_ms = playable * 1000 // granule_rate
         return VideoMeta("ogg", codec, _i64(duration_ms), width,
                          height,
                          "theora" if codec == "theora" else None,

@@ -62,11 +62,17 @@ EMPTY_XMP = XmpInfo(None, None, None, None, None, None)
 
 
 def _prop(text: str, name: str) -> Optional[str]:
-    """One simple property, attribute or element form."""
+    """One simple property — any of the three legal RDF shapes:
+    rdf:Description attribute, element text, or the URI-valued
+    ``<name rdf:resource="..."/>`` form (how CC-tagging tools emit
+    ``cc:license``)."""
     m = re.search(name + r'\s*=\s*"([^"]*)"', text)
     if m is None:
         m = re.search(r"<" + name + r"[^>/]*>([^<]*)</" + name + r">",
                       text)
+    if m is None:
+        m = re.search(r"<" + name
+                      + r'[^>]*rdf:resource\s*=\s*"([^"]*)"', text)
     if m is None:
         return None
     val = unescape(m.group(1)).strip()
@@ -75,14 +81,20 @@ def _prop(text: str, name: str) -> Optional[str]:
 
 def _array_head(text: str, name: str) -> Optional[str]:
     """First rdf:li of an rdf:Seq/Alt/Bag-valued property (the
-    primary creator / default-language rights)."""
+    primary creator / default-language rights).  Minimal writers
+    skip the array wrapper entirely — a child-free element's own
+    text counts."""
     m = re.search(r"<" + name + r"[^>]*>(.*?)</" + name + r">",
                   text, re.DOTALL)
     if m is None:
         return _prop(text, name)     # abbreviated attribute form
-    li = re.search(r"<rdf:li[^>]*>([^<]*)</rdf:li>", m.group(1))
+    inner = m.group(1)
+    li = re.search(r"<rdf:li[^>]*>([^<]*)</rdf:li>", inner)
     if li is None:
-        return None
+        if "<" in inner:             # wrapper present, no li text
+            return None
+        val = unescape(inner).strip()
+        return val or None
     val = unescape(li.group(1)).strip()
     return val or None
 
@@ -273,14 +285,20 @@ def build_xmp_packet(creator: str | None = None,
 
 
 def splice_jpeg_xmp(jpeg: bytes, **kw) -> bytes:
-    """Insert the XMP APP1 right after SOI (and after any EXIF APP1
-    already there — ordering both carriers the way real cameras
-    do)."""
+    """Insert the XMP APP1 right after SOI — or after an EXIF APP1
+    already sitting there, keeping the camera-style EXIF-first
+    ordering strict readers expect."""
     if jpeg[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG")
+    cut = 2
+    if jpeg[2:4] == b"\xff\xe1" and len(jpeg) >= 10 \
+            and jpeg[6:12] == b"Exif\x00\x00":
+        (seg_len,) = struct.unpack(">H", jpeg[4:6])
+        if seg_len >= 2 and 4 + seg_len <= len(jpeg):
+            cut = 4 + seg_len
     payload = XMP_NS + build_xmp_packet(**kw)
     seg = b"\xff\xe1" + struct.pack(">H", len(payload) + 2) + payload
-    return jpeg[:2] + seg + jpeg[2:]
+    return jpeg[:cut] + seg + jpeg[cut:]
 
 
 def png_add_xmp(png: bytes, **kw) -> bytes:
@@ -298,30 +316,9 @@ def png_add_xmp(png: bytes, **kw) -> bytes:
 
 
 def webp_add_xmp(webp: bytes, **kw) -> bytes:
-    """Append the ``XMP `` chunk (upgrading to VP8X like the EXIF
-    splicer, XMP flag 0x04)."""
-    if len(webp) < 12 or webp[:4] != b"RIFF" or webp[8:12] != b"WEBP":
-        raise ValueError("not a WebP")
-    body = build_xmp_packet(**kw)
-    chunk = b"XMP " + struct.pack("<I", len(body)) + body
-    chunk += b"\0" * (len(body) & 1)
-    chunks = webp[12:]
-    if chunks[:4] != b"VP8X":
-        # build the VP8X header directly from the VP8L stream dims
-        if chunks[:4] != b"VP8L":
-            raise ValueError("unsupported WebP layout for XMP insert")
-        vp8l = chunks[8:]
-        if not vp8l or vp8l[0] != 0x2F or len(vp8l) < 5:
-            raise ValueError("bad VP8L stream header")
-        bits = int.from_bytes(vp8l[1:5], "little")
-        w = (bits & 0x3FFF) + 1
-        h = ((bits >> 14) & 0x3FFF) + 1
-        vp8x = (bytes([0x04, 0, 0, 0]) + (w - 1).to_bytes(3, "little")
-                + (h - 1).to_bytes(3, "little"))
-        out_body = (b"VP8X" + struct.pack("<I", len(vp8x)) + vp8x
-                    + chunks + chunk)
-    else:
-        flags = chunks[8] | 0x04
-        out_body = chunks[:8] + bytes((flags,)) + chunks[9:] + chunk
-    return (b"RIFF" + struct.pack("<I", len(out_body) + 4)
-            + b"WEBP" + out_body)
+    """Append the ``XMP `` chunk (VP8X flag 0x04) via the shared
+    VP8X-upgrade splice in ``exif.py``."""
+    from .exif import webp_splice_chunk
+
+    return webp_splice_chunk(webp, b"XMP ", build_xmp_packet(**kw),
+                             0x04)

@@ -276,9 +276,10 @@ def main() -> int:
                 if s % 2 == 0:       # vorbis granule = input-rate pcm
                     blobs.append(build_ogg(codec="vorbis", rate=8000,
                                            n_samples=dur * 8))
-                else:                # opus granule clock is 48 kHz
+                else:                # opus: 48 kHz granule clock,
+                    # final granule includes the 312-sample pre-skip
                     blobs.append(build_ogg(codec="opus", rate=8000,
-                                           n_samples=dur * 48))
+                                           n_samples=dur * 48 + 312))
                 for k in ("mp4", "ebml", "ogg"):
                     urls.append(f"s{s:07d}/{k}")
                     durs.append(dur)

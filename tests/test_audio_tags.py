@@ -228,3 +228,27 @@ def test_media_cover_art_feeds_image_pipeline(spark):
     vals = {r["url"]: (r["dhash"], r["mode"]) for r in hashed.collect()}
     assert vals["u_mp3"] == (want["dhash"], want["mode"])
     assert vals["u_flac"] == (want["dhash"], want["mode"])
+
+
+def test_apic_utf16_odd_offset_terminator():
+    """Round-5j review regression: a UTF-16 description whose content
+    contains an odd-offset 00 00 byte pair (codepoint low byte next
+    to an ASCII char's high byte, e.g. 'aĀ') must not desync the
+    terminator scan — the returned art keeps its magic bytes."""
+    from document_convert_to__markdown_spark.extractors.audio_tags import (
+        audio_cover_art,
+    )
+    from document_convert_to__markdown_spark.extractors.png_codec import (
+        encode_png,
+    )
+    art = encode_png(np.zeros((4, 4, 3), np.uint8))
+    desc = "aĀ".encode("utf-16")        # FF FE 61 00 00 01
+    body = b"\x01" + b"image/png\x00" + b"\x03" + desc + b"\x00\x00" \
+        + art
+    hdr = b"APIC" + bytes(((len(body) >> s) & 0x7F)
+                          for s in (21, 14, 7, 0)) + b"\x00\x00"
+    frames = hdr + body
+    blob = b"ID3" + bytes((4, 0, 0)) + bytes(
+        ((len(frames) >> s) & 0x7F) for s in (21, 14, 7, 0)) + frames
+    got = audio_cover_art(blob)
+    assert got == art, (got[:8] if got else None)

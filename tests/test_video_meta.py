@@ -82,10 +82,14 @@ def test_ogg_three_codecs():
     assert v.sample_rate == 22050 and v.n_frames == 66150
     assert v.duration_ms == 3000             # granule/rate
 
+    # real encoders write the final granule INCLUDING pre-skip (the
+    # builder's is 312); RFC 7845 §4.2 says playable audio excludes
+    # it — author granule = samples + 312, expect exactly 2 s
     o = video_meta(build_ogg(codec="opus", rate=44100,
-                             n_samples=96000))
+                             n_samples=96000 + 312))
     assert o.audio_codec == "opus" and o.sample_rate == 44100
     assert o.duration_ms == 2000             # granule clock is 48 kHz
+    assert o.n_frames == 96000               # pre-skip subtracted
 
     t = video_meta(build_ogg(codec="theora", dims=(352, 288)))
     assert t.video_codec == "theora"
@@ -222,7 +226,7 @@ def test_media_video_operator(spark):
     rows = [("u1", bytearray(build_mp4())),
             ("u2", bytearray(build_webm(doctype="matroska"))),
             ("u3", bytearray(build_ogg(codec="opus", rate=16000,
-                                       n_samples=48000))),
+                                       n_samples=48000 + 312))),
             ("u4", bytearray(b"not a video")),
             ("u5", None),
             ("u6", bytearray(build_heif(brand="avif", width=640,
@@ -267,3 +271,19 @@ def test_media_metadata_mp3_rows(spark):
     assert row["media_format"] == "mp3"
     assert row["mode"] == "mp3_128kbps"
     assert row["sample_rate"] == 44100
+
+
+def test_review_r5j_regressions():
+    """Round-5j review findings: a hostile mvhd creation time must
+    cost one field (not the whole row), and Opus pre-skip is
+    subtracted from the granule (RFC 7845 §4.2)."""
+    blob = bytearray(build_mp4(mvhd_v1=True, audio=None))
+    i = blob.find(b"mvhd") + 4 + 4           # v1 creation_time (u64)
+    blob[i:i + 8] = struct.pack(">Q", 2 ** 39)   # past datetime range
+    m = mp4_meta(bytes(blob))
+    assert m is not None                     # row survives
+    assert m.creation_time is None           # field nulled
+    assert m.video_codec == "avc1" and m.duration_ms == 4000
+
+    o = ogg_meta(build_ogg(codec="opus", n_samples=312))
+    assert o.duration_ms == 0 and o.n_frames == 0   # all pre-skip

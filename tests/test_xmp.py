@@ -148,3 +148,38 @@ def test_media_xmp_operator(spark):
     assert got["u2"]["creator"] is None and got["u2"]["marked"] is None
     assert got["u3"]["license_url"] is None
     assert got["u4"]["rights"] is None
+
+
+def test_review_r5j_regressions():
+    """Round-5j review findings: the rdf:resource form of cc:license
+    (what CC-tagging tools emit), bare simple-element dc properties
+    without the rdf:Alt wrapper, and splice_jpeg_xmp keeping an
+    existing EXIF APP1 first."""
+    pkt = build_xmp_packet().replace(
+        b"</rdf:RDF>",
+        b'<rdf:Description rdf:about="" xmlns:cc='
+        b'"http://creativecommons.org/ns#"><cc:license rdf:resource='
+        b'"https://creativecommons.org/licenses/by/4.0/"/>'
+        b"</rdf:Description></rdf:RDF>", 1)
+    assert parse_xmp(pkt).license_url == \
+        "https://creativecommons.org/licenses/by/4.0/"
+
+    bare = (b'<x:xmpmeta xmlns:x="adobe:ns:meta/"><rdf:RDF>'
+            b'<rdf:Description xmlns:dc="http://purl.org/dc/'
+            b'elements/1.1/"><dc:rights>Copyright Foo</dc:rights>'
+            b"</rdf:Description></rdf:RDF></x:xmpmeta>")
+    assert parse_xmp(bare).rights == "Copyright Foo"
+
+    from document_convert_to__markdown_spark.extractors.exif import (
+        image_exif, splice_jpeg_exif,
+    )
+    from document_convert_to__markdown_spark.extractors.jpeg_codec import (
+        encode_jpeg,
+    )
+    img = np.zeros((4, 4, 3), np.uint8)
+    exif_first = splice_jpeg_exif(encode_jpeg(img), orientation=3)
+    both = splice_jpeg_xmp(exif_first, creator="E")
+    # EXIF APP1 must still be the first segment after SOI
+    assert both[2:4] == b"\xff\xe1" and both[6:12] == b"Exif\x00\x00"
+    assert image_exif(both).orientation == 3
+    assert image_xmp(both).creator == "E"
