@@ -4070,6 +4070,62 @@ def _q_hybrid_rrf_retrieval(spark, sf):
     return rrf_fuse([lex, dense], id_col="doc_id", k_rrf=60, k=10)
 
 
+def _q_archive_shard_roundtrip(spark, sf):
+    """Archive bundle export → ingest round trip (sources/archive.py):
+    the first 40 documents pack into deterministic, size-bounded tar
+    shards — the WebDataset layout training dataloaders consume
+    (``pack_tar_shards``: repartitionByRange + per-task greedy
+    packing, no global cumulative sum) — then read back through
+    ``read_archive_docs`` (one archive = one task, mapInPandas member
+    explosion, the same work-unit rule as the WARC reader).  Parity is
+    proven by an equality join on the percent-decoded member names;
+    the manifest's (min_url, max_url) spans are checked pairwise
+    disjoint (the range-partition contract that makes the manifest a
+    coarse index for selective re-reads).  Counts: 40 docs back, 40
+    byte-exact payloads, 0 unmatched, 0 interleaved shard spans."""
+    import shutil
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources.archive import (
+        pack_tar_shards,
+        read_archive_docs,
+    )
+
+    n = 40
+    src = (_load(spark, sf, "documents")
+           .orderBy("doc_id").limit(n)
+           .select(F.concat(F.lit("https://docs.example/"),
+                            F.col("doc_id")).alias("url"),
+                   F.encode("text", "UTF-8").alias("html")))
+    out = tempfile.mkdtemp(prefix="doc2md_arch_q_")
+    try:
+        manifest = pack_tar_shards(src, out, target_bytes=4096,
+                                   num_tasks=4).collect()
+        spans = sorted((m["min_url"], m["max_url"]) for m in manifest)
+        interleaved = sum(1 for (_, hi), (lo2, _)
+                          in zip(spans, spans[1:]) if hi >= lo2)
+
+        back = (read_archive_docs(spark, out, path_glob_filter="*.tar")
+                .filter("status = 'ok'")
+                .select(F.url_decode("member").alias("url"), "html"))
+        joined = back.alias("g").join(src.alias("w"), "url")
+        # Counts computed eagerly so the returned frame no longer
+        # references the fixture files (same lifetime rule as
+        # _q_wet_ingest).
+        return spark.createDataFrame(
+            [(
+                back.count(),
+                joined.filter("g.html <=> w.html").count(),
+                back.join(src, "url", "left_anti").count(),
+                interleaved,
+            )],
+            "n_docs bigint, n_byte_match bigint, n_unmatched bigint, "
+            "n_interleaved bigint",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_wet_ingest(spark, sf):
     """WET text-only ingest (sources/warc.py: read_wet_pages): the
     first 40 documents serialize into a gzip WET archive (ISO 28500
@@ -4479,16 +4535,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_parse_rules": _q_robots_parse_rules,     # new round 4
         "audio_flac_decode": _q_audio_flac_decode,       # new round 5
         "multimodal_webp_anim": _q_multimodal_webp_anim,  # new round 5
-        "neardup_pipeline": _q_neardup_pipeline,         # xxhash64 bands
-        "dedup_incremental": _q_dedup_incremental,       # xxhash64 bands
-        "semdedup_prune": _q_semdedup_prune,             # half-away round
+        "archive_shard_roundtrip": _q_archive_shard_roundtrip,  # new r5k
         "quantized_ann": _q_quantized_ann,               # half-away round
         "pq_ann_topk": _q_pq_ann_topk,                   # shares kernels
         "robots_filter": _q_robots_filter,               # join knob
         "stream_stream_join": _q_stream_stream_join,     # drain delay
         "stream_merge_upsert": _q_stream_merge_upsert,   # recency guard
-        "skew_salted_join": _q_skew_salted_join,         # new round 4b
-        "bloom_prune_join": _q_bloom_prune_join,         # new round 4b
         "hybrid_rrf_retrieval": _q_hybrid_rrf_retrieval,  # new round 4b
         "stream_stream_outer_join": _q_stream_stream_outer_join,  # 4b
         "cdx_ingest": _q_cdx_ingest,                     # new round 4b
@@ -4518,9 +4570,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_hash": _q_audio_fingerprint,     # new round 5
         "video_mjpeg_demux": _q_video_mjpeg_demux,       # new round 5
         "multimodal_frame_sample": _q_multimodal_frame_sample,
+        # ^ position 50.  r5k audit: the r5i/r5j insertions above had
+        # pushed the four r5-new/-touched entries image_dhash_neardup,
+        # audio_spectral_hash, video_mjpeg_demux and
+        # multimodal_frame_sample to positions 51-54 — OUTSIDE the
+        # scored window, where they would never have received a driver
+        # verdict.  Fixed by rotating out neardup_pipeline,
+        # dedup_incremental, semdedup_prune, skew_salted_join and
+        # bloom_prune_join (all green r04; their query bodies AND the
+        # modules behind them — dedup.py, similarity.py, joins.py —
+        # are byte-identical to their r04-green state), which also
+        # makes room for the new archive_shard_roundtrip.
         # --- ORDERING INVARIANT: everything below this line held a
         # green verdict in an earlier round and its code is unchanged
         # (or changed only in ways already re-verified above).
+        "neardup_pipeline": _q_neardup_pipeline,   # green r04, unchanged
+        "dedup_incremental": _q_dedup_incremental,  # green r04, unchanged
+        "semdedup_prune": _q_semdedup_prune,       # green r04, unchanged
+        "skew_salted_join": _q_skew_salted_join,   # green r04, unchanged
+        "bloom_prune_join": _q_bloom_prune_join,   # green r04, unchanged
         # sitemap_discovery, charset_decode, cdx_selective_fetch,
         # wet_datasource_scan and wet_ingest rotated out in r5i
         # (green r04, untouched) to make room for
@@ -4531,9 +4599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdx_selective_fetch": _q_cdx_selective_fetch,   # green r04
         "wet_datasource_scan": _q_wet_datasource_scan,   # green r04
         "wet_ingest": _q_wet_ingest,                     # green r04
-        # ^ position 50 (multimodal_frame_sample — r5-touched: the
-        # mode column gained mjpg provenance, so it stays inside the
-        # window for a fresh verdict).  The r04 cut landed at
+        # The r04 cut landed at
         # dedup_paragraphs; the twelve round-5 insertions/rotations
         # (multimodal_png_depths, multimodal_codec_variants,
         # multimodal_gif_decode, multimodal_jpeg_decode,
@@ -5129,6 +5195,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lists
             FROM u GROUP BY doc_id
             ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        # Tar-shard pack -> archive-ingest round-trip counts: 40 docs
+        # back, 40 byte-exact, 0 unmatched, 0 interleaved shard spans.
+        "archive_shard_roundtrip": """
+            SELECT * FROM (VALUES
+              (CAST(40 AS BIGINT), CAST(40 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(0 AS BIGINT))
+            ) AS t(n_docs, n_byte_match, n_unmatched, n_interleaved)
         """,
         # WET round-trip counts, like warc_ingest: 40 in, 40 text
         # matches, 0 unmatched.

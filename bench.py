@@ -104,6 +104,8 @@ BENCH_QUERIES = [
     "hybrid_rrf_retrieval",
     "wet_ingest",
     "wet_datasource_scan",
+    # round-5k: tar-shard export -> archive ingest round trip
+    "archive_shard_roundtrip",
     "stream_stream_outer_join",
     "cdx_ingest",
     "cdx_selective_fetch",
