@@ -98,47 +98,82 @@ SHARD_MANIFEST_SCHEMA = StructType([
 ])
 
 
-def _gunzip_capped(blob: bytes,
-                   max_bytes: int = MAX_DECOMPRESSED_BYTES) -> bytes:
-    """Inflate a (possibly multi-member) gzip stream with a hard output
-    ceiling, salvaging the prefix of a truncated/corrupt tail — a thin
-    materializing wrapper over the WARC reader's streaming chunker
-    (`sources/warc.py` ``_iter_decompressed_chunks``), so both ingest
-    paths share one bomb rail."""
-    from .warc import _iter_decompressed_chunks
-
-    return b"".join(_iter_decompressed_chunks(blob, max_bytes=max_bytes))
-
-
-def _member_url(archive_name: str, member: str) -> str:
+def _member_url(archive_name: str, member: Optional[str]) -> str:
+    if member is None:          # archive-level status row
+        return f"archive://{archive_name}"
     return f"archive://{archive_name}!/{member}"
+
+
+class _ChunkReader(io.RawIOBase):
+    """File-like view over an iterator of byte chunks, so a gzipped tar
+    streams straight into ``tarfile`` without the raw archive (up to
+    ``MAX_DECOMPRESSED_BYTES``) ever materializing in one task — the
+    same streaming-granularity rule the WARC reader follows."""
+
+    def __init__(self, chunks):
+        self._chunks = iter(chunks)
+        self._buf = b""
+
+    def readable(self):
+        return True
+
+    def read(self, n=-1):
+        if n is None or n < 0:
+            parts = [self._buf] + list(self._chunks)
+            self._buf = b""
+            return b"".join(parts)
+        while len(self._buf) < n:
+            nxt = next(self._chunks, None)
+            if nxt is None:
+                break
+            self._buf += nxt
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
 
 
 def iter_archive_members(
     blob: bytes, archive_name: str,
     max_member_bytes: int = MAX_MEMBER_BYTES,
+    max_total_bytes: int = MAX_DECOMPRESSED_BYTES,
 ) -> Iterator[Tuple[Optional[str], Optional[bytes], Optional[int], str]]:
     """Yield ``(member, payload, size, status)`` from one archive blob.
 
     Never raises.  Regular files only (directories, links, and other
     special tar entries are structural, not documents).  Statuses:
     ``ok``, ``skipped_too_large`` (blob-free, declared size kept),
-    ``failed_member`` (per-member damage), and archive-level
+    ``failed_member`` (per-member damage), archive-level
     ``failed_archive`` / ``skipped_empty_archive`` rows with a null
-    member so no input file is ever silently dropped.
+    member, and trailers ``failed_archive_tail`` (corrupt-tail
+    salvage) / ``failed_archive_ceiling`` (cumulative payload passed
+    ``max_total_bytes`` — the many-small-members bomb the per-member
+    gate can't see) — so no input file or truncation is ever silent.
+
+    Detection nuance: for *uncompressed* tar, a silently-swallowed bad
+    header (tarfile treats it as EOF) is caught by checking for
+    non-NUL residue past the stop offset.  For ``.tar.gz`` the gzip
+    layer itself truncates at damage (the shared WARC bomb rail's
+    salvage), which tarfile then sees as a short read — surfacing as
+    ``failed_member`` or a salvage break; only block-aligned inner
+    corruption that decompresses cleanly can pass undetected there.
     """
     try:
         if blob[:2] == _GZ_MAGIC:
-            blob = _gunzip_capped(blob)
-        if blob[:4] in _ZIP_MAGICS:
-            yield from _iter_zip(blob, max_member_bytes)
+            from .warc import _iter_decompressed_chunks
+
+            peek = _ChunkReader(_iter_decompressed_chunks(
+                blob, max_bytes=max_total_bytes))
+            yield from _iter_tar(peek, max_member_bytes, max_total_bytes)
             return
-        yield from _iter_tar(blob, max_member_bytes)
+        if blob[:4] in _ZIP_MAGICS:
+            yield from _iter_zip(blob, max_member_bytes, max_total_bytes)
+            return
+        yield from _iter_tar(io.BytesIO(blob), max_member_bytes,
+                             max_total_bytes, raw=blob)
     except Exception as exc:                       # noqa: BLE001
         yield None, None, None, f"failed_archive:{type(exc).__name__}"
 
 
-def _iter_zip(blob: bytes, max_member_bytes: int):
+def _iter_zip(blob: bytes, max_member_bytes: int, max_total_bytes: int):
     try:
         zf = zipfile.ZipFile(io.BytesIO(blob))
         infos = zf.infolist()
@@ -146,6 +181,7 @@ def _iter_zip(blob: bytes, max_member_bytes: int):
         yield None, None, None, f"failed_archive:{type(exc).__name__}"
         return
     n = 0
+    total = 0
     for info in infos:
         if info.is_dir():
             continue
@@ -155,8 +191,12 @@ def _iter_zip(blob: bytes, max_member_bytes: int):
             # member is never inflated (zip-bomb rail + A2 gate).
             yield info.filename, None, info.file_size, "skipped_too_large"
             continue
+        if total + info.file_size > max_total_bytes:
+            yield None, None, None, "failed_archive_ceiling"
+            return
         try:
             data = zf.read(info)
+            total += len(data)
             yield info.filename, data, len(data), "ok"
         except Exception:                          # noqa: BLE001
             yield info.filename, None, info.file_size, "failed_member"
@@ -164,13 +204,15 @@ def _iter_zip(blob: bytes, max_member_bytes: int):
         yield None, None, None, "skipped_empty_archive"
 
 
-def _iter_tar(blob: bytes, max_member_bytes: int):
+def _iter_tar(fileobj, max_member_bytes: int, max_total_bytes: int,
+              raw: Optional[bytes] = None):
     # Stream mode ('r|') walks headers strictly forward, so a corrupt
     # tail salvages every member before it — and never needs a seek.
     n = 0
+    total = 0
     damaged = False
     try:
-        tf = tarfile.open(fileobj=io.BytesIO(blob), mode="r|")
+        tf = tarfile.open(fileobj=fileobj, mode="r|")
     except Exception as exc:                       # noqa: BLE001
         yield None, None, None, f"failed_archive:{type(exc).__name__}"
         return
@@ -186,7 +228,7 @@ def _iter_tar(blob: bytes, max_member_bytes: int):
                 # (InvalidHeaderError at offset>0 is swallowed); a real
                 # end-of-archive leaves only NUL padding behind, so any
                 # non-NUL residue past the stop offset is damage.
-                if blob[tf.offset:].strip(b"\x00"):
+                if raw is not None and raw[tf.offset:].strip(b"\x00"):
                     damaged = True
                 break
             if not info.isreg():
@@ -195,9 +237,13 @@ def _iter_tar(blob: bytes, max_member_bytes: int):
             if info.size > max_member_bytes:
                 yield info.name, None, info.size, "skipped_too_large"
                 continue
+            if total + info.size > max_total_bytes:
+                yield None, None, None, "failed_archive_ceiling"
+                return
             try:
                 fobj = tf.extractfile(info)
                 data = fobj.read() if fobj is not None else b""
+                total += len(data)
                 yield info.name, data, len(data), "ok"
             except Exception:                      # noqa: BLE001
                 yield info.name, None, info.size, "failed_member"
@@ -226,11 +272,8 @@ def _explode_archive_blobs(batches):
             name = posixpath.basename(str(path))
             for member, data, size, status in iter_archive_members(
                     bytes(blob), name):
-                rows.append((
-                    _member_url(name, member if member is not None
-                                else "\x00archive"),
-                    name, member, data, size, status,
-                ))
+                rows.append((_member_url(name, member),
+                             name, member, data, size, status))
         yield pd.DataFrame(
             rows, columns=["url", "archive", "member", "html", "size",
                            "status"])
@@ -295,8 +338,13 @@ def _pack_partition_factory(out_dir: str, prefix: str, target_bytes: int,
             nonlocal tf, cur_path, cur_raw, cur_n, cur_min, cur_max
             cur_path = os.path.join(
                 out_dir, f"{prefix}-{pid:05d}-{seq:04d}.tar")
+            # PAX (POSIX.1-2001), not USTAR: percent-encoded urls
+            # routinely exceed USTAR's 100-char name field, which
+            # would throw mid-task.  With integer mtime=0 the pax
+            # extended headers carry only the deterministic 'path'
+            # record, so shard bytes stay reproducible.
             tf = tarfile.open(cur_path, mode="w",
-                              format=tarfile.USTAR_FORMAT)
+                              format=tarfile.PAX_FORMAT)
             cur_raw = 0
             cur_n = 0
             cur_min = None
@@ -320,7 +368,8 @@ def _pack_partition_factory(out_dir: str, prefix: str, target_bytes: int,
                     _close()
                 if tf is None:
                     _open()
-                info = tarfile.TarInfo(shard_member_name(str(url)))
+                name = shard_member_name(str(url))
+                info = tarfile.TarInfo(name)
                 info.size = len(data)
                 # Determinism: zeroed mtime/uid/gid, fixed mode — the
                 # same rows always produce byte-identical shards.

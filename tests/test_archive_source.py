@@ -108,6 +108,18 @@ class TestIterArchiveMembers:
             for row in iter_archive_members(base[:cut], "t"):
                 assert row[3]  # has a status; no exception escaped
 
+    def test_total_payload_ceiling_zip(self):
+        blob = _zip_bytes([(f"m{i}", b"z" * 400) for i in range(10)])
+        rows = list(iter_archive_members(blob, "t", max_total_bytes=1000))
+        oks = [r for r in rows if r[3] == "ok"]
+        assert 0 < len(oks) < 10
+        assert rows[-1][3] == "failed_archive_ceiling"
+
+    def test_total_payload_ceiling_tar(self):
+        blob = _tar_bytes([(f"m{i}", b"z" * 400) for i in range(10)])
+        rows = list(iter_archive_members(blob, "t", max_total_bytes=1000))
+        assert rows[-1][3] == "failed_archive_ceiling"
+
     def test_member_name_roundtrip(self):
         urls = ["https://ex.com/a b?q=1&x=%2F", "archive://z!/nested/p",
                 "plain", "ünïcode/→path"]
@@ -168,6 +180,20 @@ class TestSparkArchive:
         back = read_archive_docs(spark, out, path_glob_filter="*.tar")
         got = {member_name_url(r["member"]): bytes(r["html"])
                for r in back.collect()}
+        assert got == dict(docs)
+
+    def test_pack_long_urls_roundtrip(self, spark, tmp_path):
+        # percent-encoded urls exceed USTAR's 100-char name field —
+        # PAX long-name headers must round-trip them intact
+        docs = [("https://example.com/" + "p" * 180 + f"/{i}",
+                 f"body{i}".encode()) for i in range(8)]
+        df = spark.createDataFrame(docs, "url string, html binary")
+        out = str(tmp_path / "long")
+        pack_tar_shards(df, out, target_bytes=10 ** 6,
+                        num_tasks=2).collect()
+        back = read_archive_docs(spark, out, path_glob_filter="*.tar")
+        got = {member_name_url(r["member"]): bytes(r["html"])
+               for r in back.filter("status='ok'").collect()}
         assert got == dict(docs)
 
     def test_pack_is_deterministic(self, spark, tmp_path):
