@@ -333,3 +333,47 @@ def test_provenance_scans_are_exchange_free(spark, sf):
         assert "Exchange" not in plan, (op.__name__, plan)
         assert "ArrowEvalPython" in plan or "MapInPandas" in plan, \
             (op.__name__, plan)
+
+
+def test_archive_read_is_exchange_free(spark, tmp_path):
+    """Archive member explosion (sources/archive.py) must go scan →
+    mapInPandas with NO Exchange between them — at 100k-archive scale
+    a shuffle of raw bundle bytes would double the job's IO for
+    nothing (one archive = one task is the whole contract)."""
+    import tarfile
+
+    from document_convert_to__markdown_spark.sources.archive import (
+        read_archive_docs,
+    )
+
+    p = tmp_path / "b.tar"
+    with tarfile.open(p, "w") as tf:
+        info = tarfile.TarInfo("m.txt")
+        info.size = 1
+        import io as _io
+        tf.addfile(info, _io.BytesIO(b"x"))
+    df = read_archive_docs(spark, str(tmp_path), path_glob_filter="*.tar")
+    plan = plan_str(df)
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan, plan
+
+
+def test_shard_pack_single_range_exchange(spark):
+    """pack_tar_shards must cost exactly one range Exchange (the
+    url-range assignment) and an in-partition sort — no global sort,
+    no second shuffle: shard packing scales as one pass."""
+    from document_convert_to__markdown_spark.sources.archive import (
+        pack_tar_shards,
+    )
+
+    df = spark.range(100).selectExpr(
+        "cast(id as string) as url",
+        "encode(cast(id as string), 'UTF-8') as html")
+    out = pack_tar_shards(df, "/tmp/_plan_probe_shards",
+                          target_bytes=10 ** 6, num_tasks=4)
+    plan = plan_str(out, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "rangepartitioning" in plan.lower(), plan
+    # the Sort's global flag prints as the second argument:
+    # "[url ASC NULLS FIRST], false, 0" = partition-local sort
+    assert "Sort" in plan and "], false, 0" in plan, plan
