@@ -34,6 +34,10 @@ def main(argv: list[str] | None = None) -> int:
                         help="directory/glob of WET text archives "
                              "(.wet/.wet.gz) — conversion records enter "
                              "the pipeline as text/plain documents")
+    parser.add_argument("--input-archive", default=None,
+                        help="directory/glob of document bundles "
+                             "(.zip/.tar/.tar.gz) — each member becomes "
+                             "one page keyed archive://<file>!/<member>")
     parser.add_argument("--n-docs", type=int, default=None,
                         help="synthesize this many pages instead of reading a table")
     parser.add_argument("--seed", type=int, default=42)
@@ -77,9 +81,10 @@ def main(argv: list[str] | None = None) -> int:
     if not args.output:
         parser.error("--output is required")
     if not (args.input_table or args.n_docs or args.input_dir
-            or args.input_warc or args.input_wet):
+            or args.input_warc or args.input_wet or args.input_archive):
         parser.error("one of --input-table / --input-dir / --input-warc "
-                     "/ --input-wet / --n-docs is required")
+                     "/ --input-wet / --input-archive / --n-docs is "
+                     "required")
 
     from .pipeline.session import build_session
     from .pipeline.job import run_extraction_resumable
@@ -108,6 +113,22 @@ def main(argv: list[str] | None = None) -> int:
             pages = wet.select(
                 "url", "warc_ts",
                 F.encode("text", "utf-8").alias("html"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("lang"))
+        elif args.input_archive:
+            from pyspark.sql import functions as F
+
+            from .sources.archive import read_archive_docs
+            docs = read_archive_docs(spark, args.input_archive)
+            # Members ride the pages relation keyed by their synthetic
+            # archive url; non-ok rows (oversized members, corrupt
+            # archives) keep null html and surface as skipped_*/failed
+            # status rows through A3 validation — every member and
+            # every broken bundle stays accounted for.
+            pages = docs.select(
+                "url",
+                F.lit(None).cast("timestamp").alias("warc_ts"),
+                "html",
                 F.lit(None).cast("string").alias("text"),
                 F.lit(None).cast("string").alias("lang"))
         else:
