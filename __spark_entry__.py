@@ -4126,6 +4126,66 @@ def _q_archive_shard_roundtrip(spark, sf):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_archive_datasource_rw(spark, sf):
+    """Spark 4 Python DataSource front door for archives
+    (sources/archive_datasource.py): the first 40 documents export
+    through ``df.write.format("archive")`` — the Data Source API's
+    two-phase task-write/driver-commit protocol packing tar shards
+    with a ``_manifest.json`` + ``_SUCCESS`` published only on job
+    success — then read back through BOTH doors:
+    ``spark.read.format("archive")`` and the mapInPandas twin
+    (``read_archive_docs``), which share one member-explosion kernel
+    and must agree row-for-row.  Counts: 40 docs via the DataSource
+    read, 40 byte-exact vs the source, 0 rows where the two read
+    paths disagree, manifest member count 40."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources.archive import (
+        read_archive_docs,
+    )
+    from document_convert_to__markdown_spark.sources.archive_datasource \
+        import register
+
+    register(spark)
+    n = 40
+    src = (_load(spark, sf, "documents")
+           .orderBy("doc_id").limit(n)
+           .select(F.concat(F.lit("https://docs.example/"),
+                            F.col("doc_id")).alias("url"),
+                   F.encode("text", "UTF-8").alias("html")))
+    out = tempfile.mkdtemp(prefix="doc2md_archds_q_")
+    try:
+        src.write.format("archive").option("target_bytes", 4096) \
+            .mode("overwrite").save(out)
+        with open(os.path.join(out, "_manifest.json")) as fh:
+            man_members = json.load(fh)["n_members"]
+
+        ds = (spark.read.format("archive").load(out)
+              .filter("status = 'ok'")
+              .select(F.url_decode("member").alias("url"), "html"))
+        twin = (read_archive_docs(spark, out, path_glob_filter="*.tar")
+                .filter("status = 'ok'")
+                .select(F.url_decode("member").alias("url"), "html"))
+        joined = ds.alias("g").join(src.alias("w"), "url")
+        disagree = (ds.exceptAll(twin).count()
+                    + twin.exceptAll(ds).count())
+        return spark.createDataFrame(
+            [(
+                ds.count(),
+                joined.filter("g.html <=> w.html").count(),
+                disagree,
+                man_members,
+            )],
+            "n_docs bigint, n_byte_match bigint, n_path_disagree bigint, "
+            "n_manifest bigint",
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def _q_wet_ingest(spark, sf):
     """WET text-only ingest (sources/warc.py: read_wet_pages): the
     first 40 documents serialize into a gzip WET archive (ISO 28500
@@ -4536,7 +4596,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_flac_decode": _q_audio_flac_decode,       # new round 5
         "multimodal_webp_anim": _q_multimodal_webp_anim,  # new round 5
         "archive_shard_roundtrip": _q_archive_shard_roundtrip,  # new r5k
-        "quantized_ann": _q_quantized_ann,               # half-away round
+        "archive_datasource_rw": _q_archive_datasource_rw,  # new r5k
         "pq_ann_topk": _q_pq_ann_topk,                   # shares kernels
         "robots_filter": _q_robots_filter,               # join knob
         "stream_stream_join": _q_stream_stream_join,     # drain delay
@@ -4585,6 +4645,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green verdict in an earlier round and its code is unchanged
         # (or changed only in ways already re-verified above).
         "neardup_pipeline": _q_neardup_pipeline,   # green r04, unchanged
+        "quantized_ann": _q_quantized_ann,         # green r04, unchanged
         "dedup_incremental": _q_dedup_incremental,  # green r04, unchanged
         "semdedup_prune": _q_semdedup_prune,       # green r04, unchanged
         "skew_salted_join": _q_skew_salted_join,   # green r04, unchanged
@@ -5195,6 +5256,14 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lists
             FROM u GROUP BY doc_id
             ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        # DataSource write -> dual-door read: 40 docs, 40 byte-exact,
+        # 0 rows where the two read paths disagree, manifest says 40.
+        "archive_datasource_rw": """
+            SELECT * FROM (VALUES
+              (CAST(40 AS BIGINT), CAST(40 AS BIGINT),
+               CAST(0 AS BIGINT), CAST(40 AS BIGINT))
+            ) AS t(n_docs, n_byte_match, n_path_disagree, n_manifest)
         """,
         # Tar-shard pack -> archive-ingest round-trip counts: 40 docs
         # back, 40 byte-exact, 0 unmatched, 0 interleaved shard spans.

@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "wet_datasource_scan",
     # round-5k: tar-shard export -> archive ingest round trip
     "archive_shard_roundtrip",
+    "archive_datasource_rw",
     "stream_stream_outer_join",
     "cdx_ingest",
     "cdx_selective_fetch",

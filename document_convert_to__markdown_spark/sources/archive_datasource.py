@@ -1,0 +1,216 @@
+"""``spark.read.format("archive")`` / ``df.write.format("archive")`` —
+a Spark 4 custom Python DataSource over document bundles.
+
+Second, fully idiomatic front door to `sources/archive.py` through the
+Python Data Source API (SPARK-44076, ``pyspark.sql.datasource``) —
+the same dual-surface pattern as the WET source
+(`sources/wet_datasource.py`), extended to the WRITE side:
+
+- **Reader**: one ``InputPartition`` per bundle file (zip / tar /
+  tar.gz — the archive work unit; a corpus delivered as 10^5 bundles
+  plans as 10^5 tasks, no shuffle), each exploded member-by-member by
+  the shared ``iter_archive_members`` kernel, so the mapInPandas path
+  and this one can never disagree on grammar or safety rails.
+- **Writer**: ``df.write.format("archive").mode(...).save(dir)``
+  packs ``(url, html)`` rows into size-bounded tar shards through the
+  Data Source API's two-phase commit: each task writes its own
+  ``part-<task>-<seq>.tar`` files and returns them in its
+  ``WriterCommitMessage``; the driver's ``commit`` publishes a
+  ``_manifest.json`` + ``_SUCCESS`` only when every task succeeded,
+  and ``abort`` deletes the orphaned shard files — so a half-failed
+  export never looks complete (the same job-commit discipline the
+  engine's snapshot sink provides, expressed through Spark's own
+  writer protocol).  For byte-deterministic, range-clustered shards
+  use ``pack_tar_shards`` (it owns the repartitionByRange + sorted
+  greedy packing); this writer packs whatever partitioning the plan
+  hands it — the idiomatic surface, not a replacement.
+
+Sandbox note: files are opened with ``open()`` (local paths).  On a
+real cluster the bodies would open via fsspec/boto3; the API shape —
+plan-time listing, per-file partitions, task-write + driver-commit —
+is unchanged.
+"""
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
+
+ARCHIVE_DDL_SCHEMA = ("url string, archive string, member string, "
+                      "html binary, size long, status string")
+
+_BUNDLE_GLOBS = ("*.zip", "*.tar", "*.tar.gz", "*.tgz")
+
+
+class ArchivePartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ArchiveDataSourceReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("archive datasource requires a path: "
+                             ".load('/dir/of/bundles')")
+        if os.path.isdir(path):
+            files: set = set()
+            for pat in _BUNDLE_GLOBS:
+                files.update(_glob.glob(os.path.join(path, pat)))
+            self._files = sorted(files)
+        else:
+            self._files = sorted(_glob.glob(path))
+
+    def partitions(self):
+        # One bundle = one partition = one task.  An empty listing
+        # still needs one partition so the scan yields an empty
+        # relation instead of failing to plan.
+        if not self._files:
+            return [ArchivePartition("")]
+        return [ArchivePartition(f) for f in self._files]
+
+    def read(self, partition: ArchivePartition):
+        if not partition.path:
+            return
+        from .archive import _member_url, iter_archive_members
+
+        name = os.path.basename(partition.path)
+        with open(partition.path, "rb") as fh:
+            blob = fh.read()
+        for member, data, size, status in iter_archive_members(blob, name):
+            yield (_member_url(name, member), name, member, data, size,
+                   status)
+
+
+@dataclass
+class ShardCommitMessage(WriterCommitMessage):
+    shards: List[str] = field(default_factory=list)
+    n_members: int = 0
+    raw_bytes: int = 0
+
+
+class TarShardWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("archive datasource requires a path: "
+                             ".save('/dir/for/shards')")
+        self._target = int(options.get("target_bytes", 1 << 30))
+        self._url_col = options.get("url_col", "url")
+        self._blob_col = options.get("blob_col", "html")
+        # Driver-side, before any task runs: overwrite clears prior
+        # shards and their manifest so a reader can never mix exports.
+        os.makedirs(self._path, exist_ok=True)
+        if overwrite:
+            for f in os.listdir(self._path):
+                if f.endswith(".tar") or f in ("_manifest.json",
+                                               "_SUCCESS"):
+                    os.remove(os.path.join(self._path, f))
+
+    def write(self, rows: Iterator) -> ShardCommitMessage:
+        import io
+        import tarfile
+
+        from pyspark import TaskContext
+
+        from .archive import shard_member_name
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        msg = ShardCommitMessage()
+        tf = None
+        cur_path = None
+        cur_raw = 0
+
+        def _open():
+            nonlocal tf, cur_path, cur_raw
+            cur_path = os.path.join(
+                self._path, f"part-{pid:05d}-{len(msg.shards):04d}.tar")
+            tf = tarfile.open(cur_path, mode="w",
+                              format=tarfile.PAX_FORMAT)
+            cur_raw = 0
+
+        def _close():
+            nonlocal tf
+            tf.close()
+            msg.shards.append(os.path.basename(cur_path))
+            tf = None
+
+        for row in rows:
+            url = str(row[self._url_col])
+            blob = row[self._blob_col]
+            data = b"" if blob is None else bytes(blob)
+            if tf is not None and cur_raw and \
+                    cur_raw + len(data) > self._target:
+                _close()
+            if tf is None:
+                _open()
+            info = tarfile.TarInfo(shard_member_name(url))
+            info.size = len(data)
+            info.mtime = 0
+            info.uid = info.gid = 0
+            info.uname = info.gname = ""
+            info.mode = 0o644
+            tf.addfile(info, io.BytesIO(data))
+            cur_raw += len(data)
+            msg.n_members += 1
+            msg.raw_bytes += len(data)
+        if tf is not None:
+            _close()
+        return msg
+
+    def commit(self, messages: List[Optional[ShardCommitMessage]]) -> None:
+        manifest = {
+            "shards": sorted(s for m in messages if m
+                             for s in m.shards),
+            "n_members": sum(m.n_members for m in messages if m),
+            "raw_bytes": sum(m.raw_bytes for m in messages if m),
+        }
+        with open(os.path.join(self._path, "_manifest.json"), "w") as fh:
+            json.dump(manifest, fh, sort_keys=True)
+        with open(os.path.join(self._path, "_SUCCESS"), "w"):
+            pass
+
+    def abort(self, messages: List[Optional[ShardCommitMessage]]) -> None:
+        # Failed job: remove every shard a task reported so the half-
+        # written export disappears instead of masquerading as data.
+        for m in messages:
+            if not m:
+                continue
+            for s in m.shards:
+                try:
+                    os.remove(os.path.join(self._path, s))
+                except OSError:
+                    pass
+
+
+class ArchiveDataSource(DataSource):
+    """Register with ``spark.dataSource.register(ArchiveDataSource)``."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "archive"
+
+    def schema(self) -> str:
+        return ARCHIVE_DDL_SCHEMA
+
+    def reader(self, schema) -> ArchiveDataSourceReader:
+        return ArchiveDataSourceReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> TarShardWriter:
+        return TarShardWriter(self.options, overwrite)
+
+
+def register(spark) -> None:
+    """Idempotent registration helper."""
+    spark.dataSource.register(ArchiveDataSource)

@@ -1,0 +1,129 @@
+"""Spark 4 Python DataSource front door for archive bundles
+(read: bundle explode; write: two-phase-commit tar-shard export)."""
+
+import io
+import json
+import os
+import tarfile
+import zipfile
+
+import pytest
+
+from document_convert_to__markdown_spark.sources.archive import (
+    read_archive_docs,
+)
+from document_convert_to__markdown_spark.sources.archive_datasource import (
+    ArchiveDataSourceReader,
+    ShardCommitMessage,
+    TarShardWriter,
+    register,
+)
+
+
+def _zip_bytes(members):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members:
+            zf.writestr(name, data)
+    return buf.getvalue()
+
+
+def _tar_bytes(members):
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue()
+
+
+@pytest.fixture()
+def bundle_dir(tmp_path):
+    (tmp_path / "a.zip").write_bytes(
+        _zip_bytes([("x.html", b"<p>one</p>"), ("y.txt", b"two")]))
+    (tmp_path / "b.tar").write_bytes(_tar_bytes([("z.bin", b"\x00\x01")]))
+    return str(tmp_path)
+
+
+class TestReader:
+    def test_format_read_roundtrip(self, spark, bundle_dir):
+        register(spark)
+        df = spark.read.format("archive").load(bundle_dir)
+        assert df.columns == ["url", "archive", "member", "html",
+                              "size", "status"]
+        got = {(r["archive"], r["member"]): bytes(r["html"])
+               for r in df.collect()}
+        assert got == {("a.zip", "x.html"): b"<p>one</p>",
+                       ("a.zip", "y.txt"): b"two",
+                       ("b.tar", "z.bin"): b"\x00\x01"}
+
+    def test_one_partition_per_bundle(self, spark, bundle_dir):
+        reader = ArchiveDataSourceReader({"path": bundle_dir})
+        parts = reader.partitions()
+        assert sorted(p.path.rsplit("/", 1)[-1] for p in parts) == \
+            ["a.zip", "b.tar"]
+        register(spark)
+        df = spark.read.format("archive").load(bundle_dir)
+        assert df.rdd.getNumPartitions() == 2
+
+    def test_identical_to_mapinpandas_path(self, spark, bundle_dir):
+        register(spark)
+        via_ds = sorted(map(tuple,
+                            spark.read.format("archive").load(bundle_dir)
+                            .collect()))
+        via_mip = sorted(map(tuple,
+                             read_archive_docs(spark, bundle_dir)
+                             .collect()))
+        assert via_ds == via_mip
+
+    def test_empty_dir_plans_empty_relation(self, spark, tmp_path):
+        register(spark)
+        df = spark.read.format("archive").load(str(tmp_path))
+        assert df.count() == 0
+
+
+class TestWriter:
+    def test_write_commit_and_read_back(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "shards")
+        df = spark.createDataFrame(
+            [(f"u{i:02d}", f"body-{i}".encode()) for i in range(30)],
+            "url string, html binary")
+        df.write.format("archive").option("target_bytes", 100) \
+            .mode("overwrite").save(out)
+        assert os.path.exists(os.path.join(out, "_SUCCESS"))
+        man = json.load(open(os.path.join(out, "_manifest.json")))
+        assert man["n_members"] == 30
+        assert sorted(man["shards"]) == sorted(
+            f for f in os.listdir(out) if f.endswith(".tar"))
+        back = spark.read.format("archive").load(out)
+        got = {r["member"]: bytes(r["html"]) for r in back.collect()}
+        assert got == {f"u{i:02d}": f"body-{i}".encode()
+                       for i in range(30)}
+
+    def test_overwrite_clears_previous_export(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "shards2")
+        big = spark.createDataFrame(
+            [(f"u{i}", b"x") for i in range(20)],
+            "url string, html binary")
+        big.write.format("archive").mode("overwrite").save(out)
+        small = spark.createDataFrame([("only", b"y")],
+                                      "url string, html binary")
+        small.write.format("archive").mode("overwrite").save(out)
+        man = json.load(open(os.path.join(out, "_manifest.json")))
+        assert man["n_members"] == 1
+        back = spark.read.format("archive").load(out)
+        assert back.count() == 1
+
+    def test_abort_removes_reported_shards(self, tmp_path):
+        out = str(tmp_path / "shards3")
+        w = TarShardWriter({"path": out}, overwrite=False)
+        open(os.path.join(out, "part-00000-0000.tar"), "wb").write(b"x")
+        open(os.path.join(out, "part-00001-0000.tar"), "wb").write(b"y")
+        msg = ShardCommitMessage(shards=["part-00000-0000.tar"])
+        w.abort([msg, None])
+        left = sorted(os.listdir(out))
+        # only the shard a task REPORTED is removed; no _SUCCESS exists
+        assert left == ["part-00001-0000.tar"]
