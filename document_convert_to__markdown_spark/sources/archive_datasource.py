@@ -41,6 +41,7 @@ from typing import Iterator, List, Optional
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     WriterCommitMessage,
@@ -118,56 +119,13 @@ class TarShardWriter(DataSourceWriter):
                     os.remove(os.path.join(self._path, f))
 
     def write(self, rows: Iterator) -> ShardCommitMessage:
-        import io
-        import tarfile
-
         from pyspark import TaskContext
-
-        from .archive import shard_member_name
 
         ctx = TaskContext.get()
         pid = ctx.partitionId() if ctx is not None else 0
-        msg = ShardCommitMessage()
-        tf = None
-        cur_path = None
-        cur_raw = 0
-
-        def _open():
-            nonlocal tf, cur_path, cur_raw
-            cur_path = os.path.join(
-                self._path, f"part-{pid:05d}-{len(msg.shards):04d}.tar")
-            tf = tarfile.open(cur_path, mode="w",
-                              format=tarfile.PAX_FORMAT)
-            cur_raw = 0
-
-        def _close():
-            nonlocal tf
-            tf.close()
-            msg.shards.append(os.path.basename(cur_path))
-            tf = None
-
-        for row in rows:
-            url = str(row[self._url_col])
-            blob = row[self._blob_col]
-            data = b"" if blob is None else bytes(blob)
-            if tf is not None and cur_raw and \
-                    cur_raw + len(data) > self._target:
-                _close()
-            if tf is None:
-                _open()
-            info = tarfile.TarInfo(shard_member_name(url))
-            info.size = len(data)
-            info.mtime = 0
-            info.uid = info.gid = 0
-            info.uname = info.gname = ""
-            info.mode = 0o644
-            tf.addfile(info, io.BytesIO(data))
-            cur_raw += len(data)
-            msg.n_members += 1
-            msg.raw_bytes += len(data)
-        if tf is not None:
-            _close()
-        return msg
+        return _pack_rows_to_tars(
+            rows, self._path, self._target, self._url_col,
+            self._blob_col, lambda i: f"part-{pid:05d}-{i:04d}.tar")
 
     def commit(self, messages: List[Optional[ShardCommitMessage]]) -> None:
         manifest = {
@@ -194,6 +152,130 @@ class TarShardWriter(DataSourceWriter):
                     pass
 
 
+def _pack_rows_to_tars(rows, out_dir: str, target: int, url_col: str,
+                       blob_col: str, name_fn) -> "ShardCommitMessage":
+    """Shared greedy packer for the batch and streaming writers:
+    consume Rows, emit size-bounded tar files named by ``name_fn(i)``,
+    return the commit message listing what was written."""
+    import io
+    import tarfile
+
+    from .archive import shard_member_name
+
+    msg = ShardCommitMessage()
+    tf = None
+    cur_path = None
+    cur_raw = 0
+
+    def _open():
+        nonlocal tf, cur_path, cur_raw
+        cur_path = os.path.join(out_dir, name_fn(len(msg.shards)))
+        tf = tarfile.open(cur_path, mode="w", format=tarfile.PAX_FORMAT)
+        cur_raw = 0
+
+    def _close():
+        nonlocal tf
+        tf.close()
+        msg.shards.append(os.path.basename(cur_path))
+        tf = None
+
+    for row in rows:
+        url = str(row[url_col])
+        blob = row[blob_col]
+        data = b"" if blob is None else bytes(blob)
+        if tf is not None and cur_raw and cur_raw + len(data) > target:
+            _close()
+        if tf is None:
+            _open()
+        info = tarfile.TarInfo(shard_member_name(url))
+        info.size = len(data)
+        info.mtime = 0
+        info.uid = info.gid = 0
+        info.uname = info.gname = ""
+        info.mode = 0o644
+        tf.addfile(info, io.BytesIO(data))
+        cur_raw += len(data)
+        msg.n_members += 1
+        msg.raw_bytes += len(data)
+    if tf is not None:
+        _close()
+    return msg
+
+
+class TarShardStreamWriter(DataSourceStreamWriter):
+    """Micro-batch tar-shard sink: continuous arrivals become committed
+    shard files, exactly-once at file granularity.
+
+    Tasks cannot see the batch id (only ``commit``/``abort`` receive
+    it), so each task writes its shards under ``_staging/`` with
+    collision-free names and reports them in its commit message; the
+    driver's ``commit(batchId)`` renames them to
+    ``batch-<id>-<i>.tar`` and records the batch's shard list in
+    ``manifest-<id>.json``.  ``_staging`` starts with an underscore,
+    so Spark file listings (and thus both archive readers) never see
+    uncommitted shards — the same visibility rule FileOutputCommitter
+    relies on for ``_temporary``.  A replayed batch (crash between
+    task success and checkpoint advance) re-commits idempotently:
+    commit first deletes any ``batch-<id>-*`` from the earlier
+    attempt, so the batch's files appear exactly once.
+    """
+
+    def __init__(self, options: dict, overwrite: bool):
+        self._path = options.get("path")
+        if not self._path:
+            raise ValueError("archive stream sink requires a path")
+        self._target = int(options.get("target_bytes", 1 << 30))
+        self._url_col = options.get("url_col", "url")
+        self._blob_col = options.get("blob_col", "html")
+        self._staging = os.path.join(self._path, "_staging")
+        os.makedirs(self._staging, exist_ok=True)
+
+    def write(self, rows: Iterator) -> ShardCommitMessage:
+        import uuid
+
+        token = uuid.uuid4().hex                 # task-attempt unique
+        return _pack_rows_to_tars(
+            rows, self._staging, self._target, self._url_col,
+            self._blob_col, lambda i: f"{token}-{i:04d}.tar")
+
+    def commit(self, messages, batchId: int) -> None:
+        # idempotent replay: a prior attempt's output for this batch
+        # is removed before the fresh rename
+        prefix = f"batch-{batchId:06d}-"
+        for f in os.listdir(self._path):
+            if f.startswith(prefix) and f.endswith(".tar"):
+                os.remove(os.path.join(self._path, f))
+        final = []
+        n_members = raw_bytes = 0
+        i = 0
+        for m in messages:
+            if not m:
+                continue
+            n_members += m.n_members
+            raw_bytes += m.raw_bytes
+            for s in sorted(m.shards):
+                name = f"{prefix}{i:04d}.tar"
+                os.replace(os.path.join(self._staging, s),
+                           os.path.join(self._path, name))
+                final.append(name)
+                i += 1
+        with open(os.path.join(self._path,
+                               f"manifest-{batchId:06d}.json"), "w") as fh:
+            json.dump({"batch": batchId, "shards": final,
+                       "n_members": n_members,
+                       "raw_bytes": raw_bytes}, fh, sort_keys=True)
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if not m:
+                continue
+            for s in m.shards:
+                try:
+                    os.remove(os.path.join(self._staging, s))
+                except OSError:
+                    pass
+
+
 class ArchiveDataSource(DataSource):
     """Register with ``spark.dataSource.register(ArchiveDataSource)``."""
 
@@ -209,6 +291,9 @@ class ArchiveDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> TarShardWriter:
         return TarShardWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> TarShardStreamWriter:
+        return TarShardStreamWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

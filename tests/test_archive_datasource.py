@@ -127,3 +127,74 @@ class TestWriter:
         left = sorted(os.listdir(out))
         # only the shard a task REPORTED is removed; no _SUCCESS exists
         assert left == ["part-00001-0000.tar"]
+
+
+class TestStreamWriter:
+    def test_two_batches_commit_and_read_back(self, spark, tmp_path):
+        register(spark)
+        src = str(tmp_path / "in")
+        out = str(tmp_path / "shards_stream")
+        cp = str(tmp_path / "cp")
+        os.makedirs(src)
+
+        def drain():
+            stream = (spark.readStream
+                      .schema("url string, html binary").parquet(src)
+                      .writeStream.format("archive")
+                      .option("path", out)
+                      .option("checkpointLocation", cp)
+                      .option("target_bytes", 200)
+                      .trigger(availableNow=True).start())
+            assert stream.awaitTermination(120)
+
+        spark.createDataFrame(
+            [(f"a{i}", f"batch1-{i}".encode()) for i in range(12)],
+            "url string, html binary").write.mode("append").parquet(src)
+        drain()
+        spark.createDataFrame(
+            [(f"b{i}", f"batch2-{i}".encode()) for i in range(5)],
+            "url string, html binary").write.mode("append").parquet(src)
+        drain()
+
+        manifests = sorted(f for f in os.listdir(out)
+                           if f.startswith("manifest-"))
+        assert len(manifests) == 2
+        total = sum(json.load(open(os.path.join(out, m)))["n_members"]
+                    for m in manifests)
+        assert total == 17
+        # every committed shard is batch-named; staging left empty
+        tars = [f for f in os.listdir(out) if f.endswith(".tar")]
+        assert tars and all(f.startswith("batch-") for f in tars)
+        assert os.listdir(os.path.join(out, "_staging")) == []
+
+        back = spark.read.format("archive").load(out)
+        got = {r["member"]: bytes(r["html"])
+               for r in back.filter("status='ok'").collect()}
+        want = {f"a{i}": f"batch1-{i}".encode() for i in range(12)}
+        want.update({f"b{i}": f"batch2-{i}".encode() for i in range(5)})
+        assert got == want
+
+    def test_replayed_batch_commits_idempotently(self, tmp_path):
+        from document_convert_to__markdown_spark.sources.archive_datasource \
+            import TarShardStreamWriter
+
+        out = str(tmp_path / "replay")
+        w = TarShardStreamWriter({"path": out}, overwrite=False)
+        # attempt 1 of batch 7 committed two shards
+        for tok in ("aaaa", "bbbb"):
+            open(os.path.join(out, "_staging", f"{tok}-0000.tar"),
+                 "wb").write(b"x")
+        w.commit([ShardCommitMessage(shards=["aaaa-0000.tar"],
+                                     n_members=1, raw_bytes=1),
+                  ShardCommitMessage(shards=["bbbb-0000.tar"],
+                                     n_members=1, raw_bytes=1)], 7)
+        # replay of batch 7 (different staging names) must replace,
+        # not duplicate
+        open(os.path.join(out, "_staging", "cccc-0000.tar"),
+             "wb").write(b"y")
+        w.commit([ShardCommitMessage(shards=["cccc-0000.tar"],
+                                     n_members=1, raw_bytes=1)], 7)
+        tars = sorted(f for f in os.listdir(out) if f.endswith(".tar"))
+        assert tars == ["batch-000007-0000.tar"]
+        man = json.load(open(os.path.join(out, "manifest-000007.json")))
+        assert man["shards"] == tars and man["n_members"] == 1
