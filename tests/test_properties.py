@@ -163,3 +163,56 @@ def test_fast_tokenizer_matches_stdlib_on_noise(text):
     )
 
     assert _dom_repr(parse_dom(text)) == _dom_repr(_stdlib_dom(text))
+
+
+@given(
+    members=st.lists(
+        st.tuples(st.text(min_size=1, max_size=60).filter(
+            lambda s: "\x00" not in s),
+            st.binary(max_size=800)),
+        min_size=0, max_size=12, unique_by=lambda t: t[0]),
+    container=st.sampled_from(["zip", "tar", "tar.gz"]),
+)
+@settings(max_examples=60, deadline=None)
+def test_archive_members_roundtrip_arbitrary_payloads(members, container):
+    """Any (name, payload) set survives a zip/tar/tar.gz round trip
+    through iter_archive_members byte-identically, with only 'ok'
+    statuses (plus the empty-archive marker when there are none)."""
+    import gzip
+    import io
+    import tarfile
+    import zipfile
+
+    from document_convert_to__markdown_spark.sources.archive import (
+        iter_archive_members,
+        member_name_url,
+        shard_member_name,
+    )
+
+    # archive member names: percent-encode like the shard packer does,
+    # so arbitrary unicode/controls are in scope without fighting the
+    # container's own name rules
+    named = [(shard_member_name(n), d) for n, d in members]
+    buf = io.BytesIO()
+    if container == "zip":
+        with zipfile.ZipFile(buf, "w") as zf:
+            for n, d in named:
+                zf.writestr(n, d)
+        blob = buf.getvalue()
+    else:
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for n, d in named:
+                info = tarfile.TarInfo(n)
+                info.size = len(d)
+                tf.addfile(info, io.BytesIO(d))
+        blob = buf.getvalue()
+        if container == "tar.gz":
+            blob = gzip.compress(blob, mtime=0)
+
+    rows = list(iter_archive_members(blob, "t"))
+    if not members:
+        assert [r[3] for r in rows] == ["skipped_empty_archive"]
+        return
+    got = {member_name_url(m): d for m, d, _sz, s in rows if s == "ok"}
+    assert got == dict(members)
+    assert all(s == "ok" for _, _, _, s in rows)
