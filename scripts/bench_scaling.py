@@ -202,18 +202,22 @@ partitions is the right answer for real state volumes.
 ## Round-5 full-bench note (interleaved best-of in effect)
 
 The headline extraction metric now runs inside the 3-round
-interleaved loop (VERDICT r4 item 3): round-5 final-HEAD local[32]
-sf0.1 run — per-round extract secs **[12.76 (cold: JIT + code ship),
-2.61, 1.39]**, best-of **5,751 docs/s**, `extract_spread_warm` 1.88
-(an earlier same-day run measured 5,022 with warm spread 1.77 — the
-documented noise band).  The r03→r04 headline swing (2,997 → 1,954
+interleaved loop (VERDICT r4 item 3): round-5k final-HEAD local[32]
+sf0.1 run — per-round extract secs **[12.19 (cold: JIT + code ship),
+1.64, 1.30]**, best-of **6,168 docs/s**, `extract_spread_warm` 1.26
+(same-day runs measured 4,244-5,751 across the documented
+noisy-neighbor band).  The r03→r04 headline swing (2,997 → 1,954
 docs/s on zero code change) is exactly the band the warm spread now
 makes visible in every BENCH_r* JSON; the best-of is the trustworthy
-sample and the all-round values travel with it.  89 queries benched
-at final HEAD; slowest is `quality_classifier` at 15.7 s (the
-20-epoch relational training loop — one aggregation + dim-bounded
-collect per epoch, irreducible shape), then the iterative-by-design
-graph/BPE queries at ≤3.8 s; every round-5 multimodal query ≤2 s.
+sample and the all-round values travel with it.  91 queries benched
+at final HEAD; slowest is `quality_classifier` at 7.9 s (the 10-epoch
+relational training loop — one aggregation + dim-bounded collect per
+epoch, irreducible shape), then the iterative-by-design graph/BPE
+queries at ≤4.6 s; the two archive round trips bench 1.7 s
+(`archive_shard_roundtrip`) and 3.7 s (`archive_datasource_rw` —
+that one reads the shards through BOTH front doors and double
+`exceptAll`-verifies them, so it scans its fixture four times by
+design); every round-5 multimodal query ≤2.6 s.
 
 ## Soak: 200k docs / 1.3GB through the full resumable pipeline
 
@@ -417,6 +421,30 @@ through the crash).  This is the end-to-end proof of the engine's
 no-silent-duplicates invariant through a kill, complementing the
 unit-level crash matrix in `tests/test_snapshot_kill.py` and the
 parquet-path regression test in `tests/test_kill_resume.py`.
+
+## Soak: archive shard export → ingest cycle (round 5k)
+
+`scripts/soak_archive.py 200000` runs the WebDataset-export contract
+at 2×10^5-document scale: 200k ~2.3 KB documents (long PAX-path urls)
+pack into 64 size-bounded tar shards and read back through
+`read_archive_docs`, with closed-form parity — (rows, distinct urls,
+Σ length, Σ crc32) identical on both sides, manifest spans pairwise
+disjoint, member count exact, zero non-ok statuses:
+
+```json
+{{"metric": "archive_shard_soak", "n_docs": 200000, "cores": 32, "n_shards": 64, "tar_mb": 586.1, "pack_sec": 4.3, "pack_docs_per_sec": 46729, "read_sec": 27.1, "read_docs_per_sec": 7384, "src_sig": [200000, 200000, 460688890, 429052859680866], "back_sig": [200000, 200000, 460688890, 429052859680866], "n_interleaved": 0, "n_bad_status": 0, "checks": "pass"}}
+```
+
+Packing runs at **47k docs/s** (one range exchange + partition-local
+sort + per-task greedy tar writes — the plan is pinned to exactly one
+Exchange in `tests/test_plans.py`).  The read side's 7.4k docs/s is
+dominated by fixed costs around the explode, not by parsing: the
+pure-Python member walk profiles at **32k members/s per core**
+(tarfile header walk), so a 64-task scan of 586 MB spends most of its
+27 s in the binaryFile scan + two Arrow transfers of the payload
+bytes + the parity aggregation (crc32/countDistinct over 200k rows) —
+all costs that amortize in a real job where the explode feeds
+extraction directly instead of terminating in an audit aggregate.
 
 ## Soak: perceptual-hash near-dup over real codec decodes (round 5)
 
