@@ -4126,6 +4126,84 @@ def _q_archive_shard_roundtrip(spark, sf):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def _q_wikidump_ingest(spark, sf):
+    """Wikipedia multistream-dump source (sources/wikidump.py): 40
+    documents become a spec-shaped pages-articles-multistream fixture
+    (2 pages per independent bz2 stream + the offset:page_id:title
+    index, plus one talk-namespace page and one redirect), then:
+    (a) the full-scan reader (one dump = one task, streaming bz2 +
+    incremental <page> scan) ingests with the default ns-0 filter —
+    41 pages back (40 articles + the redirect), 40 byte-exact text
+    matches; (b) the INDEX path point-reads 7 wanted page ids —
+    seek + bounded read + single-stream inflate per distinct offset,
+    never a scan — and must agree row-for-row with the full scan
+    (7 rows, 0 disagreements); redirect metadata surfaces (1 row).
+    The wiki analog of warc_ingest + cdx_selective_fetch."""
+    import bz2 as _bz2
+    import shutil
+    import tempfile
+
+    from document_convert_to__markdown_spark.sources.wikidump import (
+        build_wikidump,
+        fetch_pages_by_index,
+        read_multistream_index,
+        read_wikidump_pages,
+    )
+
+    n = 40
+    src = (_load(spark, sf, "documents")
+           .orderBy("doc_id").limit(n)
+           .select(F.col("doc_id"), F.col("text")))
+    rows = [(f"Doc {r['doc_id']}", 0, int(r["doc_id"]) + 1,
+             "2020-01-02T03:04:05Z", r["text"] or "")
+            for r in src.collect()]           # bounded: 40
+    rows.append(("Talk:Noise", 1, 9500, "2020-01-02T03:04:05Z", "t"))
+    rows.append(("Redir", 0, 9501, "2020-01-02T03:04:05Z",
+                 "#REDIRECT [[Doc 0]]", "Doc 0"))
+    base = tempfile.mkdtemp(prefix="doc2md_wiki_q_")
+    try:
+        dump, index = build_wikidump(rows, pages_per_stream=2)
+        dump_path = f"{base}/fix-multistream.xml.bz2"
+        with open(dump_path, "wb") as fh:
+            fh.write(dump)
+        idx_path = f"{base}/fix-multistream-index.txt.bz2"
+        with open(idx_path, "wb") as fh:
+            fh.write(_bz2.compress(index.encode()))
+
+        got = read_wikidump_pages(spark, dump_path)
+        titled = got.select(
+            # try_cast: non-article titles (the redirect) extract ''
+            # and must become null under ANSI, not a cast error
+            F.regexp_extract("title", r"^Doc (\d+)$", 1)
+            .try_cast("long").alias("doc_id"), "text").alias("g")
+        joined = titled.join(src.alias("w"), "doc_id")
+
+        idx = read_multistream_index(spark, idx_path)
+        want_ids = [2, 7, 11, 19, 23, 31, 9501]
+        wanted = idx.filter(F.col("page_id").isin(want_ids))
+        fetched = fetch_pages_by_index(spark, wanted, dump_path)
+        full_sub = (read_wikidump_pages(spark, dump_path,
+                                        namespaces=None)
+                    .filter(F.col("page_id").isin(want_ids)))
+        disagree = (fetched.exceptAll(full_sub).count()
+                    + full_sub.exceptAll(fetched).count())
+        # Counts computed eagerly so the returned frame no longer
+        # references the fixture files.
+        return spark.createDataFrame(
+            [(
+                got.count(),
+                joined.filter("g.text <=> w.text").count(),
+                fetched.count(),
+                disagree,
+                got.filter("redirect is not null").count(),
+            )],
+            "n_pages bigint, n_text_match bigint, n_fetched bigint, "
+            "n_path_disagree bigint, n_redirects bigint",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_archive_datasource_rw(spark, sf):
     """Spark 4 Python DataSource front door for archives
     (sources/archive_datasource.py): the first 40 documents export
@@ -4601,7 +4679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter": _q_robots_filter,               # join knob
         "stream_stream_join": _q_stream_stream_join,     # drain delay
         "stream_merge_upsert": _q_stream_merge_upsert,   # recency guard
-        "hybrid_rrf_retrieval": _q_hybrid_rrf_retrieval,  # new round 4b
+        "wikidump_ingest": _q_wikidump_ingest,        # new r5l
         "stream_stream_outer_join": _q_stream_stream_outer_join,  # 4b
         "cdx_ingest": _q_cdx_ingest,                     # new round 4b
         # --- r03-green entries filling the rest of the window ---
@@ -4645,6 +4723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # green verdict in an earlier round and its code is unchanged
         # (or changed only in ways already re-verified above).
         "neardup_pipeline": _q_neardup_pipeline,   # green r04, unchanged
+        "hybrid_rrf_retrieval": _q_hybrid_rrf_retrieval,  # green r04, unchanged
         "quantized_ann": _q_quantized_ann,         # green r04, unchanged
         "dedup_incremental": _q_dedup_incremental,  # green r04, unchanged
         "semdedup_prune": _q_semdedup_prune,       # green r04, unchanged
@@ -5256,6 +5335,17 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lists
             FROM u GROUP BY doc_id
             ORDER BY rrf_score DESC, doc_id LIMIT 10
+        """,
+        # Wiki dump replay: 41 ns-0 pages (40 articles + redirect),
+        # 40 text matches, 7 point-fetched, 0 path disagreements,
+        # 1 redirect row.
+        "wikidump_ingest": """
+            SELECT * FROM (VALUES
+              (CAST(41 AS BIGINT), CAST(40 AS BIGINT),
+               CAST(7 AS BIGINT), CAST(0 AS BIGINT),
+               CAST(1 AS BIGINT))
+            ) AS t(n_pages, n_text_match, n_fetched, n_path_disagree,
+                   n_redirects)
         """,
         # DataSource write -> dual-door read: 40 docs, 40 byte-exact,
         # 0 rows where the two read paths disagree, manifest says 40.

@@ -107,6 +107,8 @@ BENCH_QUERIES = [
     # round-5k: tar-shard export -> archive ingest round trip
     "archive_shard_roundtrip",
     "archive_datasource_rw",
+    # round-5l: Wikipedia multistream dump ingest + index point reads
+    "wikidump_ingest",
     "stream_stream_outer_join",
     "cdx_ingest",
     "cdx_selective_fetch",

@@ -38,6 +38,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="directory/glob of document bundles "
                              "(.zip/.tar/.tar.gz) — each member becomes "
                              "one page keyed archive://<file>!/<member>")
+    parser.add_argument("--input-wikidump", default=None,
+                        help="directory/glob of Wikipedia "
+                             "pages-articles-multistream .xml.bz2 dumps "
+                             "— ns-0 articles enter as markdown-"
+                             "converted wikitext")
     parser.add_argument("--n-docs", type=int, default=None,
                         help="synthesize this many pages instead of reading a table")
     parser.add_argument("--seed", type=int, default=42)
@@ -81,10 +86,11 @@ def main(argv: list[str] | None = None) -> int:
     if not args.output:
         parser.error("--output is required")
     if not (args.input_table or args.n_docs or args.input_dir
-            or args.input_warc or args.input_wet or args.input_archive):
+            or args.input_warc or args.input_wet or args.input_archive
+            or args.input_wikidump):
         parser.error("one of --input-table / --input-dir / --input-warc "
-                     "/ --input-wet / --input-archive / --n-docs is "
-                     "required")
+                     "/ --input-wet / --input-archive / "
+                     "--input-wikidump / --n-docs is required")
 
     from .pipeline.session import build_session
     from .pipeline.job import run_extraction_resumable
@@ -115,6 +121,13 @@ def main(argv: list[str] | None = None) -> int:
                 F.encode("text", "utf-8").alias("html"),
                 F.lit(None).cast("string").alias("text"),
                 F.lit(None).cast("string").alias("lang"))
+        elif args.input_wikidump:
+            from .sources.wikidump import (
+                read_wikidump_pages,
+                wikidump_to_corpus,
+            )
+            pages = wikidump_to_corpus(
+                read_wikidump_pages(spark, args.input_wikidump))
         elif args.input_archive:
             from pyspark.sql import functions as F
 
