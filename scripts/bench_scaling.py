@@ -422,6 +422,27 @@ no-silent-duplicates invariant through a kill, complementing the
 unit-level crash matrix in `tests/test_snapshot_kill.py` and the
 parquet-path regression test in `tests/test_kill_resume.py`.
 
+## Soak: Wikipedia multistream dump at 10^5 pages (round 5l)
+
+`scripts/soak_wikidump.py 100000` authors eight spec-shaped
+pages-articles-multistream part files (~2 KB wikitext pages, 100
+pages per independent bz2 stream — the real dump grouping) and runs
+all three paths with closed-form parity:
+
+```json
+{{"metric": "wikidump_soak", "n_pages": 100000, "cores": 32, "n_parts": 8, "build_sec": 39.5, "scan_sec": 7.7, "scan_pages_per_sec": 13006, "convert_sec": 20.0, "convert_pages_per_sec": 5007, "n_fetch_wanted": 1000, "n_fetched": 1000, "fetch_sec": 16.6, "bad_markdown_rows": 0, "crc_match": true, "fetch_crc_mismatch": 0, "checks": "pass"}}
+```
+
+Full-scan ingest (streaming capped bz2 + incremental <page> scan)
+recovers all 100k pages crc32-exact at **13k pages/s** across 8
+part-file tasks (the parallel unit, as with real enwiki parts);
+wikitext→markdown converts at **5k pages/s** with zero
+template/table/ref residue rows; and 1,000 wanted pages point-fetch
+through the offset index row- and crc-exact — per-stream seek +
+bounded read + single-stream inflate, never a dump scan (at enwiki
+scale that is 10^3 ranged reads against a 20 GB object instead of
+reading it).
+
 ## Soak: archive shard export → ingest cycle (round 5k)
 
 `scripts/soak_archive.py 200000` runs the WebDataset-export contract

@@ -377,3 +377,47 @@ def test_shard_pack_single_range_exchange(spark):
     # the Sort's global flag prints as the second argument:
     # "[url ASC NULLS FIRST], false, 0" = partition-local sort
     assert "Sort" in plan and "], false, 0" in plan, plan
+
+
+def test_wikidump_read_is_exchange_free(spark, tmp_path):
+    """Dump ingest must go scan → mapInPandas → filter with NO
+    Exchange (one dump file = one task; the ns filter is a narrow
+    post-projection)."""
+    from document_convert_to__markdown_spark.sources.wikidump import (
+        build_wikidump,
+        read_wikidump_pages,
+    )
+
+    dump, _ = build_wikidump(
+        [("T", 0, 1, "2020-01-01T00:00:00Z", "x")])
+    (tmp_path / "d-multistream.xml.bz2").write_bytes(dump)
+    plan = plan_str(read_wikidump_pages(spark, str(tmp_path)))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan
+
+
+def test_wikidump_fetch_single_offset_exchange(spark, tmp_path):
+    """Index-driven point reads cost exactly one Exchange (the
+    per-offset task assignment) — never a scan of the dump, never a
+    window over the index."""
+    import bz2 as _bz2
+
+    from document_convert_to__markdown_spark.sources.wikidump import (
+        build_wikidump,
+        fetch_pages_by_index,
+        read_multistream_index,
+    )
+
+    dump, index = build_wikidump(
+        [(f"T{i}", 0, i + 1, "2020-01-01T00:00:00Z", "x")
+         for i in range(6)], pages_per_stream=2)
+    dp = tmp_path / "d-multistream.xml.bz2"
+    dp.write_bytes(dump)
+    ip = tmp_path / "d-multistream-index.txt.bz2"
+    ip.write_bytes(_bz2.compress(index.encode()))
+    idx = read_multistream_index(spark, str(ip))
+    out = fetch_pages_by_index(spark, idx.filter("page_id in (1, 5)"),
+                               str(dp))
+    plan = plan_str(out, mode="simple")
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan, plan
