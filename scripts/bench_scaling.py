@@ -209,7 +209,7 @@ sf0.1 run — per-round extract secs **[12.19 (cold: JIT + code ship),
 noisy-neighbor band).  The r03→r04 headline swing (2,997 → 1,954
 docs/s on zero code change) is exactly the band the warm spread now
 makes visible in every BENCH_r* JSON; the best-of is the trustworthy
-sample and the all-round values travel with it.  91 queries benched
+sample and the all-round values travel with it.  112 queries benched
 at final HEAD; slowest is `quality_classifier` at 7.9 s (the 10-epoch
 relational training loop — one aggregation + dim-bounded collect per
 epoch, irreducible shape), then the iterative-by-design graph/BPE
