@@ -6,7 +6,7 @@ source bundles, WebDataset tar shards.  This module provides both
 directions of that contract:
 
 - ``read_archive_docs(spark, path_glob)``: a directory/glob of
-  ``.zip`` / ``.tar`` / ``.tar.gz`` / ``.tgz`` files → one row per
+  ``.zip`` / ``.tar`` / ``.tar.{gz,bz2,xz}`` files → one row per
   member ``(url, archive, member, html, size, status)`` ready for
   ``run_extraction`` (``html`` is the raw member bytes; the engine's
   magic-byte sniffer takes it from there — member *extensions* are
@@ -77,6 +77,8 @@ MAX_DECOMPRESSED_BYTES = 8 << 30
 MAX_MEMBER_BYTES = 100 * 1024 * 1024
 
 _GZ_MAGIC = b"\x1f\x8b"
+_BZ2_MAGIC = b"BZh"
+_XZ_MAGIC = b"\xfd7zXZ\x00"
 _ZIP_MAGICS = (b"PK\x03\x04", b"PK\x05\x06", b"PK\x07\x08")
 
 ARCHIVE_DOCS_SCHEMA = StructType([
@@ -164,6 +166,18 @@ def iter_archive_members(
                 blob, max_bytes=max_total_bytes))
             yield from _iter_tar(peek, max_member_bytes, max_total_bytes)
             return
+        if blob[:3] == _BZ2_MAGIC:
+            from .wikidump import _iter_bz2_chunks
+
+            peek = _ChunkReader(_iter_bz2_chunks(
+                blob, max_bytes=max_total_bytes))
+            yield from _iter_tar(peek, max_member_bytes, max_total_bytes)
+            return
+        if blob[:6] == _XZ_MAGIC:
+            peek = _ChunkReader(_iter_xz_chunks(
+                blob, max_bytes=max_total_bytes))
+            yield from _iter_tar(peek, max_member_bytes, max_total_bytes)
+            return
         if blob[:4] in _ZIP_MAGICS:
             yield from _iter_zip(blob, max_member_bytes, max_total_bytes)
             return
@@ -171,6 +185,53 @@ def iter_archive_members(
                              max_total_bytes, raw=blob)
     except Exception as exc:                       # noqa: BLE001
         yield None, None, None, f"failed_archive:{type(exc).__name__}"
+
+
+def _iter_xz_chunks(data: bytes,
+                    max_bytes: int = MAX_DECOMPRESSED_BYTES):
+    """Capped streaming xz inflate (stdlib lzma), same rails as the
+    gzip/bz2 chunkers: bounded feed, output ceiling, corrupt-tail
+    salvage, multistream concatenation."""
+    import lzma
+
+    mv = memoryview(data)
+    n = len(data)
+    feed = 0
+    total = 0
+    d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+    pending = None
+    try:
+        while True:
+            if pending is None:
+                if feed >= n:
+                    break
+                nxt = min(feed + _XZ_CHUNK, n)
+                pending = bytes(mv[feed:nxt])
+                feed = nxt
+            out = d.decompress(pending, max_length=_XZ_CHUNK)
+            pending = None
+            if out:
+                total += len(out)
+                if total > max_bytes:
+                    yield out[:len(out) - (total - max_bytes)]
+                    return
+                yield out
+            if d.eof:
+                rest = d.unused_data
+                d = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+                if rest:
+                    if rest[:6] != _XZ_MAGIC:
+                        return
+                    pending = rest
+                elif feed >= n:
+                    break
+            elif not d.needs_input:
+                pending = b""
+    except (lzma.LZMAError, EOFError, ValueError):
+        return                          # salvage prefix
+
+
+_XZ_CHUNK = 1 << 20
 
 
 def _iter_zip(blob: bytes, max_member_bytes: int, max_total_bytes: int):
@@ -280,7 +341,8 @@ def _explode_archive_blobs(batches):
 
 
 def read_archive_docs(spark, path_glob: str,
-                      path_glob_filter: str = "*.{zip,tar,tar.gz,tgz}"):
+                      path_glob_filter: str =
+                      "*.{zip,tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz}"):
     """Directory/glob of archive bundles → documents relation.
 
     One archive file = one ``binaryFile`` row = one task; members are
@@ -298,7 +360,7 @@ def read_archive_docs(spark, path_glob: str,
 
 def read_archive_docs_stream(spark, path_glob: str,
                              path_glob_filter: str =
-                             "*.{zip,tar,tar.gz,tgz}",
+                             "*.{zip,tar,tar.gz,tgz,tar.bz2,tbz2,tar.xz,txz}",
                              max_files_per_trigger: Optional[int] = None):
     """Streaming twin of ``read_archive_docs``: bundles dropped into a
     directory become micro-batches (the same continuous-arrival shape

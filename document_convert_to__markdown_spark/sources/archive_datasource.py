@@ -50,7 +50,8 @@ from pyspark.sql.datasource import (
 ARCHIVE_DDL_SCHEMA = ("url string, archive string, member string, "
                       "html binary, size long, status string")
 
-_BUNDLE_GLOBS = ("*.zip", "*.tar", "*.tar.gz", "*.tgz")
+_BUNDLE_GLOBS = ("*.zip", "*.tar", "*.tar.gz", "*.tgz",
+                 "*.tar.bz2", "*.tbz2", "*.tar.xz", "*.txz")
 
 
 class ArchivePartition(InputPartition):

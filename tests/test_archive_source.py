@@ -32,7 +32,10 @@ def _zip_bytes(members, extra_dirs=()):
     return buf.getvalue()
 
 
-def _tar_bytes(members, gz=False):
+def _tar_bytes(members, gz=False, comp=None):
+    import bz2
+    import lzma
+
     buf = io.BytesIO()
     with tarfile.open(fileobj=buf, mode="w") as tf:
         for name, data in members:
@@ -40,7 +43,13 @@ def _tar_bytes(members, gz=False):
             info.size = len(data)
             tf.addfile(info, io.BytesIO(data))
     raw = buf.getvalue()
-    return gzip.compress(raw, mtime=0) if gz else raw
+    if gz or comp == "gz":
+        return gzip.compress(raw, mtime=0)
+    if comp == "bz2":
+        return bz2.compress(raw)
+    if comp == "xz":
+        return lzma.compress(raw)
+    return raw
 
 
 MEMBERS = [
@@ -55,7 +64,9 @@ class TestIterArchiveMembers:
         _zip_bytes(MEMBERS, extra_dirs=("docs",)),
         _tar_bytes(MEMBERS),
         _tar_bytes(MEMBERS, gz=True),
-    ], ids=["zip", "tar", "tar.gz"])
+        _tar_bytes(MEMBERS, comp="bz2"),
+        _tar_bytes(MEMBERS, comp="xz"),
+    ], ids=["zip", "tar", "tar.gz", "tar.bz2", "tar.xz"])
     def test_roundtrip_members(self, blob):
         got = {m: (d, s)
                for m, d, _sz, s in iter_archive_members(blob, "t")}
@@ -99,7 +110,8 @@ class TestIterArchiveMembers:
 
     @pytest.mark.parametrize("base", [
         _zip_bytes(MEMBERS), _tar_bytes(MEMBERS), _tar_bytes(MEMBERS, gz=True),
-    ], ids=["zip", "tar", "tar.gz"])
+        _tar_bytes(MEMBERS, comp="bz2"), _tar_bytes(MEMBERS, comp="xz"),
+    ], ids=["zip", "tar", "tar.gz", "tar.bz2", "tar.xz"])
     def test_never_raises_on_any_prefix(self, base):
         # The never-raise contract, replayed over every byte prefix
         # (the same fuzz shape the EXIF/audio-tag parsers are held to).
@@ -136,6 +148,10 @@ class TestSparkArchive:
         (root / "two.tar").write_bytes(_tar_bytes([("c.txt", b"C")]))
         (root / "three.tar.gz").write_bytes(
             _tar_bytes([("d.txt", b"D")], gz=True))
+        (root / "four.tar.bz2").write_bytes(
+            _tar_bytes([("e.txt", b"E")], comp="bz2"))
+        (root / "five.tar.xz").write_bytes(
+            _tar_bytes([("f.txt", b"F")], comp="xz"))
         df = read_archive_docs(spark, str(root))
         rows = {(r["archive"], r["member"]): (bytes(r["html"])
                                               if r["html"] is not None
@@ -144,7 +160,9 @@ class TestSparkArchive:
         assert rows[("one.zip", "docs/a.html")] == (MEMBERS[0][1], "ok")
         assert rows[("two.tar", "c.txt")] == (b"C", "ok")
         assert rows[("three.tar.gz", "d.txt")] == (b"D", "ok")
-        assert len(rows) == 5
+        assert rows[("four.tar.bz2", "e.txt")] == (b"E", "ok")
+        assert rows[("five.tar.xz", "f.txt")] == (b"F", "ok")
+        assert len(rows) == 7
 
     def test_corrupt_archive_yields_status_row(self, spark, tmp_path):
         root = tmp_path / "bad"
