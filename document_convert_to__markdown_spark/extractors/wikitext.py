@@ -35,7 +35,9 @@ _COMMENT_RE = re.compile(r"<!--.*?-->", re.S)
 _REF_RE = re.compile(r"<ref[^>/]*/>|<ref[^>]*>.*?</ref>", re.S | re.I)
 _TAG_RE = re.compile(r"</?[A-Za-z][^>\n]*>")
 _EXT_LINK_RE = re.compile(r"\[(?:https?|ftp)://[^\s\]]+(?:\s+([^\]]*))?\]")
-_HEAD_RE = re.compile(r"^(={2,6})\s*(.*?)\s*=*\s*$")
+# heading requires a CLOSING '=' run (MediaWiki: '== H ==' is a
+# heading, '==> see below' is prose — round-5 review finding)
+_HEAD_RE = re.compile(r"^(={2,6})\s*(.+?)\s*=+\s*$")
 _BOLD_ITALIC_RE = re.compile(r"'''''(.+?)'''''")
 _BOLD_RE = re.compile(r"'''(.+?)'''")
 _ITALIC_RE = re.compile(r"''(.+?)''")

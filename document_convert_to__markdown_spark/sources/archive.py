@@ -324,20 +324,30 @@ def _iter_tar(fileobj, max_member_bytes: int, max_total_bytes: int,
         yield None, None, None, "failed_archive_tail"
 
 
+_ARCH_COLS = ["url", "archive", "member", "html", "size", "status"]
+# Flush the output batch once buffered payloads pass this bound — the
+# streaming rails upstream must not be defeated by collecting a whole
+# multi-GB archive's members into one pandas frame (round-5 review).
+_FLUSH_BYTES = 64 << 20
+
+
 def _explode_archive_blobs(batches):
     import pandas as pd
 
     for pdf in batches:
         rows = []
+        pending = 0
         for path, blob in zip(pdf["path"], pdf["content"]):
             name = posixpath.basename(str(path))
             for member, data, size, status in iter_archive_members(
                     bytes(blob), name):
                 rows.append((_member_url(name, member),
                              name, member, data, size, status))
-        yield pd.DataFrame(
-            rows, columns=["url", "archive", "member", "html", "size",
-                           "status"])
+                pending += len(data) if data else 0
+                if pending >= _FLUSH_BYTES:
+                    yield pd.DataFrame(rows, columns=_ARCH_COLS)
+                    rows, pending = [], 0
+        yield pd.DataFrame(rows, columns=_ARCH_COLS)
 
 
 def read_archive_docs(spark, path_glob: str,

@@ -72,6 +72,13 @@ class ArchiveDataSourceReader(DataSourceReader):
             self._files = sorted(files)
         else:
             self._files = sorted(_glob.glob(path))
+            # A literal path that matches nothing is a typo, not an
+            # empty corpus — fail like Spark's built-in file sources
+            # do on a missing root (an existing-but-empty DIRECTORY
+            # still plans as an empty relation above).
+            if not self._files and not _glob.has_magic(path):
+                raise ValueError(
+                    f"archive datasource path not found: {path}")
 
     def partitions(self):
         # One bundle = one partition = one task.  An empty listing
@@ -102,6 +109,22 @@ class ShardCommitMessage(WriterCommitMessage):
 
 
 class TarShardWriter(DataSourceWriter):
+    """Batch tar-shard sink with a real two-phase commit.
+
+    Tasks never touch the published directory: each attempt writes its
+    shards under ``_staging/`` with an attempt-unique token (safe
+    against speculative/zombie duplicate attempts — two attempts of
+    one partition can't collide) and reports them in its commit
+    message.  The driver's ``commit`` renames the winning attempts'
+    shards to sequential ``part-<i>.tar`` names — continuing from the
+    highest existing index under ``mode("append")``, whose prior
+    manifest is merged rather than clobbered — and only then publishes
+    ``_manifest.json`` + ``_SUCCESS``.  A crashed task's partial file
+    stays in ``_staging`` (invisible to Spark listings and both
+    archive readers, like FileOutputCommitter's ``_temporary``) and is
+    swept by the next ``abort``/``overwrite``.
+    """
+
     def __init__(self, options: dict, overwrite: bool):
         self._path = options.get("path")
         if not self._path:
@@ -110,47 +133,67 @@ class TarShardWriter(DataSourceWriter):
         self._target = int(options.get("target_bytes", 1 << 30))
         self._url_col = options.get("url_col", "url")
         self._blob_col = options.get("blob_col", "html")
+        self._overwrite = overwrite
+        self._staging = os.path.join(self._path, "_staging")
         # Driver-side, before any task runs: overwrite clears prior
-        # shards and their manifest so a reader can never mix exports.
-        os.makedirs(self._path, exist_ok=True)
+        # shards and their manifest so a reader can never mix exports
+        # (and sweeps any stale staging debris from crashed jobs).
+        os.makedirs(self._staging, exist_ok=True)
         if overwrite:
             for f in os.listdir(self._path):
                 if f.endswith(".tar") or f in ("_manifest.json",
                                                "_SUCCESS"):
                     os.remove(os.path.join(self._path, f))
+            for f in os.listdir(self._staging):
+                os.remove(os.path.join(self._staging, f))
 
     def write(self, rows: Iterator) -> ShardCommitMessage:
-        from pyspark import TaskContext
+        import uuid
 
-        ctx = TaskContext.get()
-        pid = ctx.partitionId() if ctx is not None else 0
+        token = uuid.uuid4().hex                 # task-attempt unique
         return _pack_rows_to_tars(
-            rows, self._path, self._target, self._url_col,
-            self._blob_col, lambda i: f"part-{pid:05d}-{i:04d}.tar")
+            rows, self._staging, self._target, self._url_col,
+            self._blob_col, lambda i: f"{token}-{i:04d}.tar")
 
     def commit(self, messages: List[Optional[ShardCommitMessage]]) -> None:
-        manifest = {
-            "shards": sorted(s for m in messages if m
-                             for s in m.shards),
-            "n_members": sum(m.n_members for m in messages if m),
-            "raw_bytes": sum(m.raw_bytes for m in messages if m),
-        }
-        with open(os.path.join(self._path, "_manifest.json"), "w") as fh:
-            json.dump(manifest, fh, sort_keys=True)
+        prior = {"shards": [], "n_members": 0, "raw_bytes": 0}
+        man_path = os.path.join(self._path, "_manifest.json")
+        if not self._overwrite and os.path.exists(man_path):
+            with open(man_path) as fh:
+                prior = json.load(fh)
+        nxt = 1 + max(
+            (int(f[5:-4]) for f in os.listdir(self._path)
+             if f.startswith("part-") and f.endswith(".tar")
+             and f[5:-4].isdigit()), default=-1)
+        final = list(prior["shards"])
+        n_members = prior["n_members"]
+        raw_bytes = prior["raw_bytes"]
+        for m in messages:
+            if not m:
+                continue
+            n_members += m.n_members
+            raw_bytes += m.raw_bytes
+            for s in sorted(m.shards):
+                name = f"part-{nxt:05d}.tar"
+                os.replace(os.path.join(self._staging, s),
+                           os.path.join(self._path, name))
+                final.append(name)
+                nxt += 1
+        with open(man_path, "w") as fh:
+            json.dump({"shards": sorted(final), "n_members": n_members,
+                       "raw_bytes": raw_bytes}, fh, sort_keys=True)
         with open(os.path.join(self._path, "_SUCCESS"), "w"):
             pass
 
     def abort(self, messages: List[Optional[ShardCommitMessage]]) -> None:
-        # Failed job: remove every shard a task reported so the half-
-        # written export disappears instead of masquerading as data.
-        for m in messages:
-            if not m:
-                continue
-            for s in m.shards:
-                try:
-                    os.remove(os.path.join(self._path, s))
-                except OSError:
-                    pass
+        # Failed job: sweep the whole staging dir — reported shards
+        # AND partials from tasks that died mid-write (which never
+        # reported a message).
+        for f in os.listdir(self._staging):
+            try:
+                os.remove(os.path.join(self._staging, f))
+            except OSError:
+                pass
 
 
 def _pack_rows_to_tars(rows, out_dir: str, target: int, url_col: str,

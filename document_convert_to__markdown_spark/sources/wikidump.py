@@ -155,11 +155,23 @@ def _parse_page(fragment: bytes) -> Optional[tuple]:
     )
 
 
-def iter_dump_pages(chunks) -> Iterator[tuple]:
+# A single <page> larger than this is damage, not an article (the
+# largest real wiki pages are ~2 MB of wikitext): without the cap, a
+# corrupt dump whose </page> never arrives would accumulate the whole
+# decompressed document (up to MAX_DECOMPRESSED_BYTES) in one task's
+# buffer (round-5 review finding).
+MAX_PAGE_BYTES = 64 << 20
+
+
+def iter_dump_pages(chunks,
+                    max_page_bytes: int = MAX_PAGE_BYTES
+                    ) -> Iterator[tuple]:
     """Incremental ``<page>`` scan over an iterator of XML chunks.
 
     Holds only the bytes between the current ``<page>`` open tag and
-    its close tag (pages are KBs; the document is GBs).  Yields
+    its close tag (pages are KBs; the document is GBs), bounded by
+    ``max_page_bytes`` — an unterminated page emits a ``failed_page``
+    row and the scan resyncs at the next ``<page>``.  Yields
     ``(title, ns, page_id, redirect, ts, text, status)``; a fragment
     that fails to parse yields a ``failed_page`` status row rather
     than vanishing.
@@ -179,6 +191,16 @@ def iter_dump_pages(chunks) -> Iterator[tuple]:
                 in_page = True
             j = buf.find(b"</page>")
             if j < 0:
+                if len(buf) > max_page_bytes:
+                    # runaway page: account for it, resync at the
+                    # next opener inside the discarded window
+                    yield (None, None, None, None, None, None,
+                           "failed_page")
+                    nxt = buf.find(b"<page>", 6)
+                    buf = buf[nxt:] if nxt >= 0 else buf[-7:]
+                    in_page = nxt >= 0
+                    if in_page:
+                        continue
                 break
             frag, buf = buf[:j + 7], buf[j + 7:]
             in_page = False
@@ -194,24 +216,36 @@ def _wiki_url(title: Optional[str]) -> str:
     return "wiki://" + (title or "\x00page").replace(" ", "_")
 
 
+_COLS = ["url", "title", "ns", "page_id", "redirect", "ts", "text",
+         "status"]
+# Flush the output batch once buffered page text passes this bound:
+# the streaming decode exists so the raw XML never materializes — the
+# OUTPUT stage must honor the same rail (round-5 review finding).
+_FLUSH_BYTES = 64 << 20
+
+
 def _explode_dump_blobs(batches):
     import pandas as pd
 
     for pdf in batches:
         rows = []
+        pending = 0
         for blob in pdf["content"]:
-            n_before = len(rows)
+            n_seen = 0
             for t, ns, pid, red, ts, text, status in iter_dump_pages(
                     _iter_bz2_chunks(bytes(blob))):
                 rows.append((_wiki_url(t), t, ns, pid, red, ts, text,
                              status))
-            if len(rows) == n_before:
+                n_seen += 1
+                pending += len(text) if text else 0
+                if pending >= _FLUSH_BYTES:
+                    yield pd.DataFrame(rows, columns=_COLS)
+                    rows, pending = [], 0
+            if n_seen == 0:
                 # a dump file with zero pages is queryable, not silent
                 rows.append((_wiki_url(None), None, None, None, None,
                              None, "skipped_empty_dump"))
-        yield pd.DataFrame(
-            rows, columns=["url", "title", "ns", "page_id", "redirect",
-                           "ts", "text", "status"])
+        yield pd.DataFrame(rows, columns=_COLS)
 
 
 def read_wikidump_pages(spark, path_glob: str,
@@ -221,8 +255,10 @@ def read_wikidump_pages(spark, path_glob: str,
     One dump file = one task; ``namespaces`` filters post-parse
     (``None`` keeps all — talk/user/template pages included).  Status
     rows (``failed_page`` / ``skipped_empty_dump``) always survive
-    the namespace filter: accounting rows must not be filterable by
-    accident.
+    the namespace filter, and so do ok pages whose ``<ns>`` is absent
+    or unparseable (older export schemas) — a null ns must not become
+    a silent drop (round-5 review finding): accounting rows are not
+    filterable by accident.
     """
     files = (spark.read.format("binaryFile")
              .option("pathGlobFilter", "*.bz2")
@@ -233,6 +269,7 @@ def read_wikidump_pages(spark, path_glob: str,
     if namespaces is not None:
         pages = pages.filter(
             F.col("ns").isin(list(namespaces))
+            | F.col("ns").isNull()
             | (F.col("status") != "ok"))
     return pages
 
@@ -275,9 +312,7 @@ def fetch_pages_by_index(spark, wanted, dump_path: str,
     def _fetch(batches):
         for pdf in batches:
             if pdf.empty:
-                yield pd.DataFrame(
-                    columns=["url", "title", "ns", "page_id",
-                             "redirect", "ts", "text", "status"])
+                yield pd.DataFrame(columns=_COLS)
                 continue
             rows = []
             grouped = pdf.groupby("offset")["page_id"].agg(set)
@@ -287,26 +322,51 @@ def fetch_pages_by_index(spark, wanted, dump_path: str,
                     blob = fh.read(max_stream_bytes)
                     d = bz2.BZ2Decompressor()
 
-                    def one_stream(blob=blob, d=d):
+                    def one_stream(blob=blob, d=d,
+                                   cap=MAX_DECOMPRESSED_BYTES):
+                        # same bomb rail + feed pattern as the
+                        # full-scan chunker: a crafted stream must
+                        # cost the fetch, not the executor (round-5
+                        # review finding); stops at the stream's own
+                        # end marker (d.eof)
                         pos = 0
-                        while pos < len(blob) and not d.eof:
-                            out = d.decompress(
-                                blob[pos:pos + _CHUNK])
-                            pos += _CHUNK
+                        total = 0
+                        pending = None
+                        while not d.eof:
+                            if pending is None:
+                                if pos >= len(blob):
+                                    break
+                                pending = blob[pos:pos + _CHUNK]
+                                pos += _CHUNK
+                            out = d.decompress(pending,
+                                               max_length=_CHUNK)
+                            pending = None
                             if out:
+                                total += len(out)
+                                if total > cap:
+                                    return
                                 yield out
+                            if not d.eof and not d.needs_input:
+                                pending = b""
 
+                    missing = set(ids)
                     try:
                         for t, ns, pid, red, ts, text, status in \
                                 iter_dump_pages(one_stream()):
                             if pid in ids:
+                                missing.discard(pid)
                                 rows.append((_wiki_url(t), t, ns, pid,
                                              red, ts, text, status))
                     except OSError:
                         pass
-            yield pd.DataFrame(
-                rows, columns=["url", "title", "ns", "page_id",
-                               "redirect", "ts", "text", "status"])
+                    # a wanted page the stream failed to produce is
+                    # accounted, never silently absent (round-5
+                    # review finding)
+                    for pid in sorted(missing):
+                        rows.append((_wiki_url(None), None, None,
+                                     int(pid), None, None, None,
+                                     "failed_fetch"))
+            yield pd.DataFrame(rows, columns=_COLS)
 
     return (wanted.select("offset", "page_id")
             .repartition("offset")

@@ -117,16 +117,50 @@ class TestWriter:
         back = spark.read.format("archive").load(out)
         assert back.count() == 1
 
-    def test_abort_removes_reported_shards(self, tmp_path):
+    def test_abort_sweeps_staging_incl_unreported_partials(self, tmp_path):
         out = str(tmp_path / "shards3")
         w = TarShardWriter({"path": out}, overwrite=False)
-        open(os.path.join(out, "part-00000-0000.tar"), "wb").write(b"x")
-        open(os.path.join(out, "part-00001-0000.tar"), "wb").write(b"y")
-        msg = ShardCommitMessage(shards=["part-00000-0000.tar"])
-        w.abort([msg, None])
-        left = sorted(os.listdir(out))
-        # only the shard a task REPORTED is removed; no _SUCCESS exists
-        assert left == ["part-00001-0000.tar"]
+        stg = os.path.join(out, "_staging")
+        # one reported shard, one partial from a task that died
+        # mid-write and never returned a commit message
+        open(os.path.join(stg, "aaaa-0000.tar"), "wb").write(b"x")
+        open(os.path.join(stg, "bbbb-0000.tar"), "wb").write(b"partial")
+        w.abort([ShardCommitMessage(shards=["aaaa-0000.tar"]), None])
+        assert os.listdir(stg) == []
+        # nothing was ever published
+        assert [f for f in os.listdir(out) if f != "_staging"] == []
+
+    def test_crashed_task_partial_never_visible_to_readers(
+            self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "shards4")
+        df = spark.createDataFrame([("u", b"x")],
+                                   "url string, html binary")
+        df.write.format("archive").mode("overwrite").save(out)
+        # simulate a later crashed attempt's partial staging debris
+        open(os.path.join(out, "_staging", "dead-0000.tar"),
+             "wb").write(b"garbage")
+        back = spark.read.format("archive").load(out)
+        assert back.count() == 1          # staging is invisible
+        twin = read_archive_docs(spark, out, path_glob_filter="*.tar")
+        assert twin.count() == 1
+
+    def test_append_mode_preserves_prior_export(self, spark, tmp_path):
+        register(spark)
+        out = str(tmp_path / "shards5")
+        spark.createDataFrame([(f"a{i}", b"1") for i in range(3)],
+                              "url string, html binary")             .write.format("archive").mode("overwrite").save(out)
+        spark.createDataFrame([(f"b{i}", b"2") for i in range(2)],
+                              "url string, html binary")             .write.format("archive").mode("append").save(out)
+        man = json.load(open(os.path.join(out, "_manifest.json")))
+        assert man["n_members"] == 5
+        back = spark.read.format("archive").load(out)
+        members = sorted(r["member"] for r in back.collect())
+        assert members == ["a0", "a1", "a2", "b0", "b1"]
+
+    def test_missing_literal_path_raises(self):
+        with pytest.raises(ValueError, match="not found"):
+            ArchiveDataSourceReader({"path": "/nonexistent/bundels"})
 
 
 class TestStreamWriter:

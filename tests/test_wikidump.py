@@ -165,3 +165,50 @@ class TestCorpusBridge:
         md = bytes(one["html"]).decode()
         assert "**page 2**" in md and "links" in md  # converted
         assert one["warc_ts"] is not None
+
+
+class TestReviewRegressions:
+    def test_null_ns_ok_pages_survive_default_filter(self, spark,
+                                                     tmp_path):
+        # a page with no <ns> element (older export schema) must not
+        # be silently dropped by the default namespace filter
+        import bz2 as _bz2
+
+        frag = (b"<mediawiki><page><title>Old</title><id>7</id>"
+                b"<revision><timestamp>2020-01-01T00:00:00Z"
+                b"</timestamp><text>body</text></revision></page>"
+                b"</mediawiki>")
+        (tmp_path / "old-multistream.xml.bz2").write_bytes(
+            _bz2.compress(frag))
+        df = read_wikidump_pages(
+            spark, str(tmp_path / "old-multistream.xml.bz2"))
+        rows = df.collect()
+        assert len(rows) == 1
+        assert rows[0]["title"] == "Old" and rows[0]["ns"] is None
+
+    def test_fetch_accounts_for_unrecoverable_pages(self, spark,
+                                                    tmp_path):
+        dump, index = build_wikidump(ROWS, pages_per_stream=2)
+        dp = tmp_path / "f-multistream.xml.bz2"
+        dp.write_bytes(dump)
+        # wanted ids with one bogus offset (points at garbage)
+        wanted = spark.createDataFrame(
+            [(int(index.splitlines()[0].split(":")[0]), 1),
+             (len(dump) - 4, 999)],          # mid-stream: not a BZh
+            "offset long, page_id long")
+        got = fetch_pages_by_index(spark, wanted, str(dp))
+        by_id = {r["page_id"]: r["status"] for r in got.collect()}
+        assert by_id[1] == "ok"
+        assert by_id[999] == "failed_fetch"   # accounted, not dropped
+
+    def test_heading_requires_closing_equals(self):
+        assert "## H" in wikitext_to_markdown("== H ==")
+        out = wikitext_to_markdown("==> see the table below")
+        assert "##" not in out and "see the table" in out
+
+    def test_unterminated_page_is_bounded_and_accounted(self):
+        chunks = [b"<page><title>X</title>" + b"A" * (1 << 20)]
+        rows = list(iter_dump_pages(iter(chunks),
+                                    max_page_bytes=1 << 20))
+        assert rows == [(None, None, None, None, None, None,
+                         "failed_page")]
